@@ -1,0 +1,44 @@
+package graft.core
+
+import org.apache.spark.sql.SparkSession
+
+/** SparkSession factory with the engine's canonical config.
+  *
+  * Mirrors the reference engine's semantics (see SURVEY.md §7.1 D5):
+  * the reference (Polars non-strict casts, `flows/silver.py:86,93`) nulls
+  * out bad casts instead of raising, so ANSI mode is off. Session TZ is
+  * UTC for oracle parity. Shuffle partitions default to the local core
+  * count (local[32] here) instead of Spark's 200 — on a real cluster this
+  * is expected to be overridden to ~2-3× total cores; AQE coalescing
+  * then right-sizes post-shuffle partitions at runtime.
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession
+      .builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.ansi.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+
+  def local(appName: String = "graft"): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** Apply canonical confs to an externally-created session (Verify/Bench/tests). */
+  def tune(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.ansi.enabled", "false")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
+    s
+  }
+}
