@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.Parity
+
+/** Single aggregation point for every query surface the engine exposes.
+  * SparkEntry delegates here; new operator families register by adding
+  * their maps below. Keys must be unique across families (enforced at
+  * object-init time so a collision fails fast in any test or run).
+  */
+object Registry {
+  private val families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+    Seq(
+      (Parity.queries, Parity.oracleSql)
+    )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val all = families.flatMap(_._1)
+    require(all.size == all.map(_._1).distinct.size, "duplicate query keys across families")
+    all.toMap
+  }
+
+  val oracleSql: Map[String, String] = families.flatMap(_._2).toMap
+
+  require(oracleSql.keySet.subsetOf(queries.keySet),
+    s"oracleSql keys without queries: ${oracleSql.keySet -- queries.keySet}")
+}

@@ -5,15 +5,16 @@ import org.apache.spark.sql.DataFrame
 /** Column-name normalization + dedup for bronze ingestion.
   *
   * Behavior spec from the reference's `normalize_and_dedupe`
-  * (reference `flows/bronze.py:30-40`): trim, lowercase,
-  * internal whitespace runs → single underscore; repeated names get
+  * (reference `flows/bronze.py:30-40`): trim, lowercase, each space
+  * character → one underscore (so `"a  b"` → `a__b`, exactly as the
+  * reference's `str.replace(" ", "_")` does); repeated names get
   * `_2`, `_3`, … suffixes in encounter order. Pure driver-side metadata
   * rewrite (`df.toDF`) — zero data movement at any scale.
   */
 object ColumnNormalizer {
 
   def normalizeName(raw: String): String =
-    raw.trim.toLowerCase.replaceAll("\\s+", "_")
+    raw.trim.toLowerCase.replace(" ", "_")
 
   /** Normalize every name, then suffix-dedupe repeats: first keeps the
     * base name, the k-th repeat becomes `name_k`.

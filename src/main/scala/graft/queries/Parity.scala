@@ -14,10 +14,10 @@ import graft.medallion.ColumnNormalizer
   *
   * Every query is a pure DataFrame plan (no collect, no driver loops) and
   * every aggregate uses [[graft.core.Exact]] so results hash-match the
-  * DuckDB oracle bit-for-bit. Joins against `customer`/`nation` are
-  * broadcast-able dims (Catalyst auto-broadcasts under the configured
-  * threshold); the fact-side shuffles are single-key hash partitions that
-  * scale linearly with executors.
+  * DuckDB oracle bit-for-bit. `nation` is a fixed-size dim (explicit
+  * broadcast); `customer` scales with the data, so its joins are left
+  * unhinted for Catalyst/AQE to choose; the fact-side shuffles are
+  * single-key hash partitions that scale linearly with executors.
   */
 object Parity {
 
@@ -25,16 +25,18 @@ object Parity {
     Tables.load(s, dir, name)
 
   /** orders ⟕ customer ⟕ nation — the shared "reviews⟕albums⟕bands" spine.
-    * customer and nation are dims (1.5k / 25 rows at sf0.01; still dim-sized
-    * at 100 TB fact scale) → Catalyst broadcasts both; no fact shuffle
-    * until the groupBy.
+    * nation is a true fixed-size dim (25 rows at any sf) → hint broadcast.
+    * customer SCALES with sf (billions of rows at 100 TB), so it must NOT
+    * be hint-broadcast: leave the join unhinted and let Catalyst/AQE pick —
+    * broadcast at bench scale (under the threshold), shuffled hash/sort-merge
+    * join at cluster scale.
     */
   private def orderSpine(s: SparkSession, dir: String): DataFrame = {
     val ord = t(s, dir, "orders")
     val cust = t(s, dir, "customer")
     val nat = t(s, dir, "nation")
     ord
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"), "left")
+      .join(cust, ord("o_custkey") === cust("c_custkey"), "left")
       .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"), "left")
   }
 
@@ -202,7 +204,7 @@ object Parity {
     val cust = t(s, dir, "customer")
     val nat = t(s, dir, "nation")
     val li = t(s, dir, "lineitem")
-    val oc = ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"), "left")
+    val oc = ord.join(cust, ord("o_custkey") === cust("c_custkey"), "left")
     li.join(oc, li("l_orderkey") === oc("o_orderkey"), "right")
       .join(broadcast(nat), oc("c_nationkey") === nat("n_nationkey"), "left")
       .filter(col("c_mktsegment") =!= "MACHINERY" && col("o_orderstatus") =!= "P")
