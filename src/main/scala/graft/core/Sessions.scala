@@ -27,6 +27,9 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.compression.codec", "snappy")
+      // Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by default;
+      // read as epoch-nanos LongType and convert explicitly in queries.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {
@@ -39,6 +42,7 @@ object Sessions {
   def tune(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.ansi.enabled", "false")
     s.conf.set("spark.sql.session.timeZone", "UTC")
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s
   }
 }

@@ -311,10 +311,19 @@ object Parity {
 
   // ===== q14 — event-time bucketing (batch view of §2.9 streaming) =========
 
+  /** events.ts is parquet TIMESTAMP(NANOS); the session reads it as
+    * epoch-nanos LongType (`nanosAsLong`, core/Sessions.scala). Hour
+    * bucketing uses integer `div` — a double division at 1e18 magnitude
+    * would lose sub-second precision (53-bit mantissa). The bucket is
+    * emitted as a canonical UTC string so the DuckDB oracle (native
+    * timestamp_ns) can match it exactly via strftime.
+    */
   def q14EventsHourly(s: SparkSession, dir: String): DataFrame = {
     import Exact._
+    val hour = from_unixtime(expr("ts div 3600000000000") * 3600,
+      "yyyy-MM-dd HH:mm:ss")
     t(s, dir, "events")
-      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .groupBy(hour.as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         sumd(col("value")).as("sum_value"),
         avgd(col("value")).as("avg_value"))
@@ -322,7 +331,8 @@ object Parity {
   }
 
   val q14Sql: String =
-    s"""SELECT date_trunc('hour', ts) AS hour, event_type,
+    s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       |  event_type,
        |  COUNT(*) AS n_events,
        |  ${Exact.sqlSum("value")} AS sum_value,
        |  ${Exact.sqlAvg("value")} AS avg_value
