@@ -12,7 +12,8 @@ import graft.queries.Parity
 object Registry {
   private val families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
-      (Parity.queries, Parity.oracleSql)
+      (Parity.queries, Parity.oracleSql),
+      (graft.queries.MedallionRoundtrip.queries, graft.queries.MedallionRoundtrip.oracleSql)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {
