@@ -13,7 +13,9 @@ object Registry {
   private val families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Parity.queries, Parity.oracleSql),
-      (graft.queries.MedallionRoundtrip.queries, graft.queries.MedallionRoundtrip.oracleSql)
+      (graft.queries.MedallionRoundtrip.queries, graft.queries.MedallionRoundtrip.oracleSql),
+      (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql),
+      (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracleSql)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -1,0 +1,115 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** MinHash + LSH banding near-duplicate detection, built entirely from
+  * codegen'd built-in functions (no UDFs):
+  *
+  *   word shingles → k minhashes (xxhash64 seeded by slot index) →
+  *   b band keys → shuffle on (band_idx, band_hash) → candidate pairs
+  *   within buckets only → exact Jaccard verification.
+  *
+  * Scale design: the only shuffles are the band-key self-join and the
+  * final pair distinct — candidate volume is O(colliding pairs), never
+  * the all-pairs O(n²) a crossJoin would cost. Detection probability
+  * for Jaccard j is 1-(1-j^r)^b (r = k/b rows per band); the defaults
+  * (k=128, b=16, r=8) catch j≥0.9 with P > 0.9999 and pass j≤0.5 with
+  * P < 7%, and every surviving pair is exact-verified, so false
+  * positives are impossible — only borderline-jaccard misses are.
+  */
+object MinHashLSH {
+
+  /** Distinct word n-gram shingles; docs shorter than n shingle to the
+    * whole text so they can still collide with near-copies.
+    */
+  def wordShingles(text: Column, n: Int): Column = {
+    val ts = TextFunctions.tokens(text)
+    val sh = when(size(ts) < n, array(concat_ws(" ", ts)))
+      .otherwise(transform(sequence(lit(0), size(ts) - n),
+        i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
+    array_distinct(sh)
+  }
+
+  /** Per-doc k-slot minhash signature via explode + hash-aggregate:
+    * (id, shingle) rows → groupBy(id) with k `min(xxhash64(i, shingle))`
+    * aggregates. Fully whole-stage-codegen'd (no higher-order
+    * functions in the hot path — HOFs are interpreted, and a k-column
+    * HOF formulation additionally recomputes the shingling per column
+    * under Catalyst projection collapse). One shuffle on the doc id
+    * with map-side partial min — scales linearly.
+    * Output: (mh_id, s_0 … s_{k-1}).
+    */
+  def signatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int): DataFrame =
+    docs.select(col(idCol).as("mh_id"),
+        explode(wordShingles(col(textCol), n)).as("shingle"))
+      .groupBy(col("mh_id"))
+      .agg(
+        min(xxhash64(lit(0), col("shingle"))).as("s_0"),
+        (1 until k).map(i =>
+          min(xxhash64(lit(i), col("shingle"))).as(s"s_$i")): _*)
+
+  /** b band keys over the signature columns: band i = xxhash64 of
+    * (i, slots i·r … i·r+r−1). Each slot is a materialized aggregate
+    * output, referenced once — no recompute hazard.
+    */
+  def bandKeyCols(b: Int, r: Int): Seq[Column] =
+    (0 until b).map { i =>
+      xxhash64((lit(i) +: (0 until r).map(j => col(s"s_${i * r + j}"))): _*)
+    }
+
+  /** Exact Jaccard over two shingle arrays (already distinct). */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** One row per (doc, band): (band_idx, band_hash, id). Only the id
+    * rides the band shuffle — shingle arrays would multiply the shuffle
+    * width by the band count for nothing (they're re-derived only for
+    * the tiny candidate set during verification).
+    */
+  def bandedDocs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int, k: Int, b: Int): DataFrame = {
+    require(k % b == 0, s"k=$k must be divisible by b=$b")
+    val r = k / b
+    signatures(docs, idCol, textCol, n, k)
+      .select(col("mh_id"),
+        posexplode(array(bandKeyCols(b, r): _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** Candidate pairs (id_a < id_b) sharing ≥1 band bucket. The join
+    * shuffles narrow (band_idx, band_hash, id) rows — bucket-local
+    * pairs only, never all-pairs.
+    */
+  def candidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 128, b: Int = 16): DataFrame = {
+    val banded = bandedDocs(docs, idCol, textCol, n, k, b)
+    val left = banded.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_a"))
+    val right = banded.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_b"))
+    left.join(right, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Verified near-duplicate pairs at a Jaccard threshold: candidates
+    * re-join the corpus by id (two narrow hash joins) and only the
+    * surviving pair rows pay the exact-jaccard array work.
+    */
+  def nearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, k: Int = 128, b: Int = 16): DataFrame = {
+    val sh = docs.select(col(idCol).as("sh_id"), wordShingles(col(textCol), n).as("sh"))
+    candidatePairs(docs, idCol, textCol, n, k, b)
+      .join(sh.select(col("sh_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("sh_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+}

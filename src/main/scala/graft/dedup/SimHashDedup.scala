@@ -1,0 +1,59 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+
+/** SimHash near-duplicate detection with pigeonhole banding: the 64-bit
+  * fingerprint splits into 4×16-bit chunks — any pair within Hamming
+  * distance ≤3 must agree on at least one whole chunk, so grouping by
+  * (chunk_idx, chunk_value) finds every such pair with NO false
+  * negatives, and the exact popcount(xor) filter removes false
+  * positives. Same shuffle shape as MinHash LSH: bucket join, never
+  * all-pairs.
+  */
+object SimHashDedup {
+
+  val Chunks = 4
+  val ChunkBits = 64 / Chunks
+  /** Max Hamming distance with a zero-false-negative guarantee. */
+  val MaxDistance: Int = Chunks - 1
+
+  /** One row per (doc, chunk): (chunk_idx, chunk_value, id, simhash). */
+  def chunkedDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sim = SimHash64.simhash64(col(textCol))
+    val chunks = array((0 until Chunks).map { i =>
+      shiftrightunsigned(col("simhash"), i * ChunkBits).bitwiseAND(lit(0xFFFFL))
+    }: _*)
+    docs.select(col(idCol).as("sh_id"), sim.as("simhash"))
+      .select(col("sh_id"), col("simhash"),
+        posexplode(chunks).as(Seq("chunk_idx", "chunk_value")))
+  }
+
+  def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Pairs (id_a < id_b) within `maxDist` Hamming bits (≤ [[MaxDistance]]
+    * for the no-false-negative guarantee).
+    */
+  def nearDuplicates(
+      docs: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = MaxDistance): DataFrame = {
+    require(maxDist <= MaxDistance,
+      s"maxDist=$maxDist loses the pigeonhole guarantee beyond $MaxDistance")
+    val chunked = chunkedDocs(docs, idCol, textCol)
+    val left = chunked.select(col("chunk_idx"), col("chunk_value"),
+      col("sh_id").as("id_a"), col("simhash").as("sim_a"))
+    val right = chunked.select(col("chunk_idx"), col("chunk_value"),
+      col("sh_id").as("id_b"), col("simhash").as("sim_b"))
+    left.join(right, Seq("chunk_idx", "chunk_value"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming_dist", hamming(col("sim_a"), col("sim_b")))
+      .filter(col("hamming_dist") <= maxDist)
+      .select("id_a", "id_b", "hamming_dist")
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Convenience: register the simhash64 expression on a session. */
+  def ensureRegistered(spark: SparkSession): Unit = SimHash64.register(spark)
+}

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.{MinHashLSH, SimHashDedup}
+import graft.similarity.Similarity
+
+/** Driver-verifiable similarity/dedup queries (BASELINE.json north
+  * star). q20 is exact and DuckDB-oracled; q21–q23 are the LSH paths —
+  * deterministic but not SQL-expressible (xxhash64/FNV banding), so
+  * they register without oracle SQL and get the driver's rows-only
+  * check, with exactness covered by ScalaTest instead.
+  */
+object SimilarityQueries {
+
+  /** Exact cosine top-5 for the first 50 vectors against the corpus. */
+  def q20KnnBruteForce(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    Similarity.bruteForceTopK(vecs, vecs.filter(col("vec_id") < 50), k = 5)
+      .withColumn("cosine_r6", round(col("cosine"), 6))
+      .drop("cosine")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q20Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 50),
+      |scored AS (
+      |  SELECT q.query_id, v.vec_id,
+      |    list_dot_product(q.qe, v.e)
+      |      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))) AS cosine
+      |  FROM q, v WHERE v.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, vec_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, vec_id, round(cosine, 6) AS cosine_r6
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
+  /** MinHash-LSH near-dup over documents with planted near-copies
+    * (each doc unioned with an appended-token variant). Deterministic;
+    * verified exactly in ScalaTest (xxhash64 banding is not
+    * SQL-expressible in DuckDB).
+    */
+  def q21MinhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.union(docs.select(col("doc_id") + 1000000,
+      concat(col("text"), lit(" planted near duplicate marker"))))
+    MinHashLSH.nearDuplicates(planted, "doc_id", "text", threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** SimHash near-dup over the same planted corpus (Hamming ≤ 3). */
+  def q22SimhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    SimHashDedup.ensureRegistered(s)
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.union(docs.select(col("doc_id") + 1000000,
+      concat(col("text"), lit(" x"))))
+    SimHashDedup.nearDuplicates(planted, "doc_id", "text")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** LSH-bucketed approximate top-k — the 100 TB-scale ANN path. */
+  def q23AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    // 4 bits × 8 tables: tuned for the testdata's weak neighbor
+    // structure (top-5 cosine ≈ 0.32); at stronger structure raise bits
+    // for selectivity.
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, bits = 4, tables = 8)
+    lsh.approxTopK(vecs, vecs.filter(col("vec_id") < 50), k = 5)
+      .withColumn("cosine_r6", round(col("cosine"), 6))
+      .drop("cosine")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_knn_bruteforce" -> (q20KnnBruteForce _),
+    "q21_minhash_neardup" -> (q21MinhashNearDup _),
+    "q22_simhash_neardup" -> (q22SimhashNearDup _),
+    "q23_ann_lsh" -> (q23AnnLsh _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q20_knn_bruteforce" -> q20Sql)
+}

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.TextFunctions._
+
+/** Driver-verifiable text-analysis queries over `documents`
+  * (BASELINE.json north star: LLM-pipeline text operators). Every
+  * function in [[graft.text.TextFunctions]] appears here with a
+  * DuckDB oracle that mirrors the computation operand-for-operand.
+  */
+object TextQueries {
+
+  private val SqlToks =
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+  private val SqlStops = "['the','a','an','of','and','to','in','is','it','that']"
+  private val SqlTokenCount = s"len($SqlToks)"
+  private val SqlPunctCount = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+  private val SqlPunctRatio =
+    s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST($SqlPunctCount AS DOUBLE) / length(text) END"
+  private val SqlStopRatio =
+    s"CASE WHEN $SqlTokenCount = 0 THEN 0.0 ELSE CAST(len(list_filter($SqlToks, t -> list_contains($SqlStops, t))) AS DOUBLE) / $SqlTokenCount END"
+  private val SqlFingerprint =
+    "md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))"
+
+  // ===== q16 — per-document token/punct/stopword stats + fingerprint ======
+
+  def q16TextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).as("token_count"),
+        bpeTokenEstimate(col("text")).as("bpe_estimate"),
+        punctRatio(col("text")).as("punct_ratio"),
+        stopwordRatio(col("text")).as("stopword_ratio"),
+        meanTokenLength(col("text")).as("mean_token_len"),
+        fingerprint(col("text")).as("fingerprint"))
+      .orderBy(col("doc_id"))
+
+  val q16Sql: String =
+    s"""SELECT doc_id,
+       |  $SqlTokenCount AS token_count,
+       |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe_estimate,
+       |  $SqlPunctRatio AS punct_ratio,
+       |  $SqlStopRatio AS stopword_ratio,
+       |  CASE WHEN $SqlTokenCount = 0 THEN 0.0
+       |       ELSE CAST(length(regexp_replace(lower(trim(text)), '\\s', '', 'g')) AS DOUBLE) / $SqlTokenCount END AS mean_token_len,
+       |  $SqlFingerprint AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ===== q17 — heuristic language ID (marker-stopword argmax) =============
+
+  def q17LangId(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_guess"))
+      .orderBy(col("doc_id"))
+
+  val q17Sql: String = {
+    val markers = graft.text.TextFunctions.LangMarkers
+    def score(ms: Seq[String]): String =
+      s"len(list_filter($SqlToks, t -> list_contains([${ms.map("'" + _ + "'").mkString(",")}], t)))"
+    val defs = markers.map { case (lang, ms) => s"${score(ms)} AS s_$lang" }
+    val names = markers.map(_._1)
+    val anyHit = names.map(l => s"s_$l").mkString(" + ") + " > 0"
+    val whens = names.zipWithIndex.map { case (lang, i) =>
+      val beats = names.take(i).map(o => s"s_$lang > s_$o")
+      val ge = names.drop(i + 1).map(o => s"s_$lang >= s_$o")
+      val cond = (beats ++ ge).mkString(" AND ") match {
+        case "" => "TRUE"
+        case c => c
+      }
+      s"WHEN ($anyHit) AND $cond THEN '$lang'"
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang, ${defs.mkString(",\n    ")}
+       |  FROM documents)
+       |SELECT doc_id, lang,
+       |  CASE ${whens.mkString("\n    ")} ELSE 'und' END AS lang_guess
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  // ===== q18 — composite quality score ====================================
+
+  def q18QualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        qualityScore(col("text")).as("quality"))
+      .orderBy(col("doc_id"))
+
+  val q18Sql: String =
+    s"""SELECT doc_id, n_chars,
+       |  least(1.0, CAST($SqlTokenCount AS DOUBLE) / 50.0) * 0.4
+       |    + (1.0 - least(1.0, ($SqlPunctRatio) * 10.0)) * 0.3
+       |    + least(1.0, ($SqlStopRatio) * 5.0) * 0.3 AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ===== q19 — exact dedup by content fingerprint =========================
+
+  /** Exact dedup at scale: one hash-groupBy shuffle on the fingerprint,
+    * min-id representative per group. The input doubles `documents`
+    * with shifted ids so every group genuinely collapses 2→1.
+    */
+  def q19DedupExactDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val doubled = docs.union(docs.select(col("doc_id") + 1000000, col("text")))
+    doubled
+      .groupBy(fingerprint(col("text")).as("fingerprint"))
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("rep_doc_id"))
+  }
+
+  val q19Sql: String =
+    s"""SELECT $SqlFingerprint AS fingerprint,
+       |  min(doc_id) AS rep_doc_id, count(*) AS n_copies
+       |FROM (SELECT doc_id, text FROM documents
+       |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+       |GROUP BY 1 ORDER BY rep_doc_id""".stripMargin
+
+  // ========================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q16_text_stats" -> (q16TextStats _),
+    "q17_lang_id" -> (q17LangId _),
+    "q18_quality_score" -> (q18QualityScore _),
+    "q19_dedup_exact_docs" -> (q19DedupExactDocs _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q16_text_stats" -> q16Sql,
+    "q17_lang_id" -> q17Sql,
+    "q18_quality_score" -> q18Sql,
+    "q19_dedup_exact_docs" -> q19Sql)
+}

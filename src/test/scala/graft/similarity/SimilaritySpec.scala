@@ -1,0 +1,61 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.Tables
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("brute-force top-k ranks a known geometry correctly") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)), // closest to 0
+      (2L, Array(0.5f, 0.5f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f)) // orthogonal to 0
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), k = 3)
+      .select("rank", "vec_id").as[(Int, Long)].collect().toSeq.sortBy(_._1)
+    assert(top.map(_._2) == Seq(1L, 2L, 3L))
+  }
+
+  test("self-match excluded and ranks are dense per query") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 5), k = 5)
+    assert(top.filter($"vec_id" === $"query_id").count() == 0)
+    val ranks = top.groupBy("query_id").agg(collect_list("rank").as("rs"))
+      .select("rs").as[Seq[Int]].collect()
+    ranks.foreach(rs => assert(rs.sorted == (1 to 5)))
+  }
+
+  test("LSH ANN achieves usable recall vs brute force on real embeddings") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+    val queries = vecs.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    // These synthetic embeddings have weak neighbor structure (top-5
+    // cosine ≈ 0.32 → per-bit collision ≈ 0.6): 4 bits × 8 tables gives
+    // ~0.65 expected per-neighbor detection. Deterministic via the seed.
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, bits = 4, tables = 8)
+    val approx = lsh.approxTopK(vecs, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.45, s"recall@5 = $recall")
+    // approx returns at most k per query and never self-matches
+    assert(!approx.exists { case (q, v) => q == v })
+  }
+
+  test("cosine near-duplicates finds a planted duplicate vector") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+    val planted = vecs.union(vecs.filter($"vec_id" === 7)
+      .select(($"vec_id" + 1000).as("vec_id"), $"embedding", $"label"))
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, bits = 4, tables = 8)
+    val dups = Similarity.cosineNearDuplicates(planted, lsh, threshold = 0.999)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(dups.contains((7L, 1007L)))
+  }
+}
