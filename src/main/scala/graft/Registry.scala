@@ -15,7 +15,8 @@ object Registry {
       (Parity.queries, Parity.oracleSql),
       (graft.queries.MedallionRoundtrip.queries, graft.queries.MedallionRoundtrip.oracleSql),
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql),
-      (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracleSql)
+      (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracleSql),
+      (graft.queries.SqlSurfaceQueries.queries, graft.queries.SqlSurfaceQueries.oracleSql)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

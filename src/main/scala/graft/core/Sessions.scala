@@ -30,6 +30,11 @@ object Sessions {
       // Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by default;
       // read as epoch-nanos LongType and convert explicitly in queries.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Catalog namespaces (bronze/silver/gold) live under a temp
+      // warehouse; tables are external LOCATION-based, so nothing of
+      // value is stored here.
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time streaming aggregation over the `events` table — the
+  * beyond-reference streaming surface (the reference has no stateful
+  * streaming; SURVEY §2.9): tumbling windows + watermark, the
+  * streaming twin of the batch q14 hourly rollup.
+  *
+  * `ts` arrives as epoch-nanos LongType (nanosAsLong); it converts to
+  * a proper timestamp for event-time semantics. At scale the state
+  * store holds one row per (window, event_type) — low cardinality —
+  * and the watermark bounds state growth.
+  */
+object EventStream {
+
+  /** Epoch-nanos long → timestamp (microsecond precision). */
+  def nanosToTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    timestamp_micros((c / 1000).cast("long"))
+
+  /** Hourly (window, event_type) counts/sums with a watermark. */
+  def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_ts", nanosToTs(col("ts")))
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** File-source stream over the events parquet (schema from a batch
+    * sample), for AvailableNow replays in tests and backfills.
+    */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // file stream sources take a directory; glob-filter to the table
+    spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.medallion.{BronzeFlow, Lake, LandingFlow}
+
+/** Streaming landing→bronze must produce exactly the batch result
+  * (SURVEY §2.9: AvailableNow = batch-equivalent, replayable), and the
+  * event-time rollup must match its batch twin.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  test("stream landing->bronze ≡ batch bronze on the fixture CSVs") {
+    val root = Files.createTempDirectory("stream-e2e").toString
+    val fixtures = Paths.get(getClass.getResource("/fixtures/albums.csv").toURI)
+      .getParent.toString
+    val lake = Lake(root)
+    LandingFlow.run(fixtures, lake, maxBytes = 100, bufferBytes = 1000)
+
+    val bronzePath = LandingStream.runAvailableNow(spark, lake, "reviews")
+    val streamed = spark.read.parquet(bronzePath)
+    val batch = BronzeFlow.read(spark, lake.landing("reviews"))
+
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
+  test("stream restart is exactly-once: re-running adds nothing") {
+    val root = Files.createTempDirectory("stream-idem").toString
+    val fixtures = Paths.get(getClass.getResource("/fixtures/albums.csv").toURI)
+      .getParent.toString
+    val lake = Lake(root)
+    LandingFlow.run(fixtures, lake, maxBytes = 100, bufferBytes = 1000)
+
+    LandingStream.runAvailableNow(spark, lake, "albums")
+    val first = spark.read.parquet(lake.bronze("albums")).count()
+    // second AvailableNow run against the same checkpoint: no new files
+    LandingStream.runAvailableNow(spark, lake, "albums")
+    val second = spark.read.parquet(lake.bronze("albums")).count()
+    assert(first == second)
+  }
+
+  test("event-time hourly rollup: streaming result ≡ batch result") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventStream.readEventsStream(spark, dir)
+    val q = EventStream.hourlyRollup(stream)
+      .writeStream
+      .format("memory")
+      .queryName("events_hourly_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("events_hourly_stream")
+    val batch = EventStream.hourlyRollup(spark.read.parquet(s"$dir/events.parquet"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+}
