@@ -33,10 +33,21 @@ object MinHashLSH {
     array_distinct(sh)
   }
 
+  /** Deterministic multiply-shift coefficients for the k universal
+    * hash families: slot i over base hash h is a_i·h + b_i (64-bit
+    * wraparound; a_i odd). One string hash per shingle, k long
+    * multiply-adds — instead of k full string hashes.
+    */
+  private def coefficients(k: Int): Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(0x9E3779B97F4A7C15L)
+    Seq.fill(k)((rnd.nextLong() | 1L, rnd.nextLong()))
+  }
+
   /** Per-doc k-slot minhash signature via explode + hash-aggregate:
-    * (id, shingle) rows → groupBy(id) with k `min(xxhash64(i, shingle))`
-    * aggregates. Fully whole-stage-codegen'd (no higher-order
-    * functions in the hot path — HOFs are interpreted, and a k-column
+    * (id, shingle) rows → one xxhash64 per shingle → groupBy(id) with
+    * k `min(a_i·h + b_i)` aggregates (multiply-shift universal
+    * hashing). Fully whole-stage-codegen'd — no higher-order
+    * functions in the hot path (HOFs are interpreted, and a k-column
     * HOF formulation additionally recomputes the shingling per column
     * under Catalyst projection collapse). One shuffle on the doc id
     * with map-side partial min — scales linearly.
@@ -44,14 +55,17 @@ object MinHashLSH {
     */
   def signatures(
       docs: DataFrame, idCol: String, textCol: String,
-      n: Int, k: Int): DataFrame =
+      n: Int, k: Int): DataFrame = {
+    val ab = coefficients(k)
+    val slots = ab.zipWithIndex.map { case ((a, b), i) =>
+      min(col("h") * a + b).as(s"s_$i")
+    }
     docs.select(col(idCol).as("mh_id"),
         explode(wordShingles(col(textCol), n)).as("shingle"))
+      .select(col("mh_id"), xxhash64(col("shingle")).as("h"))
       .groupBy(col("mh_id"))
-      .agg(
-        min(xxhash64(lit(0), col("shingle"))).as("s_0"),
-        (1 until k).map(i =>
-          min(xxhash64(lit(i), col("shingle"))).as(s"s_$i")): _*)
+      .agg(slots.head, slots.tail: _*)
+  }
 
   /** b band keys over the signature columns: band i = xxhash64 of
     * (i, slots i·r … i·r+r−1). Each slot is a materialized aggregate
