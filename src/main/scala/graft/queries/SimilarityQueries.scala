@@ -76,11 +76,25 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-bucketed approximate top-k — the trained-quantizer ANN path
+    * (vs q23's data-independent LSH). Deterministic via the KMeans
+    * seed; rows-only check (k-means is not DuckDB-expressible).
+    */
+  def q25AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    val idx = graft.similarity.IvfIndex.fit(vecs, c = 16)
+    idx.approxTopK(vecs, vecs.filter(col("vec_id") < 50), k = 5, nprobe = 4)
+      .withColumn("cosine_r6", round(col("cosine"), 6))
+      .drop("cosine")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_knn_bruteforce" -> (q20KnnBruteForce _),
     "q21_minhash_neardup" -> (q21MinhashNearDup _),
     "q22_simhash_neardup" -> (q22SimhashNearDup _),
-    "q23_ann_lsh" -> (q23AnnLsh _))
+    "q23_ann_lsh" -> (q23AnnLsh _),
+    "q25_ann_ivf" -> (q25AnnIvf _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_knn_bruteforce" -> q20Sql)

@@ -1,0 +1,46 @@
+package graft.medallion
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkTestBase
+
+class FlowsSpec extends SparkTestBase {
+
+  private def fixtures: String =
+    Paths.get(getClass.getResource("/fixtures/albums.csv").toURI).getParent.toString
+
+  test("runAll composes the four flows into one manifest") {
+    val lake = Lake(Files.createTempDirectory("flows-e2e").toString)
+    val manifest = Flows.runAll(spark, fixtures, lake, maxChunkBytes = 100)
+    assert(manifest("landing").keySet == Set("albums", "bands", "reviews"))
+    assert(manifest("bronze").keySet == Set("albums", "bands", "reviews"))
+    assert(manifest("silver").keySet ==
+      Set("albums", "bands", "reviews", "music_catalog", "album_reviews"))
+    assert(manifest("gold").keySet ==
+      Set("top10_by_country", "band_avg_scores", "band_album_counts"))
+    assert(spark.read.parquet(manifest("gold")("band_avg_scores")).count() == 4)
+  }
+
+  test("waitForLanding returns keys once objects arrive") {
+    val lake = Lake(Files.createTempDirectory("flows-poll").toString)
+    val dir = Paths.get(lake.landing("reviews"))
+    // arrive asynchronously after ~200ms, poll every 50ms
+    new Thread(() => {
+      Thread.sleep(200)
+      Files.createDirectories(dir)
+      Files.write(dir.resolve("part-00000.csv"), "id\n1\n".getBytes)
+    }).start()
+    val keys = Flows.waitForLanding(spark, lake, "reviews",
+      pollMs = 50, pollsPerAttempt = 40, retries = 0)
+    assert(keys.exists(_.endsWith("part-00000.csv")))
+  }
+
+  test("waitForLanding exhausts polls and retries, then throws") {
+    val lake = Lake(Files.createTempDirectory("flows-poll-empty").toString)
+    val e = intercept[RuntimeException] {
+      Flows.waitForLanding(spark, lake, "albums",
+        pollMs = 1, pollsPerAttempt = 2, retries = 1, retryDelayMs = 1)
+    }
+    assert(e.getMessage.contains("no landing objects"))
+  }
+}
