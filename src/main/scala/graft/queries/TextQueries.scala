@@ -118,17 +118,57 @@ object TextQueries {
        |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
        |GROUP BY 1 ORDER BY rep_doc_id""".stripMargin
 
+  // ===== q26 — exact n-gram Jaccard similarity (oracle-checked) ===========
+
+  /** The exact trigram-shingle Jaccard between each document and an
+    * appended-marker near-copy — the verification kernel of the
+    * MinHash pipeline, oracle-checked end to end (DuckDB rebuilds the
+    * same shingle sets with list functions).
+    */
+  def q26NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.MinHashLSH.{jaccard, wordShingles}
+    val marker = lit(" planted near duplicate marker")
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        jaccard(
+          wordShingles(col("text"), 3),
+          wordShingles(concat(col("text"), marker), 3)).as("jaccard"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q26Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ta,
+      |    list_filter(regexp_split_to_array(lower(trim(text || ' planted near duplicate marker')), '\s+'), x -> x <> '') AS tb
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+      |                i -> concat(ta[i], ' ', ta[i+1], ' ', ta[i+2]))) END AS sa,
+      |    CASE WHEN len(tb) < 3 THEN [array_to_string(tb, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(tb) - 1),
+      |                i -> concat(tb[i], ' ', tb[i+1], ' ', tb[i+2]))) END AS sb
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(len(list_intersect(sa, sb)) AS DOUBLE)
+      |    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q16_text_stats" -> (q16TextStats _),
     "q17_lang_id" -> (q17LangId _),
     "q18_quality_score" -> (q18QualityScore _),
-    "q19_dedup_exact_docs" -> (q19DedupExactDocs _))
+    "q19_dedup_exact_docs" -> (q19DedupExactDocs _),
+    "q26_ngram_jaccard" -> (q26NgramJaccard _))
 
   val oracleSql: Map[String, String] = Map(
     "q16_text_stats" -> q16Sql,
     "q17_lang_id" -> q17Sql,
     "q18_quality_score" -> q18Sql,
-    "q19_dedup_exact_docs" -> q19Sql)
+    "q19_dedup_exact_docs" -> q19Sql,
+    "q26_ngram_jaccard" -> q26Sql)
 }

@@ -49,6 +49,21 @@ object CatalogSurface {
     fs.exists(p)
   }
 
+  /** Managed catalog write (the Iceberg-variant write path, S9:
+    * bronze overwrite / silver+gold append —
+    * `flows_iceberg/bronze_iceberg.py:40-44`, `silver_iceberg.py:26`).
+    * `saveAsTable` creates from the DataFrame schema when absent —
+    * the Arrow-schema-on-write behavior — and an Iceberg catalog
+    * would swap in via `spark.sql.catalog.*` with the same calls.
+    */
+  def writeManaged(
+      df: org.apache.spark.sql.DataFrame, table: String,
+      mode: String = "overwrite"): Unit = {
+    val ns = table.split('.').head
+    df.sparkSession.sql(s"CREATE DATABASE IF NOT EXISTS $ns")
+    df.write.mode(mode).saveAsTable(table)
+  }
+
   /** Invalidate cached file listings after a flow rewrites a layer in
     * place (external tables cache their file manifest; a truncate +
     * rewrite otherwise leaves readers pointing at deleted part files).

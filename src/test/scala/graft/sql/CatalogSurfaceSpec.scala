@@ -39,6 +39,18 @@ class CatalogSurfaceSpec extends SparkTestBase {
     assert(spark.table("gold.band_avg_scores").count() == before)
   }
 
+  test("managed write path: create-from-schema, overwrite and append modes") {
+    import spark.implicits._
+    val df = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    CatalogSurface.writeManaged(df, "bronze.managed_probe")
+    assert(spark.table("bronze.managed_probe").count() == 2)
+    CatalogSurface.writeManaged(df, "bronze.managed_probe", mode = "append")
+    assert(spark.table("bronze.managed_probe").count() == 4)
+    CatalogSurface.writeManaged(df, "bronze.managed_probe") // overwrite resets
+    assert(spark.table("bronze.managed_probe").count() == 2)
+    spark.sql("DROP TABLE bronze.managed_probe")
+  }
+
   test("band_score_ranking view: Trino DDL analogue over the catalog") {
     CatalogSurface.registerLake(spark, lake)
     CatalogSurface.createViews(spark)
