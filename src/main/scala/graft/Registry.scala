@@ -16,7 +16,8 @@ object Registry {
       (graft.queries.MedallionRoundtrip.queries, graft.queries.MedallionRoundtrip.oracleSql),
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql),
       (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracleSql),
-      (graft.queries.SqlSurfaceQueries.queries, graft.queries.SqlSurfaceQueries.oracleSql)
+      (graft.queries.SqlSurfaceQueries.queries, graft.queries.SqlSurfaceQueries.oracleSql),
+      (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracleSql)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

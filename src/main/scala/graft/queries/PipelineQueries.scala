@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.text.TextFunctions._
+
+/** Composite pipeline queries — the shapes a real training-data
+  * curation job chains together, oracle-checked end to end.
+  */
+object PipelineQueries {
+
+  // ===== q27 — corpus curation: quality filter → dedup → rank ============
+
+  /** Filter by language + quality, exact-dedup by content fingerprint,
+    * rank survivors by quality. One scan, one hash-agg shuffle, one
+    * top-K — the canonical curation pass.
+    */
+  def q27CorpusPipeline(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("quality"),
+        fingerprint(col("text")).as("fp"))
+      .filter(col("lang").isin("en", "de") && col("quality") >= 0.5)
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_doc_id"),
+        max(col("quality")).as("quality"),
+        count(lit(1)).as("n_copies"))
+      .orderBy(col("quality").desc, col("rep_doc_id"))
+      .limit(100)
+
+  private val SqlQuality = {
+    // mirrors TextQueries' quality expression (same operand order)
+    val toks = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
+    val stops = "['the','a','an','of','and','to','in','is','it','that']"
+    val tc = s"len($toks)"
+    val pc = "len(regexp_extract_all(text, '[^A-Za-z0-9\\s]'))"
+    val pr = s"CASE WHEN length(text) = 0 THEN 0.0 ELSE CAST($pc AS DOUBLE) / length(text) END"
+    val sr = s"CASE WHEN $tc = 0 THEN 0.0 ELSE CAST(len(list_filter($toks, t -> list_contains($stops, t))) AS DOUBLE) / $tc END"
+    s"least(1.0, CAST($tc AS DOUBLE) / 50.0) * 0.4 + (1.0 - least(1.0, ($pr) * 10.0)) * 0.3 + least(1.0, ($sr) * 5.0) * 0.3"
+  }
+
+  val q27Sql: String =
+    s"""WITH scored AS (
+       |  SELECT doc_id, lang,
+       |    $SqlQuality AS quality,
+       |    md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       |  FROM documents)
+       |SELECT fp, min(doc_id) AS rep_doc_id, max(quality) AS quality,
+       |  count(*) AS n_copies
+       |FROM scored
+       |WHERE lang IN ('en', 'de') AND quality >= 0.5
+       |GROUP BY fp
+       |ORDER BY quality DESC, rep_doc_id LIMIT 100""".stripMargin
+
+  // ===== q28 — event sessionization (gap-based, stateful window) ==========
+
+  /** 30-minute-gap sessionization: lag + running sum of session starts
+    * per user, then per-session stats. Arithmetic is integer
+    * epoch-MICROseconds on both sides: DuckDB truncates parquet
+    * TIMESTAMP(NANOS) to µs on read, so an oracle in nanos can never
+    * match — Spark truncates its exact nanos the same way
+    * (`ts div 1000`). Scale shape: one shuffle on user_id; the window
+    * and the session agg reuse that partitioning.
+    */
+  def q28Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    Tables.load(s, dir, "events")
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        ((max(col("ts_us")) - min(col("ts_us"))) / 1e6).as("duration_s"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q28Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events,
+      |  (max(ts) - min(ts)) / 1e6 AS duration_s
+      |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ========================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_corpus_pipeline" -> (q27CorpusPipeline _),
+    "q28_sessionize" -> (q28Sessionize _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q27_corpus_pipeline" -> q27Sql,
+    "q28_sessionize" -> q28Sql)
+}
