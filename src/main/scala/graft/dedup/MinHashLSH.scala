@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions
@@ -23,7 +24,10 @@ import graft.text.TextFunctions
 object MinHashLSH {
 
   /** Distinct word n-gram shingles; docs shorter than n shingle to the
-    * whole text so they can still collide with near-copies.
+    * whole text so they can still collide with near-copies. Array form
+    * — use on small row counts (candidate verification): the
+    * transform/slice lambdas are interpreted per row. Corpus-scale
+    * paths use [[shingleRows]].
     */
   def wordShingles(text: Column, n: Int): Column = {
     val ts = TextFunctions.tokens(text)
@@ -31,6 +35,29 @@ object MinHashLSH {
       .otherwise(transform(sequence(lit(0), size(ts) - n),
         i => concat_ws(" ", slice(ts, i + lit(1), lit(n)))))
     array_distinct(sh)
+  }
+
+  /** Relational shingling: one (id, shingle) row per n-gram — possibly
+    * with duplicates (min/set aggregations downstream are insensitive;
+    * dedup with the consuming groupBy when sets are needed). Tokens
+    * explode once, n-grams come from `lead` windows over the token
+    * position — window + codegen'd projections instead of per-row
+    * interpreted lambdas. Same whole-text fallback for docs shorter
+    * than n.
+    */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val base = docs.select(col(idCol).as("sid"), TextFunctions.tokens(col(textCol)).as("toks"))
+    val toks = base.select(col("sid"), size(col("toks")).as("ntok"),
+      posexplode(col("toks")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("sid")).orderBy(col("pos"))
+    val grams = toks
+      .withColumn("sh", concat_ws(" ",
+        col("tok") +: (1 until n).map(j => lead(col("tok"), j).over(w)): _*))
+      .filter(col("ntok") >= n && col("pos") <= col("ntok") - n)
+      .select(col("sid"), col("sh"))
+    val shorts = base.filter(size(col("toks")) < n)
+      .select(col("sid"), concat_ws(" ", col("toks")).as("sh"))
+    grams.union(shorts)
   }
 
   /** Deterministic multiply-shift coefficients for the k universal
@@ -60,9 +87,8 @@ object MinHashLSH {
     val slots = ab.zipWithIndex.map { case ((a, b), i) =>
       min(col("h") * a + b).as(s"s_$i")
     }
-    docs.select(col(idCol).as("mh_id"),
-        explode(wordShingles(col(textCol), n)).as("shingle"))
-      .select(col("mh_id"), xxhash64(col("shingle")).as("h"))
+    shingleRows(docs, idCol, textCol, n)
+      .select(col("sid").as("mh_id"), xxhash64(col("sh")).as("h"))
       .groupBy(col("mh_id"))
       .agg(slots.head, slots.tail: _*)
   }
@@ -76,9 +102,53 @@ object MinHashLSH {
       xxhash64((lit(i) +: (0 until r).map(j => col(s"s_${i * r + j}"))): _*)
     }
 
-  /** Exact Jaccard over two shingle arrays (already distinct). */
+  /** Exact Jaccard over two shingle arrays (already distinct). Fine on
+    * candidate pairs (small row counts); for corpus-wide scoring use
+    * [[jaccardSets]] — array intersect/union are interpreted per-row
+    * and projection collapse recomputes the shingle subtrees per
+    * reference.
+    */
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") / size(array_union(a, b))
+
+  /** Corpus-wide exact Jaccard between two shingle-array columns,
+    * computed relationally: explode each side once, flag membership,
+    * and reduce with two codegen'd hash-aggregations —
+    * |A∩B| = Σ(in_a·in_b), |A∪B| = distinct shingle count. Each
+    * shingle subtree evaluates exactly once per row; the shuffles are
+    * on (id, shingle) then id.
+    */
+  def jaccardSets(
+      docs: DataFrame, idCol: String, aCol: String, bCol: String): DataFrame = {
+    val a = docs.select(col(idCol).as("js_id"), explode(col(aCol)).as("sh"))
+      .withColumn("in_a", lit(1)).withColumn("in_b", lit(0))
+    val b = docs.select(col(idCol).as("js_id"), explode(col(bCol)).as("sh"))
+      .withColumn("in_a", lit(0)).withColumn("in_b", lit(1))
+    jaccardFromFlagged(a.union(b))
+  }
+
+  /** [[jaccardSets]] over two TEXT columns via [[shingleRows]] — no
+    * array materialization, no interpreted lambdas; the whole pipeline
+    * is explodes, windows, and hash-aggregations.
+    */
+  def jaccardTexts(
+      docs: DataFrame, idCol: String, aTextCol: String, bTextCol: String,
+      n: Int): DataFrame = {
+    val a = shingleRows(docs, idCol, aTextCol, n)
+      .select(col("sid").as("js_id"), col("sh"))
+      .withColumn("in_a", lit(1)).withColumn("in_b", lit(0))
+    val b = shingleRows(docs, idCol, bTextCol, n)
+      .select(col("sid").as("js_id"), col("sh"))
+      .withColumn("in_a", lit(0)).withColumn("in_b", lit(1))
+    jaccardFromFlagged(a.union(b))
+  }
+
+  private def jaccardFromFlagged(flagged: DataFrame): DataFrame =
+    flagged
+      .groupBy(col("js_id"), col("sh"))
+      .agg(max(col("in_a")).as("fa"), max(col("in_b")).as("fb"))
+      .groupBy(col("js_id"))
+      .agg((sum(col("fa") * col("fb")).cast("double") / count(lit(1))).as("jaccard"))
 
   /** One row per (doc, band): (band_idx, band_hash, id). Only the id
     * rides the band shuffle — shingle arrays would multiply the shuffle

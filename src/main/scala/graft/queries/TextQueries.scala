@@ -126,13 +126,12 @@ object TextQueries {
     * same shingle sets with list functions).
     */
   def q26NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    import graft.dedup.MinHashLSH.{jaccard, wordShingles}
-    val marker = lit(" planted near duplicate marker")
-    Tables.load(s, dir, "documents")
-      .select(col("doc_id"),
-        jaccard(
-          wordShingles(col("text"), 3),
-          wordShingles(concat(col("text"), marker), 3)).as("jaccard"))
+    import graft.dedup.MinHashLSH.jaccardTexts
+    val withVariant = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        concat(col("text"), lit(" planted near duplicate marker")).as("text_b"))
+    jaccardTexts(withVariant, "doc_id", "text", "text_b", n = 3)
+      .withColumnRenamed("js_id", "doc_id")
       .orderBy(col("doc_id"))
   }
 

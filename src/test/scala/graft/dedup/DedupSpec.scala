@@ -45,6 +45,19 @@ class DedupSpec extends SparkTestBase {
     assert(j.toSeq == Seq(0.5))
   }
 
+  test("relational shingleRows set-equals the array wordShingles form") {
+    import org.apache.spark.sql.functions._
+    val weird = docs.union(Seq(
+      (50L, ""), (51L, "one"), (52L, "two words"), (53L, "exactly three tokens"),
+      (54L, "dup dup dup dup")).toDF("doc_id", "text"))
+    val viaArray = weird
+      .select($"doc_id", explode(MinHashLSH.wordShingles($"text", 3)).as("sh"))
+      .as[(Long, String)].collect().toSet
+    val viaRows = MinHashLSH.shingleRows(weird, "doc_id", "text", 3)
+      .as[(Long, String)].collect().toSet // dups allowed; compare as sets
+    assert(viaRows == viaArray)
+  }
+
   test("simhash expression matches the reference implementation and codegen runs") {
     SimHash64.register(spark)
     val out = docs.select(col("doc_id"), SimHash64.simhash64(col("text")))
