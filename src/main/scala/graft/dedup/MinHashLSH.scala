@@ -181,18 +181,28 @@ object MinHashLSH {
       .distinct()
   }
 
-  /** Verified near-duplicate pairs at a Jaccard threshold: candidates
-    * re-join the corpus by id (two narrow hash joins) and only the
-    * surviving pair rows pay the exact-jaccard array work.
+  /** Verified near-duplicate pairs at a Jaccard threshold. Exact
+    * verification is fully relational: candidate pairs (the small
+    * side) join the (id, shingle) rows per side, and two
+    * hash-aggregations compute |A∩B| / |A∪B| — no shingle arrays ever
+    * shuffle, no interpreted set-ops.
     */
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, k: Int = 128, b: Int = 16): DataFrame = {
-    val sh = docs.select(col(idCol).as("sh_id"), wordShingles(col(textCol), n).as("sh"))
-    candidatePairs(docs, idCol, textCol, n, k, b)
-      .join(sh.select(col("sh_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("sh_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+    val pairs = candidatePairs(docs, idCol, textCol, n, k, b)
+    val sh = shingleRows(docs, idCol, textCol, n)
+    val a = pairs.join(sh.select(col("sid").as("id_a"), col("sh")), Seq("id_a"))
+      .withColumn("in_a", lit(1)).withColumn("in_b", lit(0))
+      .select("id_a", "id_b", "sh", "in_a", "in_b")
+    val bSide = pairs.join(sh.select(col("sid").as("id_b"), col("sh")), Seq("id_b"))
+      .withColumn("in_a", lit(0)).withColumn("in_b", lit(1))
+      .select("id_a", "id_b", "sh", "in_a", "in_b")
+    a.union(bSide)
+      .groupBy(col("id_a"), col("id_b"), col("sh"))
+      .agg(max(col("in_a")).as("fa"), max(col("in_b")).as("fb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((sum(col("fa") * col("fb")).cast("double") / count(lit(1))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
