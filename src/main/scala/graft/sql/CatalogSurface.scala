@@ -73,6 +73,7 @@ object CatalogSurface {
     Namespaces.foreach { ns =>
       if (spark.catalog.databaseExists(ns))
         spark.catalog.listTables(ns).collect()
+          .filter(!_.isTemporary) // listTables surfaces temp views in every db
           .foreach(t => spark.catalog.refreshTable(s"$ns.${t.name}"))
     }
 
