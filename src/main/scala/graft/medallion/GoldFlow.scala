@@ -78,16 +78,30 @@ object GoldFlow {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
-  /** Empty-guarded write (`gold.py:62-65`); returns path or None. */
-  def writeGold(df: DataFrame, path: String): Option[String] =
+  /** Empty-guarded write (`gold.py:62-65`); returns path or None.
+    * `partitions` enables hive-style partitioned layout — off by
+    * default for reference parity (single-dir tables,
+    * `flows/gold.py:70`), on at scale so downstream scans
+    * partition-prune (SURVEY §7.3 #6).
+    */
+  def writeGold(
+      df: DataFrame, path: String,
+      partitions: Seq[String] = Nil): Option[String] =
     if (df.isEmpty) None
-    else { df.write.mode("overwrite").parquet(path); Some(path) }
+    else {
+      val w = df.write.mode("overwrite")
+      (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).parquet(path)
+      Some(path)
+    }
 
   /** `gold.py:135-167`: the gold DAG with its input guard. Missing or
     * unreadable silver inputs return an empty manifest, not an error
-    * (`gold.py:144-148` try/except).
+    * (`gold.py:144-148` try/except). `partitionSpec` maps gold table
+    * name → partition columns (empty = flat layout).
     */
-  def run(spark: SparkSession, lake: Lake): Map[String, String] = {
+  def run(
+      spark: SparkSession, lake: Lake,
+      partitionSpec: Map[String, Seq[String]] = Map.empty): Map[String, String] = {
     clearGold(spark, lake)
     val (music, reviews) =
       try {
@@ -106,15 +120,16 @@ object GoldFlow {
     music.cache(); reviews.cache()
     try {
       val result = Map.newBuilder[String, String]
+      def parts(name: String): Seq[String] = partitionSpec.getOrElse(name, Nil)
       val avgScores = createBandAvgScores(music, reviews)
-      writeGold(createTop10ByCountry(music, reviews), lake.gold("top10_by_country"))
-        .foreach(result += "top10_by_country" -> _)
-      writeGold(avgScores, lake.gold("band_avg_scores"))
-        .foreach(result += "band_avg_scores" -> _)
-      writeGold(createBrazilianBands(avgScores), lake.gold("brazilian_bands"))
-        .foreach(result += "brazilian_bands" -> _)
-      writeGold(createBandAlbumCounts(music), lake.gold("band_album_counts"))
-        .foreach(result += "band_album_counts" -> _)
+      writeGold(createTop10ByCountry(music, reviews), lake.gold("top10_by_country"),
+        parts("top10_by_country")).foreach(result += "top10_by_country" -> _)
+      writeGold(avgScores, lake.gold("band_avg_scores"),
+        parts("band_avg_scores")).foreach(result += "band_avg_scores" -> _)
+      writeGold(createBrazilianBands(avgScores), lake.gold("brazilian_bands"),
+        parts("brazilian_bands")).foreach(result += "brazilian_bands" -> _)
+      writeGold(createBandAlbumCounts(music), lake.gold("band_album_counts"),
+        parts("band_album_counts")).foreach(result += "band_album_counts" -> _)
       result.result()
     } finally {
       music.unpersist(); reviews.unpersist()

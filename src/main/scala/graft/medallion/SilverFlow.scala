@@ -80,8 +80,11 @@ object SilverFlow {
       .select("review_id", "album_id", "album_title", "score", "content")
   }
 
-  private def write(df: DataFrame, path: String): String = {
-    df.write.mode("overwrite").parquet(path)
+  private def write(
+      df: DataFrame, path: String,
+      partitions: Seq[String] = Nil): String = {
+    val w = df.write.mode("overwrite")
+    (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).parquet(path)
     path
   }
 

@@ -21,6 +21,28 @@ class FlowsSpec extends SparkTestBase {
     assert(spark.read.parquet(manifest("gold")("band_avg_scores")).count() == 4)
   }
 
+  test("partitioned gold writes prune at scan time and read back identically") {
+    import org.apache.spark.sql.functions.col
+    val lake = Lake(Files.createTempDirectory("flows-part").toString)
+    Flows.runAll(spark, fixtures, lake, maxChunkBytes = 100)
+    // materialize before the rewrite deletes the flat files
+    val flatRows = spark.read.parquet(lake.gold("top10_by_country"))
+      .collect().map(_.toSeq.toList).toSet
+    GoldFlow.run(spark, lake,
+      partitionSpec = Map("top10_by_country" -> Seq("country")))
+    val parted = spark.read.parquet(lake.gold("top10_by_country"))
+      .select("country", "band_id", "band_name", "review_count", "avg_score")
+    // same rows either layout (partitioned read reorders columns)
+    val partedRows = parted.collect().map(_.toSeq.toList).toSet
+    assert(partedRows == flatRows)
+    // hive-style dirs exist and a country filter partition-prunes
+    assert(Files.list(Paths.get(lake.gold("top10_by_country")))
+      .anyMatch(p => p.getFileName.toString.startsWith("country=")))
+    val plan = parted.filter(col("country") === "Sweden")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(country"), plan.take(400))
+  }
+
   test("waitForLanding returns keys once objects arrive") {
     val lake = Lake(Files.createTempDirectory("flows-poll").toString)
     val dir = Paths.get(lake.landing("reviews"))
