@@ -11,7 +11,10 @@ object Retry {
     while (out.isEmpty) {
       try out = Some(f)
       catch {
-        case e: Throwable =>
+        // NonFatal only: retrying InterruptedException/OOM — or Scala's
+        // NonLocalReturnControl from a `return` inside the by-name
+        // block — would turn successes and fatals into sleep loops.
+        case scala.util.control.NonFatal(e) =>
           attempt += 1
           if (attempt > retries) throw e
           if (delayMs > 0) Thread.sleep(delayMs)

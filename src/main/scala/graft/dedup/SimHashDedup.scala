@@ -22,6 +22,7 @@ object SimHashDedup {
 
   /** One row per (doc, chunk): (chunk_idx, chunk_value, id, simhash). */
   def chunkedDocs(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    SimHash64.register(docs.sparkSession) // idempotent; callers need no setup
     val sim = SimHash64.simhash64(col(textCol))
     val chunks = array((0 until Chunks).map { i =>
       shiftrightunsigned(col("simhash"), i * ChunkBits).bitwiseAND(lit(0xFFFFL))

@@ -37,6 +37,45 @@ object BronzeFlow {
     bronzeDir
   }
 
+  /** Ingest with malformed-record routing — the Firehose error-prefix
+    * analogue (`infra/main.tf:82` routes failed records to
+    * `errors/<ds>/`): lines the CSV parser cannot fit to the inferred
+    * schema land raw in `errorsDir` instead of silently polluting
+    * bronze. Returns (bronzePath, malformedCount).
+    */
+  def ingestWithErrorRouting(
+      spark: SparkSession, landingDir: String, bronzeDir: String,
+      errorsDir: String): (String, Long) = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.StringType
+    val inferred = spark.read
+      .option("header", "true").option("inferSchema", "true")
+      .csv(landingDir).schema
+    val parsed = spark.read
+      .option("header", "true")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(inferred.add("_corrupt_record", StringType))
+      .csv(landingDir)
+      .cache() // corrupt-record column can't be filtered from an unmaterialized scan
+    try {
+      val bad = parsed.filter(col("_corrupt_record").isNotNull)
+        .select("_corrupt_record")
+      val nBad = bad.count()
+      if (nBad > 0) bad.write.mode("overwrite").text(errorsDir)
+      else {
+        // a clean rerun must not leave a stale errors prefix behind
+        val ep = new HPath(errorsDir)
+        val fs = FileSystem.get(ep.toUri, spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(ep)) fs.delete(ep, true)
+      }
+      val good = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+      ColumnNormalizer(good).dropDuplicates()
+        .write.mode("overwrite").parquet(bronzeDir)
+      (bronzeDir, nBad)
+    } finally parsed.unpersist()
+  }
+
   private def hasLanding(spark: SparkSession, dir: String): Boolean = {
     val p = new HPath(dir)
     val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)

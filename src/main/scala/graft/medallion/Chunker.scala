@@ -43,7 +43,9 @@ object Chunker {
       val encoded = line + "\n"
       val encodedSize = encoded.getBytes(UTF_8).length
       if (size + encodedSize > maxBytes) {
-        out += chunk.toString
+        // guard like the tail flush: an oversized FIRST body line would
+        // otherwise flush a spurious header-only chunk
+        if (size > headerSize) out += chunk.toString
         chunk.clear()
         chunk ++= header ++= encoded
         size = headerSize + encodedSize

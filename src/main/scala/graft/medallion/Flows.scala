@@ -23,18 +23,24 @@ object Flows {
       pollMs: Long = 15000, pollsPerAttempt: Int = 20,
       retries: Int = 3, retryDelayMs: Long = 30000): Seq[String] =
     Retry(retries, retryDelayMs) {
+      // no non-local `return` in here: it would unwind through Retry's
+      // catch as a control-flow Throwable
       val p = new HPath(lake.landing(dataset))
       val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
       var polls = 0
-      while (polls < pollsPerAttempt) {
+      var found: Option[Seq[String]] = None
+      while (found.isEmpty && polls < pollsPerAttempt) {
         if (fs.exists(p)) {
           val keys = fs.listStatus(p).map(_.getPath.toString).toSeq
-          if (keys.nonEmpty) return keys
+          if (keys.nonEmpty) found = Some(keys)
         }
-        polls += 1
-        if (polls < pollsPerAttempt) Thread.sleep(pollMs)
+        if (found.isEmpty) {
+          polls += 1
+          if (polls < pollsPerAttempt) Thread.sleep(pollMs)
+        }
       }
-      sys.error(s"no landing objects for '$dataset' after $pollsPerAttempt polls")
+      found.getOrElse(
+        sys.error(s"no landing objects for '$dataset' after $pollsPerAttempt polls"))
     }
 
   /** The whole pipeline: chunked landing ingest → bronze → silver →

@@ -8,6 +8,7 @@ package graft.medallion
   */
 final case class Lake(root: String) {
   def landing(dataset: String): String = s"$root/landing/$dataset"
+  def errors(dataset: String): String = s"$root/errors/$dataset"
   def bronze(dataset: String): String = s"$root/bronze/$dataset"
   def silver(dataset: String): String = s"$root/silver/$dataset"
   def goldRoot: String = s"$root/gold"

@@ -107,10 +107,12 @@ object Multimodal {
     * round-robin shuffle.
     */
   def repartitionForDecode(media: Dataset[MediaRecord], targetBytes: Long): Dataset[MediaRecord] = {
-    val total = media.toDF()
-      .agg(sum(length(col("content")))).head().getLong(0)
-    val parts = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
-    media.repartition(parts)
+    val row = media.toDF().agg(sum(length(col("content")))).head()
+    if (row.isNullAt(0)) media // empty input: sum() is null, nothing to spread
+    else {
+      val parts = math.max(1, math.ceil(row.getLong(0).toDouble / targetBytes).toInt)
+      media.repartition(parts)
+    }
   }
 
   /** Deterministic synthetic media corpus for tests/demos. */

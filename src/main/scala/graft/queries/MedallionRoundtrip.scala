@@ -38,8 +38,16 @@ object MedallionRoundtrip {
     val csv = ("  N NationKey ,N NAME,N RegionKey" +: (rows :+ rows.head))
       .mkString("", "\n", "\n")
 
-    val tmp = Files.createTempDirectory("graft-q15").toString
-    val lake = Lake(tmp)
+    // fixed scratch root, wiped per invocation — a fresh temp dir per
+    // call would leak one lake per Verify/Bench run
+    val tmp = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft-q15-roundtrip")
+    if (Files.exists(tmp)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+    val lake = Lake(tmp.toString)
     // ~120-byte chunks, ~400-byte delivery buffer → several chunks per
     // landing object → embedded header lines in bronze input.
     Chunker.deliver(Chunker.split(csv, maxBytes = 120),

@@ -35,7 +35,10 @@ object SessionStream {
     sorted.foreach { e =>
       open match {
         case Some(s) if e.ts_us - s.end_us <= gapUs =>
-          open = Some(s.copy(end_us = e.ts_us, n_events = s.n_events + 1))
+          // max(): a late event from before the carried session's end
+          // extends the count but must not rewind end_us below start_us
+          open = Some(s.copy(end_us = math.max(s.end_us, e.ts_us),
+            n_events = s.n_events + 1))
         case Some(s) =>
           closed += ClosedSession(userId, s.start_us, s.end_us, s.n_events)
           open = Some(OpenSession(e.ts_us, e.ts_us, 1))

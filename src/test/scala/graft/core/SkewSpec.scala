@@ -24,6 +24,15 @@ class SkewSpec extends SparkTestBase {
     assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
   }
 
+  test("salted join rejects outer types that would duplicate small-side rows") {
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, "k", 4, "right")
+    }
+    intercept[IllegalArgumentException] {
+      Skew.saltedJoin(skewed, dim, "k", 4, "full_outer")
+    }
+  }
+
   test("salted two-phase sum equals the direct aggregation") {
     val direct = skewed.groupBy("k")
       .agg(org.apache.spark.sql.functions.sum($"v").as("sum_v"),

@@ -15,7 +15,7 @@ class ChunkerSpec extends AnyFunSuite {
 
   private val rnd = new Random(42)
   private def randLine(): String =
-    Random.alphanumeric.take(1 + rnd.nextInt(12)).mkString
+    rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString
 
   private def cases: Seq[(String, List[String], Int)] =
     (1 to 200).map { _ =>
@@ -55,6 +55,18 @@ class ChunkerSpec extends AnyFunSuite {
     val text = "h\nAAA\nBBB\nCCC\nDDD\n"
     val chunks = Chunker.split(text, maxBytes = 10)
     assert(chunks == Seq("h\nAAA\nBBB\n", "h\nCCC\nDDD\n"))
+  }
+
+  test("oversized first body line does not flush a header-only chunk") {
+    val big = "X" * 600
+    // the oversized line gets its own chunk (flushed when `ok` arrives);
+    // the regression was a spurious "id,name\n"-only chunk before it
+    val chunks = Chunker.split(s"id,name\n$big\nok\n", maxBytes = 500)
+    assert(chunks == Seq(s"id,name\n$big\n", "id,name\nok\n"))
+    assert(!chunks.contains("id,name\n"))
+    // oversized line mid-file: same shape, three chunks
+    val chunks2 = Chunker.split(s"h\naa\n$big\nbb\n", maxBytes = 500)
+    assert(chunks2 == Seq("h\naa\n", s"h\n$big\n", "h\nbb\n"))
   }
 
   test("deliver batches respect the buffer and preserve order") {

@@ -1,0 +1,60 @@
+package graft.medallion
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class ErrorRoutingSpec extends SparkTestBase {
+
+  test("malformed landing lines route to errors/, bronze stays clean") {
+    val lake = Lake(Files.createTempDirectory("err-route").toString)
+    val dir = Paths.get(lake.landing("reviews"))
+    Files.createDirectories(dir)
+    // one clean object + one object with a field-count overflow line
+    Files.write(dir.resolve("part-00000.csv"),
+      "id,album,score\n1,10,9.5\n2,11,8.0\n".getBytes)
+    Files.write(dir.resolve("part-00001.csv"),
+      "id,album,score\n3,12,7.5\n4,13,6.0,EXTRA,FIELDS,OVERFLOW\n5,14,5.5\n".getBytes)
+
+    val (bronzePath, nBad) = BronzeFlow.ingestWithErrorRouting(
+      spark, lake.landing("reviews"), lake.bronze("reviews"), lake.errors("reviews"))
+
+    assert(nBad == 1)
+    val bronze = spark.read.parquet(bronzePath)
+    assert(bronze.count() == 4) // ids 1,2,3,5 — the overflow line excluded
+    assert(bronze.filter(col("id") === 4).count() == 0)
+    val errors = spark.read.text(lake.errors("reviews")).collect().map(_.getString(0))
+    assert(errors.toSeq == Seq("4,13,6.0,EXTRA,FIELDS,OVERFLOW"))
+  }
+
+  test("clean rerun clears a stale errors prefix") {
+    val lake = Lake(Files.createTempDirectory("err-rerun").toString)
+    val dir = Paths.get(lake.landing("reviews"))
+    Files.createDirectories(dir)
+    val badFile = dir.resolve("part-00000.csv")
+    Files.write(badFile, "id,album,score\n1,10,9.5\n2,11,8.0,X,Y,Z\n".getBytes)
+    val (_, nBad1) = BronzeFlow.ingestWithErrorRouting(
+      spark, lake.landing("reviews"), lake.bronze("reviews"), lake.errors("reviews"))
+    assert(nBad1 == 1 && Files.exists(Paths.get(lake.errors("reviews"))))
+    // fix the data, re-ingest: no phantom errors may remain
+    Files.write(badFile, "id,album,score\n1,10,9.5\n2,11,8.0\n".getBytes)
+    val (_, nBad2) = BronzeFlow.ingestWithErrorRouting(
+      spark, lake.landing("reviews"), lake.bronze("reviews"), lake.errors("reviews"))
+    assert(nBad2 == 0)
+    assert(!Files.exists(Paths.get(lake.errors("reviews"))))
+  }
+
+  test("clean landing writes no errors directory") {
+    val lake = Lake(Files.createTempDirectory("err-clean").toString)
+    val dir = Paths.get(lake.landing("albums"))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("part-00000.csv"), "id,title\n1,x\n2,y\n".getBytes)
+    val (_, nBad) = BronzeFlow.ingestWithErrorRouting(
+      spark, lake.landing("albums"), lake.bronze("albums"), lake.errors("albums"))
+    assert(nBad == 0)
+    assert(!Files.exists(Paths.get(lake.errors("albums"))))
+    assert(spark.read.parquet(lake.bronze("albums")).count() == 2)
+  }
+}

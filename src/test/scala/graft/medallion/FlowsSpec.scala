@@ -57,6 +57,21 @@ class FlowsSpec extends SparkTestBase {
     assert(keys.exists(_.endsWith("part-00000.csv")))
   }
 
+  test("waitForLanding with retry budget returns promptly when data exists") {
+    val lake = Lake(Files.createTempDirectory("flows-poll-fast").toString)
+    val dir = Paths.get(lake.landing("albums"))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("x.csv"), "id\n1\n".getBytes)
+    // regression: a successful poll used to unwind through Retry as
+    // NonLocalReturnControl and burn the whole retry budget in sleeps
+    val t0 = System.nanoTime()
+    val keys = Flows.waitForLanding(spark, lake, "albums",
+      pollMs = 10, pollsPerAttempt = 5, retries = 3, retryDelayMs = 5000)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(keys.nonEmpty)
+    assert(elapsedMs < 3000, s"took ${elapsedMs}ms — retry sleeps leaked in")
+  }
+
   test("waitForLanding exhausts polls and retries, then throws") {
     val lake = Lake(Files.createTempDirectory("flows-poll-empty").toString)
     val e = intercept[RuntimeException] {

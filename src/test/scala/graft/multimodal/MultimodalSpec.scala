@@ -38,6 +38,11 @@ class MultimodalSpec extends SparkTestBase {
       .forall(_.length <= 32))
   }
 
+  test("size-aware repartition handles an empty dataset") {
+    val none = media.filter(_.kind == "no_such_kind")
+    assert(Multimodal.repartitionForDecode(none, 1 << 20).count() == 0)
+  }
+
   test("size-aware repartition spreads payload bytes, not row counts") {
     val parts = Multimodal.repartitionForDecode(media, targetBytes = 64 * 1024)
       .rdd.getNumPartitions
