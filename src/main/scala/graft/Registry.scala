@@ -17,7 +17,8 @@ object Registry {
       (graft.queries.TextQueries.queries, graft.queries.TextQueries.oracleSql),
       (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracleSql),
       (graft.queries.SqlSurfaceQueries.queries, graft.queries.SqlSurfaceQueries.oracleSql),
-      (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracleSql)
+      (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracleSql),
+      (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracleSql)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {
