@@ -82,7 +82,9 @@ object SimilarityQueries {
     */
   def q25AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.load(s, dir, "embeddings")
-    val idx = graft.similarity.IvfIndex.fit(vecs, c = 16)
+    // a rough quantizer is all bucketing needs: 5 iterations converge
+    // far enough and halve the training cost
+    val idx = graft.similarity.IvfIndex.fit(vecs, c = 16, maxIter = 5)
     idx.approxTopK(vecs, vecs.filter(col("vec_id") < 50), k = 5, nprobe = 4)
       .withColumn("cosine_r6", round(col("cosine"), 6))
       .drop("cosine")

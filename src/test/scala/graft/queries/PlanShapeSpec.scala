@@ -1,0 +1,49 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Physical-plan regressions for the scale-critical properties the
+  * queries rely on: pushdown, pruning, top-K without global sort, and
+  * unhinted join selection. These lock the plans SURVEY §8 claims —
+  * a refactor that silently loses one fails here, not at 100 TB.
+  */
+class PlanShapeSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q06 global top-K plans TakeOrderedAndProject, not a global sort") {
+    val p = plan(Parity.q06GlobalTop100(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(300))
+  }
+
+  test("q07 pushes both string filters into the parquet scans") {
+    val p = plan(Parity.q07FullDataset(spark, sf))
+    assert(p.contains("EqualTo(c_mktsegment,MACHINERY)"), "customer filter not pushed")
+    assert(p.contains("EqualTo(o_orderstatus,P)"), "orders filter not pushed")
+  }
+
+  test("q16 scan prunes to exactly the referenced document columns") {
+    val p = plan(TextQueries.q16TextStats(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      p.linesIterator.find(_.contains("ReadSchema")).getOrElse("?"))
+  }
+
+  test("q02 has no forced broadcast on the scaling customer table") {
+    // nation (fixed 25-row dim) may be hinted; customer must be left to
+    // Catalyst/AQE (VERDICT r1 flagged a hard customer hint as a
+    // 100 TB OOM)
+    val analyzed = Parity.q02Top10PerNation(spark, sf)
+      .queryExecution.analyzed.toString
+    val hints = analyzed.linesIterator.filter(_.contains("UnresolvedHint")).toSeq
+    assert(!analyzed.contains("customer") || !hints.exists(_.contains("customer")),
+      s"customer is hint-broadcast: $hints")
+  }
+
+  test("q01 aggregates partially before the exchange (map-side combine)") {
+    val p = plan(Parity.q01PricingSummary(spark, sf))
+    val firstAgg = p.linesIterator.find(_.contains("HashAggregate")).getOrElse("")
+    assert(p.contains("partial_"), "no partial aggregation before shuffle")
+  }
+}
