@@ -40,6 +40,9 @@ object Sessions {
   def local(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // the engine's native expressions ride on every canonical session
+    graft.functions.SimHash64.register(s)
+    graft.functions.VectorOps.register(s)
     s
   }
 

@@ -31,6 +31,7 @@ final case class IvfIndex(centroids: Seq[(Int, Seq[Double])]) {
     */
   def assign(vecs: DataFrame): DataFrame = {
     val spark = vecs.sparkSession
+    graft.functions.VectorOps.register(spark)
     val v = vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     v.join(broadcast(centroidsDf(spark)))
       .withColumn("cos", Similarity.cosine(col("emb"), col("centroid")))
@@ -44,6 +45,7 @@ final case class IvfIndex(centroids: Seq[(Int, Seq[Double])]) {
     */
   def probes(queries: DataFrame, nprobe: Int): DataFrame = {
     val spark = queries.sparkSession
+    graft.functions.VectorOps.register(spark)
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("q_emb"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("cell_id"))

@@ -22,9 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ in doubles, left-to-right (deterministic, oracle-exact). */
+  /** Σ aᵢ·bᵢ in doubles, left-to-right (deterministic, oracle-exact).
+    * Backed by the native dot64 expression (codegen'd; the
+    * aggregate/zip_with built-in form is an interpreted HOF) — the
+    * executing session must register it, which every entry point in
+    * this object and [[IvfIndex]] does.
+    */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot64(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -35,6 +40,7 @@ object Similarity {
     * Output: (query_id, rank, vec_id, cosine).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    graft.functions.VectorOps.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("q_emb"))
@@ -68,6 +74,7 @@ object Similarity {
 
     /** (table, bucket, vec_id, emb) — one row per vector per table. */
     def bucketed(vecs: DataFrame): DataFrame = {
+      graft.functions.VectorOps.register(vecs.sparkSession)
       val emb = col("embedding").cast("array<double>")
       val buckets = array((0 until tables).map(t => bucket(emb, t)): _*)
       vecs.select(col("vec_id"), emb.as("emb"),
@@ -75,18 +82,29 @@ object Similarity {
     }
 
     /** Approximate top-k: score only bucket-colliding candidates.
-      * Output schema matches [[bruteForceTopK]].
+      * Candidate pairs travel the bucket join and the distinct as bare
+      * (query_id, vec_id) ids — embeddings re-join afterwards (query
+      * side broadcast, corpus side one narrow hash join), so no vector
+      * payload rides the wide shuffles. Output schema matches
+      * [[bruteForceTopK]].
       */
     def approxTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-      val c = bucketed(corpus)
+      val c = bucketed(corpus).select(col("lsh_table"), col("lsh_bucket"), col("vec_id"))
       val q = bucketed(queries).select(col("lsh_table"), col("lsh_bucket"),
-        col("vec_id").as("query_id"), col("emb").as("q_emb"))
+        col("vec_id").as("query_id"))
       val cands = c.join(q, Seq("lsh_table", "lsh_bucket"))
         .filter(col("vec_id") =!= col("query_id"))
-        .dropDuplicates("query_id", "vec_id")
+        .select("query_id", "vec_id")
+        .distinct()
+      val qEmb = queries.select(col("vec_id").as("query_id"),
+        col("embedding").cast("array<double>").as("q_emb"))
+      val cEmb = corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
       cands
+        .join(broadcast(qEmb), Seq("query_id"))
+        .join(cEmb, Seq("vec_id"))
         .withColumn("cosine", Similarity.cosine(col("q_emb"), col("emb")))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
@@ -100,14 +118,17 @@ object Similarity {
     */
   def cosineNearDuplicates(
       vecs: DataFrame, lsh: RandomHyperplaneLsh, threshold: Double): DataFrame = {
-    val b = lsh.bucketed(vecs)
-    val left = b.select(col("lsh_table"), col("lsh_bucket"),
-      col("vec_id").as("id_a"), col("emb").as("emb_a"))
-    val right = b.select(col("lsh_table"), col("lsh_bucket"),
-      col("vec_id").as("id_b"), col("emb").as("emb_b"))
-    left.join(right, Seq("lsh_table", "lsh_bucket"))
+    val b = lsh.bucketed(vecs).select(col("lsh_table"), col("lsh_bucket"), col("vec_id"))
+    val pairs = b
+      .join(b.withColumnRenamed("vec_id", "id_b"), Seq("lsh_table", "lsh_bucket"))
+      .withColumnRenamed("vec_id", "id_a")
       .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+      .distinct()
+    val emb = vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    pairs
+      .join(emb.select(col("vec_id").as("id_a"), col("e").as("emb_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("e").as("emb_b")), Seq("id_b"))
       .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

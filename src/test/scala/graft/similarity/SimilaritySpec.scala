@@ -10,6 +10,26 @@ class SimilaritySpec extends SparkTestBase {
 
   private val sf = "/root/testdata/sf0.001"
 
+  test("native dot64 matches the HOF formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    graft.functions.VectorOps.register(spark)
+    val df = Tables.load(spark, sf, "embeddings").limit(100)
+      .select($"vec_id", $"embedding".cast("array<double>").as("e"))
+    val both = df.select(
+      Similarity.dot($"e", $"e").as("native"),
+      aggregate(zip_with($"e", $"e", (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("hof"))
+      .collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    // null and length-mismatch edges
+    val edge = Seq(
+      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 99.0))), // prefix: 1*3+2*4
+      (None, Some(Seq(1.0)))
+    ).toDF("a", "b")
+    val out = edge.select(Similarity.dot($"a", $"b")).collect()
+    assert(out(0).getDouble(0) == 11.0)
+    assert(out(1).isNullAt(0))
+  }
+
   test("brute-force top-k ranks a known geometry correctly") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
