@@ -99,13 +99,40 @@ object PipelineQueries {
       |  (max(ts) - min(ts)) / 1e6 AS duration_s
       |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ===== q30 — exact percentiles per group =================================
+
+  /** Exact (interpolated) percentiles of extended price per return
+    * flag — the distribution-summary shape data-quality monitoring
+    * needs. Spark's `percentile` and DuckDB's `quantile_cont` share
+    * linear-interpolation semantics; values round to 6 dp to absorb
+    * engine-internal arithmetic-order ulps.
+    */
+  def q30Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+      .orderBy(col("l_returnflag"))
+
+  val q30Sql: String =
+    """SELECT l_returnflag, count(*) AS n,
+      |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+      |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+      |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_corpus_pipeline" -> (q27CorpusPipeline _),
-    "q28_sessionize" -> (q28Sessionize _))
+    "q28_sessionize" -> (q28Sessionize _),
+    "q30_percentiles" -> (q30Percentiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q27_corpus_pipeline" -> q27Sql,
-    "q28_sessionize" -> q28Sql)
+    "q28_sessionize" -> q28Sql,
+    "q30_percentiles" -> q30Sql)
 }
