@@ -26,10 +26,13 @@ object Skew {
       salt: Int, joinType: String = "inner"): DataFrame = {
     require(salt > 0, "salt must be positive")
     // right/full-outer would emit each unmatched small-side row once
-    // per salt replica — not equal to the unsalted join
+    // per salt replica — not equal to the unsalted join. Semi/anti are
+    // safe: small-side rows are never emitted, and a large row's single
+    // salt value matches its replica iff the key exists.
     val jt = joinType.toLowerCase.replace("_", "")
-    require(Set("inner", "left", "leftouter", "cross").contains(jt),
-      s"saltedJoin supports inner/left joins, not '$joinType'")
+    require(Set("inner", "left", "leftouter", "cross",
+      "semi", "leftsemi", "anti", "leftanti").contains(jt),
+      s"saltedJoin supports inner/left/semi/anti joins, not '$joinType'")
     val l = large.withColumn(SaltCol, pmod(monotonically_increasing_id(), lit(salt.toLong)))
     val s = small.withColumn(SaltCol, explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
     l.join(s, Seq(key, SaltCol), joinType).drop(SaltCol)

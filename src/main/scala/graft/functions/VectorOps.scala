@@ -17,7 +17,8 @@ import org.apache.spark.sql.functions.call_function
   * projections, IVF assignment), so it earns a real expression.
   *
   * Summation is left-to-right — bit-identical to the HOF form and to
-  * the DuckDB oracle's list_dot_product.
+  * the DuckDB oracle's list_dot_product — and, like the HOF form,
+  * yields NULL for length-mismatched inputs or null elements.
   */
 case class DotProduct64Expr(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -31,13 +32,23 @@ case class DotProduct64Expr(left: Expression, right: Expression)
     }
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "dot64"
 
   protected override def nullSafeEval(a: Any, b: Any): Any =
-    VectorOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    VectorOps.dotStrict(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.VectorOps.dot($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"""
+         |java.lang.Double ${ev.value}_r = graft.functions.VectorOps.dotStrict($a, $b);
+         |if (${ev.value}_r == null) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = ${ev.value}_r.doubleValue();
+         |}
+       """.stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProduct64Expr =
@@ -46,12 +57,18 @@ case class DotProduct64Expr(left: Expression, right: Expression)
 
 object VectorOps {
 
-  /** Left-to-right dot product over the common prefix length. */
-  def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+  /** Left-to-right dot product; NULL (like the aggregate/zip_with HOF
+    * formulation) when lengths differ or either side has a null
+    * element — a truncated or partially-null embedding must drop out
+    * of similarity rankings, not score a plausible prefix sum.
+    */
+  def dotStrict(a: ArrayData, b: ArrayData): java.lang.Double = {
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var s = 0.0
     var i = 0
     while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
       s += a.getDouble(i) * b.getDouble(i)
       i += 1
     }
@@ -65,8 +82,11 @@ object VectorOps {
     spark.sessionState.functionRegistry.registerFunction(
       FunctionIdentifier(FunctionName),
       new ExpressionInfo(classOf[DotProduct64Expr].getName, FunctionName),
-      (children: Seq[Expression]) =>
-        DotProduct64Expr(children.head, children(1)))
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"dot64 expects exactly 2 arguments, got ${children.size}")
+        DotProduct64Expr(children.head, children(1))
+      })
 
   /** Column API; the executing session must have [[register]]ed. */
   def dot64(a: Column, b: Column): Column = call_function(FunctionName, a, b)

@@ -90,27 +90,32 @@ object SilverFlow {
 
   /** Conditional-DAG flow (`flows/silver.py:161-185`): albums+bands
     * gate the catalog; reviews gates album_reviews (which also needs
-    * albums). Returns the written-path manifest.
+    * albums). Returns the written-path manifest. `partitionSpec` maps
+    * dataset name → partition columns (empty = flat layout, reference
+    * parity), mirroring GoldFlow.
     */
-  def run(spark: SparkSession, lake: Lake, bronze: Map[String, String]): Map[String, String] = {
+  def run(
+      spark: SparkSession, lake: Lake, bronze: Map[String, String],
+      partitionSpec: Map[String, Seq[String]] = Map.empty): Map[String, String] = {
+    def parts(name: String): Seq[String] = partitionSpec.getOrElse(name, Nil)
     val result = Map.newBuilder[String, String]
     val albumsOpt =
       if (bronze.contains("albums") && bronze.contains("bands")) {
         val albums = transformAlbums(spark.read.parquet(bronze("albums")))
         val bands = transformBands(spark.read.parquet(bronze("bands")))
-        result += "albums" -> write(albums, lake.silver("albums"))
-        result += "bands" -> write(bands, lake.silver("bands"))
-        result += "music_catalog" ->
-          write(createMusicCatalog(albums, bands), lake.silver("music_catalog"))
+        result += "albums" -> write(albums, lake.silver("albums"), parts("albums"))
+        result += "bands" -> write(bands, lake.silver("bands"), parts("bands"))
+        result += "music_catalog" -> write(createMusicCatalog(albums, bands),
+          lake.silver("music_catalog"), parts("music_catalog"))
         Some(albums)
       } else None
 
     if (bronze.contains("reviews")) {
       val reviews = transformReviews(spark.read.parquet(bronze("reviews")))
-      result += "reviews" -> write(reviews, lake.silver("reviews"))
+      result += "reviews" -> write(reviews, lake.silver("reviews"), parts("reviews"))
       albumsOpt.foreach { albums =>
-        result += "album_reviews" ->
-          write(createAlbumReviews(albums, reviews), lake.silver("album_reviews"))
+        result += "album_reviews" -> write(createAlbumReviews(albums, reviews),
+          lake.silver("album_reviews"), parts("album_reviews"))
       }
     }
     result.result()

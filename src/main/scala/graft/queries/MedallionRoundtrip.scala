@@ -38,14 +38,17 @@ object MedallionRoundtrip {
     val csv = ("  N NationKey ,N NAME,N RegionKey" +: (rows :+ rows.head))
       .mkString("", "\n", "\n")
 
-    // fixed scratch root, wiped per invocation — a fresh temp dir per
-    // call would leak one lake per Verify/Bench run
-    val tmp = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft-q15-roundtrip")
+    // per-PROCESS scratch root, wiped per invocation: bounded to one
+    // dir per JVM (no leak across repeated bench runs) without letting
+    // concurrent JVMs wipe each other's live lake mid-query
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-q15-roundtrip-${ProcessHandle.current().pid()}")
     if (Files.exists(tmp)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse
         .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
     }
     val lake = Lake(tmp.toString)
     // ~120-byte chunks, ~400-byte delivery buffer → several chunks per

@@ -106,6 +106,12 @@ object PipelineQueries {
     * needs. Spark's `percentile` and DuckDB's `quantile_cont` share
     * linear-interpolation semantics; values round to 6 dp to absorb
     * engine-internal arithmetic-order ulps.
+    *
+    * Scale caveat: exact `percentile` buffers every group value (3
+    * groups here), which is the oracle-able correctness check — at
+    * 100 TB swap in `approx_percentile` (t-digest, bounded state per
+    * group); its sketch is engine-specific and therefore not
+    * DuckDB-comparable, which is why the exact form anchors the gate.
     */
   def q30Percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")

@@ -102,8 +102,11 @@ object Similarity {
         col("embedding").cast("array<double>").as("emb"))
       val w = Window.partitionBy(col("query_id"))
         .orderBy(col("cosine").desc, col("vec_id"))
+      // equi-joins, no hints: AQE broadcasts a small query set and
+      // shuffles a corpus-sized one — a forced broadcast would cap the
+      // scale path at driver memory
       cands
-        .join(broadcast(qEmb), Seq("query_id"))
+        .join(qEmb, Seq("query_id"))
         .join(cEmb, Seq("vec_id"))
         .withColumn("cosine", Similarity.cosine(col("q_emb"), col("emb")))
         .withColumn("rank", row_number().over(w))

@@ -19,6 +19,8 @@ object Bucketing {
     * must use the SAME bucket count for the shuffle elimination.
     */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int): Unit = {
+    require(table.contains('.'),
+      s"writeBucketed needs a namespace-qualified table name, got '$table'")
     val spark = df.sparkSession
     val ns = table.split('.').head
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $ns")

@@ -35,9 +35,12 @@ object SessionStream {
     sorted.foreach { e =>
       open match {
         case Some(s) if e.ts_us - s.end_us <= gapUs =>
-          // max(): a late event from before the carried session's end
-          // extends the count but must not rewind end_us below start_us
-          open = Some(s.copy(end_us = math.max(s.end_us, e.ts_us),
+          // late events (before the carried session's bounds) widen the
+          // session on both ends — never rewind end below start, never
+          // leave start after an earlier merged event
+          open = Some(s.copy(
+            start_us = math.min(s.start_us, e.ts_us),
+            end_us = math.max(s.end_us, e.ts_us),
             n_events = s.n_events + 1))
         case Some(s) =>
           closed += ClosedSession(userId, s.start_us, s.end_us, s.n_events)

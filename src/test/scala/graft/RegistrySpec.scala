@@ -24,7 +24,7 @@ class RegistrySpec extends AnyFunSuite {
 
   test("oracle SQL contains no unsubstituted interpolation artifacts") {
     Registry.oracleSql.foreach { case (k, sql) =>
-      assert(!sql.contains("null") || !sql.contains("$"), s"$k: suspicious oracle")
+      assert(!sql.contains("$"), s"$k: leftover interpolation placeholder")
       assert(sql.trim.nonEmpty && sql.toUpperCase.contains("SELECT"), k)
     }
   }

@@ -20,14 +20,22 @@ class SimilaritySpec extends SparkTestBase {
       aggregate(zip_with($"e", $"e", (x, y) => x * y), lit(0.0), (acc, x) => acc + x).as("hof"))
       .collect()
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
-    // null and length-mismatch edges
+    // corrupt-input edges must yield NULL (HOF parity): a truncated or
+    // partially-null embedding drops out of rankings, never scores a
+    // plausible prefix sum
     val edge = Seq(
-      (Some(Seq(1.0, 2.0)), Some(Seq(3.0, 4.0, 99.0))), // prefix: 1*3+2*4
-      (None, Some(Seq(1.0)))
+      (Some(Seq(Some(1.0), Some(2.0))), Some(Seq(Some(3.0), Some(4.0), Some(99.0)))),
+      (Some(Seq(Some(1.0), None)), Some(Seq(Some(3.0), Some(4.0)))),
+      (None, Some(Seq(Some(1.0))))
     ).toDF("a", "b")
     val out = edge.select(Similarity.dot($"a", $"b")).collect()
-    assert(out(0).getDouble(0) == 11.0)
-    assert(out(1).isNullAt(0))
+    assert(out(0).isNullAt(0)) // length mismatch
+    assert(out(1).isNullAt(0)) // null element
+    assert(out(2).isNullAt(0)) // null array
+    // and a clean pair still computes
+    val ok = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(Similarity.dot($"a", $"b")).collect()
+    assert(ok(0).getDouble(0) == 11.0)
   }
 
   test("brute-force top-k ranks a known geometry correctly") {

@@ -55,10 +55,10 @@ class SessionStreamSpec extends SparkTestBase {
     val out2 = updateUser(7L, Iterator(Ev(7, 2000 + gap + 1)), st, gap).toSeq
     assert(out2 == Seq(ClosedSession(7, 1000, 2000, 2)))
     assert(st.get == OpenSession(2000 + gap + 1, 2000 + gap + 1, 1))
-    // regression: a LATE event (before the open session's end) joins the
-    // session without rewinding end_us below start_us
+    // regression: a LATE event (before the open session's bounds) joins
+    // the session, widening start_us without rewinding end_us
     val out3 = updateUser(7L, Iterator(Ev(7, 2000 + gap - 500)), st, gap).toSeq
     assert(out3.isEmpty)
-    assert(st.get == OpenSession(2000 + gap + 1, 2000 + gap + 1, 2))
+    assert(st.get == OpenSession(2000 + gap - 500, 2000 + gap + 1, 2))
   }
 }
