@@ -1,0 +1,70 @@
+package graft.medallion
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Lake-maintenance operators: small-file compaction and keyed upsert
+  * over plain-parquet tables. Both rewrite through a staging directory
+  * and swap via FS rename, so a concurrent reader sees either the old
+  * or the new table, never a half-written one (single-writer
+  * assumption — a table format like Iceberg would supply true atomic
+  * commits; nothing here precludes swapping one in).
+  */
+object Maintenance {
+
+  private def fs(spark: SparkSession, p: HPath): FileSystem =
+    FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+
+  private def dirBytes(spark: SparkSession, dir: String): Long = {
+    val p = new HPath(dir)
+    val f = fs(spark, p)
+    if (!f.exists(p)) 0L
+    else f.listStatus(p).filter(_.isFile).map(_.getLen).sum
+  }
+
+  private def swapIn(spark: SparkSession, staging: String, target: String): Unit = {
+    val s = new HPath(staging)
+    val t = new HPath(target)
+    val f = fs(spark, t)
+    val backup = new HPath(target + "_old")
+    if (f.exists(backup)) f.delete(backup, true)
+    if (f.exists(t)) f.rename(t, backup)
+    f.rename(s, t)
+    f.delete(backup, true)
+  }
+
+  /** Rewrite `dir` into ≈`targetFileBytes` files. Streaming appends and
+    * micro-batch sinks accrete small files; scan cost is dominated by
+    * file count long before data volume. Returns the new file count.
+    */
+  def compact(spark: SparkSession, dir: String, targetFileBytes: Long): Int = {
+    val parts = math.max(1,
+      math.ceil(dirBytes(spark, dir).toDouble / targetFileBytes).toInt)
+    val staging = dir + "_compacting"
+    spark.read.parquet(dir).repartition(parts)
+      .write.mode("overwrite").parquet(staging)
+    swapIn(spark, staging, dir)
+    val p = new HPath(dir)
+    fs(spark, p).listStatus(p)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Keyed upsert: rows in `updates` replace same-key rows in the
+    * table; new keys append. One left-anti join (existing minus
+    * updated keys) + union — the plain-parquet MERGE. Updates must be
+    * key-unique.
+    */
+  def upsertByKey(
+      spark: SparkSession, dir: String, updates: DataFrame,
+      keys: Seq[String]): Unit = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val existing = spark.read.parquet(dir)
+    val keyCols = keys.map(col)
+    val kept = existing.join(updates.select(keyCols: _*), keys, "left_anti")
+    val merged = kept.unionByName(updates.select(existing.columns.map(col): _*))
+    val staging = dir + "_upserting"
+    merged.write.mode("overwrite").parquet(staging)
+    swapIn(spark, staging, dir)
+  }
+}
