@@ -84,11 +84,25 @@ object BronzeFlow {
 
   /** Flow over datasets with landing data; manifest of bronze paths
     * (reference `bronze.py:102-113`: empty landing → empty manifest).
+    * `parallel` mirrors the reference's Prefect `.map` fan-out
+    * (`bronze.py:112`): per-dataset ingests run as concurrent Spark
+    * jobs from separate threads — useful when each dataset is small
+    * enough that job-submission latency dominates.
     */
-  def run(spark: SparkSession, lake: Lake, datasets: Seq[String]): Map[String, String] =
-    datasets.flatMap { ds =>
+  def run(
+      spark: SparkSession, lake: Lake, datasets: Seq[String],
+      parallel: Boolean = false): Map[String, String] = {
+    def one(ds: String): Option[(String, String)] =
       if (hasLanding(spark, lake.landing(ds)))
         Some(ds -> ingest(spark, lake.landing(ds), lake.bronze(ds)))
       else None
-    }.toMap
+    if (!parallel) datasets.flatMap(one).toMap
+    else {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(Future.traverse(datasets)(ds => Future(one(ds))), Duration.Inf)
+        .flatten.toMap
+    }
+  }
 }

@@ -21,6 +21,21 @@ class FlowsSpec extends SparkTestBase {
     assert(spark.read.parquet(manifest("gold")("band_avg_scores")).count() == 4)
   }
 
+  test("parallel bronze fan-out produces the sequential result") {
+    val lake = Lake(Files.createTempDirectory("flows-par").toString)
+    LandingFlow.run(fixtures, lake, maxBytes = 100, bufferBytes = 1000)
+    val seqManifest = BronzeFlow.run(spark, lake, Seq("albums", "bands", "reviews"))
+    val seqCounts = seqManifest.map { case (d, p) => d -> spark.read.parquet(p).count() }
+    val lake2 = Lake(Files.createTempDirectory("flows-par2").toString)
+    LandingFlow.run(fixtures, lake2, maxBytes = 100, bufferBytes = 1000)
+    val parManifest = BronzeFlow.run(spark, lake2,
+      Seq("albums", "bands", "reviews"), parallel = true)
+    assert(parManifest.keySet == seqManifest.keySet)
+    parManifest.foreach { case (d, p) =>
+      assert(spark.read.parquet(p).count() == seqCounts(d))
+    }
+  }
+
   test("partitioned gold writes prune at scan time and read back identically") {
     import org.apache.spark.sql.functions.col
     val lake = Lake(Files.createTempDirectory("flows-part").toString)
