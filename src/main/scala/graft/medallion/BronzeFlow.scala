@@ -101,8 +101,14 @@ object BronzeFlow {
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
-      Await.result(Future.traverse(datasets)(ds => Future(one(ds))), Duration.Inf)
-        .flatten.toMap
+      import scala.util.{Failure, Try}
+      // await ALL ingests (Try-wrapped) before surfacing any failure:
+      // fail-fast would return while sibling ingests still write bronze
+      // dirs in background threads, racing a caller's retry
+      val results = Await.result(
+        Future.traverse(datasets)(ds => Future(Try(one(ds)))), Duration.Inf)
+      results.collectFirst { case Failure(e) => e }.foreach(throw _)
+      results.flatMap(_.get).toMap
     }
   }
 }

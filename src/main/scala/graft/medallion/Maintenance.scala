@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions.col
 
 /** Lake-maintenance operators: small-file compaction and keyed upsert
   * over plain-parquet tables. Both rewrite through a staging directory
-  * and swap via FS rename, so a concurrent reader sees either the old
-  * or the new table, never a half-written one (single-writer
-  * assumption — a table format like Iceberg would supply true atomic
-  * commits; nothing here precludes swapping one in).
+  * and swap via FS rename. The swap is NOT atomic on directory
+  * filesystems: there is a brief window where the target path is
+  * absent (concurrent readers should retry; a table format like
+  * Iceberg supplies true atomic commits and nothing here precludes
+  * swapping one in). Every rename result is checked and the backup is
+  * restored on failure — the old table is never lost.
   */
 object Maintenance {
 
@@ -19,8 +21,15 @@ object Maintenance {
   private def dirBytes(spark: SparkSession, dir: String): Long = {
     val p = new HPath(dir)
     val f = fs(spark, p)
-    if (!f.exists(p)) 0L
-    else f.listStatus(p).filter(_.isFile).map(_.getLen).sum
+    // recursive: partitioned layouts keep their data in subdirs
+    if (!f.exists(p)) 0L else f.getContentSummary(p).getLength
+  }
+
+  private def isPartitioned(spark: SparkSession, dir: String): Boolean = {
+    val p = new HPath(dir)
+    val f = fs(spark, p)
+    f.exists(p) && f.listStatus(p).exists(s =>
+      s.isDirectory && s.getPath.getName.contains("="))
   }
 
   private def swapIn(spark: SparkSession, staging: String, target: String): Unit = {
@@ -29,8 +38,14 @@ object Maintenance {
     val f = fs(spark, t)
     val backup = new HPath(target + "_old")
     if (f.exists(backup)) f.delete(backup, true)
-    if (f.exists(t)) f.rename(t, backup)
-    f.rename(s, t)
+    if (f.exists(t) && !f.rename(t, backup))
+      sys.error(s"swap aborted: could not move $target aside (table untouched)")
+    if (!f.rename(s, t)) {
+      // restore the original before failing — renames can return false
+      // (S3A, quota, cross-zone) rather than throw
+      if (f.exists(backup)) f.rename(backup, t)
+      sys.error(s"swap failed: could not move staging into $target (old table restored)")
+    }
     f.delete(backup, true)
   }
 
@@ -39,6 +54,8 @@ object Maintenance {
     * file count long before data volume. Returns the new file count.
     */
   def compact(spark: SparkSession, dir: String, targetFileBytes: Long): Int = {
+    require(!isPartitioned(spark, dir),
+      s"compact would flatten the partition layout of $dir; compact each partition dir instead")
     val parts = math.max(1,
       math.ceil(dirBytes(spark, dir).toDouble / targetFileBytes).toInt)
     val staging = dir + "_compacting"

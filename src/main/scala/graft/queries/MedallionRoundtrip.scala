@@ -24,6 +24,22 @@ import graft.medallion.{BronzeFlow, Chunker, Lake}
   */
 object MedallionRoundtrip {
 
+  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  /** One-shot JVM shutdown hook deleting the per-process scratch lake. */
+  private[queries] def registerCleanup(root: java.nio.file.Path): Unit =
+    if (cleanupRegistered.compareAndSet(false, true)) {
+      sys.addShutdownHook {
+        if (Files.exists(root)) {
+          import scala.jdk.CollectionConverters._
+          val walk = java.nio.file.Files.walk(root)
+          try walk.iterator().asScala.toSeq.reverse
+            .foreach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
+        }
+      }
+    }
+
   def q15MedallionRoundtrip(s: SparkSession, dir: String): DataFrame = {
     val nation = Tables.load(s, dir, "nation")
     val rows = nation.select(
@@ -38,11 +54,12 @@ object MedallionRoundtrip {
     val csv = ("  N NationKey ,N NAME,N RegionKey" +: (rows :+ rows.head))
       .mkString("", "\n", "\n")
 
-    // per-PROCESS scratch root, wiped per invocation: bounded to one
-    // dir per JVM (no leak across repeated bench runs) without letting
-    // concurrent JVMs wipe each other's live lake mid-query
+    // per-PROCESS scratch root, wiped per invocation and deleted by a
+    // shutdown hook: bounded to one dir per LIVE JVM without letting
+    // concurrent JVMs wipe each other's lake mid-query
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-q15-roundtrip-${ProcessHandle.current().pid()}")
+    MedallionRoundtrip.registerCleanup(tmp)
     if (Files.exists(tmp)) {
       import scala.jdk.CollectionConverters._
       val walk = java.nio.file.Files.walk(tmp)

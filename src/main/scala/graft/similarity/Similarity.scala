@@ -6,8 +6,10 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Similarity search over embedding columns (`array<float>`), built on
-  * codegen'd array built-ins (`zip_with`/`aggregate`) — no UDFs.
+/** Similarity search over embedding columns (`array<float>`). The hot
+  * kernel is the native `dot64` Catalyst expression
+  * ([[graft.functions.VectorOps]]) — codegen'd, no UDFs; every entry
+  * point registers it on the executing session.
   *
   * Two paths:
   *  - [[bruteForceTopK]]: exact cosine top-k. The query side is

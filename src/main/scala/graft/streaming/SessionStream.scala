@@ -34,10 +34,16 @@ object SessionStream {
     var open = state.getOption
     sorted.foreach { e =>
       open match {
+        case Some(s) if e.ts_us < s.start_us - gapUs =>
+          // orphan late event from before the open session's reach:
+          // batch semantics would place it in its own earlier session —
+          // emit it as one (best effort; peers that would have shared
+          // that session may have been emitted already)
+          closed += ClosedSession(userId, e.ts_us, e.ts_us, 1)
         case Some(s) if e.ts_us - s.end_us <= gapUs =>
-          // late events (before the carried session's bounds) widen the
-          // session on both ends — never rewind end below start, never
-          // leave start after an earlier merged event
+          // in-reach events (incl. late ones within gap of the bounds)
+          // widen the session on both ends — never rewind end below
+          // start, never leave start after an earlier merged event
           open = Some(s.copy(
             start_us = math.min(s.start_us, e.ts_us),
             end_us = math.max(s.end_us, e.ts_us),

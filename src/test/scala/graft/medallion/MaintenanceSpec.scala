@@ -25,6 +25,18 @@ class MaintenanceSpec extends SparkTestBase {
     assert(!Files.exists(java.nio.file.Paths.get(dir + "_old")))
   }
 
+  test("compaction refuses a partitioned table instead of flattening it") {
+    val dir = Files.createTempDirectory("compact-part").toString + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("id", "part")
+      .write.partitionBy("part").parquet(dir)
+    val e = intercept[RuntimeException] {
+      Maintenance.compact(spark, dir, 1L << 20)
+    }
+    assert(e.getMessage.contains("partition"))
+    // table untouched
+    assert(spark.read.parquet(dir).count() == 2)
+  }
+
   test("upsert replaces matched keys and appends new ones") {
     val dir = Files.createTempDirectory("upsert").toString + "/t"
     Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))

@@ -33,17 +33,20 @@ class PlanShapeSpec extends SparkTestBase {
   test("q02 has no forced broadcast on the scaling customer table") {
     // nation (fixed 25-row dim) may be hinted; customer must be left to
     // Catalyst/AQE (VERDICT r1 flagged a hard customer hint as a
-    // 100 TB OOM)
+    // 100 TB OOM). Hints survive analysis as ResolvedHint nodes; each
+    // hint's immediate subtree must be the nation relation only.
     val analyzed = Parity.q02Top10PerNation(spark, sf)
       .queryExecution.analyzed.toString
-    val hints = analyzed.linesIterator.filter(_.contains("UnresolvedHint")).toSeq
-    assert(!analyzed.contains("customer") || !hints.exists(_.contains("customer")),
-      s"customer is hint-broadcast: $hints")
+    val hintSubtrees = analyzed.split("ResolvedHint").drop(1).map(_.take(300))
+    assert(hintSubtrees.nonEmpty, "expected the nation broadcast hint to survive analysis")
+    hintSubtrees.foreach { sub =>
+      assert(sub.contains("nation"), s"hint over unexpected subtree: $sub")
+      assert(!sub.contains("customer.parquet"), s"customer is hint-broadcast: $sub")
+    }
   }
 
   test("q01 aggregates partially before the exchange (map-side combine)") {
     val p = plan(Parity.q01PricingSummary(spark, sf))
-    val firstAgg = p.linesIterator.find(_.contains("HashAggregate")).getOrElse("")
     assert(p.contains("partial_"), "no partial aggregation before shuffle")
   }
 }

@@ -60,5 +60,11 @@ class SessionStreamSpec extends SparkTestBase {
     val out3 = updateUser(7L, Iterator(Ev(7, 2000 + gap - 500)), st, gap).toSeq
     assert(out3.isEmpty)
     assert(st.get == OpenSession(2000 + gap - 500, 2000 + gap + 1, 2))
+    // an ORPHAN late event (more than gap before start) must NOT rewind
+    // the session across the gap boundary — it emits as its own session
+    val orphanTs = (2000 + gap - 500) - gap - 1000
+    val out4 = updateUser(7L, Iterator(Ev(7, orphanTs)), st, gap).toSeq
+    assert(out4 == Seq(ClosedSession(7, orphanTs, orphanTs, 1)))
+    assert(st.get == OpenSession(2000 + gap - 500, 2000 + gap + 1, 2)) // untouched
   }
 }
