@@ -20,7 +20,11 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Optional args = subset of query names to time (iteration aid);
+    // no args = the full registered set (the driver's mode).
+    val names =
+      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
+      else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
