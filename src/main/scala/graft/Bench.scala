@@ -21,9 +21,19 @@ object Bench {
     } catch { case _: Throwable => () }
 
     // Optional args = subset of query names to time (iteration aid);
-    // no args = the full registered set (the driver's mode).
+    // no args = the full registered set (the driver's mode). A typo'd
+    // name must fail loudly — silently timing a smaller set would make
+    // a regression look like a speedup.
+    val unknown = args.toSeq.filterNot(SparkEntry.queries.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"unknown queries: ${unknown.mkString(", ")}\n" +
+          s"registered: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      spark.stop()
+      sys.exit(2)
+    }
     val names =
-      if (args.nonEmpty) args.toSeq.filter(SparkEntry.queries.contains).sorted
+      if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)

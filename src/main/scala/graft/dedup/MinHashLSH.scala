@@ -206,34 +206,53 @@ object MinHashLSH {
     *
     * The (sid, shingle) relation feeds both the signature and the
     * verification phase, so it is persisted (memory-then-disk) for the
-    * duration and the candidate set — small by construction — is
-    * eagerly local-checkpointed. That keeps the expensive
-    * explode+window shingling to exactly one evaluation and lets the
-    * banded self-join and the verify join read from cache instead of
-    * recomputing the lineage (round-3 profile: the recompute was ~2×
-    * the whole query). Storage is reclaimed by Spark's ContextCleaner
-    * once the returned plan is unreferenced.
+    * duration. That keeps the expensive shingling to exactly one
+    * evaluation and lets the banded self-join and the verify join read
+    * from cache instead of recomputing the lineage (round-3 profile:
+    * the recompute was ~2× the whole query).
+    *
+    * EAGER: this method runs the full shingle→signature→banding→verify
+    * job before returning — the result (small by construction) is
+    * checkpointed and the shingle cache is unpersisted deterministically
+    * before the method returns, so repeated calls in a long-lived
+    * session never accumulate storage. With a `sparkContext` checkpoint
+    * dir configured the checkpoint is reliable (survives executor
+    * loss); otherwise it falls back to `localCheckpoint`, whose blocks
+    * are executor-local — fine in local mode, lossy on a cluster, so
+    * set a checkpoint dir there.
     */
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, n: Int = 3, k: Int = 128, b: Int = 16): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pairs = candidatePairsFromShingles(sh, k, b).localCheckpoint()
-    // Melt each pair into its two (sid, membership-flag) probes so the
-    // shingle relation is referenced ONCE — the union-of-two-joins
-    // formulation would evaluate (cache-read) it twice.
-    val probes = pairs.select(col("id_a"), col("id_b"),
-      explode(array(
-        struct(col("id_a").as("sid"), lit(1).as("in_a"), lit(0).as("in_b")),
-        struct(col("id_b").as("sid"), lit(0).as("in_a"), lit(1).as("in_b")))).as("p"))
-      .select(col("id_a"), col("id_b"), col("p.sid"), col("p.in_a"), col("p.in_b"))
-    probes.join(sh, "sid")
-      .groupBy(col("id_a"), col("id_b"), col("sh"))
-      .agg(max(col("in_a")).as("fa"), max(col("in_b")).as("fb"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg((sum(col("fa") * col("fb")).cast("double") / count(lit(1))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+    try {
+      val pairs = materialize(candidatePairsFromShingles(sh, k, b))
+      // Melt each pair into its two (sid, membership-flag) probes so the
+      // shingle relation is referenced ONCE — the union-of-two-joins
+      // formulation would evaluate (cache-read) it twice.
+      val probes = pairs.select(col("id_a"), col("id_b"),
+        explode(array(
+          struct(col("id_a").as("sid"), lit(1).as("in_a"), lit(0).as("in_b")),
+          struct(col("id_b").as("sid"), lit(0).as("in_a"), lit(1).as("in_b")))).as("p"))
+        .select(col("id_a"), col("id_b"), col("p.sid"), col("p.in_a"), col("p.in_b"))
+      val verified = probes.join(sh, "sid")
+        .groupBy(col("id_a"), col("id_b"), col("sh"))
+        .agg(max(col("in_a")).as("fa"), max(col("in_b")).as("fb"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg((sum(col("fa") * col("fb")).cast("double") / count(lit(1))).as("jaccard"))
+        .filter(col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+      // materialize the (small) verified set so the shingle cache can be
+      // released before returning — no reliance on ContextCleaner GC
+      materialize(verified)
+    } finally sh.unpersist()
   }
+
+  /** Eagerly cut lineage: reliable checkpoint when a checkpoint dir is
+    * configured, executor-local checkpoint otherwise.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 }

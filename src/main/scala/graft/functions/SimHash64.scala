@@ -83,12 +83,18 @@ object SimHash64 {
 
   val FunctionName = "simhash64"
 
-  /** Idempotent session registration; returns a Column-space handle. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(FunctionName),
-      new ExpressionInfo(classOf[SimHash64Expr].getName, FunctionName),
-      (children: Seq[Expression]) => SimHash64Expr(children.head))
+  /** Idempotent session registration: a no-op when the function is
+    * already registered (re-registering WARNs "replaced a previously
+    * registered function" on every call otherwise).
+    */
+  def register(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier(FunctionName)
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[SimHash64Expr].getName, FunctionName),
+        (children: Seq[Expression]) => SimHash64Expr(children.head))
+  }
 
   /** Column API: requires [[register]] to have been called on the
     * session that executes the plan.

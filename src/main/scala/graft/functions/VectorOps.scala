@@ -77,16 +77,22 @@ object VectorOps {
 
   val FunctionName = "dot64"
 
-  /** Idempotent session registration. */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(FunctionName),
-      new ExpressionInfo(classOf[DotProduct64Expr].getName, FunctionName),
-      (children: Seq[Expression]) => {
-        require(children.size == 2,
-          s"dot64 expects exactly 2 arguments, got ${children.size}")
-        DotProduct64Expr(children.head, children(1))
-      })
+  /** Idempotent session registration: a no-op when the function is
+    * already registered (re-registering WARNs "replaced a previously
+    * registered function" on every call otherwise).
+    */
+  def register(spark: SparkSession): Unit = {
+    val id = FunctionIdentifier(FunctionName)
+    if (!spark.sessionState.functionRegistry.functionExists(id))
+      spark.sessionState.functionRegistry.registerFunction(
+        id,
+        new ExpressionInfo(classOf[DotProduct64Expr].getName, FunctionName),
+        (children: Seq[Expression]) => {
+          require(children.size == 2,
+            s"dot64 expects exactly 2 arguments, got ${children.size}")
+          DotProduct64Expr(children.head, children(1))
+        })
+  }
 
   /** Column API; the executing session must have [[register]]ed. */
   def dot64(a: Column, b: Column): Column = call_function(FunctionName, a, b)

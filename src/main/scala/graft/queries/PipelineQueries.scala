@@ -109,8 +109,8 @@ object PipelineQueries {
     *
     * Scale caveat: exact `percentile` buffers every group value (3
     * groups here), which is the oracle-able correctness check — at
-    * 100 TB swap in `approx_percentile` (t-digest, bounded state per
-    * group); its sketch is engine-specific and therefore not
+    * 100 TB use [[q31PercentilesApprox]] (sketch-based, bounded state
+    * per group); the sketch is engine-specific and therefore not
     * DuckDB-comparable, which is why the exact form anchors the gate.
     */
   def q30Percentiles(s: SparkSession, dir: String): DataFrame =
@@ -130,12 +130,37 @@ object PipelineQueries {
       |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q31 — approximate percentiles per group (the 100 TB path) ========
+
+  /** The scale-safe twin of [[q30Percentiles]]: `approx_percentile`
+    * (Greenwald–Khanna sketch) keeps O(accuracy) state per group
+    * instead of buffering every value, so per-group memory is bounded
+    * no matter how many rows a group holds — this is the form a 100 TB
+    * run uses. The sketch's answers are engine-specific (not
+    * DuckDB-comparable), so q31 is rows-only in the driver gate;
+    * PercentilesSpec pins |approx − exact| within the sketch's rank
+    * error at sf0.001.
+    */
+  def q31PercentilesApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        expr("approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)")
+          .as("ps"))
+      .select(col("l_returnflag"), col("n"),
+        col("ps").getItem(0).as("p50"),
+        col("ps").getItem(1).as("p90"),
+        col("ps").getItem(2).as("p99"))
+      .orderBy(col("l_returnflag"))
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_corpus_pipeline" -> (q27CorpusPipeline _),
     "q28_sessionize" -> (q28Sessionize _),
-    "q30_percentiles" -> (q30Percentiles _))
+    "q30_percentiles" -> (q30Percentiles _),
+    "q31_percentiles_approx" -> (q31PercentilesApprox _))
 
   val oracleSql: Map[String, String] = Map(
     "q27_corpus_pipeline" -> q27Sql,

@@ -15,9 +15,13 @@ import org.apache.spark.sql.functions._
   */
 object EventStream {
 
-  /** Epoch-nanos long → timestamp (microsecond precision). */
+  /** Epoch-nanos long → timestamp (microsecond precision). Integer
+    * division (`div`): the double-division form `(c / 1000)` has a
+    * ~256 ns ulp at 1.7e18, which would make the streaming rollup
+    * diverge from its batch twin q14 (`ts div 1000`) near hour edges.
+    */
   def nanosToTs(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    timestamp_micros((c / 1000).cast("long"))
+    timestamp_micros(call_function("div", c, lit(1000L)))
 
   /** Hourly (window, event_type) counts/sums with a watermark. */
   def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
