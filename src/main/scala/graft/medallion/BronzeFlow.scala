@@ -39,41 +39,63 @@ object BronzeFlow {
 
   /** Ingest with malformed-record routing — the Firehose error-prefix
     * analogue (`infra/main.tf:82` routes failed records to
-    * `errors/<ds>/`): lines the CSV parser cannot fit to the inferred
-    * schema land raw in `errorsDir` instead of silently polluting
-    * bronze. Returns (bronzePath, malformedCount).
+    * `errors/<ds>/`): lines the CSV parser cannot fit to the schema
+    * land raw in `errorsDir` instead of silently polluting bronze.
+    * Returns (bronzePath, malformedCount).
+    *
+    * No caching: the old implementation cached the ENTIRE landing zone
+    * to work around Spark's corrupt-record-column restriction — at
+    * scale that is the whole ingest in executor memory. Instead this
+    * runs a counting scan, re-scans for the bad lines only when the
+    * count says there are any, and then scans once more for the bronze
+    * write. Each scan must reference EVERY data column (not just the
+    * corrupt-record column): the CSV reader prunes parsing to the
+    * required schema, and a row is only judged malformed against the
+    * columns actually parsed — a corrupt-only (disallowed uncached) or
+    * partial-schema scan would miss overflow/type errors in unreferenced
+    * columns. The touch expression also stays nullable on purpose:
+    * `count` of a provably non-null expression optimizes to `count(1)`
+    * and the column references vanish with it.
+    *
+    * Pass `schema` to skip the inference scan — the strict re-parse
+    * then judges rows against the declared contract instead of against
+    * whatever the dirty data itself inferred (a malformed line can
+    * otherwise widen a column to string and mask itself).
     */
   def ingestWithErrorRouting(
       spark: SparkSession, landingDir: String, bronzeDir: String,
-      errorsDir: String): (String, Long) = {
-    import org.apache.spark.sql.functions.col
+      errorsDir: String, schema: org.apache.spark.sql.types.StructType = null): (String, Long) = {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count}
     import org.apache.spark.sql.types.StringType
-    val inferred = spark.read
-      .option("header", "true").option("inferSchema", "true")
-      .csv(landingDir).schema
-    val parsed = spark.read
+    val dataSchema = Option(schema).getOrElse(
+      spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(landingDir).schema)
+    val dataCols = dataSchema.fields.map(f => col(f.name).cast("string")).toSeq
+    def parsed = spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
-      .schema(inferred.add("_corrupt_record", StringType))
+      .schema(dataSchema.add("_corrupt_record", StringType))
       .csv(landingDir)
-      .cache() // corrupt-record column can't be filtered from an unmaterialized scan
-    try {
-      val bad = parsed.filter(col("_corrupt_record").isNotNull)
-        .select("_corrupt_record")
-      val nBad = bad.count()
-      if (nBad > 0) bad.write.mode("overwrite").text(errorsDir)
-      else {
-        // a clean rerun must not leave a stale errors prefix behind
-        val ep = new HPath(errorsDir)
-        val fs = FileSystem.get(ep.toUri, spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(ep)) fs.delete(ep, true)
-      }
-      val good = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
-      ColumnNormalizer(good).dropDuplicates()
-        .write.mode("overwrite").parquet(bronzeDir)
-      (bronzeDir, nBad)
-    } finally parsed.unpersist()
+    val nBad = parsed.agg(
+      count(col("_corrupt_record")).as("bad"),
+      count(coalesce(dataCols: _*)).as("_touch_every_data_column")).head.getLong(0)
+    if (nBad > 0)
+      parsed.filter(col("_corrupt_record").isNotNull)
+        // the concat_ws arm never wins (corrupt is non-null under the
+        // filter) — it is there to reference every data column
+        .select(coalesce(col("_corrupt_record"), concat_ws(",", dataCols: _*)).as("value"))
+        .write.mode("overwrite").text(errorsDir)
+    else {
+      // a clean rerun must not leave a stale errors prefix behind
+      val ep = new HPath(errorsDir)
+      val fs = FileSystem.get(ep.toUri, spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(ep)) fs.delete(ep, true)
+    }
+    val good = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    ColumnNormalizer(good).dropDuplicates()
+      .write.mode("overwrite").parquet(bronzeDir)
+    (bronzeDir, nBad)
   }
 
   private def hasLanding(spark: SparkSession, dir: String): Boolean = {

@@ -33,20 +33,40 @@ object Maintenance {
   }
 
   private def swapIn(spark: SparkSession, staging: String, target: String): Unit = {
+    val f = fs(spark, new HPath(target))
+    swapSteps(f.rename, p => f.exists(p), p => f.delete(p, true), staging, target)
+  }
+
+  /** The rename protocol behind [[swapIn]], with the FS primitives
+    * injectable so failure paths (renames returning false — S3A,
+    * quota, cross-zone — rather than throwing) are testable. Every
+    * rename result is checked, including the restore: on a double
+    * failure the error says exactly where the data is instead of
+    * claiming a restore that didn't happen.
+    */
+  private[medallion] def swapSteps(
+      rename: (HPath, HPath) => Boolean,
+      exists: HPath => Boolean,
+      delete: HPath => Unit,
+      staging: String, target: String): Unit = {
     val s = new HPath(staging)
     val t = new HPath(target)
-    val f = fs(spark, t)
     val backup = new HPath(target + "_old")
-    if (f.exists(backup)) f.delete(backup, true)
-    if (f.exists(t) && !f.rename(t, backup))
+    if (exists(backup)) delete(backup)
+    if (exists(t) && !rename(t, backup))
       sys.error(s"swap aborted: could not move $target aside (table untouched)")
-    if (!f.rename(s, t)) {
-      // restore the original before failing — renames can return false
-      // (S3A, quota, cross-zone) rather than throw
-      if (f.exists(backup)) f.rename(backup, t)
-      sys.error(s"swap failed: could not move staging into $target (old table restored)")
+    if (!rename(s, t)) {
+      if (!exists(backup))
+        sys.error(s"swap failed: could not move staging into $target " +
+          s"(no previous table; staging left at $staging)")
+      else if (rename(backup, t))
+        sys.error(s"swap failed: could not move staging into $target (old table restored)")
+      else
+        sys.error(s"swap failed TWICE: staging could not move into $target and the " +
+          s"backup could not be restored — $target is ABSENT; previous data is " +
+          s"preserved at $backup, new data at $staging")
     }
-    f.delete(backup, true)
+    delete(backup)
   }
 
   /** Rewrite `dir` into ≈`targetFileBytes` files. Streaming appends and

@@ -1,6 +1,8 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -50,12 +52,44 @@ object LandingStream {
       .start()
   }
 
-  /** Global dedup staging→bronze (the batch path's `dropDuplicates`). */
+  /** Staging→bronze dedup, INCREMENTAL: only rows staged since the last
+    * finalize are read (the checkpoint makes staging append-only and
+    * new-data-only), deduped among themselves, anti-joined against the
+    * existing bronze (null-safe on every column — the same full-row
+    * identity `dropDuplicates` uses), and appended. Incorporated staged
+    * files are then removed, so each finalize costs O(new data) + one
+    * bronze-side join — never a full-history rewrite.
+    *
+    * Crash-safe and idempotent: a failure after the append but before
+    * the staged-file cleanup just re-presents already-incorporated rows
+    * next time, and the anti-join drops them again. The result is
+    * always exactly `dropDuplicates` over everything ever staged.
+    */
   def finalizeBronze(spark: SparkSession, lake: Lake, dataset: String): String = {
-    spark.read.parquet(stagingDir(lake, dataset))
-      .dropDuplicates()
-      .write.mode("overwrite").parquet(lake.bronze(dataset))
-    lake.bronze(dataset)
+    val staging = stagingDir(lake, dataset)
+    val bronzeDir = lake.bronze(dataset)
+    val sp = new HPath(staging)
+    val f = FileSystem.get(sp.toUri, spark.sparkContext.hadoopConfiguration)
+    val stagedFiles =
+      if (!f.exists(sp)) Array.empty[HPath]
+      else f.listStatus(sp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .map(_.getPath)
+    if (stagedFiles.isEmpty) return bronzeDir // nothing new → no-op
+
+    val staged = spark.read.parquet(staging).dropDuplicates()
+    val bp = new HPath(bronzeDir)
+    if (!f.exists(bp)) staged.write.mode("overwrite").parquet(bronzeDir)
+    else {
+      val bronze = spark.read.parquet(bronzeDir)
+      val aligned = staged.select(bronze.columns.map(col): _*)
+      val dup = bronze.columns.map(c => aligned(c) <=> bronze(c)).reduce(_ && _)
+      val fresh = aligned.join(bronze, dup, "left_anti")
+      // appended files are invisible to the bronze scan above (its file
+      // listing is fixed at read time), so read-then-append is safe
+      if (!fresh.isEmpty) fresh.write.mode("append").parquet(bronzeDir)
+    }
+    stagedFiles.foreach(p => f.delete(p, false))
+    bronzeDir
   }
 
   /** Convenience: stream everything currently landed, then finalize. */

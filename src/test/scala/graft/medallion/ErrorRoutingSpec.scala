@@ -46,6 +46,27 @@ class ErrorRoutingSpec extends SparkTestBase {
     assert(!Files.exists(Paths.get(lake.errors("reviews"))))
   }
 
+  test("explicit schema catches type drift that inference would mask") {
+    import org.apache.spark.sql.types._
+    val lake = Lake(Files.createTempDirectory("err-schema").toString)
+    val dir = Paths.get(lake.landing("reviews"))
+    Files.createDirectories(dir)
+    // under inference the bad score would widen the column to string and
+    // the row would pass; against the declared contract it must route
+    Files.write(dir.resolve("part-00000.csv"),
+      "id,album,score\n1,10,9.5\n2,11,not_a_number\n3,12,7.0\n".getBytes)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType), StructField("album", IntegerType),
+      StructField("score", DoubleType)))
+    val (bronzePath, nBad) = BronzeFlow.ingestWithErrorRouting(
+      spark, lake.landing("reviews"), lake.bronze("reviews"),
+      lake.errors("reviews"), schema)
+    assert(nBad == 1)
+    assert(spark.read.parquet(bronzePath).count() == 2)
+    val errors = spark.read.text(lake.errors("reviews")).collect().map(_.getString(0))
+    assert(errors.toSeq == Seq("2,11,not_a_number"))
+  }
+
   test("clean landing writes no errors directory") {
     val lake = Lake(Files.createTempDirectory("err-clean").toString)
     val dir = Paths.get(lake.landing("albums"))

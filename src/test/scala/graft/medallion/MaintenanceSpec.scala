@@ -52,6 +52,84 @@ class MaintenanceSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).as[(Long, String, Int)].collect().toSet == out)
   }
 
+  test("double rename failure names the backup and staging paths, not a false restore") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = Files.createTempDirectory("swap-fail").toString
+    val target = s"$root/t"
+    val staging = s"$root/t_staging"
+    Files.createDirectories(java.nio.file.Paths.get(target))
+    Files.createDirectories(java.nio.file.Paths.get(staging))
+    val local = new java.io.File(root)
+    def realRename(a: HPath, b: HPath): Boolean =
+      new java.io.File(a.toUri.getPath).renameTo(new java.io.File(b.toUri.getPath))
+    // fail the staging→target move AND the backup→target restore
+    def failingRename(a: HPath, b: HPath): Boolean =
+      if (a.toString.endsWith("t_staging") || a.toString.endsWith("t_old")) false
+      else realRename(a, b)
+    val e = intercept[RuntimeException] {
+      Maintenance.swapSteps(
+        failingRename,
+        p => new java.io.File(p.toUri.getPath).exists(),
+        p => { def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }; rm(new java.io.File(p.toUri.getPath)) },
+        staging, target)
+    }
+    assert(e.getMessage.contains("TWICE"), e.getMessage)
+    assert(e.getMessage.contains("t_old"), s"backup path not named: ${e.getMessage}")
+    assert(e.getMessage.contains("t_staging"), s"staging path not named: ${e.getMessage}")
+    // the data really is where the message says
+    assert(new java.io.File(s"$root/t_old").exists())
+    assert(new java.io.File(staging).exists())
+  }
+
+  test("single rename failure restores the old table and says so") {
+    import org.apache.hadoop.fs.{Path => HPath}
+    val root = Files.createTempDirectory("swap-restore").toString
+    val target = s"$root/t"
+    val staging = s"$root/t_staging"
+    Files.createDirectories(java.nio.file.Paths.get(target))
+    Files.createDirectories(java.nio.file.Paths.get(staging))
+    def realRename(a: HPath, b: HPath): Boolean =
+      new java.io.File(a.toUri.getPath).renameTo(new java.io.File(b.toUri.getPath))
+    def failStaging(a: HPath, b: HPath): Boolean =
+      if (a.toString.endsWith("t_staging")) false else realRename(a, b)
+    val e = intercept[RuntimeException] {
+      Maintenance.swapSteps(
+        failStaging,
+        p => new java.io.File(p.toUri.getPath).exists(),
+        p => { def rm(f: java.io.File): Unit = { Option(f.listFiles).foreach(_.foreach(rm)); f.delete() }; rm(new java.io.File(p.toUri.getPath)) },
+        staging, target)
+    }
+    assert(e.getMessage.contains("old table restored"), e.getMessage)
+    assert(new java.io.File(target).exists(), "old table was not actually restored")
+  }
+
+  test("versioned commit: concurrent readers never observe an absent table") {
+    val root = Files.createTempDirectory("versioned").toString + "/t"
+    Versioned.commit(spark, root, spark.range(100).toDF("id"))
+
+    @volatile var failures = List.empty[String]
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        val v = Versioned.resolve(spark, root)
+        val d = new java.io.File(v)
+        if (!d.exists() || !d.list().exists(_.endsWith(".parquet")))
+          failures ::= s"resolved $v but no data there"
+      }
+    })
+    reader.start()
+    try {
+      (2 to 6).foreach { i =>
+        Versioned.commit(spark, root, spark.range(100L * i).toDF("id"))
+      }
+    } finally { stop = true; reader.join() }
+    assert(failures.isEmpty, failures.take(3).mkString("; "))
+    // the final read sees the last commit, and GC kept a bounded window
+    assert(Versioned.read(spark, root).count() == 600L)
+    val versions = new java.io.File(root).list().count(_.startsWith("v_"))
+    assert(versions == 2, s"expected 2 retained versions, found $versions")
+  }
+
   test("upsert with composite key") {
     val dir = Files.createTempDirectory("upsert2").toString + "/t"
     Seq((1L, "x", 1.0), (1L, "y", 2.0), (2L, "x", 3.0))

@@ -43,6 +43,33 @@ class StreamingSpec extends SparkTestBase {
     assert(first == second)
   }
 
+  test("finalize is incremental: a rerun over unchanged landing rewrites nothing") {
+    val root = Files.createTempDirectory("stream-incr").toString
+    val fixtures = Paths.get(getClass.getResource("/fixtures/albums.csv").toURI)
+      .getParent.toString
+    val lake = Lake(root)
+    LandingFlow.run(fixtures, lake, maxBytes = 100, bufferBytes = 1000)
+
+    val bronzePath = LandingStream.runAvailableNow(spark, lake, "reviews")
+    def listing(dir: String): Map[String, Long] = {
+      val d = new java.io.File(dir)
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    // incorporated staged files are cleared → next finalize sees nothing
+    assert(listing(LandingStream.stagingDir(lake, "reviews")).isEmpty,
+      "staging still holds incorporated files")
+    val bronzeBefore = listing(bronzePath)
+    assert(bronzeBefore.nonEmpty)
+
+    LandingStream.runAvailableNow(spark, lake, "reviews")
+    // no new landing data → bronze file set (names AND mtimes) unchanged:
+    // the rerun neither rewrote history nor appended anything
+    assert(listing(bronzePath) == bronzeBefore, "rerun rewrote bronze")
+    assert(listing(LandingStream.stagingDir(lake, "reviews")).isEmpty)
+  }
+
   test("event-time hourly rollup: streaming result ≡ batch result") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventStream.readEventsStream(spark, dir)
