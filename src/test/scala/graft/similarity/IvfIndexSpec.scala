@@ -30,6 +30,29 @@ class IvfIndexSpec extends SparkTestBase {
     assert(recall >= 0.5, s"IVF recall@5 = $recall")
   }
 
+  test("IVF at production probe budget reaches recall@5 ≥ 0.9 (sf0.01)") {
+    // q25 runs nprobe=4 of 16 for speed; this pins the QUALITY knob:
+    // raising nprobe must buy recall all the way to production grade.
+    // This corpus is near-random (top-5 cosine ≈ 0.32), the worst case
+    // for a trained quantizer — neighbors scatter across cells, so the
+    // budget that clears 0.9 here (12/16) is an upper bound on what
+    // clustered real embeddings need.
+    val v = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = v.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(v, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val idx = IvfIndex.fit(v, c = 16)
+    val half = idx.approxTopK(v, queries, k = 5, nprobe = 8)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val most = idx.approxTopK(v, queries, k = 5, nprobe = 12)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long)]) = (exact & s).size.toDouble / exact.size
+    assert(recall(most) >= 0.9, s"IVF recall@5 = ${recall(most)} at nprobe=12/16")
+    // and recall is monotone in the probe budget
+    assert(recall(most) >= recall(half),
+      s"recall fell as nprobe grew: ${recall(half)} -> ${recall(most)}")
+  }
+
   test("full probe (nprobe = C) reproduces exact top-k") {
     val queries = vecs.filter($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)

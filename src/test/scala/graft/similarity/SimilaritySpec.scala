@@ -77,6 +77,22 @@ class SimilaritySpec extends SparkTestBase {
     assert(!approx.exists { case (q, v) => q == v })
   }
 
+  test("LSH at production strength reaches recall@5 ≥ 0.9 (sf0.01)") {
+    // q23 runs a cheap 8-table config; this pins the QUALITY knob: the
+    // same 4-bit geometry at 32 tables must reach production recall
+    // (per-neighbor detection 1-(1-p^4)^32 ≈ 0.96+ even at the weak
+    // p≈0.56 collision rate of this corpus's cos≈0.2 tail neighbors).
+    val vecs = Tables.load(spark, "/root/testdata/sf0.01", "embeddings")
+    val queries = vecs.filter($"vec_id" < 20)
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, bits = 4, tables = 32)
+    val approx = lsh.approxTopK(vecs, queries, k = 5)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall@5 = $recall at bits=4, tables=32")
+  }
+
   test("cosine near-duplicates finds a planted duplicate vector") {
     val vecs = Tables.load(spark, sf, "embeddings")
     val planted = vecs.union(vecs.filter($"vec_id" === 7)
