@@ -95,13 +95,47 @@ object Maintenance {
   def upsertByKey(
       spark: SparkSession, dir: String, updates: DataFrame,
       keys: Seq[String]): Unit = {
-    require(keys.nonEmpty, "upsert needs at least one key column")
-    val existing = spark.read.parquet(dir)
-    val keyCols = keys.map(col)
-    val kept = existing.join(updates.select(keyCols: _*), keys, "left_anti")
-    val merged = kept.unionByName(updates.select(existing.columns.map(col): _*))
+    val merged = mergeByKey(spark.read.parquet(dir), updates, keys)
     val staging = dir + "_upserting"
     merged.write.mode("overwrite").parquet(staging)
     swapIn(spark, staging, dir)
+  }
+
+  private def mergeByKey(
+      existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val kept = existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
+    kept.unionByName(updates.select(existing.columns.map(col): _*))
+  }
+
+  // ===== Versioned-table variants: atomic publish, no absent window ======
+  // The directory-swap forms above are for plain single-dir tables; on a
+  // [[Versioned]] root the rewrite lands as a fresh immutable version and
+  // the pointer flip makes it visible atomically — concurrent readers
+  // resolve old or new, never neither, and in-flight scans of the
+  // previous version finish against files GC keeps for one more commit.
+
+  /** [[compact]] for a [[Versioned]] table root. Returns the new file
+    * count.
+    */
+  def compactVersioned(
+      spark: SparkSession, root: String, targetFileBytes: Long): Int = {
+    val active = Versioned.resolve(spark, root)
+    val parts = math.max(1,
+      math.ceil(dirBytes(spark, active).toDouble / targetFileBytes).toInt)
+    val vDir = Versioned.commit(spark, root,
+      spark.read.parquet(active).repartition(parts))
+    val p = new HPath(vDir)
+    fs(spark, p).listStatus(p)
+      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** [[upsertByKey]] for a [[Versioned]] table root. */
+  def upsertVersionedByKey(
+      spark: SparkSession, root: String, updates: DataFrame,
+      keys: Seq[String]): Unit = {
+    Versioned.commit(spark, root,
+      mergeByKey(Versioned.read(spark, root), updates, keys))
+    ()
   }
 }

@@ -130,6 +130,27 @@ class MaintenanceSpec extends SparkTestBase {
     assert(versions == 2, s"expected 2 retained versions, found $versions")
   }
 
+  test("versioned compact and upsert publish atomically with same semantics") {
+    val root = Files.createTempDirectory("versioned-maint").toString + "/t"
+    Versioned.commit(spark, root,
+      Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "score")
+        .repartition(16))
+
+    val files = Maintenance.compactVersioned(spark, root, targetFileBytes = 1L << 20)
+    assert(files <= 2, s"still $files files after compaction")
+    assert(Versioned.read(spark, root).count() == 3)
+
+    val updates = Seq((2L, "b2", 21), (4L, "d", 40)).toDF("id", "name", "score")
+    Maintenance.upsertVersionedByKey(spark, root, updates, Seq("id"))
+    val out = Versioned.read(spark, root).as[(Long, String, Int)].collect().toSet
+    assert(out == Set((1L, "a", 10), (2L, "b2", 21), (3L, "c", 30), (4L, "d", 40)))
+    // the pointer file resolves to an existing dir at every step, and
+    // the previous version is retained for in-flight readers
+    val versions = new java.io.File(root).list().filter(_.startsWith("v_")).sorted
+    assert(versions.length == 2, versions.mkString(","))
+    assert(Versioned.resolve(spark, root).endsWith(versions.last))
+  }
+
   test("upsert with composite key") {
     val dir = Files.createTempDirectory("upsert2").toString + "/t"
     Seq((1L, "x", 1.0), (1L, "y", 2.0), (2L, "x", 3.0))
