@@ -215,11 +215,16 @@ object MinHashLSH {
     * job before returning — the result (small by construction) is
     * checkpointed and the shingle cache is unpersisted deterministically
     * before the method returns, so repeated calls in a long-lived
-    * session never accumulate storage. With a `sparkContext` checkpoint
-    * dir configured the checkpoint is reliable (survives executor
-    * loss); otherwise it falls back to `localCheckpoint`, whose blocks
-    * are executor-local — fine in local mode, lossy on a cluster, so
-    * set a checkpoint dir there.
+    * session never accumulate cache storage. The intermediate candidate
+    * set is always `localCheckpoint`ed (it is fully consumed before
+    * return; its blocks free with the reference). The RESULT uses a
+    * reliable checkpoint when a `sparkContext` checkpoint dir is
+    * configured (survives executor loss; note Spark only deletes those
+    * files under `spark.cleaner.referenceTracking.cleanCheckpoints` or
+    * when the caller clears the dir) and otherwise falls back to
+    * `localCheckpoint` — executor-local blocks, fine in local mode;
+    * on a cluster either set a checkpoint dir or write the returned
+    * (small) pair set out promptly.
     */
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
@@ -227,7 +232,7 @@ object MinHashLSH {
     val sh = shingleRows(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val pairs = materialize(candidatePairsFromShingles(sh, k, b))
+      val pairs = candidatePairsFromShingles(sh, k, b).localCheckpoint(eager = true)
       // Melt each pair into its two (sid, membership-flag) probes so the
       // shingle relation is referenced ONCE — the union-of-two-joins
       // formulation would evaluate (cache-read) it twice.
@@ -245,14 +250,9 @@ object MinHashLSH {
         .select("id_a", "id_b", "jaccard")
       // materialize the (small) verified set so the shingle cache can be
       // released before returning — no reliance on ContextCleaner GC
-      materialize(verified)
+      if (verified.sparkSession.sparkContext.getCheckpointDir.isDefined)
+        verified.checkpoint(eager = true)
+      else verified.localCheckpoint(eager = true)
     } finally sh.unpersist()
   }
-
-  /** Eagerly cut lineage: reliable checkpoint when a checkpoint dir is
-    * configured, executor-local checkpoint otherwise.
-    */
-  private def materialize(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
 }

@@ -65,34 +65,43 @@ object BronzeFlow {
   def ingestWithErrorRouting(
       spark: SparkSession, landingDir: String, bronzeDir: String,
       errorsDir: String, schema: org.apache.spark.sql.types.StructType = null): (String, Long) = {
-    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, count}
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{coalesce, concat_ws, count}
     import org.apache.spark.sql.types.StringType
     val dataSchema = Option(schema).getOrElse(
       spark.read.option("header", "true").option("inferSchema", "true")
         .csv(landingDir).schema)
-    val dataCols = dataSchema.fields.map(f => col(f.name).cast("string")).toSeq
+    // backtick-quote when resolving: a dotted CSV header like
+    // `album.score` otherwise parses as struct-field access and fails
+    // analysis (graft.core.Cols)
+    def dataCols(df: DataFrame) =
+      dataSchema.fieldNames.toSeq.map(n => df(graft.core.Cols.quoted(n)).cast("string"))
     def parsed = spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(dataSchema.add("_corrupt_record", StringType))
       .csv(landingDir)
-    val nBad = parsed.agg(
-      count(col("_corrupt_record")).as("bad"),
-      count(coalesce(dataCols: _*)).as("_touch_every_data_column")).head.getLong(0)
-    if (nBad > 0)
-      parsed.filter(col("_corrupt_record").isNotNull)
-        // the concat_ws arm never wins (corrupt is non-null under the
-        // filter) — it is there to reference every data column
-        .select(coalesce(col("_corrupt_record"), concat_ws(",", dataCols: _*)).as("value"))
+    val counting = parsed
+    val nBad = counting.agg(
+      count(counting("_corrupt_record")).as("bad"),
+      count(coalesce(dataCols(counting): _*)).as("_touch_every_data_column"))
+      .head.getLong(0)
+    if (nBad > 0) {
+      val p = parsed
+      // the concat_ws arm never wins (corrupt is non-null under the
+      // filter) — it is there to reference every data column
+      p.filter(p("_corrupt_record").isNotNull)
+        .select(coalesce(p("_corrupt_record"), concat_ws(",", dataCols(p): _*)).as("value"))
         .write.mode("overwrite").text(errorsDir)
-    else {
+    } else {
       // a clean rerun must not leave a stale errors prefix behind
       val ep = new HPath(errorsDir)
       val fs = FileSystem.get(ep.toUri, spark.sparkContext.hadoopConfiguration)
       if (fs.exists(ep)) fs.delete(ep, true)
     }
-    val good = parsed.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val g = parsed
+    val good = g.filter(g("_corrupt_record").isNull).drop("_corrupt_record")
     ColumnNormalizer(good).dropDuplicates()
       .write.mode("overwrite").parquet(bronzeDir)
     (bronzeDir, nBad)

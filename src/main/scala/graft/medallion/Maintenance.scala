@@ -37,6 +37,14 @@ object Maintenance {
     swapSteps(f.rename, p => f.exists(p), p => f.delete(p, true), staging, target)
   }
 
+  /** Replace `target` with the contents of `staging` via the checked
+    * rename protocol (backup aside, move in, restore on failure). For
+    * callers outside this package that need a directory swap — e.g. a
+    * full-rewrite fallback; NOT atomic (see class doc / [[Versioned]]).
+    */
+  def replaceDir(spark: SparkSession, staging: String, target: String): Unit =
+    swapIn(spark, staging, target)
+
   /** The rename protocol behind [[swapIn]], with the FS primitives
     * injectable so failure paths (renames returning false — S3A,
     * quota, cross-zone — rather than throwing) are testable. Every
@@ -104,8 +112,12 @@ object Maintenance {
   private def mergeByKey(
       existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
-    val kept = existing.join(updates.select(keys.map(col): _*), keys, "left_anti")
-    kept.unionByName(updates.select(existing.columns.map(col): _*))
+    // backtick-quoted resolution: a dotted column name otherwise parses
+    // as struct-field access (graft.core.Cols)
+    import graft.core.Cols.quoted
+    val kept = existing.join(
+      updates.select(keys.map(k => updates(quoted(k))): _*), keys, "left_anti")
+    kept.unionByName(updates.select(existing.columns.toSeq.map(c => updates(quoted(c))): _*))
   }
 
   // ===== Versioned-table variants: atomic publish, no absent window ======

@@ -13,6 +13,7 @@ import java.nio.charset.StandardCharsets
   * {{{
   *   <root>/v_000001/part-*.parquet     immutable version dirs
   *   <root>/v_000002/part-*.parquet
+  *   <root>/.v_000002.claim             writer's claim marker
   *   <root>/_current                    names the active version
   * }}}
   *
@@ -23,9 +24,19 @@ import java.nio.charset.StandardCharsets
   * never an absent table: this closes the old-nor-new visibility window
   * a directory swap ([[Maintenance]] rename protocol) necessarily has.
   *
-  * Old versions are retained for `keepVersions` commits (in-flight
-  * readers of the previous version finish against immutable files) and
-  * garbage-collected after.
+  * Retention: each commit keeps the newly published version and the
+  * version that was active just before it (in-flight readers of the
+  * previous version finish against immutable files); everything older —
+  * including orphan dirs left by a committer that crashed before its
+  * pointer flip — is garbage-collected. Retention is keyed on the
+  * POINTER history, not on directory count, so an orphan can never
+  * evict the previously-active version.
+  *
+  * Concurrent writers: version numbers are allocated by atomically
+  * creating a `.v_NNNNNN.claim` marker (create-no-overwrite), so two
+  * committers can never write into the same version dir. The pointer
+  * flip then serializes publication (last flip wins — both versions are
+  * fully written, so the loser's data is superseded, never interleaved).
   */
 object Versioned {
 
@@ -34,43 +45,74 @@ object Versioned {
   private def fs(spark: SparkSession, p: HPath): FileSystem =
     FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
 
-  /** Active version dir (absolute path). Fails if never committed. */
+  /** Active version dir (absolute path). Fails if never committed.
+    * Retries once on a transient read failure (e.g. a checksummed
+    * local FS renaming the pointer and its .crc sidecar in two steps).
+    */
   def resolve(spark: SparkSession, root: String): String = {
     val ptr = new HPath(s"$root/$Pointer")
     val f = fs(spark, ptr)
-    val in = f.open(ptr)
-    val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-    finally in.close()
-    require(v.nonEmpty, s"$ptr is empty")
-    s"$root/$v"
+    def readOnce(): String = {
+      val in = f.open(ptr)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+      require(v.nonEmpty, s"$ptr is empty")
+      s"$root/$v"
+    }
+    try readOnce()
+    catch { case _: java.io.IOException => Thread.sleep(10); readOnce() }
   }
 
   /** Read the active version. */
   def read(spark: SparkSession, root: String): DataFrame =
     spark.read.parquet(resolve(spark, root))
 
-  private def versionsOn(f: FileSystem, rootP: HPath): Seq[(Int, HPath)] =
+  private def versionDirs(f: FileSystem, rootP: HPath): Seq[(Int, HPath)] =
     if (!f.exists(rootP)) Seq.empty
     else f.listStatus(rootP).toSeq.collect {
       case s if s.isDirectory && s.getPath.getName.matches("v_\\d+") =>
         (s.getPath.getName.drop(2).toInt, s.getPath)
     }.sortBy(_._1)
 
+  /** Atomically claim the next free version number ≥ the given floor.
+    * Bounded: a persistent (non-already-exists) IO failure surfaces
+    * after the attempt budget instead of spinning on rising numbers.
+    */
+  private def claimNext(f: FileSystem, root: String, floor: Int): String = {
+    var lastErr: java.io.IOException = null
+    var n = floor
+    while (n < floor + 1000) {
+      val name = f"v_$n%06d"
+      try {
+        f.create(new HPath(s"$root/.$name.claim"), false).close()
+        return name
+      } catch {
+        case e: java.io.IOException => lastErr = e; n += 1 // claimed (or raced); try next
+      }
+    }
+    throw new java.io.IOException(
+      s"could not claim a version under $root after 1000 attempts", lastErr)
+  }
+
   /** Write `df` as the next version and atomically publish it. Returns
     * the new version dir. Readers in flight keep their resolved dir;
     * new resolves see the new version the instant the pointer rename
     * lands.
     */
-  def commit(
-      spark: SparkSession, root: String, df: DataFrame,
-      keepVersions: Int = 2): String = {
-    require(keepVersions >= 1, "must keep at least the active version")
+  def commit(spark: SparkSession, root: String, df: DataFrame): String = {
     val rootP = new HPath(root)
     val f = fs(spark, rootP)
-    val next = versionsOn(f, rootP).lastOption.fold(1)(_._1 + 1)
-    val vName = f"v_$next%06d"
+    if (!f.exists(rootP)) f.mkdirs(rootP)
+    val floor = versionDirs(f, rootP).lastOption.fold(1)(_._1 + 1)
+    val vName = claimNext(f, root, floor)
     val vDir = s"$root/$vName"
     df.write.mode("overwrite").parquet(vDir)
+
+    // the version active until this instant stays retained for its
+    // in-flight readers; absent on the first commit
+    val prevActive: Option[String] =
+      try Some(new HPath(resolve(spark, root)).getName)
+      catch { case _: Exception => None }
 
     // publish: write the pointer beside _current, then atomic-overwrite
     // rename it into place (FileContext supports OVERWRITE; the plain
@@ -81,9 +123,15 @@ object Versioned {
     val fc = FileContext.getFileContext(rootP.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, new HPath(s"$root/$Pointer"), Options.Rename.OVERWRITE)
 
-    // GC versions older than the retained window (never the active one)
-    versionsOn(f, rootP).dropRight(keepVersions)
-      .foreach { case (_, p) => f.delete(p, true) }
+    // GC everything outside {new, previously-active}: older published
+    // versions AND orphan dirs from crashed committers, plus their
+    // claim markers
+    val keep = Set(vName) ++ prevActive
+    versionDirs(f, rootP).filterNot { case (_, p) => keep(p.getName) }
+      .foreach { case (_, p) =>
+        f.delete(p, true)
+        f.delete(new HPath(s"$root/.${p.getName}.claim"), false)
+      }
     vDir
   }
 }

@@ -2,7 +2,6 @@ package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path => HPath}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
@@ -81,12 +80,33 @@ object LandingStream {
     if (!f.exists(bp)) staged.write.mode("overwrite").parquet(bronzeDir)
     else {
       val bronze = spark.read.parquet(bronzeDir)
-      val aligned = staged.select(bronze.columns.map(col): _*)
-      val dup = bronze.columns.map(c => aligned(c) <=> bronze(c)).reduce(_ && _)
-      val fresh = aligned.join(bronze, dup, "left_anti")
-      // appended files are invisible to the bronze scan above (its file
-      // listing is fixed at read time), so read-then-append is safe
-      if (!fresh.isEmpty) fresh.write.mode("append").parquet(bronzeDir)
+      if (staged.columns.toSet != bronze.columns.toSet) {
+        // schema drift (a column appeared or disappeared upstream):
+        // the incremental anti-join cannot align rows, so fall back to
+        // one full merge rewrite that preserves the union of columns —
+        // the rare path; steady-state stays incremental
+        val merged = bronze
+          .unionByName(staged, allowMissingColumns = true).dropDuplicates()
+        val tmp = bronzeDir + "_rewriting"
+        merged.write.mode("overwrite").parquet(tmp)
+        graft.medallion.Maintenance.replaceDir(spark, tmp, bronzeDir)
+      } else {
+        // backtick-quoted resolution: dotted CSV-derived column names
+        // otherwise parse as struct-field access (graft.core.Cols)
+        import graft.core.Cols.quoted
+        val aligned = staged.select(bronze.columns.toSeq.map(c => staged(quoted(c))): _*)
+        val dup = bronze.columns.map(c => aligned(quoted(c)) <=> bronze(quoted(c))).reduce(_ && _)
+        val fresh = aligned.join(bronze, dup, "left_anti")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // persist: isEmpty and the append below share one evaluation of
+        // the staged-dedup + anti-join instead of running it twice
+        try {
+          // appended files are invisible to the bronze scan above (its
+          // file listing is fixed at read time), so read-then-append is
+          // safe
+          if (!fresh.isEmpty) fresh.write.mode("append").parquet(bronzeDir)
+        } finally fresh.unpersist()
+      }
     }
     stagedFiles.foreach(p => f.delete(p, false))
     bronzeDir

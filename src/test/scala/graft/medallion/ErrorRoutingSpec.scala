@@ -67,6 +67,18 @@ class ErrorRoutingSpec extends SparkTestBase {
     assert(errors.toSeq == Seq("2,11,not_a_number"))
   }
 
+  test("dotted header names neither break the scan nor hide bad rows") {
+    val lake = Lake(Files.createTempDirectory("err-dotted").toString)
+    val dir = Paths.get(lake.landing("reviews"))
+    Files.createDirectories(dir)
+    Files.write(dir.resolve("part-00000.csv"),
+      "id,album.score\n1,9.5\n2,8.0,OVERFLOW\n3,7.0\n".getBytes)
+    val (bronzePath, nBad) = BronzeFlow.ingestWithErrorRouting(
+      spark, lake.landing("reviews"), lake.bronze("reviews"), lake.errors("reviews"))
+    assert(nBad == 1)
+    assert(spark.read.parquet(bronzePath).count() == 2)
+  }
+
   test("clean landing writes no errors directory") {
     val lake = Lake(Files.createTempDirectory("err-clean").toString)
     val dir = Paths.get(lake.landing("albums"))

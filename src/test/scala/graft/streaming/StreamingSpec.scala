@@ -70,6 +70,23 @@ class StreamingSpec extends SparkTestBase {
     assert(listing(LandingStream.stagingDir(lake, "reviews")).isEmpty)
   }
 
+  test("finalize handles schema drift with a full merge, preserving new columns") {
+    val root = Files.createTempDirectory("stream-drift").toString
+    val lake = Lake(root)
+    spark.range(3).selectExpr("id", "id * 2 AS v").write.parquet(lake.bronze("d"))
+    // newly staged rows carry a column bronze has never seen
+    spark.range(3, 5).selectExpr("id", "id * 2 AS v", "'x' AS tag")
+      .write.parquet(LandingStream.stagingDir(lake, "d"))
+    LandingStream.finalizeBronze(spark, lake, "d")
+    val out = spark.read.parquet(lake.bronze("d"))
+    assert(out.columns.toSet == Set("id", "v", "tag"))
+    assert(out.count() == 5)
+    assert(out.filter(col("tag").isNotNull).count() == 2, "drifted column values lost")
+    // drift rewrite also consumes staging: a rerun is a no-op
+    LandingStream.finalizeBronze(spark, lake, "d")
+    assert(spark.read.parquet(lake.bronze("d")).count() == 5)
+  }
+
   test("event-time hourly rollup: streaming result ≡ batch result") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventStream.readEventsStream(spark, dir)
