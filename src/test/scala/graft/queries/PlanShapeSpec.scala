@@ -50,6 +50,15 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_"), "no partial aggregation before shuffle")
   }
 
+  test("q31 approx percentiles aggregate partially before the exchange") {
+    // the sketch's point is bounded per-group state that combines
+    // map-side; a plan that shipped raw values to the reducers would
+    // be q30's scale problem wearing q31's name
+    val p = plan(PipelineQueries.q31PercentilesApprox(spark, sf))
+    assert(p.contains("partial_approx_percentile"),
+      p.linesIterator.filter(_.contains("approx_percentile")).take(2).mkString("\n"))
+  }
+
   test("partitioned gold write partition-prunes a country filter at the scan") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
