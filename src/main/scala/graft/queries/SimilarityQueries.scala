@@ -91,13 +91,45 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Embedding-space near-dup over a corpus with planted exact copies —
+    * DuckDB-ORACLED despite the LSH path: at threshold 0.99 the only
+    * qualifying pairs are the planted identical vectors (the corpus's
+    * max natural pair cosine is ≈0.51, and every vector is unit-norm),
+    * and identical vectors produce identical sign buckets in EVERY
+    * table, so LSH finds them with probability 1 — the approximate
+    * result set provably equals the exact all-pairs one here.
+    */
+  def q32EmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    val planted = vecs.union(vecs.select(
+      (col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label")))
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, bits = 4, tables = 8)
+    Similarity.cosineNearDuplicates(planted, lsh, threshold = 0.99)
+      .withColumn("cosine_r6", round(col("cosine"), 6))
+      .drop("cosine")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q32Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |allv AS (SELECT * FROM v UNION ALL SELECT vec_id + 1000000, e FROM v),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.e, b.e)
+      |      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+      |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+      |SELECT id_a, id_b, round(cosine, 6) AS cosine_r6
+      |FROM pairs WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_knn_bruteforce" -> (q20KnnBruteForce _),
     "q21_minhash_neardup" -> (q21MinhashNearDup _),
     "q22_simhash_neardup" -> (q22SimhashNearDup _),
     "q23_ann_lsh" -> (q23AnnLsh _),
-    "q25_ann_ivf" -> (q25AnnIvf _))
+    "q25_ann_ivf" -> (q25AnnIvf _),
+    "q32_embedding_neardup" -> (q32EmbeddingNearDup _))
 
   val oracleSql: Map[String, String] = Map(
-    "q20_knn_bruteforce" -> q20Sql)
+    "q20_knn_bruteforce" -> q20Sql,
+    "q32_embedding_neardup" -> q32Sql)
 }
