@@ -212,19 +212,16 @@ object MinHashLSH {
     * the recompute was ~2× the whole query).
     *
     * EAGER: this method runs the full shingle→signature→banding→verify
-    * job before returning — the result (small by construction) is
-    * checkpointed and the shingle cache is unpersisted deterministically
-    * before the method returns, so repeated calls in a long-lived
-    * session never accumulate cache storage. The intermediate candidate
-    * set is always `localCheckpoint`ed (it is fully consumed before
-    * return; its blocks free with the reference). The RESULT uses a
-    * reliable checkpoint when a `sparkContext` checkpoint dir is
-    * configured (survives executor loss; note Spark only deletes those
-    * files under `spark.cleaner.referenceTracking.cleanCheckpoints` or
-    * when the caller clears the dir) and otherwise falls back to
-    * `localCheckpoint` — executor-local blocks, fine in local mode;
-    * on a cluster either set a checkpoint dir or write the returned
-    * (small) pair set out promptly.
+    * job before returning — the candidate set and the result (both
+    * small by construction) are checkpointed and the shingle cache is
+    * unpersisted deterministically before the method returns, so
+    * repeated calls in a long-lived session never accumulate cache
+    * storage. Checkpoints are reliable (survive executor loss) when a
+    * `sparkContext` checkpoint dir is configured — set one on a
+    * cluster; Spark deletes the files under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`, or clear the
+    * dir yourself. Without one they are `localCheckpoint`s:
+    * executor-local blocks, fine in local mode.
     */
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
@@ -232,7 +229,7 @@ object MinHashLSH {
     val sh = shingleRows(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val pairs = candidatePairsFromShingles(sh, k, b).localCheckpoint(eager = true)
+      val pairs = materialize(candidatePairsFromShingles(sh, k, b))
       // Melt each pair into its two (sid, membership-flag) probes so the
       // shingle relation is referenced ONCE — the union-of-two-joins
       // formulation would evaluate (cache-read) it twice.
@@ -250,9 +247,18 @@ object MinHashLSH {
         .select("id_a", "id_b", "jaccard")
       // materialize the (small) verified set so the shingle cache can be
       // released before returning — no reliance on ContextCleaner GC
-      if (verified.sparkSession.sparkContext.getCheckpointDir.isDefined)
-        verified.checkpoint(eager = true)
-      else verified.localCheckpoint(eager = true)
+      materialize(verified)
     } finally sh.unpersist()
   }
+
+  /** Eagerly cut lineage. With a checkpoint dir configured this is a
+    * reliable checkpoint — the verify join survives executor loss on a
+    * cluster (its files are cleaned per
+    * `spark.cleaner.referenceTracking.cleanCheckpoints`, or by clearing
+    * the dir). Without one it is a `localCheckpoint`: executor-local
+    * blocks, fine in local mode.
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
 }

@@ -76,32 +76,30 @@ object BronzeFlow {
     // analysis (graft.core.Cols)
     def dataCols(df: DataFrame) =
       dataSchema.fieldNames.toSeq.map(n => df(graft.core.Cols.quoted(n)).cast("string"))
-    def parsed = spark.read
+    val parsed = spark.read
       .option("header", "true")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(dataSchema.add("_corrupt_record", StringType))
       .csv(landingDir)
-    val counting = parsed
-    val nBad = counting.agg(
-      count(counting("_corrupt_record")).as("bad"),
-      count(coalesce(dataCols(counting): _*)).as("_touch_every_data_column"))
+    val nBad = parsed.agg(
+      count(parsed("_corrupt_record")).as("bad"),
+      count(coalesce(dataCols(parsed): _*)).as("_touch_every_data_column"))
       .head.getLong(0)
-    if (nBad > 0) {
-      val p = parsed
+    if (nBad > 0)
       // the concat_ws arm never wins (corrupt is non-null under the
       // filter) — it is there to reference every data column
-      p.filter(p("_corrupt_record").isNotNull)
-        .select(coalesce(p("_corrupt_record"), concat_ws(",", dataCols(p): _*)).as("value"))
+      parsed.filter(parsed("_corrupt_record").isNotNull)
+        .select(coalesce(parsed("_corrupt_record"),
+          concat_ws(",", dataCols(parsed): _*)).as("value"))
         .write.mode("overwrite").text(errorsDir)
-    } else {
+    else {
       // a clean rerun must not leave a stale errors prefix behind
       val ep = new HPath(errorsDir)
       val fs = FileSystem.get(ep.toUri, spark.sparkContext.hadoopConfiguration)
       if (fs.exists(ep)) fs.delete(ep, true)
     }
-    val g = parsed
-    val good = g.filter(g("_corrupt_record").isNull).drop("_corrupt_record")
+    val good = parsed.filter(parsed("_corrupt_record").isNull).drop("_corrupt_record")
     ColumnNormalizer(good).dropDuplicates()
       .write.mode("overwrite").parquet(bronzeDir)
     (bronzeDir, nBad)

@@ -131,12 +131,13 @@ object Maintenance {
     * count.
     */
   def compactVersioned(
-      spark: SparkSession, root: String, targetFileBytes: Long): Int = {
+      spark: SparkSession, root: String, targetFileBytes: Long,
+      gcGraceMs: Long = Versioned.DefaultGcGraceMs): Int = {
     val active = Versioned.resolve(spark, root)
     val parts = math.max(1,
       math.ceil(dirBytes(spark, active).toDouble / targetFileBytes).toInt)
     val vDir = Versioned.commit(spark, root,
-      spark.read.parquet(active).repartition(parts))
+      spark.read.parquet(active).repartition(parts), gcGraceMs)
     val p = new HPath(vDir)
     fs(spark, p).listStatus(p)
       .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
@@ -145,9 +146,9 @@ object Maintenance {
   /** [[upsertByKey]] for a [[Versioned]] table root. */
   def upsertVersionedByKey(
       spark: SparkSession, root: String, updates: DataFrame,
-      keys: Seq[String]): Unit = {
+      keys: Seq[String], gcGraceMs: Long = Versioned.DefaultGcGraceMs): Unit = {
     Versioned.commit(spark, root,
-      mergeByKey(Versioned.read(spark, root), updates, keys))
+      mergeByKey(Versioned.read(spark, root), updates, keys), gcGraceMs)
     ()
   }
 }

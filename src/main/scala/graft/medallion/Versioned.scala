@@ -26,11 +26,14 @@ import java.nio.charset.StandardCharsets
   *
   * Retention: each commit keeps the newly published version and the
   * version that was active just before it (in-flight readers of the
-  * previous version finish against immutable files); everything older —
-  * including orphan dirs left by a committer that crashed before its
-  * pointer flip — is garbage-collected. Retention is keyed on the
-  * POINTER history, not on directory count, so an orphan can never
-  * evict the previously-active version.
+  * previous version finish against immutable files). Everything else —
+  * superseded versions, orphan dirs, and orphan claim markers left by
+  * crashed committers — is garbage-collected, but only once older than
+  * `gcGraceMs`. Retention is keyed on the POINTER history, not on
+  * directory count, so an orphan can never evict the previously-active
+  * version; the grace window is what keeps a racing committer's
+  * just-claimed (still-writing) or just-published version safe from
+  * another committer's GC. `gcGraceMs = 0` is single-writer-only.
   *
   * Concurrent writers: version numbers are allocated by atomically
   * creating a `.v_NNNNNN.claim` marker (create-no-overwrite), so two
@@ -41,6 +44,11 @@ import java.nio.charset.StandardCharsets
 object Versioned {
 
   private val Pointer = "_current"
+
+  /** Default GC grace: long enough for any realistic in-flight write or
+    * read of a superseded version to finish.
+    */
+  val DefaultGcGraceMs: Long = 60L * 60 * 1000
 
   private def fs(spark: SparkSession, p: HPath): FileSystem =
     FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
@@ -99,7 +107,9 @@ object Versioned {
     * new resolves see the new version the instant the pointer rename
     * lands.
     */
-  def commit(spark: SparkSession, root: String, df: DataFrame): String = {
+  def commit(
+      spark: SparkSession, root: String, df: DataFrame,
+      gcGraceMs: Long = DefaultGcGraceMs): String = {
     val rootP = new HPath(root)
     val f = fs(spark, rootP)
     if (!f.exists(rootP)) f.mkdirs(rootP)
@@ -109,10 +119,13 @@ object Versioned {
     df.write.mode("overwrite").parquet(vDir)
 
     // the version active until this instant stays retained for its
-    // in-flight readers; absent on the first commit
+    // in-flight readers. ONLY a missing pointer means "first commit";
+    // any other resolve failure aborts (a transient error must not be
+    // mistaken for an empty history — GC would then delete the version
+    // readers are on)
     val prevActive: Option[String] =
       try Some(new HPath(resolve(spark, root)).getName)
-      catch { case _: Exception => None }
+      catch { case _: java.io.FileNotFoundException => None }
 
     // publish: write the pointer beside _current, then atomic-overwrite
     // rename it into place (FileContext supports OVERWRITE; the plain
@@ -123,15 +136,29 @@ object Versioned {
     val fc = FileContext.getFileContext(rootP.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, new HPath(s"$root/$Pointer"), Options.Rename.OVERWRITE)
 
-    // GC everything outside {new, previously-active}: older published
-    // versions AND orphan dirs from crashed committers, plus their
-    // claim markers
+    // GC everything outside {new, previously-active} that is older than
+    // the grace window: superseded versions, crashed committers' orphan
+    // dirs, and orphan claim markers with no dir. The grace window is
+    // what protects a RACING committer's in-flight dir (claimed, still
+    // writing) and its just-published version from this GC.
     val keep = Set(vName) ++ prevActive
-    versionDirs(f, rootP).filterNot { case (_, p) => keep(p.getName) }
-      .foreach { case (_, p) =>
-        f.delete(p, true)
-        f.delete(new HPath(s"$root/.${p.getName}.claim"), false)
+    val cutoff = System.currentTimeMillis() - gcGraceMs
+    val statuses = f.listStatus(rootP).toSeq
+    statuses
+      .filter(s => s.isDirectory && s.getPath.getName.matches("v_\\d+"))
+      .filterNot(s => keep(s.getPath.getName))
+      .filter(_.getModificationTime <= cutoff)
+      .foreach { s =>
+        f.delete(s.getPath, true)
+        f.delete(new HPath(s"$root/.${s.getPath.getName}.claim"), false)
       }
+    statuses
+      .filter(s => s.isFile && s.getPath.getName.matches("\\.v_\\d+\\.claim"))
+      .filter(_.getModificationTime <= cutoff)
+      .map(_.getPath.getName.stripPrefix(".").stripSuffix(".claim"))
+      .filterNot(keep)
+      .filterNot(v => f.exists(new HPath(s"$root/$v")))
+      .foreach(v => f.delete(new HPath(s"$root/.$v.claim"), false))
     vDir
   }
 }

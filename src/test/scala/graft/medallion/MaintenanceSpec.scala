@@ -105,7 +105,9 @@ class MaintenanceSpec extends SparkTestBase {
 
   test("versioned commit: concurrent readers never observe an absent table") {
     val root = Files.createTempDirectory("versioned").toString + "/t"
-    Versioned.commit(spark, root, spark.range(100).toDF("id"))
+    // gcGraceMs = 0: single-writer tests want aggressive GC so the
+    // retained-window assertions are exact
+    Versioned.commit(spark, root, spark.range(100).toDF("id"), gcGraceMs = 0L)
 
     @volatile var failures = List.empty[String]
     @volatile var stop = false
@@ -120,7 +122,7 @@ class MaintenanceSpec extends SparkTestBase {
     reader.start()
     try {
       (2 to 6).foreach { i =>
-        Versioned.commit(spark, root, spark.range(100L * i).toDF("id"))
+        Versioned.commit(spark, root, spark.range(100L * i).toDF("id"), gcGraceMs = 0L)
       }
     } finally { stop = true; reader.join() }
     assert(failures.isEmpty, failures.take(3).mkString("; "))
@@ -130,18 +132,37 @@ class MaintenanceSpec extends SparkTestBase {
     assert(versions == 2, s"expected 2 retained versions, found $versions")
   }
 
+  test("versioned GC spares a racing writer inside the grace window, reaps it after") {
+    val root = Files.createTempDirectory("versioned-grace").toString + "/t"
+    Versioned.commit(spark, root, spark.range(10).toDF("id"), gcGraceMs = 0L) // v1
+    // a racing committer has claimed v2 and is still writing its dir
+    assert(new java.io.File(root, ".v_000002.claim").createNewFile())
+    assert(new java.io.File(root, "v_000002").mkdirs())
+    Versioned.commit(spark, root, spark.range(20).toDF("id")) // v3, default grace
+    assert(new java.io.File(root, "v_000002").exists(), "in-flight dir was GC'd")
+    assert(new java.io.File(root, ".v_000002.claim").exists(), "in-flight claim was GC'd")
+    // age the abandoned claim+dir past the grace window → next commit reaps
+    assert(new java.io.File(root, "v_000002").setLastModified(1000L))
+    assert(new java.io.File(root, ".v_000002.claim").setLastModified(1000L))
+    Versioned.commit(spark, root, spark.range(30).toDF("id"), gcGraceMs = 60000L) // v4
+    assert(!new java.io.File(root, "v_000002").exists(), "abandoned dir not reaped")
+    assert(!new java.io.File(root, ".v_000002.claim").exists(), "abandoned claim not reaped")
+    assert(Versioned.read(spark, root).count() == 30)
+  }
+
   test("versioned compact and upsert publish atomically with same semantics") {
     val root = Files.createTempDirectory("versioned-maint").toString + "/t"
     Versioned.commit(spark, root,
       Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30)).toDF("id", "name", "score")
-        .repartition(16))
+        .repartition(16), gcGraceMs = 0L)
 
-    val files = Maintenance.compactVersioned(spark, root, targetFileBytes = 1L << 20)
+    val files = Maintenance.compactVersioned(spark, root,
+      targetFileBytes = 1L << 20, gcGraceMs = 0L)
     assert(files <= 2, s"still $files files after compaction")
     assert(Versioned.read(spark, root).count() == 3)
 
     val updates = Seq((2L, "b2", 21), (4L, "d", 40)).toDF("id", "name", "score")
-    Maintenance.upsertVersionedByKey(spark, root, updates, Seq("id"))
+    Maintenance.upsertVersionedByKey(spark, root, updates, Seq("id"), gcGraceMs = 0L)
     val out = Versioned.read(spark, root).as[(Long, String, Int)].collect().toSet
     assert(out == Set((1L, "a", 10), (2L, "b2", 21), (3L, "c", 30), (4L, "d", 40)))
     // the pointer file resolves to an existing dir at every step, and

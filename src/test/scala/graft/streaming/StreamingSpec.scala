@@ -87,6 +87,20 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(lake.bronze("d")).count() == 5)
   }
 
+  test("finalize self-heals a crashed drift rewrite (bronze stranded at _old)") {
+    val root = Files.createTempDirectory("stream-heal").toString
+    val lake = Lake(root)
+    spark.range(3).selectExpr("id", "id * 2 AS v").write.parquet(lake.bronze("d"))
+    spark.range(3, 5).selectExpr("id", "id * 2 AS v")
+      .write.parquet(LandingStream.stagingDir(lake, "d"))
+    // simulate dying inside the swap: bronze moved aside, never moved back
+    assert(new java.io.File(lake.bronze("d"))
+      .renameTo(new java.io.File(lake.bronze("d") + "_old")))
+    LandingStream.finalizeBronze(spark, lake, "d")
+    val out = spark.read.parquet(lake.bronze("d"))
+    assert(out.count() == 5, "pre-crash bronze rows lost after self-heal")
+  }
+
   test("event-time hourly rollup: streaming result ≡ batch result") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventStream.readEventsStream(spark, dir)
