@@ -34,6 +34,20 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** At-least-once → effectively-once: drop redelivered events by id
+    * within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * keeps state only until the watermark passes a key's event time —
+    * bounded state no matter how long the stream runs, unlike a plain
+    * streaming `dropDuplicates` whose key state grows forever. This is
+    * the streaming twin of bronze's batch dedup for a Kinesis-style
+    * at-least-once delivery (reference `infra/main.tf:66-124`).
+    */
+  def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_ts", nanosToTs(col("ts")))
+      .withWatermark("event_ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** File-source stream over the events parquet (schema from a batch
     * sample), for AvailableNow replays in tests and backfills.
     */

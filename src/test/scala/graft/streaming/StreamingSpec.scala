@@ -101,6 +101,25 @@ class StreamingSpec extends SparkTestBase {
     assert(out.count() == 5, "pre-crash bronze rows lost after self-heal")
   }
 
+  test("streaming dedup-within-watermark collapses redelivered events") {
+    val dir = Files.createTempDirectory("stream-dedup").toString
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").limit(2000)
+    ev.write.parquet(s"$dir/in")
+    ev.write.mode("append").parquet(s"$dir/in") // at-least-once redelivery
+    val stream = spark.readStream.schema(ev.schema).parquet(s"$dir/in")
+    // horizon wider than the dataset's time span: every redelivery is
+    // deduped, nothing is dropped as late
+    val q = EventStream.dedupedEvents(stream, watermark = "30 days")
+      .writeStream.format("memory").queryName("events_dedup_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("events_dedup_stream")
+    assert(out.count() == ev.select("event_id").distinct().count())
+    assert(out.select("event_id").distinct().count() == out.count())
+  }
+
   test("event-time hourly rollup: streaming result ≡ batch result") {
     val dir = "/root/testdata/sf0.001"
     val stream = EventStream.readEventsStream(spark, dir)
