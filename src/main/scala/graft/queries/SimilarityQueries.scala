@@ -103,7 +103,12 @@ object SimilarityQueries {
     val vecs = Tables.load(s, dir, "embeddings")
     val planted = vecs.union(vecs.select(
       (col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label")))
-    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, bits = 4, tables = 8)
+    // 8 bits × 2 tables (vs q23's 4 × 8): near-identical pairs collide
+    // in every table regardless of the knobs, so sharper buckets and
+    // fewer tables are free selectivity here — and the plane count
+    // (bits × tables) is also the size of the codegen'd projection, a
+    // per-query constant cost worth keeping down
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, bits = 8, tables = 2)
     Similarity.cosineNearDuplicates(planted, lsh, threshold = 0.99)
       .withColumn("cosine_r6", round(col("cosine"), 6))
       .drop("cosine")
