@@ -48,6 +48,12 @@ object SimilarityQueries {
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
     val planted = docs.union(docs.select(col("doc_id") + 1000000,
       concat(col("text"), lit(" planted near duplicate marker"))))
+    // default k=128/b=16 (r=8) measured best here: this corpus's
+    // planted pairs all sit at j ≥ 0.64, where r=8 already finds 98%
+    // of what softer bands find (589 vs 599 rows at sf0.01), while
+    // r=4's extra low-j candidates ballooned the verify join 5.5 s →
+    // 7.3 s at sf0.1. Re-derive if the corpus's jaccard distribution
+    // moves toward the 0.5 threshold.
     MinHashLSH.nearDuplicates(planted, "doc_id", "text", threshold = 0.5)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy(col("id_a"), col("id_b"))
