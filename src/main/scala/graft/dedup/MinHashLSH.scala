@@ -216,12 +216,14 @@ object MinHashLSH {
     * small by construction) are checkpointed and the shingle cache is
     * unpersisted deterministically before the method returns, so
     * repeated calls in a long-lived session never accumulate cache
-    * storage. Checkpoints are reliable (survive executor loss) when a
-    * `sparkContext` checkpoint dir is configured — set one on a
-    * cluster; Spark deletes the files under
+    * storage. The intermediate candidates always use `localCheckpoint`
+    * (consumed before return; an executor loss mid-verify fails the
+    * query and the caller re-runs — cheaper than a reliable write per
+    * call). The RESULT is reliably checkpointed when a `sparkContext`
+    * checkpoint dir is configured (its files are deleted under
     * `spark.cleaner.referenceTracking.cleanCheckpoints`, or clear the
-    * dir yourself. Without one they are `localCheckpoint`s:
-    * executor-local blocks, fine in local mode.
+    * dir yourself); otherwise it is a `localCheckpoint` — fine in
+    * local mode, write it out promptly on a cluster.
     */
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
@@ -229,7 +231,13 @@ object MinHashLSH {
     val sh = shingleRows(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val pairs = materialize(candidatePairsFromShingles(sh, k, b))
+      // localCheckpoint by choice, even when a checkpoint dir exists:
+      // the candidate set is consumed before this method returns, and a
+      // reliable checkpoint would add a blocking distributed write per
+      // call whose files outlive their usefulness (Spark only deletes
+      // them under cleanCheckpoints). Cost of the trade: an executor
+      // loss mid-verify fails this query and the caller re-runs it.
+      val pairs = candidatePairsFromShingles(sh, k, b).localCheckpoint(eager = true)
       // Melt each pair into its two (sid, membership-flag) probes so the
       // shingle relation is referenced ONCE — the union-of-two-joins
       // formulation would evaluate (cache-read) it twice.

@@ -45,6 +45,29 @@ object Maintenance {
   def replaceDir(spark: SparkSession, staging: String, target: String): Unit =
     swapIn(spark, staging, target)
 
+  /** Recover from a swap that died mid-protocol. Two leftovers are
+    * possible: target ABSENT with the table at `<target>_old` (died
+    * between the two renames) → restore it; target present WITH a stale
+    * `<target>_old` (died before the final backup delete) → drop the
+    * stale copy. Every swap-based operator calls this first, so a
+    * rerun after a crash heals instead of failing on a missing table
+    * (or, worse, treating it as fresh). Returns true if a restore
+    * happened.
+    */
+  def healStranded(spark: SparkSession, target: String): Boolean = {
+    val t = new HPath(target)
+    val f = fs(spark, t)
+    val backup = new HPath(target + "_old")
+    if (!f.exists(t) && f.exists(backup)) {
+      if (!f.rename(backup, t))
+        sys.error(s"heal aborted: could not restore stranded $backup to $target")
+      true
+    } else {
+      if (f.exists(t) && f.exists(backup)) f.delete(backup, true)
+      false
+    }
+  }
+
   /** The rename protocol behind [[swapIn]], with the FS primitives
     * injectable so failure paths (renames returning false — S3A,
     * quota, cross-zone — rather than throwing) are testable. Every
@@ -82,6 +105,7 @@ object Maintenance {
     * file count long before data volume. Returns the new file count.
     */
   def compact(spark: SparkSession, dir: String, targetFileBytes: Long): Int = {
+    healStranded(spark, dir)
     require(!isPartitioned(spark, dir),
       s"compact would flatten the partition layout of $dir; compact each partition dir instead")
     val parts = math.max(1,
@@ -103,6 +127,7 @@ object Maintenance {
   def upsertByKey(
       spark: SparkSession, dir: String, updates: DataFrame,
       keys: Seq[String]): Unit = {
+    healStranded(spark, dir)
     val merged = mergeByKey(spark.read.parquet(dir), updates, keys)
     val staging = dir + "_upserting"
     merged.write.mode("overwrite").parquet(staging)

@@ -28,12 +28,15 @@ import java.nio.charset.StandardCharsets
   * version that was active just before it (in-flight readers of the
   * previous version finish against immutable files). Everything else —
   * superseded versions, orphan dirs, and orphan claim markers left by
-  * crashed committers — is garbage-collected, but only once older than
-  * `gcGraceMs`. Retention is keyed on the POINTER history, not on
-  * directory count, so an orphan can never evict the previously-active
-  * version; the grace window is what keeps a racing committer's
-  * just-claimed (still-writing) or just-published version safe from
-  * another committer's GC. `gcGraceMs = 0` is single-writer-only.
+  * crashed committers — is garbage-collected, but only `gcGraceMs`
+  * after a commit FIRST saw it superseded (a `.v_N.reap` tombstone
+  * starts the clock; publishing clears it). Retention is keyed on the
+  * pointer history, not directory count, so an orphan can never evict
+  * the previously-active version, and the supersession-keyed grace is
+  * what keeps a racing committer's just-claimed (still-writing) or
+  * just-published version safe from another committer's GC regardless
+  * of how long its write runs. `gcGraceMs = 0` reaps immediately —
+  * single-writer-only.
   *
   * Concurrent writers: version numbers are allocated by atomically
   * creating a `.v_NNNNNN.claim` marker (create-no-overwrite), so two
@@ -136,22 +139,37 @@ object Versioned {
     val fc = FileContext.getFileContext(rootP.toUri, spark.sparkContext.hadoopConfiguration)
     fc.rename(tmp, new HPath(s"$root/$Pointer"), Options.Rename.OVERWRITE)
 
-    // GC everything outside {new, previously-active} that is older than
-    // the grace window: superseded versions, crashed committers' orphan
-    // dirs, and orphan claim markers with no dir. The grace window is
-    // what protects a RACING committer's in-flight dir (claimed, still
-    // writing) and its just-published version from this GC.
+    // GC everything outside {new, previously-active}, graced by a REAP
+    // TOMBSTONE: the first commit that sees a version superseded drops
+    // `.v_N.reap` beside it; only a commit running gcGraceMs after that
+    // sighting deletes. Keying the clock on supersession time (tombstone
+    // creation) rather than dir mtime matters — a dir's mtime does not
+    // advance during a long in-flight parquet write (and is synthetic on
+    // object stores), so an mtime-keyed grace would reap a slow racing
+    // committer mid-write. A version that later publishes clears its
+    // tombstone below.
     val keep = Set(vName) ++ prevActive
     val cutoff = System.currentTimeMillis() - gcGraceMs
+    def reapTomb(v: String) = new HPath(s"$root/.$v.reap")
+    keep.foreach(v => f.delete(reapTomb(v), false)) // published → not reapable
     val statuses = f.listStatus(rootP).toSeq
     statuses
       .filter(s => s.isDirectory && s.getPath.getName.matches("v_\\d+"))
       .filterNot(s => keep(s.getPath.getName))
-      .filter(_.getModificationTime <= cutoff)
       .foreach { s =>
-        f.delete(s.getPath, true)
-        f.delete(new HPath(s"$root/.${s.getPath.getName}.claim"), false)
+        val v = s.getPath.getName
+        val tomb = reapTomb(v)
+        def reap(): Unit = {
+          f.delete(s.getPath, true)
+          f.delete(new HPath(s"$root/.$v.claim"), false)
+          f.delete(tomb, false)
+        }
+        if (gcGraceMs <= 0) reap() // single-writer mode: no tombstone round-trip
+        else if (!f.exists(tomb)) f.create(tomb, true).close() // start the clock
+        else if (f.getFileStatus(tomb).getModificationTime <= cutoff) reap()
       }
+    // orphan claims with no dir: claim mtime IS the right clock there
+    // (the dir appears immediately after a live claim)
     statuses
       .filter(s => s.isFile && s.getPath.getName.matches("\\.v_\\d+\\.claim"))
       .filter(_.getModificationTime <= cutoff)

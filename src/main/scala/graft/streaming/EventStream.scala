@@ -47,6 +47,7 @@ object EventStream {
       .withColumn("event_ts", nanosToTs(col("ts")))
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
+      .drop("event_ts") // helper column out: output keeps the events schema
 
   /** File-source stream over the events parquet (schema from a batch
     * sample), for AvailableNow replays in tests and backfills.

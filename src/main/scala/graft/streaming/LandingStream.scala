@@ -78,13 +78,11 @@ object LandingStream {
     val staged = spark.read.parquet(staging).dropDuplicates()
     val bp = new HPath(bronzeDir)
     // self-heal a crashed drift rewrite: replaceDir below moves bronze
-    // aside before moving the merge in; dying between the two renames
-    // leaves bronze absent and the data at _old. Restoring it first
+    // aside before moving the merge in; dying mid-protocol leaves
+    // bronze absent (data at _old) or a stale _old copy. Healing first
     // keeps the rerun idempotent instead of rebuilding bronze from the
     // staged rows alone.
-    val strandedOld = new HPath(bronzeDir + "_old")
-    if (!f.exists(bp) && f.exists(strandedOld) && !f.rename(strandedOld, bp))
-      sys.error(s"finalize aborted: could not restore stranded $strandedOld to $bronzeDir")
+    graft.medallion.Maintenance.healStranded(spark, bronzeDir)
     if (!f.exists(bp)) staged.write.mode("overwrite").parquet(bronzeDir)
     else {
       val bronze = spark.read.parquet(bronzeDir)

@@ -141,9 +141,10 @@ class MaintenanceSpec extends SparkTestBase {
     Versioned.commit(spark, root, spark.range(20).toDF("id")) // v3, default grace
     assert(new java.io.File(root, "v_000002").exists(), "in-flight dir was GC'd")
     assert(new java.io.File(root, ".v_000002.claim").exists(), "in-flight claim was GC'd")
-    // age the abandoned claim+dir past the grace window → next commit reaps
-    assert(new java.io.File(root, "v_000002").setLastModified(1000L))
-    assert(new java.io.File(root, ".v_000002.claim").setLastModified(1000L))
+    // that commit dropped a reap tombstone (supersession-time clock);
+    // age IT past the grace window → the next commit reaps
+    assert(new java.io.File(root, ".v_000002.reap").exists(), "no tombstone started")
+    assert(new java.io.File(root, ".v_000002.reap").setLastModified(1000L))
     Versioned.commit(spark, root, spark.range(30).toDF("id"), gcGraceMs = 60000L) // v4
     assert(!new java.io.File(root, "v_000002").exists(), "abandoned dir not reaped")
     assert(!new java.io.File(root, ".v_000002.claim").exists(), "abandoned claim not reaped")

@@ -118,6 +118,8 @@ class StreamingSpec extends SparkTestBase {
     val out = spark.table("events_dedup_stream")
     assert(out.count() == ev.select("event_id").distinct().count())
     assert(out.select("event_id").distinct().count() == out.count())
+    // output keeps the events schema — the watermark helper must not leak
+    assert(out.columns.toSeq == ev.columns.toSeq, out.columns.mkString(","))
   }
 
   test("event-time hourly rollup: streaming result ≡ batch result") {
