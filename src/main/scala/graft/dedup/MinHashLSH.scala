@@ -171,7 +171,7 @@ object MinHashLSH {
       n: Int, k: Int, b: Int): DataFrame =
     bandedFromShingles(shingleRows(docs, idCol, textCol, n), k, b)
 
-  private def bandedFromShingles(sh: DataFrame, k: Int, b: Int): DataFrame = {
+  private[dedup] def bandedFromShingles(sh: DataFrame, k: Int, b: Int): DataFrame = {
     require(k % b == 0, s"k=$k must be divisible by b=$b")
     val r = k / b
     signaturesFromShingles(sh, k)
@@ -238,25 +238,148 @@ object MinHashLSH {
       // them under cleanCheckpoints). Cost of the trade: an executor
       // loss mid-verify fails this query and the caller re-runs it.
       val pairs = candidatePairsFromShingles(sh, k, b).localCheckpoint(eager = true)
-      // Melt each pair into its two (sid, membership-flag) probes so the
-      // shingle relation is referenced ONCE — the union-of-two-joins
-      // formulation would evaluate (cache-read) it twice.
-      val probes = pairs.select(col("id_a"), col("id_b"),
-        explode(array(
-          struct(col("id_a").as("sid"), lit(1).as("in_a"), lit(0).as("in_b")),
-          struct(col("id_b").as("sid"), lit(0).as("in_a"), lit(1).as("in_b")))).as("p"))
-        .select(col("id_a"), col("id_b"), col("p.sid"), col("p.in_a"), col("p.in_b"))
-      val verified = probes.join(sh, "sid")
-        .groupBy(col("id_a"), col("id_b"), col("sh"))
-        .agg(max(col("in_a")).as("fa"), max(col("in_b")).as("fb"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg((sum(col("fa") * col("fb")).cast("double") / count(lit(1))).as("jaccard"))
-        .filter(col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
       // materialize the (small) verified set so the shingle cache can be
       // released before returning — no reliance on ContextCleaner GC
-      materialize(verified)
+      materialize(verifyPairs(pairs, sh, threshold))
     } finally sh.unpersist()
+  }
+
+  /** Exact-Jaccard verification of candidate `pairs` against an
+    * (sid, sh) shingle relation — fully relational, shared by the
+    * self-join and incremental paths. Melts each pair into its two
+    * (sid, membership-flag) probes so the shingle relation is
+    * referenced ONCE (a union-of-two-joins formulation would evaluate
+    * it twice), then two hash-aggregations compute |A∩B| / |A∪B|.
+    * Duplicate (sid, sh) rows on the input are fine — the first
+    * groupBy collapses them.
+    */
+  private[dedup] def verifyPairs(
+      pairs: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val probes = pairs.select(col("id_a"), col("id_b"),
+      explode(array(
+        struct(col("id_a").as("sid"), lit(1).as("in_a"), lit(0).as("in_b")),
+        struct(col("id_b").as("sid"), lit(0).as("in_a"), lit(1).as("in_b")))).as("p"))
+      .select(col("id_a"), col("id_b"), col("p.sid"), col("p.in_a"), col("p.in_b"))
+    probes.join(sh, "sid")
+      .groupBy(col("id_a"), col("id_b"), col("sh"))
+      .agg(max(col("in_a")).as("fa"), max(col("in_b")).as("fb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg((sum(col("fa") * col("fb")).cast("double") / count(lit(1))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------------------------------
+  // Incremental (corpus-vs-batch) near-dup over a persisted index.
+  //
+  // A real training-data pipeline deduplicates each incoming batch
+  // against everything already kept — re-shingling the whole corpus
+  // per daily batch would be O(corpus) regex work per day. Instead the
+  // corpus's derived state is persisted ONCE as two parquet tables and
+  // each batch only shingles itself:
+  //
+  //   <indexDir>/shingles : distinct (sid, sh)        — for verification
+  //   <indexDir>/bands    : (mh_id, band_idx, band_hash) — for candidates
+  //
+  // Per-batch cost: shingle+sign+band the batch (O(batch)), join batch
+  // bands against the stored band table (shuffle on the band key), and
+  // verify candidates against the stored shingle table pruned by a
+  // broadcast semi-join to candidate ids — the corpus text is never
+  // re-read and its shingles are never recomputed. No reference
+  // analogue (the reference has no dedup at all); this extends the
+  // q21 self-join shape (nearDuplicates above) to day-2 operation.
+  // ------------------------------------------------------------------
+
+  private def shinglesPath(indexDir: String) = s"$indexDir/shingles"
+  private def bandsPath(indexDir: String) = s"$indexDir/bands"
+
+  /** Build the persisted near-dup index for `docs` at `indexDir`
+    * (overwrites). The shingle relation is evaluated once (persisted)
+    * and feeds both tables. Store the SAME (n, k, b) you will pass to
+    * [[nearDuplicatesAgainst]] — band keys are only comparable within
+    * one parameterization.
+    */
+  def buildIndex(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      n: Int = 3, k: Int = 128, b: Int = 16): Unit =
+    writeIndex(docs, idCol, textCol, indexDir, n, k, b, mode = "overwrite")
+
+  /** Append a (disjoint-id) batch's shingles+bands to an existing
+    * index — call after a batch survives dedup so tomorrow's batch is
+    * checked against it too. `appendToIndex(batch)` after
+    * `buildIndex(corpus)` leaves the same index contents as
+    * `buildIndex(corpus ∪ batch)`.
+    */
+  def appendToIndex(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      n: Int = 3, k: Int = 128, b: Int = 16): Unit =
+    writeIndex(docs, idCol, textCol, indexDir, n, k, b, mode = "append")
+
+  private def writeIndex(
+      docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+      n: Int, k: Int, b: Int, mode: String): Unit = {
+    // distinct: signatures/bands are min-aggregates over the hashed
+    // shingles and verification collapses duplicates, so storing each
+    // (sid, sh) once is free index compression
+    val sh = shingleRows(docs, idCol, textCol, n).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      sh.write.mode(mode).parquet(shinglesPath(indexDir))
+      bandedFromShingles(sh, k, b).write.mode(mode).parquet(bandsPath(indexDir))
+    } finally sh.unpersist()
+  }
+
+  /** Candidate pairs touching the batch: batch×batch (id_a < id_b)
+    * plus batch×corpus (ordered with least/greatest). Lazy — exposed
+    * for plan-shape tests; the corpus side must be a stored-band scan.
+    */
+  private[dedup] def incrementalCandidates(
+      corpusBands: DataFrame, batchBands: DataFrame): DataFrame = {
+    val bb = batchBands
+      .select(col("band_idx"), col("band_hash"), col("mh_id").as("id_a"))
+      .join(batchBands.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_b")),
+        Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val bc = batchBands
+      .select(col("band_idx"), col("band_hash"), col("mh_id").as("batch_id"))
+      .join(corpusBands.select(col("band_idx"), col("band_hash"), col("mh_id").as("corpus_id")),
+        Seq("band_idx", "band_hash"))
+      .select(least(col("batch_id"), col("corpus_id")).as("id_a"),
+        greatest(col("batch_id"), col("corpus_id")).as("id_b"))
+    bb.union(bc).distinct()
+  }
+
+  /** Near-duplicate pairs between `batch` and the persisted index at
+    * `indexDir` (plus within-batch pairs) — the incremental form of
+    * [[nearDuplicates]]: equal to running it on (corpus ∪ batch)
+    * restricted to pairs touching the batch, without recomputing
+    * anything corpus-side. Ids must be globally unique across corpus
+    * and batch. (n, k, b) must match the index build. EAGER, like
+    * [[nearDuplicates]] — the result is materialized and the batch
+    * shingle cache released before returning, so the caller may
+    * immediately [[appendToIndex]] (or even delete the index).
+    */
+  def nearDuplicatesAgainst(
+      batch: DataFrame, idCol: String, textCol: String, indexDir: String,
+      threshold: Double, n: Int = 3, k: Int = 128, b: Int = 16): DataFrame = {
+    val spark = batch.sparkSession
+    val corpusSh = spark.read.parquet(shinglesPath(indexDir))
+    val corpusBands = spark.read.parquet(bandsPath(indexDir))
+    val batchSh = shingleRows(batch, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val pairs = incrementalCandidates(corpusBands, bandedFromShingles(batchSh, k, b))
+        .localCheckpoint(eager = true)
+      // verification reads corpus shingles for CANDIDATE docs only: the
+      // candidate id set is small by construction, so a broadcast
+      // semi-join prunes the stored-shingle scan before the probe join
+      val candIds = pairs.select(col("id_a").as("sid"))
+        .union(pairs.select(col("id_b").as("sid"))).distinct()
+      val sh = batchSh.union(
+        corpusSh.join(broadcast(candIds), Seq("sid"), "left_semi"))
+      materialize(verifyPairs(pairs, sh, threshold))
+    } finally batchSh.unpersist()
   }
 
   /** Eagerly cut lineage. With a checkpoint dir configured this is a

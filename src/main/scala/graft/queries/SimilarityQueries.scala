@@ -121,6 +121,31 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental corpus-vs-batch near-dup — the day-2 shape of q21: the
+    * corpus's shingles+bands are persisted once ([[MinHashLSH.buildIndex]]),
+    * then the planted batch is deduped against the stored index without
+    * any corpus-side recompute ([[MinHashLSH.nearDuplicatesAgainst]]).
+    * Deterministic; rows-only check (xxhash64 banding is not
+    * SQL-expressible) with restricted-equality-vs-full-rerun proven in
+    * IncrementalDedupSpec. No reference analogue (north-star surface).
+    */
+  def q33IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" planted near duplicate marker")).as("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft_q33_idx").toString
+    try {
+      MinHashLSH.buildIndex(docs, "doc_id", "text", idx)
+      // eager: the result is materialized before the index is deleted
+      MinHashLSH.nearDuplicatesAgainst(batch, "doc_id", "text", idx, threshold = 0.5)
+        .withColumn("jaccard", round(col("jaccard"), 6))
+        .orderBy(col("id_a"), col("id_b"))
+    } finally {
+      val p = new org.apache.hadoop.fs.Path(idx)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   val q32Sql: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |allv AS (SELECT * FROM v UNION ALL SELECT vec_id + 1000000, e FROM v),
@@ -138,7 +163,8 @@ object SimilarityQueries {
     "q22_simhash_neardup" -> (q22SimhashNearDup _),
     "q23_ann_lsh" -> (q23AnnLsh _),
     "q25_ann_ivf" -> (q25AnnIvf _),
-    "q32_embedding_neardup" -> (q32EmbeddingNearDup _))
+    "q32_embedding_neardup" -> (q32EmbeddingNearDup _),
+    "q33_incremental_neardup" -> (q33IncrementalNearDup _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_knn_bruteforce" -> q20Sql,
