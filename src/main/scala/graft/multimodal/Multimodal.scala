@@ -1,5 +1,11 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.{ByteBuffer, ByteOrder}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -26,22 +32,163 @@ final case class MediaFeatures(
   * size-aware partitioning, and batched per-partition decode /
   * feature-extract / resize / frame-sample.
   *
-  * ==STUB DECODE==
-  * This container ships no image/audio codecs, so `decodeBytes` is a
-  * DETERMINISTIC FAKE (byte-histogram features). The Spark-side
-  * contract — binary column in, fixed-dim float vector out, batched
-  * per-partition processing, size-aware partitioning — is real and
-  * tested; swapping in a JNI/codec decoder changes only the body of
-  * [[Multimodal.decodeBytes]].
+  * ==Decode status==
+  * Image and audio features derive from ACTUAL BYTES using only the
+  * JDK: PNG/JPEG via `javax.imageio.ImageIO` (width/height/band count
+  * and per-channel pixel statistics), WAV via a little-endian RIFF
+  * parser (channel count, sample rate, duration, PCM amplitude
+  * statistics). Video remains an honest stub (the JDK ships no video
+  * codec): its "features" are a byte histogram, and frame sampling
+  * slices byte windows instead of seeking keyframes. Payloads that
+  * fail to decode fall back to the same deterministic byte histogram,
+  * so the pipeline never throws on dirty data — at 100 TB some
+  * payloads WILL be corrupt.
   */
 object Multimodal {
 
   val FeatureDim = 16
 
-  /** STUB: deterministic byte-histogram "features" standing in for a
-    * real codec+model decode. Replace with the actual decoder.
+  /** Deterministic PNG encoder for fixtures/corpora: pixel (x, y) gets
+    * the 0xRRGGBB value `rgb(x, y)`. The JDK PNG writer emits no
+    * timestamp chunks, so output bytes are a pure function of the
+    * pixels.
     */
-  def decodeBytes(bytes: Array[Byte]): Array[Float] = {
+  def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Deterministic 16-bit mono PCM WAV encoder (RIFF + fmt + data). */
+  def encodeWavMono(sampleRate: Int, samples: Array[Short]): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen).put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** Image features from actual bytes (ImageIO):
+    * f0 width, f1 height, f2 band count, f3..f5 mean R/G/B in [0,1],
+    * f6 mean luminance in [0,1], f7 aspect ratio, f8..f15 8-bin
+    * normalized luminance histogram. None if the payload doesn't
+    * decode as an image.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[Array[Float]] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val (w, h) = (im.getWidth, im.getHeight)
+      val f = new Array[Float](FeatureDim)
+      f(0) = w.toFloat; f(1) = h.toFloat
+      f(2) = im.getRaster.getNumBands.toFloat
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      val hist = new Array[Long](8)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = im.getRGB(x, y)
+          val r = (p >> 16) & 0xFF; val g = (p >> 8) & 0xFF; val b = p & 0xFF
+          sr += r; sg += g; sb += b
+          // integer Rec.601 luma
+          hist(((r * 299 + g * 587 + b * 114) / 1000) >> 5) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = w.toLong * h
+      f(3) = (sr.toDouble / n / 255).toFloat
+      f(4) = (sg.toDouble / n / 255).toFloat
+      f(5) = (sb.toDouble / n / 255).toFloat
+      f(6) = ((sr * 299L + sg * 587L + sb * 114L).toDouble / 1000 / n / 255).toFloat
+      f(7) = w.toFloat / h
+      var i = 0
+      while (i < 8) { f(8 + i) = (hist(i).toDouble / n).toFloat; i += 1 }
+      f
+    }
+  }
+
+  /** Audio features from actual bytes (RIFF/WAV, 16-bit PCM):
+    * f0 channels, f1 sample rate, f2 duration in seconds, f3 RMS,
+    * f4 peak, f5 mean (all amplitudes normalized by 2^15), f6
+    * zero-crossing rate, f7..f15 9-bin normalized |amplitude|
+    * histogram. None if the payload isn't parseable 16-bit PCM WAV.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[Array[Float]] = {
+    if (bytes.length < 44) return None
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN)
+    def tag4() = { val t = new Array[Byte](4); buf.get(t); new String(t, "US-ASCII") }
+    if (tag4() != "RIFF") return None
+    buf.getInt
+    if (tag4() != "WAVE") return None
+    var channels = 0; var sampleRate = 0; var bits = 0
+    var dataOff = -1; var dataLen = 0
+    // walk chunks; fmt before data per spec, but don't assume
+    while (buf.remaining() >= 8) {
+      val id = tag4(); val len = buf.getInt
+      if (len < 0 || len > buf.remaining()) return None
+      if (id == "fmt ") {
+        val p = buf.position()
+        if (buf.getShort != 1) return None // PCM only
+        channels = buf.getShort; sampleRate = buf.getInt
+        buf.getInt; buf.getShort // byte rate, block align
+        bits = buf.getShort
+        buf.position(p + len)
+      } else if (id == "data") {
+        dataOff = buf.position(); dataLen = len
+        buf.position(buf.position() + len)
+      } else buf.position(buf.position() + len)
+    }
+    if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataOff < 0) return None
+    val n = dataLen / 2
+    if (n == 0) return None
+    val f = new Array[Float](FeatureDim)
+    f(0) = channels.toFloat; f(1) = sampleRate.toFloat
+    f(2) = (n.toDouble / channels / sampleRate).toFloat
+    var sumSq = 0.0; var sum = 0.0; var peak = 0; var crossings = 0; var prev = 0
+    val hist = new Array[Long](9)
+    var i = 0
+    while (i < n) {
+      val s: Int = buf.getShort(dataOff + 2 * i)
+      sumSq += s.toDouble * s; sum += s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      if (i > 0 && ((s < 0) != (prev < 0))) crossings += 1
+      hist(a * 9 / 32769) += 1
+      prev = s
+      i += 1
+    }
+    f(3) = (math.sqrt(sumSq / n) / 32768).toFloat
+    f(4) = peak / 32768f
+    f(5) = (sum / n / 32768).toFloat
+    f(6) = crossings.toFloat / n
+    i = 0
+    while (i < 9) { f(7 + i) = (hist(i).toDouble / n).toFloat; i += 1 }
+    Some(f)
+  }
+
+  /** Fallback / video stub: deterministic normalized byte histogram.
+    * Kept for undecodable payloads and for video, where the JDK has no
+    * codec — loudly NOT real video features.
+    */
+  def byteHistogram(bytes: Array[Byte]): Array[Float] = {
     val hist = new Array[Float](FeatureDim)
     var i = 0
     while (i < bytes.length) {
@@ -55,33 +202,64 @@ object Multimodal {
     hist
   }
 
+  /** Kind-dispatched decode; corrupt payloads degrade to the byte
+    * histogram instead of failing the task.
+    */
+  def decodeBytes(kind: String, bytes: Array[Byte]): Array[Float] = kind match {
+    case "image" => decodeImage(bytes).getOrElse(byteHistogram(bytes))
+    case "audio" => decodeWav(bytes).getOrElse(byteHistogram(bytes))
+    case _ => byteHistogram(bytes)
+  }
+
   /** Batched decode: one partition = one sequential batch through the
-    * (stub) codec — the mapInPandas batch shape. Binary payloads never
-    * hit the driver; feature rows are narrow.
+    * codec — the mapInPandas batch shape. Binary payloads never hit
+    * the driver; feature rows are narrow.
     */
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.content.length, decodeBytes(m.content))
+        MediaFeatures(m.media_id, m.kind, m.content.length, decodeBytes(m.kind, m.content))
       }
     }
   }
 
-  /** STUB resize: deterministic byte decimation to ≤ maxBytes (a real
-    * implementation re-encodes at lower resolution).
+  /** Resize: images are re-encoded at progressively halved resolution
+    * (real pixels through a real codec) until they fit `maxBytes`;
+    * non-image payloads fall back to byte decimation (stub — a real
+    * implementation re-encodes audio/video at a lower bitrate).
     */
-  def resizeStub(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
+  def resize(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
     import media.sparkSession.implicits._
     media.map { m =>
       if (m.content.length <= maxBytes) m
-      else {
-        val stride = math.ceil(m.content.length.toDouble / maxBytes).toInt
-        m.copy(content = m.content.indices.collect {
-          case i if i % stride == 0 => m.content(i)
-        }.toArray.take(maxBytes))
-      }
+      else if (m.kind == "image") {
+        val src =
+          try Option(ImageIO.read(new ByteArrayInputStream(m.content)))
+          catch { case _: Exception => None }
+        src.map { im =>
+          var (w, h, bytes) = (im.getWidth, im.getHeight, m.content)
+          while (bytes.length > maxBytes && w > 1 && h > 1) {
+            w = math.max(1, w / 2); h = math.max(1, h / 2)
+            val scaled = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+            val g = scaled.createGraphics()
+            g.drawImage(im.getScaledInstance(w, h, java.awt.Image.SCALE_AREA_AVERAGING), 0, 0, null)
+            g.dispose()
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(scaled, "png", bos)
+            bytes = bos.toByteArray
+          }
+          m.copy(width = w, height = h, content = bytes)
+        }.getOrElse(decimate(m, maxBytes))
+      } else decimate(m, maxBytes)
     }
+  }
+
+  private def decimate(m: MediaRecord, maxBytes: Int): MediaRecord = {
+    val stride = math.ceil(m.content.length.toDouble / maxBytes).toInt
+    m.copy(content = m.content.indices.collect {
+      case i if i % stride == 0 => m.content(i)
+    }.toArray.take(maxBytes))
   }
 
   /** STUB frame sampling: every `everyMs` milliseconds of a "video"
@@ -115,23 +293,36 @@ object Multimodal {
     }
   }
 
-  /** Deterministic synthetic media corpus for tests/demos. */
+  /** Deterministic synthetic media corpus for tests/demos: REAL PNGs
+    * (deterministic pixel pattern) and REAL 16-bit PCM WAVs
+    * (deterministic sine), plus opaque "video" blobs. Metadata matches
+    * the actual payload (PNG dims, WAV duration).
+    */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(n).map { i =>
       val id = i
-      val kind = Seq("image", "audio", "video")((id % 3).toInt)
-      val size = 64 + (id * 37 % 4096).toInt
-      val bytes = Array.tabulate(size)(j => ((id * 31 + j * 7) % 251).toByte)
-      MediaRecord(id, kind,
-        kind match {
-          case "image" => "image/png"
-          case "audio" => "audio/wav"
-          case _ => "video/mp4"
-        },
-        width = 16 + (id % 64).toInt, height = 16 + (id % 48).toInt,
-        duration_ms = if (kind == "video") 1000 + id * 100 else 0L,
-        content = bytes)
+      (id % 3).toInt match {
+        case 0 =>
+          val w = 16 + (id % 64).toInt
+          val h = 16 + (id % 48).toInt
+          val png = encodePng(w, h, (x, y) =>
+            ((((id * 31 + x * 7 + y * 13) % 256).toInt & 0xFF) << 16) |
+              ((((id * 17 + x * 3 + y * 5) % 256).toInt & 0xFF) << 8) |
+              (((id * 11 + x * 11 + y * 2) % 256).toInt & 0xFF))
+          MediaRecord(id, "image", "image/png", w, h, 0L, png)
+        case 1 =>
+          val rate = 8000
+          val samples = Array.tabulate(400 + (id * 37 % 4000).toInt)(j =>
+            (math.sin(2 * math.Pi * (220 + id % 220) * j / rate) * 8000).toShort)
+          MediaRecord(id, "audio", "audio/wav", 0, 0,
+            samples.length * 1000L / rate, encodeWavMono(rate, samples))
+        case _ =>
+          val size = 64 + (id * 37 % 4096).toInt
+          MediaRecord(id, "video", "video/mp4",
+            16 + (id % 64).toInt, 16 + (id % 48).toInt, 1000 + id * 100,
+            Array.tabulate(size)(j => ((id * 31 + j * 7) % 251).toByte))
+      }
     }
   }
 }

@@ -6,11 +6,13 @@ import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
 /** Multimodal-column pipeline as a driver-verifiable query: synthetic
-  * binary media (deterministic generator) → size-aware repartition →
-  * batched (stub) decode → per-kind feature statistics. Rows-only
-  * check: the corpus is generated Scala-side, so no DuckDB oracle —
-  * determinism is what the driver can assert, and the decode plumbing
-  * is spec-covered in MultimodalSpec.
+  * binary media (real PNGs and WAVs from a deterministic generator) →
+  * size-aware repartition → batched REAL decode (ImageIO pixels, RIFF
+  * PCM samples; video stays a byte-histogram stub) → per-kind feature
+  * statistics. Rows-only check: the corpus is generated Scala-side, so
+  * no DuckDB oracle — determinism is what the driver can assert, and
+  * the decode correctness (planted dims/channel means/sample rates) is
+  * spec-covered in MultimodalSpec.
   */
 object MultimodalQueries {
 
