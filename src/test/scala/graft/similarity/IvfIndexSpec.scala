@@ -53,6 +53,37 @@ class IvfIndexSpec extends SparkTestBase {
       s"recall fell as nprobe grew: ${recall(half)} -> ${recall(most)}")
   }
 
+  test("single-projection assign equals the join/min_by form, with no join in the plan") {
+    val idx = IvfIndex.fit(vecs, c = 12)
+    val fast = idx.assign(vecs).select("vec_id", "cell_id")
+      .as[(Long, Int)].collect().toMap
+    val joined = idx.assignViaJoin(vecs).select("vec_id", "cell_id")
+      .as[(Long, Int)].collect().toMap
+    assert(fast == joined)
+    val plan = idx.assign(vecs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "assignment must be a pure projection")
+    assert(!plan.contains("Exchange"), "assignment must not shuffle")
+  }
+
+  test("save/load: probing a loaded index equals the fit path, without retraining") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf-idx").toString
+    val queries = vecs.filter($"vec_id" < 20)
+    val idx = IvfIndex.fit(vecs, c = 10)
+    val fitPath = idx.approxTopK(vecs, queries, k = 5, nprobe = 3)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+
+    IvfIndex.save(idx, idx.assign(vecs), dir)
+    val (loaded, cells) = IvfIndex.load(spark, dir)
+    assert(loaded.centroids == idx.centroids)
+    val loadPath = loaded.approxTopKAssigned(cells, queries, k = 5, nprobe = 3)
+      .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
+    assert(loadPath == fitPath)
+    // the probe path reads the stored cells — no KMeans, no corpus re-assignment
+    val plan = loaded.approxTopKAssigned(cells, queries, k = 5, nprobe = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains(s"$dir/cells"), "probe path must scan the stored cells table")
+  }
+
   test("full probe (nprobe = C) reproduces exact top-k") {
     val queries = vecs.filter($"vec_id" < 10)
     val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
