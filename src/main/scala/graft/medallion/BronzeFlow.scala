@@ -22,18 +22,38 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object BronzeFlow {
 
-  /** Read one dataset's landing CSVs → normalized, deduped DataFrame. */
-  def read(spark: SparkSession, landingDir: String): DataFrame = {
-    val raw = spark.read
-      .option("header", "true")
-      .option("inferSchema", "true")
-      .csv(landingDir)
+  /** Read one dataset's landing CSVs → normalized, deduped DataFrame.
+    *
+    * Scan economics: `inferSchema=true` makes Spark read every landing
+    * byte TWICE — once for inference, once for parsing — a 2× ingest
+    * tax at scale. Callers with a declared contract should pass
+    * `schema` (raw column names, pre-normalization): the inference
+    * scan disappears entirely and landing is read exactly once. When
+    * inference is unavoidable, `samplingRatio < 1` cuts its parse cost
+    * (the inference pass still reads the bytes to split lines, but
+    * only type-infers the sampled rows — the reference's
+    * `infer_schema_length=5000` analogue, `flows/bronze.py:74`).
+    */
+  def read(
+      spark: SparkSession, landingDir: String,
+      schema: org.apache.spark.sql.types.StructType = null,
+      samplingRatio: Double = 1.0): DataFrame = {
+    val reader = spark.read.option("header", "true")
+    val raw =
+      if (schema != null) reader.schema(schema).csv(landingDir)
+      else reader
+        .option("inferSchema", "true")
+        .option("samplingRatio", samplingRatio.toString)
+        .csv(landingDir)
     ColumnNormalizer(raw).dropDuplicates()
   }
 
   /** Ingest one dataset landing→bronze; returns the bronze path. */
-  def ingest(spark: SparkSession, landingDir: String, bronzeDir: String): String = {
-    read(spark, landingDir).write.mode("overwrite").parquet(bronzeDir)
+  def ingest(
+      spark: SparkSession, landingDir: String, bronzeDir: String,
+      schema: org.apache.spark.sql.types.StructType = null,
+      samplingRatio: Double = 1.0): String = {
+    read(spark, landingDir, schema, samplingRatio).write.mode("overwrite").parquet(bronzeDir)
     bronzeDir
   }
 
@@ -120,10 +140,12 @@ object BronzeFlow {
     */
   def run(
       spark: SparkSession, lake: Lake, datasets: Seq[String],
-      parallel: Boolean = false): Map[String, String] = {
+      parallel: Boolean = false,
+      schemas: Map[String, org.apache.spark.sql.types.StructType] = Map.empty): Map[String, String] = {
     def one(ds: String): Option[(String, String)] =
       if (hasLanding(spark, lake.landing(ds)))
-        Some(ds -> ingest(spark, lake.landing(ds), lake.bronze(ds)))
+        Some(ds -> ingest(spark, lake.landing(ds), lake.bronze(ds),
+          schemas.getOrElse(ds, null)))
       else None
     if (!parallel) datasets.flatMap(one).toMap
     else {

@@ -86,8 +86,11 @@ object GoldFlow {
     */
   def writeGold(
       df: DataFrame, path: String,
-      partitions: Seq[String] = Nil): Option[String] =
+      partitions: Seq[String] = Nil,
+      versioned: Boolean = false): Option[String] =
     if (df.isEmpty) None
+    else if (versioned)
+      Some(Versioned.commit(df.sparkSession, path, df, partitions = partitions))
     else {
       val w = df.write.mode("overwrite")
       (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).parquet(path)
@@ -98,15 +101,30 @@ object GoldFlow {
     * unreadable silver inputs return an empty manifest, not an error
     * (`gold.py:144-148` try/except). `partitionSpec` maps gold table
     * name → partition columns (empty = flat layout).
+    *
+    * `versioned = true` (pair with `SilverFlow.run(versioned = true)`):
+    * silver inputs resolve through the `_current` pointer, gold writes
+    * go through [[Versioned.commit]], and the reference's
+    * truncate-before-write is SKIPPED — deleting gold first is exactly
+    * the absent-table window the atomic pointer publish exists to
+    * close, and superseded versions are garbage-collected by commit
+    * retention instead. An empty result still skips its table, which
+    * in versioned mode leaves the previous version visible rather than
+    * truncating — reruns only ever move tables forward.
     */
   def run(
       spark: SparkSession, lake: Lake,
-      partitionSpec: Map[String, Seq[String]] = Map.empty): Map[String, String] = {
-    clearGold(spark, lake)
+      partitionSpec: Map[String, Seq[String]] = Map.empty,
+      versioned: Boolean = false): Map[String, String] = {
+    if (!versioned) clearGold(spark, lake)
     val (music, reviews) =
       try {
-        (spark.read.parquet(lake.silver("music_catalog")),
-          spark.read.parquet(lake.silver("reviews")))
+        if (versioned)
+          (Versioned.read(spark, lake.silver("music_catalog")),
+            Versioned.read(spark, lake.silver("reviews")))
+        else
+          (spark.read.parquet(lake.silver("music_catalog")),
+            spark.read.parquet(lake.silver("reviews")))
       } catch {
         case e: Exception =>
           log.warn(s"gold: silver inputs unavailable: ${e.getMessage}")
@@ -123,13 +141,13 @@ object GoldFlow {
       def parts(name: String): Seq[String] = partitionSpec.getOrElse(name, Nil)
       val avgScores = createBandAvgScores(music, reviews)
       writeGold(createTop10ByCountry(music, reviews), lake.gold("top10_by_country"),
-        parts("top10_by_country")).foreach(result += "top10_by_country" -> _)
+        parts("top10_by_country"), versioned).foreach(result += "top10_by_country" -> _)
       writeGold(avgScores, lake.gold("band_avg_scores"),
-        parts("band_avg_scores")).foreach(result += "band_avg_scores" -> _)
+        parts("band_avg_scores"), versioned).foreach(result += "band_avg_scores" -> _)
       writeGold(createBrazilianBands(avgScores), lake.gold("brazilian_bands"),
-        parts("brazilian_bands")).foreach(result += "brazilian_bands" -> _)
+        parts("brazilian_bands"), versioned).foreach(result += "brazilian_bands" -> _)
       writeGold(createBandAlbumCounts(music), lake.gold("band_album_counts"),
-        parts("band_album_counts")).foreach(result += "band_album_counts" -> _)
+        parts("band_album_counts"), versioned).foreach(result += "band_album_counts" -> _)
       result.result()
     } finally {
       music.unpersist(); reviews.unpersist()

@@ -82,40 +82,54 @@ object SilverFlow {
 
   private def write(
       df: DataFrame, path: String,
-      partitions: Seq[String] = Nil): String = {
-    val w = df.write.mode("overwrite")
-    (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).parquet(path)
-    path
-  }
+      partitions: Seq[String] = Nil,
+      versioned: Boolean = false): String =
+    if (versioned)
+      Versioned.commit(df.sparkSession, path, df, partitions = partitions)
+    else {
+      val w = df.write.mode("overwrite")
+      (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).parquet(path)
+      path
+    }
 
   /** Conditional-DAG flow (`flows/silver.py:161-185`): albums+bands
     * gate the catalog; reviews gates album_reviews (which also needs
     * albums). Returns the written-path manifest. `partitionSpec` maps
     * dataset name → partition columns (empty = flat layout, reference
     * parity), mirroring GoldFlow.
+    *
+    * `versioned = true` routes every write through [[Versioned.commit]]
+    * — an atomic pointer publish, so a rerun never exposes a
+    * half-overwritten or absent table to concurrent readers (a bare
+    * `mode("overwrite")` deletes before it rewrites). Manifest entries
+    * are then the immutable committed version dirs; consumers that
+    * should follow future commits read `Versioned.read(lake.silver(name))`
+    * instead. Pair with `GoldFlow.run(versioned = true)` so gold reads
+    * silver through the pointer too.
     */
   def run(
       spark: SparkSession, lake: Lake, bronze: Map[String, String],
-      partitionSpec: Map[String, Seq[String]] = Map.empty): Map[String, String] = {
+      partitionSpec: Map[String, Seq[String]] = Map.empty,
+      versioned: Boolean = false): Map[String, String] = {
     def parts(name: String): Seq[String] = partitionSpec.getOrElse(name, Nil)
     val result = Map.newBuilder[String, String]
     val albumsOpt =
       if (bronze.contains("albums") && bronze.contains("bands")) {
         val albums = transformAlbums(spark.read.parquet(bronze("albums")))
         val bands = transformBands(spark.read.parquet(bronze("bands")))
-        result += "albums" -> write(albums, lake.silver("albums"), parts("albums"))
-        result += "bands" -> write(bands, lake.silver("bands"), parts("bands"))
+        result += "albums" -> write(albums, lake.silver("albums"), parts("albums"), versioned)
+        result += "bands" -> write(bands, lake.silver("bands"), parts("bands"), versioned)
         result += "music_catalog" -> write(createMusicCatalog(albums, bands),
-          lake.silver("music_catalog"), parts("music_catalog"))
+          lake.silver("music_catalog"), parts("music_catalog"), versioned)
         Some(albums)
       } else None
 
     if (bronze.contains("reviews")) {
       val reviews = transformReviews(spark.read.parquet(bronze("reviews")))
-      result += "reviews" -> write(reviews, lake.silver("reviews"), parts("reviews"))
+      result += "reviews" -> write(reviews, lake.silver("reviews"), parts("reviews"), versioned)
       albumsOpt.foreach { albums =>
         result += "album_reviews" -> write(createAlbumReviews(albums, reviews),
-          lake.silver("album_reviews"), parts("album_reviews"))
+          lake.silver("album_reviews"), parts("album_reviews"), versioned)
       }
     }
     result.result()

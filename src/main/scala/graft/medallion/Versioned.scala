@@ -112,14 +112,16 @@ object Versioned {
     */
   def commit(
       spark: SparkSession, root: String, df: DataFrame,
-      gcGraceMs: Long = DefaultGcGraceMs): String = {
+      gcGraceMs: Long = DefaultGcGraceMs,
+      partitions: Seq[String] = Nil): String = {
     val rootP = new HPath(root)
     val f = fs(spark, rootP)
     if (!f.exists(rootP)) f.mkdirs(rootP)
     val floor = versionDirs(f, rootP).lastOption.fold(1)(_._1 + 1)
     val vName = claimNext(f, root, floor)
     val vDir = s"$root/$vName"
-    df.write.mode("overwrite").parquet(vDir)
+    val w = df.write.mode("overwrite")
+    (if (partitions.nonEmpty) w.partitionBy(partitions: _*) else w).parquet(vDir)
 
     // the version active until this instant stays retained for its
     // in-flight readers. ONLY a missing pointer means "first commit";

@@ -58,6 +58,58 @@ class FlowsSpec extends SparkTestBase {
     assert(plan.contains("PartitionFilters: [isnotnull(country"), plan.take(400))
   }
 
+  test("declared-schema ingest reads landing once; inference reads it twice") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val root = Files.createTempDirectory("flows-schema")
+    val landing = root.resolve("landing"); Files.createDirectories(landing)
+    // ~200 KB so input-metrics byte counts dominate reader overhead
+    val rows = (1 to 5000).map(i => s"$i,name_$i,${i % 100}.5")
+    Files.write(landing.resolve("data.csv"),
+      ("id,name,score\n" + rows.mkString("\n")).getBytes)
+    val landingBytes = Files.size(landing.resolve("data.csv"))
+
+    class BytesRead extends SparkListener {
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    def measure(f: => Unit): Long = {
+      val l = new BytesRead
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        // listener bus is async: poll until the count settles
+        var prev = -1L
+        var settled = 0
+        while (settled < 3) {
+          Thread.sleep(100)
+          val now = l.bytes.get
+          if (now == prev) settled += 1 else { settled = 0; prev = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      l.bytes.get
+    }
+
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "id INT, name STRING, score DOUBLE")
+    val inferred = measure {
+      BronzeFlow.ingest(spark, landing.toString, root.resolve("b1").toString)
+    }
+    val declared = measure {
+      BronzeFlow.ingest(spark, landing.toString, root.resolve("b2").toString, schema)
+    }
+    // inference pays the landing scan twice, a declared contract once
+    assert(inferred >= 2 * landingBytes * 9 / 10,
+      s"inference read $inferred of 2×$landingBytes")
+    assert(declared < landingBytes * 3 / 2,
+      s"declared-schema read $declared — more than one scan of $landingBytes")
+    // and both paths produce the same bronze
+    val a = spark.read.parquet(root.resolve("b1").toString)
+    val b = spark.read.parquet(root.resolve("b2").toString)
+    assert(a.schema == b.schema)
+    assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+  }
+
   test("waitForLanding returns keys once objects arrive") {
     val lake = Lake(Files.createTempDirectory("flows-poll").toString)
     val dir = Paths.get(lake.landing("reviews"))

@@ -166,6 +166,47 @@ class MedallionE2ESpec extends SparkTestBase {
     assert(names == Seq("Dismember", "Entombed", "Entombed", "Morbid Angel", "Morbid Angel"))
   }
 
+  test("versioned flows: reruns never expose an absent table to a concurrent reader") {
+    val root = Files.createTempDirectory("medallion-versioned").toString
+    val fixtures = Paths.get(getClass.getResource("/fixtures/albums.csv").toURI)
+      .getParent.toString
+    val l = Lake(root)
+    LandingFlow.run(fixtures, l, maxBytes = 100, bufferBytes = 1000)
+    val bronze = BronzeFlow.run(spark, l, Seq("albums", "bands", "reviews"))
+    SilverFlow.run(spark, l, bronze, versioned = true)
+    val gold1 = GoldFlow.run(spark, l, versioned = true)
+    assert(gold1.keySet == Set("top10_by_country", "band_avg_scores", "band_album_counts"))
+    // manifest entries are immutable committed version dirs
+    assert(gold1("band_avg_scores").matches(".*/v_\\d{6}"),
+      gold1("band_avg_scores"))
+    val expected = Versioned.read(spark, l.gold("band_avg_scores"))
+      .collect().map(_.toSeq).toSet
+
+    // a plain overwrite rerun deletes the table before rewriting it —
+    // this reader loop is exactly the consumer that window breaks
+    @volatile var failures = List.empty[String]
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val got = Versioned.read(spark, l.gold("band_avg_scores"))
+            .collect().map(_.toSeq).toSet
+          if (got != expected) failures ::= s"reader saw ${got.size} rows"
+        } catch { case e: Exception => failures ::= String.valueOf(e.getMessage) }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 3).foreach { _ =>
+        SilverFlow.run(spark, l, bronze, versioned = true)
+        GoldFlow.run(spark, l, versioned = true)
+      }
+    } finally { stop = true; reader.join() }
+    assert(failures.isEmpty, failures.take(3).mkString("; "))
+    assert(Versioned.read(spark, l.gold("band_avg_scores"))
+      .collect().map(_.toSeq).toSet == expected)
+  }
+
   test("silver validate_schema raises on missing column") {
     import spark.implicits._
     val bad = Seq((1L, "x")).toDF("id", "title")
