@@ -54,9 +54,13 @@ object Bench {
       }
       val first = once()
       // don't re-run a failing query — its error is the result
-      val best = if (first._2.isDefined) first
-        else { val second = once(); if (second._2.isEmpty) (math.min(first._1, second._1), None) else first }
-      (name, best._1, best._2)
+      if (first._2.isDefined) (name, first._1, Seq(first._1), first._2)
+      else {
+        val second = once()
+        if (second._2.isEmpty)
+          (name, math.min(first._1, second._1), Seq(first._1, second._1), None)
+        else (name, first._1, Seq(first._1), first._2)
+      }
     }
 
     def jstr(s: String): String =
@@ -67,12 +71,17 @@ object Bench {
         case c => c.toString
       } + "\""
 
-    val ok = results.filter(_._3.isEmpty)
-    val qs = ok.map { case (k, v, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val ok = results.filter(_._4.isEmpty)
+    val qs = ok.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    // both raw timings per query, in run order: drift between run 1 and
+    // run 2 (cold cache, one-time index builds, background noise) stays
+    // visible in the record instead of vanishing into the min
+    val runs = ok.map { case (k, _, rs, _) => s"${jstr(k)}:${rs.mkString("[", ",", "]")}" }
+      .mkString("{", ",", "}")
+    val errs = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

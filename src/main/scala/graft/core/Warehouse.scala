@@ -1,0 +1,85 @@
+package graft.core
+
+import org.apache.hadoop.fs.{FileSystem, Path => HPath}
+import org.apache.spark.sql.SparkSession
+
+/** Shared-storage home for persisted derived state — near-dup and ANN
+  * indexes ([[graft.dedup.MinHashLSH.buildIndex]],
+  * [[graft.similarity.IvfIndex.save]]) that are built once and probed
+  * by every subsequent batch.
+  *
+  * On a cluster, set `spark.graft.warehouse` to a path every executor
+  * can read and write (s3://…, hdfs://…) — an index written to a
+  * driver-local temp dir would scatter its shards across executor-local
+  * disks and silently serve a fraction of itself. The local default is
+  * a stable per-user directory under java.io.tmpdir, correct only in
+  * local mode and for tests.
+  *
+  * Index dirs are keyed by a fingerprint of the SOURCE table's file
+  * statuses (name, length, mtime), so a changed source gets a fresh
+  * index dir instead of silently serving a stale one, while an
+  * unchanged source reuses its built index across processes — the
+  * build cost amortizes to zero on the day-2 probe path.
+  */
+object Warehouse {
+
+  val ConfKey = "spark.graft.warehouse"
+
+  def root(spark: SparkSession): String =
+    spark.conf.getOption(ConfKey).getOrElse(
+      s"${sys.props("java.io.tmpdir")}/graft-warehouse-${sys.props.getOrElse("user.name", "anon")}")
+
+  private def fs(spark: SparkSession, p: HPath): FileSystem =
+    FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+
+  /** Hex fingerprint of a source dir/file: every file's (name, length,
+    * mtime) folded through a 64-bit FNV-1a — a metadata-only listing,
+    * no data scan.
+    */
+  private def fingerprint(spark: SparkSession, sourcePath: String): String = {
+    val p = new HPath(sourcePath)
+    val f = fs(spark, p)
+    val parts: Seq[String] =
+      if (!f.exists(p)) Seq("absent")
+      else {
+        val it = f.listFiles(p, true)
+        val b = Seq.newBuilder[String]
+        while (it.hasNext) {
+          val s = it.next()
+          b += s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}"
+        }
+        b.result().sorted
+      }
+    var h = 0xcbf29ce484222325L
+    parts.mkString("|").foreach { c => h ^= c; h *= 0x100000001b3L }
+    f"$h%016x"
+  }
+
+  /** Stable index dir for derived state of kind `kind` over
+    * `sourcePath`: `<root>/<kind>/<source-fingerprint>`.
+    */
+  def derivedDir(spark: SparkSession, kind: String, sourcePath: String): String =
+    s"${root(spark)}/$kind/${fingerprint(spark, sourcePath)}"
+
+  private val BuiltMarker = "_GRAFT_BUILT"
+
+  /** Build-once: if `dir` carries the completion marker, reuse it;
+    * otherwise run `build(dir)` (which must write with overwrite
+    * semantics) and drop the marker. Guarded by an [[FsLock]] so two
+    * processes arriving at an unbuilt index serialize — the loser of
+    * the lock either finds the marker on retry or surfaces the
+    * conflict loudly rather than interleaving overwrites.
+    */
+  def ensureBuilt(spark: SparkSession, dir: String)(build: String => Unit): String = {
+    val marker = new HPath(s"$dir/$BuiltMarker")
+    val f = fs(spark, marker)
+    if (f.exists(marker)) return dir
+    FsLock.withLock(spark, dir, s"warehouse-build-${ProcessHandle.current().pid()}") {
+      if (!f.exists(marker)) { // double-check under the lock
+        build(dir)
+        f.create(marker, true).close()
+      }
+    }
+    dir
+  }
+}

@@ -1,0 +1,58 @@
+package graft.core
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+class FsLockSpec extends SparkTestBase {
+
+  test("second writer gets a loud LockHeld, not silent interleaving") {
+    val dir = Files.createTempDirectory("fslock").toString + "/table"
+    FsLock.acquire(spark, dir, "writer-a")
+    val e = intercept[FsLock.LockHeld](FsLock.acquire(spark, dir, "writer-b"))
+    assert(e.owner == "writer-a")
+    FsLock.release(spark, dir)
+    // released → acquirable again
+    FsLock.withLock(spark, dir, "writer-b") { () }
+  }
+
+  test("a stale lock from a dead writer is broken; a fresh one is not") {
+    val dir = Files.createTempDirectory("fslock-stale").toString + "/table"
+    FsLock.acquire(spark, dir, "crashed-writer")
+    // fresh lock survives
+    intercept[FsLock.LockHeld](FsLock.acquire(spark, dir, "writer-b", staleMs = 60000))
+    // the same lock, judged by a 0ms horizon, is stale → broken and re-acquired
+    Thread.sleep(5)
+    FsLock.acquire(spark, dir, "writer-b", staleMs = 0)
+    FsLock.release(spark, dir)
+  }
+
+  test("release is idempotent") {
+    val dir = Files.createTempDirectory("fslock-idem").toString + "/table"
+    FsLock.release(spark, dir) // never held: no-op
+    FsLock.acquire(spark, dir, "w")
+    FsLock.release(spark, dir)
+    FsLock.release(spark, dir)
+  }
+
+  test("ensureBuilt builds exactly once per source state and rebuilds on change") {
+    val src = Files.createTempDirectory("wh-src")
+    Files.write(src.resolve("part-0.parquet"), "v1-payload".getBytes)
+    val builds = new java.util.concurrent.atomic.AtomicInteger
+    def run(): String = {
+      val d = Warehouse.derivedDir(spark, "spec_idx", src.toString)
+      Warehouse.ensureBuilt(spark, d) { out =>
+        builds.incrementAndGet()
+        val p = new org.apache.hadoop.fs.Path(s"$out/payload")
+        val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        f.mkdirs(p.getParent); f.create(p, true).close()
+      }
+    }
+    val d1 = run(); val d2 = run()
+    assert(d1 == d2 && builds.get == 1, "unchanged source must reuse the built index")
+    // touching the source (new length) changes the fingerprint → new dir, fresh build
+    Files.write(src.resolve("part-0.parquet"), "v2-payload-longer".getBytes)
+    val d3 = run()
+    assert(d3 != d1 && builds.get == 2, "changed source must get a fresh index dir")
+  }
+}
