@@ -148,6 +148,51 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental corpus-vs-batch EMBEDDING near-dup — the day-2 shape
+    * of q32: the corpus's LSH sign-buckets and embeddings are persisted
+    * once ([[Similarity.buildCosineIndex]], [[Warehouse]]-placed like
+    * q33), then a batch of planted exact copies is deduped against the
+    * stored index without re-bucketing the corpus
+    * ([[Similarity.cosineNearDuplicatesAgainst]]).
+    *
+    * DuckDB-ORACLED by q32's argument restricted to batch-touching
+    * pairs: at threshold 0.99 the only qualifying pairs are the planted
+    * identical vectors (max natural pair cosine ≈ 0.51), and identical
+    * vectors share sign buckets in EVERY table, so the LSH candidate
+    * set provably contains them all — approximate equals exact here.
+    */
+  def q34IncrementalEmbeddingNearDup(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    val batch = vecs.select(
+      (col("vec_id") + 1000000).as("vec_id"), col("embedding"), col("label"))
+    // same knobs as q32 — near-identical pairs collide regardless, so
+    // sharp buckets and few tables are free selectivity
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 64, bits = 8, tables = 2)
+    val idx = Warehouse.ensureBuilt(s,
+      Warehouse.derivedDir(s, "cosine_index", s"$dir/embeddings.parquet")) { d =>
+      Similarity.buildCosineIndex(vecs, lsh, d)
+    }
+    Similarity.cosineNearDuplicatesAgainst(batch, lsh, idx, threshold = 0.99)
+      .withColumn("cosine_r6", round(col("cosine"), 6))
+      .drop("cosine")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Pairs touching the batch ⟺ id_b ≥ 1000000 (id_b is the pair max
+    * and every batch id exceeds every corpus id).
+    */
+  val q34Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |allv AS (SELECT * FROM v UNION ALL SELECT vec_id + 1000000, e FROM v),
+      |pairs AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |    list_dot_product(a.e, b.e)
+      |      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cosine
+      |  FROM allv a JOIN allv b ON a.vec_id < b.vec_id
+      |  WHERE b.vec_id >= 1000000)
+      |SELECT id_a, id_b, round(cosine, 6) AS cosine_r6
+      |FROM pairs WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin
+
   val q32Sql: String =
     """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |allv AS (SELECT * FROM v UNION ALL SELECT vec_id + 1000000, e FROM v),
@@ -166,9 +211,11 @@ object SimilarityQueries {
     "q23_ann_lsh" -> (q23AnnLsh _),
     "q25_ann_ivf" -> (q25AnnIvf _),
     "q32_embedding_neardup" -> (q32EmbeddingNearDup _),
-    "q33_incremental_neardup" -> (q33IncrementalNearDup _))
+    "q33_incremental_neardup" -> (q33IncrementalNearDup _),
+    "q34_incr_embedding_neardup" -> (q34IncrementalEmbeddingNearDup _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_knn_bruteforce" -> q20Sql,
-    "q32_embedding_neardup" -> q32Sql)
+    "q32_embedding_neardup" -> q32Sql,
+    "q34_incr_embedding_neardup" -> q34Sql)
 }

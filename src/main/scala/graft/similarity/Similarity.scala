@@ -120,6 +120,10 @@ object Similarity {
   /** Embedding-space near-duplicate pairs: bucket-colliding pairs with
     * cosine above a threshold — the embedding analogue of MinHash
     * near-dup, same no-all-pairs shuffle shape.
+    *
+    * Full-corpus self-join form; a daily pipeline should use
+    * [[buildCosineIndex]] + [[cosineNearDuplicatesAgainst]] so each
+    * batch only buckets itself.
     */
   def cosineNearDuplicates(
       vecs: DataFrame, lsh: RandomHyperplaneLsh, threshold: Double): DataFrame = {
@@ -130,12 +134,123 @@ object Similarity {
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
-    val emb = vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val emb = vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    verifyCosinePairs(pairs, emb, threshold)
+  }
+
+  /** Exact-cosine verification of candidate `pairs` against a
+    * (vec_id, emb) relation — shared by the self-join and incremental
+    * paths. Lazy; exposed within the package for plan-shape tests.
+    */
+  private[similarity] def verifyCosinePairs(
+      pairs: DataFrame, emb: DataFrame, threshold: Double): DataFrame =
     pairs
-      .join(emb.select(col("vec_id").as("id_a"), col("e").as("emb_a")), Seq("id_a"))
-      .join(emb.select(col("vec_id").as("id_b"), col("e").as("emb_b")), Seq("id_b"))
+      .join(emb.select(col("vec_id").as("id_a"), col("emb").as("emb_a")), Seq("id_a"))
+      .join(emb.select(col("vec_id").as("id_b"), col("emb").as("emb_b")), Seq("id_b"))
       .withColumn("cosine", cosine(col("emb_a"), col("emb_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+
+  // ------------------------------------------------------------------
+  // Incremental (corpus-vs-batch) embedding near-dup over a persisted
+  // bucket index — the embedding twin of
+  // [[graft.dedup.MinHashLSH.buildIndex]]/`nearDuplicatesAgainst`: a
+  // daily embedding-dedup batch must not re-bucket the whole corpus,
+  // so the corpus's derived state is persisted ONCE as two parquet
+  // tables and each batch only buckets itself:
+  //
+  //   <indexDir>/buckets    : (lsh_table, lsh_bucket, vec_id)
+  //   <indexDir>/embeddings : (vec_id, emb)   — for verification
+  //
+  // Per-batch cost: bucket the batch (bits × tables codegen'd dot64
+  // projections per row, O(batch)), join batch buckets against the
+  // stored bucket table (shuffle on the bucket key), verify candidates
+  // against the stored embedding table pruned by a broadcast semi-join
+  // to candidate ids — corpus embeddings are never re-projected.
+  // ------------------------------------------------------------------
+
+  private def bucketsPath(indexDir: String) = s"$indexDir/buckets"
+  private def embeddingsPath(indexDir: String) = s"$indexDir/embeddings"
+
+  /** Build the persisted cosine near-dup index for `vecs` at `indexDir`
+    * (overwrites). Probe with the SAME `lsh` parameterization —
+    * bucket keys are only comparable within one (dim, bits, tables,
+    * seed).
+    */
+  def buildCosineIndex(
+      vecs: DataFrame, lsh: RandomHyperplaneLsh, indexDir: String): Unit =
+    writeCosineIndex(vecs, lsh, indexDir, mode = "overwrite")
+
+  /** Append a (disjoint-id) batch's buckets+embeddings to an existing
+    * index — call after a batch survives dedup so tomorrow's batch is
+    * checked against it too. `appendToCosineIndex(batch)` after
+    * `buildCosineIndex(corpus)` leaves the same index contents as
+    * `buildCosineIndex(corpus ∪ batch)`.
+    */
+  def appendToCosineIndex(
+      vecs: DataFrame, lsh: RandomHyperplaneLsh, indexDir: String): Unit =
+    writeCosineIndex(vecs, lsh, indexDir, mode = "append")
+
+  private def writeCosineIndex(
+      vecs: DataFrame, lsh: RandomHyperplaneLsh, indexDir: String, mode: String): Unit = {
+    lsh.bucketed(vecs).select(col("lsh_table"), col("lsh_bucket"), col("vec_id"))
+      .write.mode(mode).parquet(bucketsPath(indexDir))
+    vecs.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .write.mode(mode).parquet(embeddingsPath(indexDir))
+  }
+
+  /** Candidate pairs touching the batch: batch×batch (id_a < id_b)
+    * plus batch×corpus (ordered with least/greatest). Lazy — exposed
+    * for plan-shape tests; the corpus side must be a stored-bucket
+    * scan.
+    */
+  private[similarity] def incrementalBucketCandidates(
+      corpusBuckets: DataFrame, batchBuckets: DataFrame): DataFrame = {
+    val bb = batchBuckets
+      .select(col("lsh_table"), col("lsh_bucket"), col("vec_id").as("id_a"))
+      .join(batchBuckets.select(col("lsh_table"), col("lsh_bucket"), col("vec_id").as("id_b")),
+        Seq("lsh_table", "lsh_bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val bc = batchBuckets
+      .select(col("lsh_table"), col("lsh_bucket"), col("vec_id").as("batch_id"))
+      .join(corpusBuckets.select(col("lsh_table"), col("lsh_bucket"), col("vec_id").as("corpus_id")),
+        Seq("lsh_table", "lsh_bucket"))
+      .select(least(col("batch_id"), col("corpus_id")).as("id_a"),
+        greatest(col("batch_id"), col("corpus_id")).as("id_b"))
+    bb.union(bc).distinct()
+  }
+
+  /** Near-duplicate pairs between `batch` and the persisted index at
+    * `indexDir` (plus within-batch pairs) — equal to
+    * [[cosineNearDuplicates]] on (corpus ∪ batch) restricted to pairs
+    * touching the batch, without re-bucketing anything corpus-side.
+    * Ids must be globally unique across corpus and batch; `lsh` must
+    * match the index build. EAGER: the result is materialized before
+    * returning, so the caller may immediately [[appendToCosineIndex]].
+    */
+  def cosineNearDuplicatesAgainst(
+      batch: DataFrame, lsh: RandomHyperplaneLsh, indexDir: String,
+      threshold: Double): DataFrame = {
+    val spark = batch.sparkSession
+    graft.functions.VectorOps.register(spark)
+    val corpusBuckets = spark.read.parquet(bucketsPath(indexDir))
+    val corpusEmb = spark.read.parquet(embeddingsPath(indexDir))
+    val batchBuckets = lsh.bucketed(batch)
+      .select(col("lsh_table"), col("lsh_bucket"), col("vec_id"))
+    val pairs = incrementalBucketCandidates(corpusBuckets, batchBuckets)
+      .localCheckpoint(eager = true)
+    // verification reads corpus embeddings for CANDIDATE ids only: the
+    // candidate id set is small by construction, so a broadcast
+    // semi-join prunes the stored-embedding scan before the pair joins
+    val candIds = pairs.select(col("id_a").as("vec_id"))
+      .union(pairs.select(col("id_b").as("vec_id"))).distinct()
+    val emb = batch
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+      .unionByName(corpusEmb.join(broadcast(candIds), Seq("vec_id"), "left_semi"))
+    val verified = verifyCosinePairs(pairs, emb, threshold)
+    // eager lineage cut, mirroring MinHashLSH.nearDuplicatesAgainst
+    if (spark.sparkContext.getCheckpointDir.isDefined) verified.checkpoint(eager = true)
+    else verified.localCheckpoint(eager = true)
   }
 }
