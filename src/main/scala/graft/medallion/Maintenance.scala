@@ -12,6 +12,15 @@ import org.apache.spark.sql.functions.col
   * Iceberg supplies true atomic commits and nothing here precludes
   * swapping one in). Every rename result is checked and the backup is
   * restored on failure — the old table is never lost.
+  *
+  * Writer concurrency: the plain-dir operators here and
+  * [[graft.streaming.LandingStream.finalizeBronze]] all take the
+  * table's [[graft.core.FsLock]] writer lock — a finalize appending
+  * between compact's read and swap would otherwise be silently lost;
+  * under the lock the late writer gets a loud `LockHeld` and retries.
+  * The `*Versioned` variants below don't need it: [[Versioned.commit]]
+  * already serializes publication through claim markers + the atomic
+  * pointer flip.
   */
 object Maintenance {
 
@@ -104,20 +113,26 @@ object Maintenance {
     * micro-batch sinks accrete small files; scan cost is dominated by
     * file count long before data volume. Returns the new file count.
     */
-  def compact(spark: SparkSession, dir: String, targetFileBytes: Long): Int = {
-    healStranded(spark, dir)
-    require(!isPartitioned(spark, dir),
-      s"compact would flatten the partition layout of $dir; compact each partition dir instead")
-    val parts = math.max(1,
-      math.ceil(dirBytes(spark, dir).toDouble / targetFileBytes).toInt)
-    val staging = dir + "_compacting"
-    spark.read.parquet(dir).repartition(parts)
-      .write.mode("overwrite").parquet(staging)
-    swapIn(spark, staging, dir)
-    val p = new HPath(dir)
-    fs(spark, p).listStatus(p)
-      .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-  }
+  def compact(spark: SparkSession, dir: String, targetFileBytes: Long): Int =
+    // writer lock: compact's read-then-swap would silently drop rows a
+    // concurrent writer (e.g. LandingStream.finalizeBronze) appends
+    // between its scan and its swap — mutual exclusion makes that race
+    // a loud FsLock.LockHeld instead of lost data
+    graft.core.FsLock.withLock(spark, dir,
+      s"compact-${ProcessHandle.current().pid()}") {
+      healStranded(spark, dir)
+      require(!isPartitioned(spark, dir),
+        s"compact would flatten the partition layout of $dir; compact each partition dir instead")
+      val parts = math.max(1,
+        math.ceil(dirBytes(spark, dir).toDouble / targetFileBytes).toInt)
+      val staging = dir + "_compacting"
+      spark.read.parquet(dir).repartition(parts)
+        .write.mode("overwrite").parquet(staging)
+      swapIn(spark, staging, dir)
+      val p = new HPath(dir)
+      fs(spark, p).listStatus(p)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
 
   /** Keyed upsert: rows in `updates` replace same-key rows in the
     * table; new keys append. One left-anti join (existing minus
@@ -126,13 +141,16 @@ object Maintenance {
     */
   def upsertByKey(
       spark: SparkSession, dir: String, updates: DataFrame,
-      keys: Seq[String]): Unit = {
-    healStranded(spark, dir)
-    val merged = mergeByKey(spark.read.parquet(dir), updates, keys)
-    val staging = dir + "_upserting"
-    merged.write.mode("overwrite").parquet(staging)
-    swapIn(spark, staging, dir)
-  }
+      keys: Seq[String]): Unit =
+    // same writer-lock rationale as [[compact]]: read-then-swap
+    graft.core.FsLock.withLock(spark, dir,
+      s"upsertByKey-${ProcessHandle.current().pid()}") {
+      healStranded(spark, dir)
+      val merged = mergeByKey(spark.read.parquet(dir), updates, keys)
+      val staging = dir + "_upserting"
+      merged.write.mode("overwrite").parquet(staging)
+      swapIn(spark, staging, dir)
+    }
 
   private def mergeByKey(
       existing: DataFrame, updates: DataFrame, keys: Seq[String]): DataFrame = {

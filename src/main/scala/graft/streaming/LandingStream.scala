@@ -69,6 +69,13 @@ object LandingStream {
     * the staged-file cleanup just re-presents already-incorporated rows
     * next time, and the anti-join drops them again. The result is
     * always exactly `dropDuplicates` over everything ever staged.
+    *
+    * Concurrency contract: bronze mutation happens under the table's
+    * [[graft.core.FsLock]] writer lock, shared with
+    * [[graft.medallion.Maintenance.compact]]/`upsertByKey` — see
+    * WriterContractSpec. A crash mid-finalize leaves the lock behind;
+    * the next writer breaks it after the stale horizon and the
+    * staged-file protocol above makes the rerun safe.
     */
   def finalizeBronze(spark: SparkSession, lake: Lake, dataset: String): String = {
     val staging = stagingDir(lake, dataset)
@@ -80,6 +87,15 @@ object LandingStream {
       else f.listStatus(sp).filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
         .map(_.getPath)
     if (stagedFiles.isEmpty) return bronzeDir // nothing new → no-op
+
+    // writer lock on bronze: an append landing between a concurrent
+    // Maintenance.compact's read and swap would be silently lost with
+    // the compacted rewrite winning; under the lock the race is a loud
+    // FsLock.LockHeld and the staged batch stays in staging for the
+    // retry. The streaming side (start → staging appends) needs no
+    // lock — it never touches bronze.
+    graft.core.FsLock.withLock(spark, bronzeDir,
+      s"finalizeBronze-${ProcessHandle.current().pid()}") {
 
     val staged = spark.read.parquet(staging).dropDuplicates()
     val bp = new HPath(bronzeDir)
@@ -121,6 +137,7 @@ object LandingStream {
       }
     }
     stagedFiles.foreach(p => f.delete(p, false))
+    } // release writer lock
     bronzeDir
   }
 
