@@ -141,9 +141,15 @@ object LandingStream {
     bronzeDir
   }
 
-  /** Convenience: stream everything currently landed, then finalize. */
-  def runAvailableNow(spark: SparkSession, lake: Lake, dataset: String): String = {
-    val q = start(spark, lake, dataset)
+  /** Convenience: stream everything currently landed, then finalize.
+    * Pass `schema` (the raw landing contract, pre-normalization) to
+    * skip the pre-stream inference scan entirely — the streaming twin
+    * of [[graft.medallion.BronzeFlow.read]]'s single-scan ingest.
+    */
+  def runAvailableNow(
+      spark: SparkSession, lake: Lake, dataset: String,
+      schema: StructType = null): String = {
+    val q = start(spark, lake, dataset, schema)
     q.awaitTermination()
     finalizeBronze(spark, lake, dataset)
   }

@@ -21,6 +21,39 @@ class FlowsSpec extends SparkTestBase {
     assert(spark.read.parquet(manifest("gold")("band_avg_scores")).count() == 4)
   }
 
+  test("runAll(versioned = true): atomic-publish manifests, rerun-safe for readers") {
+    val lake = Lake(Files.createTempDirectory("flows-versioned").toString)
+    val m1 = Flows.runAll(spark, fixtures, lake, maxChunkBytes = 100, versioned = true)
+    // silver and gold manifest entries are immutable committed version dirs
+    (m1("silver").values ++ m1("gold").values).foreach { p =>
+      assert(p.matches(".*/v_\\d{6}"), p)
+    }
+    val expected = Versioned.read(spark, lake.gold("band_avg_scores"))
+      .collect().map(_.toSeq).toSet
+    assert(expected.nonEmpty)
+
+    // a reader polling across full-pipeline reruns must never see an
+    // absent or wrong table — the window a plain overwrite rerun opens
+    @volatile var failures = List.empty[String]
+    @volatile var stop = false
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val got = Versioned.read(spark, lake.gold("band_avg_scores"))
+            .collect().map(_.toSeq).toSet
+          if (got != expected) failures ::= s"reader saw ${got.size} rows"
+        } catch { case e: Exception => failures ::= String.valueOf(e.getMessage) }
+      }
+    })
+    reader.start()
+    try {
+      (1 to 2).foreach { _ =>
+        Flows.runAll(spark, fixtures, lake, maxChunkBytes = 100, versioned = true)
+      }
+    } finally { stop = true; reader.join() }
+    assert(failures.isEmpty, failures.take(3).mkString("; "))
+  }
+
   test("parallel bronze fan-out produces the sequential result") {
     val lake = Lake(Files.createTempDirectory("flows-par").toString)
     LandingFlow.run(fixtures, lake, maxBytes = 100, bufferBytes = 1000)

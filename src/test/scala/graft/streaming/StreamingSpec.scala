@@ -28,6 +28,63 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("declared-schema stream skips the inference scan and lands the same bronze") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val fixtures = Paths.get(getClass.getResource("/fixtures/albums.csv").toURI)
+      .getParent.toString
+
+    class BytesRead extends SparkListener {
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    def measure(f: => Unit): Long = {
+      val l = new BytesRead
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        // listener bus is async: poll until the count settles
+        var prev = -1L
+        var settled = 0
+        while (settled < 3) {
+          Thread.sleep(100)
+          val now = l.bytes.get
+          if (now == prev) settled += 1 else { settled = 0; prev = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      l.bytes.get
+    }
+
+    def landingBytes(lake: Lake): Long = {
+      val d = new java.io.File(lake.landing("reviews"))
+      d.listFiles().filter(_.isFile).map(_.length()).sum
+    }
+
+    // inference path: pre-stream schema scan + the stream's own read
+    val lakeInfer = Lake(Files.createTempDirectory("stream-infer").toString)
+    LandingFlow.run(fixtures, lakeInfer, maxBytes = 100, bufferBytes = 1000)
+    val inferBytes = measure(LandingStream.runAvailableNow(spark, lakeInfer, "reviews"))
+
+    // declared-contract path: the stream's read only
+    val lakeDecl = Lake(Files.createTempDirectory("stream-decl").toString)
+    LandingFlow.run(fixtures, lakeDecl, maxBytes = 100, bufferBytes = 1000)
+    val schema = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(lakeInfer.landing("reviews")).schema
+    val declBytes = measure(
+      LandingStream.runAvailableNow(spark, lakeDecl, "reviews", schema))
+
+    // the declared path saves at least one full landing scan
+    val lb = landingBytes(lakeDecl)
+    assert(declBytes <= inferBytes - lb * 9 / 10,
+      s"declared=$declBytes inferred=$inferBytes landing=$lb")
+
+    // and both paths land the same bronze
+    val a = spark.read.parquet(lakeInfer.bronze("reviews"))
+    val b = spark.read.parquet(lakeDecl.bronze("reviews"))
+    assert(a.schema == b.schema)
+    assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet)
+  }
+
   test("stream restart is exactly-once: re-running adds nothing") {
     val root = Files.createTempDirectory("stream-idem").toString
     val fixtures = Paths.get(getClass.getResource("/fixtures/albums.csv").toURI)
