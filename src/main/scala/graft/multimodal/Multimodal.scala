@@ -293,6 +293,38 @@ object Multimodal {
     }
   }
 
+  /** Deterministic image corpus with planted near-duplicates, for the
+    * image-dedup pipeline (q35 / ImageNearDupSpec): `groups` original
+    * 32×32 two-tone gray PNGs (ids 0..groups-1), each putting its luma
+    * mass in a DISTINCT pair of the decoder's 8 histogram bins
+    * ([[decodeImage]] f8..f15), plus one perturbed copy per original
+    * (ids 1000+i) with ~2% of pixels retoned into a third bin — the
+    * copy's histogram stays near-identical (cosine ≈ 0.9997) while any
+    * two distinct originals share at most one bin (cosine ≤ ~0.7).
+    * Requires `groups` ≤ 28 (= C(8,2) distinct bin pairs).
+    */
+  def imageDedupCorpus(spark: SparkSession, groups: Int): Dataset[MediaRecord] = {
+    require(groups <= 28, s"only ${28} distinct histogram-bin pairs exist")
+    import spark.implicits._
+    val binPairs = (for { a <- 0 until 8; b <- a + 1 until 8 } yield (a, b)).take(groups)
+    def tone(bin: Int) = bin * 32 + 16 // gray level landing in histogram bin `bin`
+    spark.range(groups).flatMap { i =>
+      val g = i.toInt
+      val (b1, b2) = binPairs(g)
+      val b3 = (b2 + 1) % 8 match { case `b1` => (b2 + 2) % 8; case x => x }
+      val split = 0.4 + 0.01 * g // vary the two-tone mass split per image
+      def png(perturbed: Boolean) = encodePng(32, 32, (x, y) => {
+        val idx = y * 32 + x
+        val base = if (idx < (split * 1024).toInt) tone(b1) else tone(b2)
+        val v = if (perturbed && idx % 50 == 0) tone(b3) else base
+        (v << 16) | (v << 8) | v
+      })
+      Seq(
+        MediaRecord(g.toLong, "image", "image/png", 32, 32, 0L, png(perturbed = false)),
+        MediaRecord(1000L + g, "image", "image/png", 32, 32, 0L, png(perturbed = true)))
+    }
+  }
+
   /** Deterministic synthetic media corpus for tests/demos: REAL PNGs
     * (deterministic pixel pattern) and REAL 16-bit PCM WAVs
     * (deterministic sine), plus opaque "video" blobs. Metadata matches

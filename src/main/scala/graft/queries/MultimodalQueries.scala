@@ -30,8 +30,40 @@ object MultimodalQueries {
       .orderBy(col("kind"))
   }
 
+  /** Near-duplicate IMAGE detection — the multimodal dedup a training
+    * pipeline actually runs, composing the two real paths end-to-end:
+    * REAL PNG bytes → REAL ImageIO decode
+    * ([[Multimodal.extractFeatures]] → [[Multimodal.decodeImage]]) →
+    * scale-free luma-histogram feature vector → LSH-bucketed cosine
+    * near-dup ([[graft.similarity.Similarity.cosineNearDuplicates]],
+    * no all-pairs). The corpus plants 24 originals with
+    * pairwise-distinct two-tone histograms plus one ~2%-perturbed copy
+    * of each ([[Multimodal.imageDedupCorpus]]); at threshold 0.99 the
+    * result is exactly the 24 planted (original, copy) pairs —
+    * perturbed copies found, unrelated images not (exactness
+    * spec-pinned in ImageNearDupSpec). Rows-only driver check: the
+    * pixels→features path is not SQL-expressible.
+    */
+  def q35ImageNearDup(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.imageDedupCorpus(s, groups = 24)
+    val features = Multimodal.extractFeatures(
+      Multimodal.repartitionForDecode(media, targetBytes = 256 * 1024))
+    // embedding = the 8-bin luma histogram (decodeImage f8..f15;
+    // 1-indexed slice 9..16) — scale-free, so a perturbed copy stays
+    // near-identical while distinct originals are near-orthogonal
+    val vecs = features.toDF().select(
+      col("media_id").as("vec_id"),
+      slice(col("features"), 9, 8).as("embedding"))
+    val lsh = graft.similarity.Similarity.RandomHyperplaneLsh(dim = 8, bits = 4, tables = 4)
+    graft.similarity.Similarity.cosineNearDuplicates(vecs, lsh, threshold = 0.99)
+      .withColumn("cosine_r6", round(col("cosine"), 6))
+      .drop("cosine")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q29_multimodal_features" -> (q29MultimodalFeatures _))
+    "q29_multimodal_features" -> (q29MultimodalFeatures _),
+    "q35_image_neardup" -> (q35ImageNearDup _))
 
   val oracleSql: Map[String, String] = Map.empty
 }
