@@ -85,13 +85,23 @@ object SimilarityQueries {
   /** IVF-bucketed approximate top-k — the trained-quantizer ANN path
     * (vs q23's data-independent LSH). Deterministic via the KMeans
     * seed; rows-only check (k-means is not DuckDB-expressible).
+    *
+    * The fitted index (centroids + assigned cells) persists under
+    * [[Warehouse]] like q33/q34: training and corpus assignment run
+    * once per corpus state, every subsequent run is pure probe
+    * (loaded-probe ≡ fit-path equality is spec-locked in IvfIndexSpec).
     */
   def q25AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.load(s, dir, "embeddings")
-    // a rough quantizer is all bucketing needs: 5 iterations converge
-    // far enough and halve the training cost
-    val idx = graft.similarity.IvfIndex.fit(vecs, c = 16, maxIter = 5)
-    idx.approxTopK(vecs, vecs.filter(col("vec_id") < 50), k = 5, nprobe = 4)
+    val idxDir = Warehouse.ensureBuilt(s,
+      Warehouse.derivedDir(s, "ivf_index", s"$dir/embeddings.parquet")) { d =>
+      // a rough quantizer is all bucketing needs: 5 iterations converge
+      // far enough and halve the training cost
+      val idx = graft.similarity.IvfIndex.fit(vecs, c = 16, maxIter = 5)
+      graft.similarity.IvfIndex.save(idx, idx.assign(vecs), d)
+    }
+    val (idx, assigned) = graft.similarity.IvfIndex.load(s, idxDir)
+    idx.approxTopKAssigned(assigned, vecs.filter(col("vec_id") < 50), k = 5, nprobe = 4)
       .withColumn("cosine_r6", round(col("cosine"), 6))
       .drop("cosine")
       .orderBy(col("query_id"), col("rank"))
