@@ -1,0 +1,86 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Cluster resolution over near-duplicate PAIRS — the step that turns
+  * pair detection ([[MinHashLSH.nearDuplicates]],
+  * [[graft.similarity.Similarity.cosineNearDuplicates]], SimHash) into
+  * an actual dedup DECISION: group transitively-connected duplicates
+  * into components and keep one representative (the min id) per
+  * component. Without it a chain a~b, b~c dedups to two independent
+  * pair-drops that can disagree; with it the whole chain collapses to
+  * one survivor deterministically.
+  *
+  * Algorithm: iterative min-label propagation. Every node starts
+  * labeled with its own id; each round every node adopts the minimum
+  * label among itself and its neighbors, until no label changes. Each
+  * round is one shuffle join (edges ⋈ labels) + one hash aggregation —
+  * all codegen'd relational ops, no driver-side graph. Rounds needed =
+  * the maximum component diameter: near-dup components are tiny dense
+  * clusters in practice (a handful of rounds); a pathological long
+  * chain degrades to O(diameter) rounds, the standard trade against
+  * the more complex large-star/small-star scheme, which this API could
+  * swap in without changing callers. Labels are localCheckpointed per
+  * round so lineage (and its recompute hazard) never grows with the
+  * iteration count.
+  *
+  * No reference analogue (the reference has no dedup at all) — this is
+  * north-star surface for the 100 TB training-data pipeline.
+  */
+object DedupClusters {
+
+  /** Connected components of the undirected graph given by `pairs`
+    * (id_a, id_b): returns (id, component) for every id APPEARING IN A
+    * PAIR, where component = min id reachable. Isolated docs never
+    * enter the graph (callers left-join and default to self —
+    * [[deduplicate]] does exactly that).
+    */
+  def components(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    // symmetric edge list: propagation must flow both ways
+    val a = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
+    val edges = a.union(a.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .localCheckpoint(true)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      // candidate label for each node: min over neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("nbr_component"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_component"), col("component")))
+            .as("component"))
+        .localCheckpoint(true)
+      converged = next.join(labels.withColumnRenamed("component", "prev"), Seq("id"))
+        .filter(col("component") =!= col("prev"))
+        .isEmpty
+      labels = next
+      round += 1
+    }
+    require(converged, s"label propagation did not converge in $maxRounds rounds " +
+      "(component diameter exceeds the budget — raise maxRounds)")
+    labels
+  }
+
+  /** The dedup decision: drop every doc whose component has a
+    * lower-id member; keep isolated docs and each component's min-id
+    * representative. Output = `docs` rows that survive, original
+    * schema.
+    */
+  def deduplicate(docs: DataFrame, idCol: String, pairs: DataFrame): DataFrame = {
+    val comp = components(pairs)
+    docs.join(
+        comp.withColumnRenamed("id", idCol).withColumnRenamed("component", "__component"),
+        Seq(idCol), "left")
+      .filter(col("__component").isNull || col("__component") === col(idCol))
+      .drop("__component")
+  }
+}

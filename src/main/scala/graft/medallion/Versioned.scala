@@ -57,8 +57,17 @@ object Versioned {
     FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
 
   /** Active version dir (absolute path). Fails if never committed.
-    * Retries once on a transient read failure (e.g. a checksummed
-    * local FS renaming the pointer and its .crc sidecar in two steps).
+    * Retries briefly on ANY transient read failure: a checksummed local
+    * FS renames the pointer and its .crc sidecar in two steps (a read
+    * between them throws ChecksumException), and the local
+    * `FileContext` OVERWRITE rename is delete-then-rename (a read
+    * between them throws FileNotFoundException) — on HDFS both are
+    * atomic and the retries never fire. Under back-to-back commits a
+    * single retry can land inside the NEXT commit's window, so the
+    * budget is 10 attempts × 10 ms. A genuinely never-committed root
+    * pays the full budget once, then surfaces the original
+    * FileNotFoundException — which is what [[commit]] keys
+    * first-commit detection on.
     */
   def resolve(spark: SparkSession, root: String): String = {
     val ptr = new HPath(s"$root/$Pointer")
@@ -70,8 +79,17 @@ object Versioned {
       require(v.nonEmpty, s"$ptr is empty")
       s"$root/$v"
     }
-    try readOnce()
-    catch { case _: java.io.IOException => Thread.sleep(10); readOnce() }
+    var attempt = 0
+    while (true) {
+      try return readOnce()
+      catch {
+        case e: java.io.IOException =>
+          attempt += 1
+          if (attempt >= 10) throw e
+          Thread.sleep(10)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Read the active version. */

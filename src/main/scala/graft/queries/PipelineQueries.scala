@@ -154,16 +154,57 @@ object PipelineQueries {
         col("ps").getItem(2).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  // ===== q37 — deterministic content-keyed train/valid/test split =========
+
+  /** Reproducible dataset splitting, content-keyed: each document's
+    * split is a pure function of md5(text) — never of row order,
+    * partitioning, or a session RNG — so reruns, engines, and
+    * re-ingests all agree, and byte-identical duplicate docs land in
+    * the SAME split (a random split leaks duplicates across the
+    * train/test boundary, inflating eval). Bucket = first two hex
+    * digits of md5 (0..255), ~80/10/10 at 204/230. Everything is
+    * codegen'd string built-ins; the md5 hex string is bit-identical
+    * in DuckDB, so the oracle compares per-document assignments
+    * exactly.
+    */
+  def q37DeterministicSplit(s: SparkSession, dir: String): DataFrame = {
+    val bucket = expr(
+      "cast(((locate(substring(md5(text), 1, 1), '0123456789abcdef') - 1) * 16" +
+        " + (locate(substring(md5(text), 2, 1), '0123456789abcdef') - 1)) as bigint)")
+    Tables.load(s, dir, "documents")
+      .withColumn("bucket", bucket)
+      .withColumn("split",
+        when(col("bucket") < 204, "train")
+          .when(col("bucket") < 230, "valid")
+          .otherwise("test"))
+      .select("doc_id", "bucket", "split")
+      .orderBy("doc_id")
+  }
+
+  val q37Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket
+      |  FROM documents)
+      |SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 204 THEN 'train'
+      |       WHEN bucket < 230 THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q27_corpus_pipeline" -> (q27CorpusPipeline _),
     "q28_sessionize" -> (q28Sessionize _),
     "q30_percentiles" -> (q30Percentiles _),
-    "q31_percentiles_approx" -> (q31PercentilesApprox _))
+    "q31_percentiles_approx" -> (q31PercentilesApprox _),
+    "q37_deterministic_split" -> (q37DeterministicSplit _))
 
   val oracleSql: Map[String, String] = Map(
     "q27_corpus_pipeline" -> q27Sql,
     "q28_sessionize" -> q28Sql,
-    "q30_percentiles" -> q30Sql)
+    "q30_percentiles" -> q30Sql,
+    "q37_deterministic_split" -> q37Sql)
 }

@@ -188,6 +188,26 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** End-to-end dedup DECISION over the q21 planted corpus: MinHash-LSH
+    * pair detection → connected components → keep one representative
+    * per duplicate cluster ([[graft.dedup.DedupClusters.deduplicate]]).
+    * Every planted near-copy (doc_id ≥ 1000000) shares a cluster with
+    * its lower-id original, so survivors are (almost exactly) the
+    * original 500 docs — natural near-dup pairs within the corpus can
+    * collapse a handful more. Deterministic; rows-only check (the pair
+    * set comes from xxhash64 banding); the cluster semantics are
+    * spec-locked in DedupClustersSpec.
+    */
+  def q36DedupResolve(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.union(docs.select(col("doc_id") + 1000000,
+      concat(col("text"), lit(" planted near duplicate marker"))))
+    val pairs = MinHashLSH.nearDuplicates(planted, "doc_id", "text", threshold = 0.5)
+    graft.dedup.DedupClusters.deduplicate(planted, "doc_id", pairs)
+      .select(col("doc_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Pairs touching the batch ⟺ id_b ≥ 1000000 (id_b is the pair max
     * and every batch id exceeds every corpus id).
     */
@@ -222,7 +242,8 @@ object SimilarityQueries {
     "q25_ann_ivf" -> (q25AnnIvf _),
     "q32_embedding_neardup" -> (q32EmbeddingNearDup _),
     "q33_incremental_neardup" -> (q33IncrementalNearDup _),
-    "q34_incr_embedding_neardup" -> (q34IncrementalEmbeddingNearDup _))
+    "q34_incr_embedding_neardup" -> (q34IncrementalEmbeddingNearDup _),
+    "q36_dedup_resolve" -> (q36DedupResolve _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_knn_bruteforce" -> q20Sql,
