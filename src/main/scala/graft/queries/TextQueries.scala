@@ -155,6 +155,67 @@ object TextQueries {
       |    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ===== q38 — repetition-based quality filter ============================
+
+  /** Intra-document repetition signals — the filter family large text
+    * curation pipelines run to drop degenerate/boilerplate docs
+    * (low distinct-token ratio, one bigram dominating): distinct-token
+    * ratio and top-bigram fraction per document, with the keep/drop
+    * decision. Entirely two explode→hash-aggregate passes over the
+    * codegen'd [[graft.dedup.MinHashLSH.shingleRows]] relation (n=1
+    * tokens, n=2 bigrams) — no arrays ever shuffle, no UDFs; per-doc
+    * state is a handful of counters regardless of doc length.
+    */
+  def q38RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.MinHashLSH.shingleRows
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val toks = shingleRows(docs, "doc_id", "text", n = 1)
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("sh")).as("n_distinct"))
+    val bigrams = shingleRows(docs, "doc_id", "text", n = 2)
+      .groupBy(col("sid"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("sid"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram"))
+    toks.join(bigrams, Seq("sid"))
+      .select(col("sid").as("doc_id"),
+        col("n_tokens"),
+        round(col("n_distinct").cast("double") / col("n_tokens"), 6).as("distinct_ratio"),
+        round(col("top_bigram").cast("double") / col("n_bigrams"), 6).as("top_bigram_frac"),
+        (col("n_distinct").cast("double") / col("n_tokens") >= 0.3 &&
+          col("top_bigram").cast("double") / col("n_bigrams") <= 0.18).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q38Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk0
+      |  FROM documents),
+      |t2 AS (
+      |  SELECT doc_id, CASE WHEN len(tk0) = 0 THEN [''] ELSE tk0 END AS tk FROM t),
+      |tok AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+      |  FROM t2),
+      |bg AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_transform(range(1, len(tk)), i -> concat(tk[i], ' ', tk[i+1])) END AS bs
+      |  FROM t2),
+      |bc AS (
+      |  SELECT doc_id, b, count(*) AS c
+      |  FROM (SELECT doc_id, unnest(bs) AS b FROM bg) GROUP BY 1, 2),
+      |bsum AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(max(c) AS BIGINT) AS top_bigram
+      |  FROM bc GROUP BY 1)
+      |SELECT tok.doc_id, tok.n_tokens,
+      |  round(CAST(n_distinct AS DOUBLE) / n_tokens, 6) AS distinct_ratio,
+      |  round(CAST(top_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+      |  (CAST(n_distinct AS DOUBLE) / n_tokens >= 0.3
+      |    AND CAST(top_bigram AS DOUBLE) / n_bigrams <= 0.18) AS keep
+      |FROM tok JOIN bsum USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -162,12 +223,14 @@ object TextQueries {
     "q17_lang_id" -> (q17LangId _),
     "q18_quality_score" -> (q18QualityScore _),
     "q19_dedup_exact_docs" -> (q19DedupExactDocs _),
-    "q26_ngram_jaccard" -> (q26NgramJaccard _))
+    "q26_ngram_jaccard" -> (q26NgramJaccard _),
+    "q38_repetition_filter" -> (q38RepetitionFilter _))
 
   val oracleSql: Map[String, String] = Map(
     "q16_text_stats" -> q16Sql,
     "q17_lang_id" -> q17Sql,
     "q18_quality_score" -> q18Sql,
     "q19_dedup_exact_docs" -> q19Sql,
-    "q26_ngram_jaccard" -> q26Sql)
+    "q26_ngram_jaccard" -> q26Sql,
+    "q38_repetition_filter" -> q38Sql)
 }

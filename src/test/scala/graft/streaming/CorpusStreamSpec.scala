@@ -1,0 +1,77 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.types.StructType
+
+import graft.SparkTestBase
+import graft.dedup.MinHashLSH
+
+/** Streaming corpus curation (CorpusStream): per-micro-batch
+  * incremental near-dup dedup against the persisted index, with
+  * replay-safe sinks.
+  */
+class CorpusStreamSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val day0 = Seq(
+    1L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+    2L -> "spark partitions shuffle data across executors for distributed joins and aggregates")
+
+  private val batch1 = Seq(
+    101L -> "the quick brown fox jumps over the lazy dog near the river bank yesterday", // ~ doc 1
+    102L -> "completely different text about gardening tomatoes in clay soil with compost", // fresh
+    104L -> "large language models memorize near duplicate training documents verbatim sometimes",
+    105L -> "large language models memorize near duplicate training documents verbatim often") // ~ 104
+
+  private def emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+
+  private def corpusIds(corpusDir: String): Set[Long] =
+    CorpusStream.readCorpus(spark, corpusDir).select("doc_id").as[Long].collect().toSet
+
+  test("micro-batches dedup incrementally, grow the index, and replay as no-ops") {
+    val root = Files.createTempDirectory("corpus-stream").toString
+    val (idx, corpus) = (s"$root/index", s"$root/corpus")
+    MinHashLSH.buildIndex(emptyDocs, "doc_id", "text", idx)
+
+    // batch 0: empty index → everything survives
+    CorpusStream.dedupAndAppend(day0.toDF("doc_id", "text"), 0L, idx, corpus, 0.5)
+    assert(corpusIds(corpus) == Set(1L, 2L))
+
+    // batch 1: corpus near-dup dropped, in-batch cluster collapsed
+    CorpusStream.dedupAndAppend(batch1.toDF("doc_id", "text"), 1L, idx, corpus, 0.5)
+    assert(corpusIds(corpus) == Set(1L, 2L, 102L, 104L))
+
+    // crash-replay of batch 1: already-ingested docs self-collide in the
+    // index, near-dups re-drop — the corpus does not change
+    CorpusStream.dedupAndAppend(batch1.toDF("doc_id", "text"), 1L, idx, corpus, 0.5)
+    assert(corpusIds(corpus) == Set(1L, 2L, 102L, 104L))
+
+    // batch 2: a near-copy of a batch-1 SURVIVOR is caught — proof the
+    // index grew mid-stream — while fresh content passes
+    val batch2 = Seq(
+      201L -> "completely different text about gardening tomatoes in clay soil with compost indeed", // ~102
+      202L -> "volcanoes erupting under glacial ice sheets produce dramatic steam plumes")
+    CorpusStream.dedupAndAppend(batch2.toDF("doc_id", "text"), 2L, idx, corpus, 0.5)
+    assert(corpusIds(corpus) == Set(1L, 2L, 102L, 104L, 202L))
+
+    // provenance partition column is present
+    assert(CorpusStream.readCorpus(spark, corpus).columns.contains("batch_id"))
+  }
+
+  test("streaming end-to-end: two AvailableNow passes share the checkpoint and index") {
+    val root = Files.createTempDirectory("corpus-stream-e2e").toString
+    val (in, idx, corpus, cp) = (s"$root/in", s"$root/index", s"$root/corpus", s"$root/cp")
+    MinHashLSH.buildIndex(emptyDocs, "doc_id", "text", idx)
+    val schema = StructType.fromDDL("doc_id BIGINT, text STRING")
+
+    day0.toDF("doc_id", "text").write.mode("append").parquet(in)
+    CorpusStream.start(spark, in, schema, idx, corpus, cp).awaitTermination()
+    assert(corpusIds(corpus) == Set(1L, 2L))
+
+    batch1.toDF("doc_id", "text").write.mode("append").parquet(in)
+    CorpusStream.start(spark, in, schema, idx, corpus, cp).awaitTermination()
+    // checkpoint: day-0 files are NOT reprocessed; index catches 101/105
+    assert(corpusIds(corpus) == Set(1L, 2L, 102L, 104L))
+  }
+}
