@@ -43,26 +43,28 @@ object DedupClusters {
       .distinct()
       .localCheckpoint(true)
 
-    var labels = edges.select(col("src").as("id")).distinct()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
       .withColumn("component", col("id"))
       .localCheckpoint(true)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
-      // candidate label for each node: min over neighbors' labels
+      // candidate label for each node: min over neighbors' labels. The
+      // previous label rides along, so the convergence test is a filter
+      // over the already-checkpointed round result — no extra join/job
+      // lineage per round
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("nbr_component"))
-      val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("component").as("prev"),
           least(col("component"), coalesce(col("nbr_component"), col("component")))
             .as("component"))
         .localCheckpoint(true)
-      converged = next.join(labels.withColumnRenamed("component", "prev"), Seq("id"))
-        .filter(col("component") =!= col("prev"))
-        .isEmpty
-      labels = next
+      converged = stepped.filter(col("component") =!= col("prev")).isEmpty
+      labels = stepped.select(col("id"), col("component"))
       round += 1
     }
     require(converged, s"label propagation did not converge in $maxRounds rounds " +

@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions
@@ -348,6 +348,33 @@ object MinHashLSH {
       .select(least(col("batch_id"), col("corpus_id")).as("id_a"),
         greatest(col("batch_id"), col("corpus_id")).as("id_b"))
     bb.union(bc).distinct()
+  }
+
+  /** Full self-join near-dup over a PERSISTED index — [[nearDuplicates]]
+    * with every derived input read back instead of recomputed:
+    * candidates come from a stored-band self-join, verification reads
+    * stored shingles pruned (broadcast semi-join) to candidate ids.
+    * The day-N full re-score — e.g. after a threshold change, or a
+    * repeated corpus-wide dedup — at zero shingling/signature cost.
+    * Equal to `nearDuplicates` over the indexed docs by construction
+    * (bands and shingles are deterministic functions of the text).
+    * EAGER, like [[nearDuplicates]].
+    */
+  def nearDuplicatesFromIndex(
+      spark: SparkSession, indexDir: String, threshold: Double): DataFrame = {
+    val bands = spark.read.parquet(bandsPath(indexDir))
+    val left = bands.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_a"))
+    val right = bands.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_b"))
+    val pairs = left.join(right, Seq("band_idx", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+      .localCheckpoint(eager = true)
+    val candIds = pairs.select(col("id_a").as("sid"))
+      .union(pairs.select(col("id_b").as("sid"))).distinct()
+    val sh = spark.read.parquet(shinglesPath(indexDir))
+      .join(broadcast(candIds), Seq("sid"), "left_semi")
+    materialize(verifyPairs(pairs, sh, threshold))
   }
 
   /** Near-duplicate pairs between `batch` and the persisted index at

@@ -77,6 +77,22 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(hits == Set((104L, 201L), (105L, 201L)))
   }
 
+  test("nearDuplicatesFromIndex equals the direct self-join nearDuplicates") {
+    val all = corpus ++ batch
+    val allDf = all.toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("fromidx").toString
+    MinHashLSH.buildIndex(allDf, "doc_id", "text", idx)
+    val fromIndex = pairsOf(MinHashLSH.nearDuplicatesFromIndex(spark, idx, threshold = 0.5))
+    val direct = pairsOf(MinHashLSH.nearDuplicates(allDf, "doc_id", "text", threshold = 0.5))
+    assert(fromIndex == direct && fromIndex.nonEmpty)
+    // and the plan touches only stored state: no shingling anywhere
+    val lazyPairs = spark.read.parquet(s"$idx/bands")
+    val plan = lazyPairs.join(
+        lazyPairs.withColumnRenamed("mh_id", "id_b"), Seq("band_idx", "band_hash"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("regexp_extract_all"))
+  }
+
   test("plan shape: candidates scan the stored band table, verify scans stored shingles") {
     val corpusDf = corpus.toDF("doc_id", "text")
     val batchDf = batch.toDF("doc_id", "text")
