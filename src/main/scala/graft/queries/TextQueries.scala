@@ -216,6 +216,63 @@ object TextQueries {
       |    AND CAST(top_bigram AS DOUBLE) / n_bigrams <= 0.18) AS keep
       |FROM tok JOIN bsum USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ===== q39 — training-set decontamination (eval n-gram overlap) =========
+
+  /** Benchmark decontamination — the check every serious training run
+    * performs before shipping a dataset: flag training documents that
+    * share any long n-gram with the held-out eval set (docs 0–9 stand
+    * in for the benchmark; planted full copies with shifted ids prove
+    * the detector fires). Scale shape: the eval side's distinct 8-gram
+    * set is tiny by construction → broadcast hash join against one
+    * codegen'd shingle pass over the training side; per-doc output is
+    * (overlap count, contaminated flag) with zero-overlap docs
+    * retained via the left join.
+    */
+  def q39Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.MinHashLSH.shingleRows
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evalSet = docs.filter(col("doc_id") < 10)
+    val train = docs.filter(col("doc_id") >= 10)
+      .union(evalSet.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    val evalGrams = shingleRows(evalSet, "doc_id", "text", n = 8)
+      .select(col("sh")).distinct()
+    val overlap = shingleRows(train, "doc_id", "text", n = 8).distinct()
+      .join(broadcast(evalGrams), Seq("sh"))
+      .groupBy(col("sid").as("doc_id"))
+      .agg(count(lit(1)).as("overlap_grams"))
+    train.select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("overlap_grams"), lit(0L)).as("overlap_grams"),
+        (coalesce(col("overlap_grams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q39Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+      |  FROM (SELECT doc_id, text FROM documents
+      |        UNION ALL
+      |        SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10)),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+      |                i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2], ' ', tk[i+3], ' ',
+      |                            tk[i+4], ' ', tk[i+5], ' ', tk[i+6], ' ', tk[i+7]))) END AS gs
+      |  FROM t),
+      |eg AS (SELECT DISTINCT unnest(gs) AS sh FROM g WHERE doc_id < 10),
+      |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS sh FROM g WHERE doc_id >= 10),
+      |ov AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS overlap_grams
+      |  FROM dg JOIN eg USING (sh) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(overlap_grams, 0) AS overlap_grams,
+      |  COALESCE(overlap_grams, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM g WHERE doc_id >= 10) d
+      |LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -224,7 +281,8 @@ object TextQueries {
     "q18_quality_score" -> (q18QualityScore _),
     "q19_dedup_exact_docs" -> (q19DedupExactDocs _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
-    "q38_repetition_filter" -> (q38RepetitionFilter _))
+    "q38_repetition_filter" -> (q38RepetitionFilter _),
+    "q39_decontaminate" -> (q39Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
     "q16_text_stats" -> q16Sql,
@@ -232,5 +290,6 @@ object TextQueries {
     "q18_quality_score" -> q18Sql,
     "q19_dedup_exact_docs" -> q19Sql,
     "q26_ngram_jaccard" -> q26Sql,
-    "q38_repetition_filter" -> q38Sql)
+    "q38_repetition_filter" -> q38Sql,
+    "q39_decontaminate" -> q39Sql)
 }
