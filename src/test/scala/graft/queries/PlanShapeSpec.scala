@@ -59,6 +59,27 @@ class PlanShapeSpec extends SparkTestBase {
       p.linesIterator.filter(_.contains("approx_percentile")).take(2).mkString("\n"))
   }
 
+  test("q39 joins the eval gram set by broadcast — the training side never shuffles on the gram") {
+    val p = plan(TextQueries.q39Decontaminate(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "eval gram set should broadcast")
+    // the contaminated-flag left join keeps zero-overlap docs; it must
+    // also be a broadcast (overlap counts are small), never a
+    // sort-merge of the full training side against itself
+    assert(!p.contains("SortMergeJoin"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("q38 both shingle aggregations combine map-side before their exchanges") {
+    val p = plan(TextQueries.q38RepetitionFilter(spark, sf))
+    assert(p.contains("partial_count"), "no partial aggregation before shuffle")
+  }
+
+  test("q37 split assignment is a pure projection over the scan — no joins, no aggregates") {
+    val p = plan(PipelineQueries.q37DeterministicSplit(spark, sf))
+    assert(!p.contains("Join") && !p.contains("HashAggregate"),
+      p.linesIterator.take(12).mkString("\n"))
+  }
+
   test("partitioned gold write partition-prunes a country filter at the scan") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
