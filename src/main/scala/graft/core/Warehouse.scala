@@ -80,6 +80,35 @@ object Warehouse {
         f.create(marker, true).close()
       }
     }
+    pruneStale(spark, dir)
     dir
+  }
+
+  /** Default retention for superseded index states: long enough that
+    * any job started against an old corpus state finishes.
+    */
+  val DefaultRetainMs: Long = 7L * 24 * 60 * 60 * 1000
+
+  /** Drop sibling index dirs for SUPERSEDED corpus states — each
+    * changed source fingerprint leaves the previous state's dir behind
+    * forever otherwise. Only siblings of a freshly ensured `dir` (same
+    * `<root>/<kind>/` parent, different fingerprint) older than
+    * `retainMs` go; age is the dir's own mtime, which a directory
+    * gains when its marker lands, so an in-progress concurrent build
+    * (no marker yet, recent mtime) is never touched. Best-effort: IO
+    * failures here never fail the build that triggered it.
+    */
+  private[core] def pruneStale(
+      spark: SparkSession, dir: String, retainMs: Long = DefaultRetainMs): Unit = {
+    try {
+      val p = new HPath(dir)
+      val parent = p.getParent
+      val f = fs(spark, parent)
+      val cutoff = System.currentTimeMillis() - retainMs
+      f.listStatus(parent)
+        .filter(s => s.isDirectory && s.getPath.getName != p.getName)
+        .filter(_.getModificationTime <= cutoff)
+        .foreach(s => f.delete(s.getPath, true))
+    } catch { case _: java.io.IOException => () }
   }
 }

@@ -35,6 +35,24 @@ class FsLockSpec extends SparkTestBase {
     FsLock.release(spark, dir)
   }
 
+  test("pruneStale reaps old superseded index states, spares fresh and current ones") {
+    val f = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val root = Files.createTempDirectory("wh-prune").toString + "/kind"
+    def mk(name: String): String = {
+      val p = new org.apache.hadoop.fs.Path(s"$root/$name")
+      f.mkdirs(p); s"$root/$name"
+    }
+    val current = mk("aaaa")
+    val staleOld = mk("bbbb")
+    val staleFresh = mk("cccc")
+    f.setTimes(new org.apache.hadoop.fs.Path(staleOld), System.currentTimeMillis() - 1000, -1)
+    Warehouse.pruneStale(spark, current, retainMs = 500)
+    assert(f.exists(new org.apache.hadoop.fs.Path(current)), "current state must survive")
+    assert(!f.exists(new org.apache.hadoop.fs.Path(staleOld)), "old superseded state must go")
+    assert(f.exists(new org.apache.hadoop.fs.Path(staleFresh)),
+      "a fresh sibling (possible in-progress build) must survive")
+  }
+
   test("ensureBuilt builds exactly once per source state and rebuilds on change") {
     val src = Files.createTempDirectory("wh-src")
     Files.write(src.resolve("part-0.parquet"), "v1-payload".getBytes)
