@@ -219,6 +219,28 @@ object SimilarityQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Incremental corpus-vs-batch SIMHASH near-dup — the day-2 shape of
+    * q22, completing the incremental family (q33 MinHash, q34
+    * embeddings): the corpus's chunked fingerprints persist once under
+    * [[Warehouse]]; the batch fingerprints itself, joins the stored
+    * chunk table on the pigeonhole bucket key, and the exact
+    * popcount(xor) filter runs inline (restricted-equality vs the full
+    * self-join proven in IncrementalSimHashSpec). Rows-only check
+    * (simhash64 is not SQL-expressible).
+    */
+  def q40SimhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    SimHashDedup.ensureRegistered(s)
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val batch = docs.select((col("doc_id") + 1000000).as("doc_id"),
+      concat(col("text"), lit(" x")).as("text"))
+    val idx = Warehouse.ensureBuilt(s,
+      Warehouse.derivedDir(s, "simhash_index", s"$dir/documents.parquet")) { d =>
+      SimHashDedup.buildIndex(docs, "doc_id", "text", d)
+    }
+    SimHashDedup.nearDuplicatesAgainst(batch, "doc_id", "text", idx)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** Pairs touching the batch ⟺ id_b ≥ 1000000 (id_b is the pair max
     * and every batch id exceeds every corpus id).
     */
@@ -254,7 +276,8 @@ object SimilarityQueries {
     "q32_embedding_neardup" -> (q32EmbeddingNearDup _),
     "q33_incremental_neardup" -> (q33IncrementalNearDup _),
     "q34_incr_embedding_neardup" -> (q34IncrementalEmbeddingNearDup _),
-    "q36_dedup_resolve" -> (q36DedupResolve _))
+    "q36_dedup_resolve" -> (q36DedupResolve _),
+    "q40_simhash_incremental" -> (q40SimhashIncremental _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_knn_bruteforce" -> q20Sql,
