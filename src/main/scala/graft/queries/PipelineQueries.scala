@@ -193,6 +193,67 @@ object PipelineQueries {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY doc_id""".stripMargin
 
+  // ===== q41 — fixed-budget sequence packing ==============================
+
+  /** Sequence packing — the post-curation step that lays documents
+    * head-to-tail into fixed-token-budget training sequences: within
+    * each [[q37DeterministicSplit]] split, documents in deterministic
+    * doc_id order get a running token offset, and a document starting
+    * at offset o lands in pack ⌊o / budget⌋ (documents may straddle a
+    * boundary — the standard concat-then-chunk layout). Scale shape:
+    * the only window runs PARTITIONED by split (state = one running
+    * sum; shard keys can subdivide further at 100 TB — a global
+    * unpartitioned window would be the anti-pattern), then one hash
+    * aggregate per pack. Output: per (split, pack_id) doc count and
+    * token total.
+    */
+  def q41SequencePack(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    val bucket = expr(
+      "cast(((locate(substring(md5(text), 1, 1), '0123456789abcdef') - 1) * 16" +
+        " + (locate(substring(md5(text), 2, 1), '0123456789abcdef') - 1)) as bigint)")
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("split",
+        when(bucket < 204, "train").when(bucket < 230, "valid").otherwise("test"))
+      .withColumn("n_tokens",
+        size(graft.text.TextFunctions.tokens(col("text"))).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("split"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy(col("split"), col("pack_id"))
+  }
+
+  val q41Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                         t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN bucket < 204 THEN 'train'
+      |         WHEN bucket < 230 THEN 'valid'
+      |         ELSE 'test' END AS split
+      |  FROM base),
+      |c AS (
+      |  SELECT split, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT split,
+      |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+      |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -200,11 +261,13 @@ object PipelineQueries {
     "q28_sessionize" -> (q28Sessionize _),
     "q30_percentiles" -> (q30Percentiles _),
     "q31_percentiles_approx" -> (q31PercentilesApprox _),
-    "q37_deterministic_split" -> (q37DeterministicSplit _))
+    "q37_deterministic_split" -> (q37DeterministicSplit _),
+    "q41_sequence_pack" -> (q41SequencePack _))
 
   val oracleSql: Map[String, String] = Map(
     "q27_corpus_pipeline" -> q27Sql,
     "q28_sessionize" -> q28Sql,
     "q30_percentiles" -> q30Sql,
-    "q37_deterministic_split" -> q37Sql)
+    "q37_deterministic_split" -> q37Sql,
+    "q41_sequence_pack" -> q41Sql)
 }
