@@ -167,12 +167,18 @@ object PipelineQueries {
     * in DuckDB, so the oracle compares per-document assignments
     * exactly.
     */
+  /** 0..255 content-keyed bucket — the deterministic randomness source
+    * for splits, mixtures, and sampling: a pure function of md5(text),
+    * so reruns, engines, and duplicate content all agree, and the md5
+    * hex path is bit-identical in DuckDB for exact oracle comparison.
+    */
+  private def md5Bucket: org.apache.spark.sql.Column = expr(
+    "cast(((locate(substring(md5(text), 1, 1), '0123456789abcdef') - 1) * 16" +
+      " + (locate(substring(md5(text), 2, 1), '0123456789abcdef') - 1)) as bigint)")
+
   def q37DeterministicSplit(s: SparkSession, dir: String): DataFrame = {
-    val bucket = expr(
-      "cast(((locate(substring(md5(text), 1, 1), '0123456789abcdef') - 1) * 16" +
-        " + (locate(substring(md5(text), 2, 1), '0123456789abcdef') - 1)) as bigint)")
     Tables.load(s, dir, "documents")
-      .withColumn("bucket", bucket)
+      .withColumn("bucket", md5Bucket)
       .withColumn("split",
         when(col("bucket") < 204, "train")
           .when(col("bucket") < 230, "valid")
@@ -209,12 +215,9 @@ object PipelineQueries {
     */
   def q41SequencePack(s: SparkSession, dir: String): DataFrame = {
     val budget = 2048
-    val bucket = expr(
-      "cast(((locate(substring(md5(text), 1, 1), '0123456789abcdef') - 1) * 16" +
-        " + (locate(substring(md5(text), 2, 1), '0123456789abcdef') - 1)) as bigint)")
     val d = Tables.load(s, dir, "documents")
       .withColumn("split",
-        when(bucket < 204, "train").when(bucket < 230, "valid").otherwise("test"))
+        when(md5Bucket < 204, "train").when(md5Bucket < 230, "valid").otherwise("test"))
       .withColumn("n_tokens",
         size(graft.text.TextFunctions.tokens(col("text"))).cast("long"))
     val w = org.apache.spark.sql.expressions.Window
@@ -254,6 +257,41 @@ object PipelineQueries {
       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ===== q42 — deterministic data-mixture sampling ========================
+
+  /** Domain/language mixture sampling — the weighting step that turns a
+    * curated pool into a training mixture: each language keeps a target
+    * fraction of its documents, decided by the content-keyed
+    * [[md5Bucket]] against an integer threshold (bucket < keep×256) —
+    * no RNG, no `sample()`: reruns and engines agree doc-for-doc,
+    * duplicate content always samples the same way, and reweighting is
+    * a re-filter, never a reshuffle. Pure projection+filter: scales as
+    * a single codegen'd pass.
+    */
+  def q42DataMixture(s: SparkSession, dir: String): DataFrame = {
+    // keep-rates ×256, integer-exact: en 100%, de 75%, es/fr 50%,
+    // pt 25%, anything else 10%
+    val threshold = when(col("lang") === "en", 256L)
+      .when(col("lang") === "de", 192L)
+      .when(col("lang") === "es", 128L)
+      .when(col("lang") === "fr", 128L)
+      .when(col("lang") === "pt", 64L)
+      .otherwise(26L)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), md5Bucket.as("bucket"))
+      .withColumn("kept", col("bucket") < threshold)
+      .orderBy(col("doc_id"))
+  }
+
+  val q42Sql: String =
+    """SELECT doc_id, lang,
+      |  (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |  + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket,
+      |  bucket < (CASE lang WHEN 'en' THEN 256 WHEN 'de' THEN 192
+      |            WHEN 'es' THEN 128 WHEN 'fr' THEN 128
+      |            WHEN 'pt' THEN 64 ELSE 26 END) AS kept
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -262,12 +300,14 @@ object PipelineQueries {
     "q30_percentiles" -> (q30Percentiles _),
     "q31_percentiles_approx" -> (q31PercentilesApprox _),
     "q37_deterministic_split" -> (q37DeterministicSplit _),
-    "q41_sequence_pack" -> (q41SequencePack _))
+    "q41_sequence_pack" -> (q41SequencePack _),
+    "q42_data_mixture" -> (q42DataMixture _))
 
   val oracleSql: Map[String, String] = Map(
     "q27_corpus_pipeline" -> q27Sql,
     "q28_sessionize" -> q28Sql,
     "q30_percentiles" -> q30Sql,
     "q37_deterministic_split" -> q37Sql,
-    "q41_sequence_pack" -> q41Sql)
+    "q41_sequence_pack" -> q41Sql,
+    "q42_data_mixture" -> q42Sql)
 }
