@@ -273,6 +273,50 @@ object TextQueries {
       |FROM (SELECT doc_id FROM g WHERE doc_id >= 10) d
       |LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ===== q43 — PII / URL redaction ========================================
+
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val UrlRe = "https?://[^\\s]+"
+
+  /** Contact-info scrubbing — the C4-style cleanup pass that strips
+    * emails and URLs before text reaches a training set. Every 10th
+    * document gets a planted contact suffix so the redactor provably
+    * fires; emails are replaced first, then URLs (both patterns are
+    * backtracking-free, so Java and RE2 regex engines produce identical
+    * redactions and the cleaned text hash-compares exactly). Pure
+    * per-row projection — single codegen'd pass, no shuffle.
+    */
+  def q43PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val withPii = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 0,
+          concat(col("text"),
+            lit(" contact someone@example.com via https://example.com/path?q=1 now")))
+          .otherwise(col("text")).as("text"))
+    withPii.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("n_urls"),
+        regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+          UrlRe, "<URL>").as("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q43Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 10 = 0
+      |         THEN text || ' contact someone@example.com via https://example.com/path?q=1 now'
+      |         ELSE text END AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(text, 'https?://[^\s]+')) AS n_urls,
+      |  regexp_replace(regexp_replace(text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |    'https?://[^\s]+', '<URL>', 'g') AS clean_text
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -282,7 +326,8 @@ object TextQueries {
     "q19_dedup_exact_docs" -> (q19DedupExactDocs _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
     "q38_repetition_filter" -> (q38RepetitionFilter _),
-    "q39_decontaminate" -> (q39Decontaminate _))
+    "q39_decontaminate" -> (q39Decontaminate _),
+    "q43_pii_redact" -> (q43PiiRedact _))
 
   val oracleSql: Map[String, String] = Map(
     "q16_text_stats" -> q16Sql,
@@ -291,5 +336,6 @@ object TextQueries {
     "q19_dedup_exact_docs" -> q19Sql,
     "q26_ngram_jaccard" -> q26Sql,
     "q38_repetition_filter" -> q38Sql,
-    "q39_decontaminate" -> q39Sql)
+    "q39_decontaminate" -> q39Sql,
+    "q43_pii_redact" -> q43Sql)
 }
