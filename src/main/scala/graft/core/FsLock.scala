@@ -74,27 +74,50 @@ object FsLock {
           // retry below arbitrates
           case _: java.io.IOException => ("<released>", 0L)
         }
-      if (ageMs > staleMs) f.delete(p, false) // dead writer: break its lock
+      if (ageMs > staleMs) {
+        // break the dead writer's lock EXCLUSIVELY: rename-away wins
+        // exactly once, so two concurrent breakers can't each delete a
+        // rival's freshly-created lock (a bare delete here would let
+        // breaker A remove the lock breaker B just acquired)
+        val tomb = new HPath(
+          s"$resource.__lock.broken.${System.nanoTime()}.${ProcessHandle.current().pid()}")
+        if (f.rename(p, tomb)) f.delete(tomb, false)
+      }
       // one retry covers both the stale-break and the released-just-now
       // window; losing the re-acquire race means a LIVE writer got in
       if (!tryCreate()) throw LockHeld(resource, holder, ageMs)
     }
   }
 
-  /** Release the lock (idempotent — releasing an unheld lock is a no-op,
-    * so crash-then-heal paths can release defensively).
+  /** Release the lock. Idempotent — releasing an unheld lock is a
+    * no-op. Pass the acquiring `owner` to make the release
+    * ownership-checked: if a breaker superseded this writer (its stale
+    * horizon elapsed) the successor's lock is left alone instead of
+    * being deleted out from under it.
     */
-  def release(spark: SparkSession, resource: String): Unit = {
+  def release(spark: SparkSession, resource: String, owner: String = null): Unit = {
     val p = lockPath(resource)
-    fs(spark, p).delete(p, false)
+    val f = fs(spark, p)
+    if (owner != null) {
+      val current =
+        try {
+          val in = f.open(p)
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+        } catch { case _: java.io.IOException => null }
+      if (current != null && current != owner) return // superseded: not ours anymore
+    }
+    f.delete(p, false)
     ()
   }
 
-  /** Run `body` holding the writer lock on `resource`. */
+  /** Run `body` holding the writer lock on `resource`. `staleMs` must
+    * exceed the longest legitimate `body` runtime — a slower body gets
+    * its lock broken mid-flight by the next writer.
+    */
   def withLock[T](
       spark: SparkSession, resource: String, owner: String,
       staleMs: Long = DefaultStaleMs)(body: => T): T = {
     acquire(spark, resource, owner, staleMs)
-    try body finally release(spark, resource)
+    try body finally release(spark, resource, owner)
   }
 }

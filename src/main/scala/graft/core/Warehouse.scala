@@ -32,11 +32,13 @@ object Warehouse {
   private def fs(spark: SparkSession, p: HPath): FileSystem =
     FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
 
-  /** Hex fingerprint of a source dir/file: every file's (name, length,
-    * mtime) folded through a 64-bit FNV-1a — a metadata-only listing,
-    * no data scan.
+  /** Hex fingerprint of a source dir/file plus the builder's
+    * parameterization: every file's (name, length, mtime) and the
+    * `params` string folded through a 64-bit FNV-1a — a metadata-only
+    * listing, no data scan.
     */
-  private def fingerprint(spark: SparkSession, sourcePath: String): String = {
+  private def fingerprint(
+      spark: SparkSession, sourcePath: String, params: String): String = {
     val p = new HPath(sourcePath)
     val f = fs(spark, p)
     val parts: Seq[String] =
@@ -51,15 +53,22 @@ object Warehouse {
         b.result().sorted
       }
     var h = 0xcbf29ce484222325L
-    parts.mkString("|").foreach { c => h ^= c; h *= 0x100000001b3L }
+    (params + "||" + parts.mkString("|")).foreach { c => h ^= c; h *= 0x100000001b3L }
     f"$h%016x"
   }
 
   /** Stable index dir for derived state of kind `kind` over
-    * `sourcePath`: `<root>/<kind>/<source-fingerprint>`.
+    * `sourcePath`: `<root>/<kind>/<fingerprint>`. `params` MUST encode
+    * every builder knob the stored state depends on (LSH
+    * bits/tables/seed, shingle n/k/b, quantizer c/iterations, …): the
+    * source fingerprint alone cannot see a code-side knob change, and a
+    * probe against an index built with different knobs is silently
+    * wrong, not slow.
     */
-  def derivedDir(spark: SparkSession, kind: String, sourcePath: String): String =
-    s"${root(spark)}/$kind/${fingerprint(spark, sourcePath)}"
+  def derivedDir(
+      spark: SparkSession, kind: String, sourcePath: String,
+      params: String = ""): String =
+    s"${root(spark)}/$kind/${fingerprint(spark, sourcePath, params)}"
 
   private val BuiltMarker = "_GRAFT_BUILT"
 
@@ -73,7 +82,13 @@ object Warehouse {
   def ensureBuilt(spark: SparkSession, dir: String)(build: String => Unit): String = {
     val marker = new HPath(s"$dir/$BuiltMarker")
     val f = fs(spark, marker)
-    if (f.exists(marker)) return dir
+    if (f.exists(marker)) {
+      // touch: the marker's mtime is this index's liveness clock for
+      // [[pruneStale]] — an index in active use never ages out
+      try f.setTimes(marker, System.currentTimeMillis(), -1)
+      catch { case _: java.io.IOException => () }
+      return dir
+    }
     FsLock.withLock(spark, dir, s"warehouse-build-${ProcessHandle.current().pid()}") {
       if (!f.exists(marker)) { // double-check under the lock
         build(dir)
@@ -89,14 +104,17 @@ object Warehouse {
     */
   val DefaultRetainMs: Long = 7L * 24 * 60 * 60 * 1000
 
-  /** Drop sibling index dirs for SUPERSEDED corpus states — each
-    * changed source fingerprint leaves the previous state's dir behind
-    * forever otherwise. Only siblings of a freshly ensured `dir` (same
-    * `<root>/<kind>/` parent, different fingerprint) older than
-    * `retainMs` go; age is the dir's own mtime, which a directory
-    * gains when its marker lands, so an in-progress concurrent build
-    * (no marker yet, recent mtime) is never touched. Best-effort: IO
-    * failures here never fail the build that triggered it.
+  /** Drop sibling index dirs of the same kind that are UNUSED — each
+    * changed source or parameterization leaves its old dir behind
+    * forever otherwise. Age is the sibling's completion MARKER mtime —
+    * a real file timestamp even on object stores whose directory
+    * mtimes are synthetic — and [[ensureBuilt]] touches the marker on
+    * every reuse, so any index probed within the retention window
+    * (including other sources sharing the kind) stays alive. Dirs
+    * WITHOUT a marker are never touched: that's a concurrent build in
+    * flight (its FsLock protects it) or a crashed one (harmless, and
+    * its own rebuild will overwrite). Best-effort: IO failures here
+    * never fail the build that triggered it.
     */
   private[core] def pruneStale(
       spark: SparkSession, dir: String, retainMs: Long = DefaultRetainMs): Unit = {
@@ -107,7 +125,11 @@ object Warehouse {
       val cutoff = System.currentTimeMillis() - retainMs
       f.listStatus(parent)
         .filter(s => s.isDirectory && s.getPath.getName != p.getName)
-        .filter(_.getModificationTime <= cutoff)
+        .filter { s =>
+          val m = new HPath(s.getPath, BuiltMarker)
+          try f.exists(m) && f.getFileStatus(m).getModificationTime <= cutoff
+          catch { case _: java.io.IOException => false }
+        }
         .foreach(s => f.delete(s.getPath, true))
     } catch { case _: java.io.IOException => () }
   }

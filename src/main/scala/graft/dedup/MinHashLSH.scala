@@ -372,8 +372,12 @@ object MinHashLSH {
       .localCheckpoint(eager = true)
     val candIds = pairs.select(col("id_a").as("sid"))
       .union(pairs.select(col("id_b").as("sid"))).distinct()
+    // NO broadcast hint here, unlike the batch-probe path: a corpus-wide
+    // re-score's candidate set is O(colliding docs) — potentially the
+    // whole corpus — and a forced broadcast of it would cap this at
+    // driver memory; AQE still broadcasts when it actually fits
     val sh = spark.read.parquet(shinglesPath(indexDir))
-      .join(broadcast(candIds), Seq("sid"), "left_semi")
+      .join(candIds, Seq("sid"), "left_semi")
     materialize(verifyPairs(pairs, sh, threshold))
   }
 

@@ -113,13 +113,16 @@ object Maintenance {
     * micro-batch sinks accrete small files; scan cost is dominated by
     * file count long before data volume. Returns the new file count.
     */
-  def compact(spark: SparkSession, dir: String, targetFileBytes: Long): Int =
+  def compact(
+      spark: SparkSession, dir: String, targetFileBytes: Long,
+      lockStaleMs: Long = graft.core.FsLock.DefaultStaleMs): Int =
     // writer lock: compact's read-then-swap would silently drop rows a
     // concurrent writer (e.g. LandingStream.finalizeBronze) appends
     // between its scan and its swap — mutual exclusion makes that race
-    // a loud FsLock.LockHeld instead of lost data
+    // a loud FsLock.LockHeld instead of lost data. Size lockStaleMs
+    // above the slowest legitimate compaction of this table.
     graft.core.FsLock.withLock(spark, dir,
-      s"compact-${ProcessHandle.current().pid()}") {
+      s"compact-${ProcessHandle.current().pid()}", lockStaleMs) {
       healStranded(spark, dir)
       require(!isPartitioned(spark, dir),
         s"compact would flatten the partition layout of $dir; compact each partition dir instead")
@@ -141,10 +144,11 @@ object Maintenance {
     */
   def upsertByKey(
       spark: SparkSession, dir: String, updates: DataFrame,
-      keys: Seq[String]): Unit =
+      keys: Seq[String],
+      lockStaleMs: Long = graft.core.FsLock.DefaultStaleMs): Unit =
     // same writer-lock rationale as [[compact]]: read-then-swap
     graft.core.FsLock.withLock(spark, dir,
-      s"upsertByKey-${ProcessHandle.current().pid()}") {
+      s"upsertByKey-${ProcessHandle.current().pid()}", lockStaleMs) {
       healStranded(spark, dir)
       val merged = mergeByKey(spark.read.parquet(dir), updates, keys)
       val staging = dir + "_upserting"

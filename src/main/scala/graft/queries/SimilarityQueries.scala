@@ -94,7 +94,8 @@ object SimilarityQueries {
   def q25AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.load(s, dir, "embeddings")
     val idxDir = Warehouse.ensureBuilt(s,
-      Warehouse.derivedDir(s, "ivf_index", s"$dir/embeddings.parquet")) { d =>
+      Warehouse.derivedDir(s, "ivf_index", s"$dir/embeddings.parquet",
+        params = "c=16,seed=42,maxIter=5")) { d =>
       // a rough quantizer is all bucketing needs: 5 iterations converge
       // far enough and halve the training cost
       val idx = graft.similarity.IvfIndex.fit(vecs, c = 16, maxIter = 5)
@@ -150,7 +151,8 @@ object SimilarityQueries {
     val batch = docs.select((col("doc_id") + 1000000).as("doc_id"),
       concat(col("text"), lit(" planted near duplicate marker")).as("text"))
     val idx = Warehouse.ensureBuilt(s,
-      Warehouse.derivedDir(s, "minhash_index", s"$dir/documents.parquet")) { d =>
+      Warehouse.derivedDir(s, "minhash_index", s"$dir/documents.parquet",
+        params = "n=3,k=128,b=16")) { d =>
       MinHashLSH.buildIndex(docs, "doc_id", "text", d)
     }
     MinHashLSH.nearDuplicatesAgainst(batch, "doc_id", "text", idx, threshold = 0.5)
@@ -179,7 +181,8 @@ object SimilarityQueries {
     // sharp buckets and few tables are free selectivity
     val lsh = Similarity.RandomHyperplaneLsh(dim = 64, bits = 8, tables = 2)
     val idx = Warehouse.ensureBuilt(s,
-      Warehouse.derivedDir(s, "cosine_index", s"$dir/embeddings.parquet")) { d =>
+      Warehouse.derivedDir(s, "cosine_index", s"$dir/embeddings.parquet",
+        params = "dim=64,bits=8,tables=2,seed=42")) { d =>
       Similarity.buildCosineIndex(vecs, lsh, d)
     }
     Similarity.cosineNearDuplicatesAgainst(batch, lsh, idx, threshold = 0.99)
@@ -210,7 +213,8 @@ object SimilarityQueries {
     val planted = docs.union(docs.select(col("doc_id") + 1000000,
       concat(col("text"), lit(" planted near duplicate marker"))))
     val idx = Warehouse.ensureBuilt(s,
-      Warehouse.derivedDir(s, "minhash_planted_index", s"$dir/documents.parquet")) { d =>
+      Warehouse.derivedDir(s, "minhash_planted_index", s"$dir/documents.parquet",
+        params = "n=3,k=128,b=16")) { d =>
       MinHashLSH.buildIndex(planted, "doc_id", "text", d)
     }
     val pairs = MinHashLSH.nearDuplicatesFromIndex(s, idx, threshold = 0.5)
@@ -234,7 +238,8 @@ object SimilarityQueries {
     val batch = docs.select((col("doc_id") + 1000000).as("doc_id"),
       concat(col("text"), lit(" x")).as("text"))
     val idx = Warehouse.ensureBuilt(s,
-      Warehouse.derivedDir(s, "simhash_index", s"$dir/documents.parquet")) { d =>
+      Warehouse.derivedDir(s, "simhash_index", s"$dir/documents.parquet",
+        params = "chunks=4")) { d =>
       SimHashDedup.buildIndex(docs, "doc_id", "text", d)
     }
     SimHashDedup.nearDuplicatesAgainst(batch, "doc_id", "text", idx)

@@ -245,9 +245,13 @@ object Similarity {
     // semi-join prunes the stored-embedding scan before the pair joins
     val candIds = pairs.select(col("id_a").as("vec_id"))
       .union(pairs.select(col("id_b").as("vec_id"))).distinct()
+    // dropDuplicates: a crash-replayed batch doc already persisted in
+    // the index would otherwise appear in `emb` twice (batch side and
+    // stored side) and duplicate every pair row it touches
     val emb = batch
       .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
       .unionByName(corpusEmb.join(broadcast(candIds), Seq("vec_id"), "left_semi"))
+      .dropDuplicates("vec_id")
     val verified = verifyCosinePairs(pairs, emb, threshold)
     // eager lineage cut, mirroring MinHashLSH.nearDuplicatesAgainst
     if (spark.sparkContext.getCheckpointDir.isDefined) verified.checkpoint(eager = true)

@@ -77,7 +77,9 @@ object LandingStream {
     * the next writer breaks it after the stale horizon and the
     * staged-file protocol above makes the rerun safe.
     */
-  def finalizeBronze(spark: SparkSession, lake: Lake, dataset: String): String = {
+  def finalizeBronze(
+      spark: SparkSession, lake: Lake, dataset: String,
+      lockStaleMs: Long = graft.core.FsLock.DefaultStaleMs): String = {
     val staging = stagingDir(lake, dataset)
     val bronzeDir = lake.bronze(dataset)
     val sp = new HPath(staging)
@@ -95,7 +97,7 @@ object LandingStream {
     // retry. The streaming side (start → staging appends) needs no
     // lock — it never touches bronze.
     graft.core.FsLock.withLock(spark, bronzeDir,
-      s"finalizeBronze-${ProcessHandle.current().pid()}") {
+      s"finalizeBronze-${ProcessHandle.current().pid()}", lockStaleMs) {
 
     val staged = spark.read.parquet(staging).dropDuplicates()
     val bp = new HPath(bronzeDir)

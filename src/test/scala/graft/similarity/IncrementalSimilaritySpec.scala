@@ -84,6 +84,22 @@ class IncrementalSimilaritySpec extends SparkTestBase {
     assert(hits == Set((104L, 201L), (105L, 201L)))
   }
 
+  test("replay (batch already appended) yields self-pairs without duplicated rows") {
+    val corpusDf = df(corpus)
+    val batchDf = df(batch)
+    val idx = Files.createTempDirectory("incr-cos-replay").toString
+    Similarity.buildCosineIndex(corpusDf, lsh, idx)
+    Similarity.appendToCosineIndex(batchDf, lsh, idx)
+    // crash-replay: every batch doc is already in the index
+    val rows = Similarity.cosineNearDuplicatesAgainst(batchDf, lsh, idx, threshold)
+      .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
+    assert(rows.length == rows.toSet.size, s"duplicated pair rows: ${rows.toSeq}")
+    // self-pairs (the replay signal) present exactly once per batch doc
+    batch.map(_._1).foreach { id =>
+      assert(rows.count(p => p == (id, id)) == 1, s"self-pair for $id")
+    }
+  }
+
   test("plan shape: candidates scan stored buckets, verify scans stored embeddings") {
     val corpusDf = df(corpus)
     val batchDf = df(batch)
