@@ -292,6 +292,128 @@ object PipelineQueries {
       |            WHEN 'pt' THEN 64 ELSE 26 END) AS kept
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ===== q44 — curation funnel (quality → decontamination → mixture) ======
+
+  /** The end-to-end curation funnel with the per-stage attrition report
+    * a real pipeline publishes: the document pool (eval docs 0–9 held
+    * out) flows through the repetition quality gate (q38's
+    * distinct-ratio / top-bigram thresholds), benchmark decontamination
+    * (q39's 8-gram overlap), and mixture sampling (q42's content-keyed
+    * per-language rates); each cumulative stage reports surviving doc
+    * and token counts. One pass: per-doc flags are computed once
+    * (shingle aggregations + one broadcast join against the tiny eval
+    * gram set), then a 4-way stage explode feeds a single hash
+    * aggregate — no per-stage rescans.
+    */
+  def q44CurationFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.MinHashLSH.shingleRows
+    val docs = Tables.load(s, dir, "documents")
+    val pool = docs.filter(col("doc_id") >= 10)
+
+    val toks = shingleRows(pool, "doc_id", "text", n = 1)
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("sh")).as("n_distinct"))
+    val bigrams = shingleRows(pool, "doc_id", "text", n = 2)
+      .groupBy(col("sid"), col("sh")).agg(count(lit(1)).as("c"))
+      .groupBy(col("sid"))
+      .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram"))
+    val evalGrams = shingleRows(docs.filter(col("doc_id") < 10), "doc_id", "text", n = 8)
+      .select(col("sh")).distinct()
+    val contaminated = shingleRows(pool, "doc_id", "text", n = 8).distinct()
+      .join(broadcast(evalGrams), Seq("sh"))
+      .select(col("sid")).distinct()
+      .withColumn("is_contaminated", lit(true))
+
+    val mixThreshold = when(col("lang") === "en", 256L)
+      .when(col("lang") === "de", 192L)
+      .when(col("lang") === "es", 128L)
+      .when(col("lang") === "fr", 128L)
+      .when(col("lang") === "pt", 64L)
+      .otherwise(26L)
+    val flags = pool
+      .select(col("doc_id"), col("lang"), (md5Bucket < mixThreshold).as("m"))
+      .join(toks.withColumnRenamed("sid", "doc_id"), Seq("doc_id"))
+      .join(bigrams.withColumnRenamed("sid", "doc_id"), Seq("doc_id"))
+      .join(contaminated.withColumnRenamed("sid", "doc_id"), Seq("doc_id"), "left")
+      .withColumn("q",
+        col("n_distinct").cast("double") / col("n_tokens") >= 0.3 &&
+          col("top_bigram").cast("double") / col("n_bigrams") <= 0.18)
+      .withColumn("d", coalesce(col("is_contaminated"), lit(false)) === false)
+
+    flags
+      .select(col("n_tokens"), explode(array(
+        struct(lit(0).as("stage_idx"), lit("pool").as("stage"), lit(true).as("pass")),
+        struct(lit(1).as("stage_idx"), lit("quality").as("stage"), col("q").as("pass")),
+        struct(lit(2).as("stage_idx"), lit("decontaminated").as("stage"),
+          (col("q") && col("d")).as("pass")),
+        struct(lit(3).as("stage_idx"), lit("mixture").as("stage"),
+          (col("q") && col("d") && col("m")).as("pass")))).as("s"))
+      .filter(col("s.pass"))
+      .groupBy(col("s.stage_idx").as("stage_idx"), col("s.stage").as("stage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+      .orderBy(col("stage_idx"))
+  }
+
+  val q44Sql: String =
+    """WITH pool AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN len(tk0) = 0 THEN [''] ELSE tk0 END AS tk,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket
+      |  FROM (SELECT doc_id, lang, text,
+      |          list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk0
+      |        FROM documents)
+      |  WHERE doc_id >= 10),
+      |tok AS (
+      |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(tk)) AS BIGINT) AS n_distinct
+      |  FROM pool),
+      |bg AS (
+      |  SELECT doc_id, b, count(*) AS c FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(tk) < 2 THEN [array_to_string(tk, ' ')]
+      |      ELSE list_transform(range(1, len(tk)), i -> concat(tk[i], ' ', tk[i+1])) END) AS b
+      |    FROM pool) GROUP BY 1, 2),
+      |bsum AS (
+      |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+      |    CAST(max(c) AS BIGINT) AS top_bigram FROM bg GROUP BY 1),
+      |g8 AS (
+      |  SELECT doc_id, gs FROM (
+      |    SELECT doc_id,
+      |      CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+      |           ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+      |                  i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2], ' ', tk[i+3], ' ',
+      |                              tk[i+4], ' ', tk[i+5], ' ', tk[i+6], ' ', tk[i+7]))) END AS gs
+      |    FROM pool)),
+      |eg AS (
+      |  SELECT DISTINCT unnest(CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+      |    ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+      |           i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2], ' ', tk[i+3], ' ',
+      |                       tk[i+4], ' ', tk[i+5], ' ', tk[i+6], ' ', tk[i+7]))) END) AS sh
+      |  FROM (SELECT CASE WHEN len(tk0) = 0 THEN [''] ELSE tk0 END AS tk
+      |        FROM (SELECT list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                x -> x <> '') AS tk0
+      |              FROM documents WHERE doc_id < 10))),
+      |contam AS (
+      |  SELECT DISTINCT doc_id FROM (SELECT doc_id, unnest(gs) AS sh FROM g8) JOIN eg USING (sh)),
+      |flags AS (
+      |  SELECT p.doc_id, t.n_tokens,
+      |    (CAST(t.n_distinct AS DOUBLE) / t.n_tokens >= 0.3
+      |      AND CAST(b.top_bigram AS DOUBLE) / b.n_bigrams <= 0.18) AS q,
+      |    (c.doc_id IS NULL) AS d,
+      |    p.bucket < (CASE p.lang WHEN 'en' THEN 256 WHEN 'de' THEN 192
+      |                WHEN 'es' THEN 128 WHEN 'fr' THEN 128
+      |                WHEN 'pt' THEN 64 ELSE 26 END) AS m
+      |  FROM pool p JOIN tok t USING (doc_id) JOIN bsum b USING (doc_id)
+      |  LEFT JOIN contam c USING (doc_id))
+      |SELECT stage_idx, stage,
+      |  CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |FROM (
+      |  SELECT 0 AS stage_idx, 'pool' AS stage, n_tokens FROM flags
+      |  UNION ALL SELECT 1, 'quality', n_tokens FROM flags WHERE q
+      |  UNION ALL SELECT 2, 'decontaminated', n_tokens FROM flags WHERE q AND d
+      |  UNION ALL SELECT 3, 'mixture', n_tokens FROM flags WHERE q AND d AND m)
+      |GROUP BY 1, 2 ORDER BY stage_idx""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -301,7 +423,8 @@ object PipelineQueries {
     "q31_percentiles_approx" -> (q31PercentilesApprox _),
     "q37_deterministic_split" -> (q37DeterministicSplit _),
     "q41_sequence_pack" -> (q41SequencePack _),
-    "q42_data_mixture" -> (q42DataMixture _))
+    "q42_data_mixture" -> (q42DataMixture _),
+    "q44_curation_funnel" -> (q44CurationFunnel _))
 
   val oracleSql: Map[String, String] = Map(
     "q27_corpus_pipeline" -> q27Sql,
@@ -309,5 +432,6 @@ object PipelineQueries {
     "q30_percentiles" -> q30Sql,
     "q37_deterministic_split" -> q37Sql,
     "q41_sequence_pack" -> q41Sql,
-    "q42_data_mixture" -> q42Sql)
+    "q42_data_mixture" -> q42Sql,
+    "q44_curation_funnel" -> q44Sql)
 }
