@@ -5,16 +5,23 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
-import graft.dedup.{DedupClusters, MinHashLSH}
+import graft.dedup.{DedupClusters, MinHashLSH, SimHashDedup}
+import graft.similarity.Similarity
 
 /** Streaming corpus curation — the operational day-2 pipeline the
-  * incremental dedup operators exist for: documents arrive as files in
-  * a landing dir, each micro-batch is near-dup-deduped against the
-  * PERSISTED MinHash index ([[MinHashLSH.nearDuplicatesAgainst]] — the
-  * corpus is never re-shingled), in-batch duplicate clusters collapse
-  * to one representative ([[DedupClusters]]), and survivors are
-  * appended to the corpus table AND to the index so the very next
-  * micro-batch (and tomorrow's run) dedups against them.
+  * incremental dedup operators exist for: records arrive as files in a
+  * landing dir, each micro-batch is near-dup-deduped against the
+  * PERSISTED index (the corpus's derived state is never recomputed),
+  * in-batch duplicate clusters collapse to one representative
+  * ([[DedupClusters]]), and survivors are appended to the corpus table
+  * AND to the index so the very next micro-batch (and tomorrow's run)
+  * dedups against them.
+  *
+  * The dedup family is pluggable ([[CorpusStream.Backend]]): MinHash
+  * over text, sign-bucket cosine over embeddings, or SimHash — all
+  * three incremental operators share the contract the loop needs
+  * (pairs-vs-index including within-batch, an append, and the
+  * self-pair replay signal).
   *
   * ==Exactly-once accounting==
   * `foreachBatch` replays a micro-batch after a crash, so both sinks
@@ -22,10 +29,10 @@ import graft.dedup.{DedupClusters, MinHashLSH}
   *  - the corpus append writes to a per-batch partition dir
   *    (`<corpusDir>/batch_id=N`) with overwrite — a replayed batch
   *    overwrites its own partition, never duplicating rows;
-  *  - docs already absorbed into the index pair with THEMSELVES in the
-  *    candidate join (same id on both sides, Jaccard 1), so a replayed
-  *    batch's already-ingested docs are recognized and dropped before
-  *    any write — the index append is idempotent one step later.
+  *  - records already absorbed into the index pair with THEMSELVES in
+  *    the candidate join (same id on both sides), so a replayed batch's
+  *    already-ingested records are recognized and dropped before any
+  *    write — the index append is idempotent one step later.
   *  - writes are skipped entirely when nothing survives, so a replay
   *    that finds everything already ingested never clobbers its own
   *    batch partition with an empty overwrite.
@@ -36,22 +43,64 @@ import graft.dedup.{DedupClusters, MinHashLSH}
   */
 object CorpusStream {
 
-  /** Start the landing→curated-corpus stream. `indexDir` must hold a
-    * built index ([[MinHashLSH.buildIndex]] over the day-0 corpus, or
-    * over an empty frame). Batch ids need not be ordered relative to
-    * corpus ids — corpus near-dups always win over batch docs.
+  /** One incremental dedup family: pair detection against a persisted
+    * index (self-pairs included for already-indexed ids) plus the
+    * index append.
+    */
+  sealed trait Backend {
+    def idCol: String
+    def pairsAgainst(batch: DataFrame, indexDir: String): DataFrame
+    def appendToIndex(batch: DataFrame, indexDir: String): Unit
+  }
+
+  /** MinHash+LSH over a text column ([[MinHashLSH]]). */
+  final case class MinHashText(
+      idCol: String = "doc_id", textCol: String = "text",
+      threshold: Double = 0.5) extends Backend {
+    def pairsAgainst(batch: DataFrame, indexDir: String): DataFrame =
+      MinHashLSH.nearDuplicatesAgainst(batch, idCol, textCol, indexDir, threshold)
+    def appendToIndex(batch: DataFrame, indexDir: String): Unit =
+      MinHashLSH.appendToIndex(batch, idCol, textCol, indexDir)
+  }
+
+  /** Sign-bucket cosine over an embedding column ([[Similarity]]). */
+  final case class CosineEmbedding(
+      lsh: Similarity.RandomHyperplaneLsh, threshold: Double,
+      idCol: String = "vec_id") extends Backend {
+    def pairsAgainst(batch: DataFrame, indexDir: String): DataFrame =
+      Similarity.cosineNearDuplicatesAgainst(batch, lsh, indexDir, threshold)
+    def appendToIndex(batch: DataFrame, indexDir: String): Unit =
+      Similarity.appendToCosineIndex(batch, lsh, indexDir)
+  }
+
+  /** SimHash pigeonhole over a text column ([[SimHashDedup]]). */
+  final case class SimHashText(
+      idCol: String = "doc_id", textCol: String = "text",
+      maxDist: Int = SimHashDedup.MaxDistance) extends Backend {
+    def pairsAgainst(batch: DataFrame, indexDir: String): DataFrame =
+      SimHashDedup.nearDuplicatesAgainst(batch, idCol, textCol, indexDir, maxDist)
+    def appendToIndex(batch: DataFrame, indexDir: String): Unit =
+      SimHashDedup.appendToIndex(batch, idCol, textCol, indexDir)
+  }
+
+  /** Start the landing→curated-corpus stream. `indexDir` must hold an
+    * index built by the backend's family ([[MinHashLSH.buildIndex]],
+    * [[Similarity.buildCosineIndex]], [[SimHashDedup.buildIndex]] —
+    * over the day-0 corpus, or over an empty frame). Batch ids need not
+    * be ordered relative to corpus ids — corpus near-dups always win
+    * over batch records.
     */
   def start(
       spark: SparkSession, inDir: String, schema: StructType,
       indexDir: String, corpusDir: String, checkpointDir: String,
-      threshold: Double = 0.5,
+      backend: Backend = MinHashText(),
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        dedupAndAppend(batch, batchId, indexDir, corpusDir, threshold)
+        dedupAndAppend(batch, batchId, indexDir, corpusDir, backend)
       }
       .start()
 
@@ -60,41 +109,42 @@ object CorpusStream {
     */
   def dedupAndAppend(
       batch: DataFrame, batchId: Long, indexDir: String, corpusDir: String,
-      threshold: Double): Unit = {
+      backend: Backend): Unit = {
     if (batch.isEmpty) return
+    val id = backend.idCol
     // pin the micro-batch: it feeds the pair job, two joins, and the
     // writes — streaming sources don't guarantee re-readability inside
     // foreachBatch
-    val b = batch.select(col("doc_id"), col("text")).localCheckpoint(eager = true)
-    val pairs = MinHashLSH.nearDuplicatesAgainst(b, "doc_id", "text", indexDir, threshold)
+    val b = batch.localCheckpoint(eager = true)
+    val pairs = backend.pairsAgainst(b, indexDir)
 
-    // replayed docs: already in the index → they collide with
-    // themselves (id_a == id_b, Jaccard 1)
+    // replayed records: already in the index → they collide with
+    // themselves (id_a == id_b)
     val replayed = pairs.filter(col("id_a") === col("id_b"))
-      .select(col("id_a").as("doc_id")).distinct()
-    val fresh = b.join(replayed, Seq("doc_id"), "left_anti")
+      .select(col("id_a").as(id)).distinct()
+    val fresh = b.join(replayed, Seq(id), "left_anti")
 
     // order-independent corpus-vs-batch split: a pair side that is NOT
-    // a batch id is a corpus doc, and the batch side of such a pair is
-    // dropped regardless of id order (the corpus copy always wins);
+    // a batch id is a corpus record, and the batch side of such a pair
+    // is dropped regardless of id order (the corpus copy always wins);
     // batch-internal pairs go to cluster resolution
-    val ids = b.select(col("doc_id")).withColumn("in_batch", lit(1))
+    val ids = b.select(col(id)).withColumn("in_batch", lit(1))
     val flagged = pairs.filter(col("id_a") =!= col("id_b"))
-      .join(ids.select(col("doc_id").as("id_a"), col("in_batch").as("a_in")), Seq("id_a"), "left")
-      .join(ids.select(col("doc_id").as("id_b"), col("in_batch").as("b_in")), Seq("id_b"), "left")
+      .join(ids.select(col(id).as("id_a"), col("in_batch").as("a_in")), Seq("id_a"), "left")
+      .join(ids.select(col(id).as("id_b"), col("in_batch").as("b_in")), Seq("id_b"), "left")
       .localCheckpoint(eager = true)
     val corpusDups = flagged.filter(col("a_in").isNull || col("b_in").isNull)
-      .select(when(col("a_in").isNotNull, col("id_a")).otherwise(col("id_b")).as("doc_id"))
+      .select(when(col("a_in").isNotNull, col("id_a")).otherwise(col("id_b")).as(id))
       .distinct()
     val batchPairs = flagged.filter(col("a_in").isNotNull && col("b_in").isNotNull)
       .select(col("id_a"), col("id_b"))
 
     val survivors = DedupClusters.deduplicate(
-        fresh.join(corpusDups, Seq("doc_id"), "left_anti"), "doc_id", batchPairs)
+        fresh.join(corpusDups, Seq(id), "left_anti"), id, batchPairs)
       .localCheckpoint(eager = true)
     if (!survivors.isEmpty) {
       survivors.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
-      MinHashLSH.appendToIndex(survivors, "doc_id", "text", indexDir)
+      backend.appendToIndex(survivors, indexDir)
     }
   }
 

@@ -35,16 +35,16 @@ class CorpusStreamSpec extends SparkTestBase {
     MinHashLSH.buildIndex(emptyDocs, "doc_id", "text", idx)
 
     // batch 0: empty index → everything survives
-    CorpusStream.dedupAndAppend(day0.toDF("doc_id", "text"), 0L, idx, corpus, 0.5)
+    CorpusStream.dedupAndAppend(day0.toDF("doc_id", "text"), 0L, idx, corpus, CorpusStream.MinHashText())
     assert(corpusIds(corpus) == Set(1L, 2L))
 
     // batch 1: corpus near-dup dropped, in-batch cluster collapsed
-    CorpusStream.dedupAndAppend(batch1.toDF("doc_id", "text"), 1L, idx, corpus, 0.5)
+    CorpusStream.dedupAndAppend(batch1.toDF("doc_id", "text"), 1L, idx, corpus, CorpusStream.MinHashText())
     assert(corpusIds(corpus) == Set(1L, 2L, 102L, 104L))
 
     // crash-replay of batch 1: already-ingested docs self-collide in the
     // index, near-dups re-drop — the corpus does not change
-    CorpusStream.dedupAndAppend(batch1.toDF("doc_id", "text"), 1L, idx, corpus, 0.5)
+    CorpusStream.dedupAndAppend(batch1.toDF("doc_id", "text"), 1L, idx, corpus, CorpusStream.MinHashText())
     assert(corpusIds(corpus) == Set(1L, 2L, 102L, 104L))
 
     // batch 2: a near-copy of a batch-1 SURVIVOR is caught — proof the
@@ -52,11 +52,48 @@ class CorpusStreamSpec extends SparkTestBase {
     val batch2 = Seq(
       201L -> "completely different text about gardening tomatoes in clay soil with compost indeed", // ~102
       202L -> "volcanoes erupting under glacial ice sheets produce dramatic steam plumes")
-    CorpusStream.dedupAndAppend(batch2.toDF("doc_id", "text"), 2L, idx, corpus, 0.5)
+    CorpusStream.dedupAndAppend(batch2.toDF("doc_id", "text"), 2L, idx, corpus, CorpusStream.MinHashText())
     assert(corpusIds(corpus) == Set(1L, 2L, 102L, 104L, 202L))
 
     // provenance partition column is present
     assert(CorpusStream.readCorpus(spark, corpus).columns.contains("batch_id"))
+  }
+
+  test("the same loop runs over embeddings via the cosine backend") {
+    import graft.similarity.Similarity
+    val root = Files.createTempDirectory("corpus-stream-emb").toString
+    val (idx, corpus) = (s"$root/index", s"$root/corpus")
+    val lsh = Similarity.RandomHyperplaneLsh(dim = 4, bits = 2, tables = 8)
+    val backend = CorpusStream.CosineEmbedding(lsh, threshold = 0.9)
+    def vecs(rows: Seq[(Long, Seq[Float])]) =
+      rows.toDF("vec_id", "embedding")
+
+    Similarity.buildCosineIndex(vecs(Seq.empty), lsh, idx)
+    // batch 0: two distinct directions survive
+    CorpusStream.dedupAndAppend(
+      vecs(Seq(1L -> Seq(1f, 0f, 0f, 0f), 2L -> Seq(0f, 1f, 0f, 0f))),
+      0L, idx, corpus, backend)
+    // batch 1: a near-copy of vec 1 drops, a fresh direction survives,
+    // an in-batch near-dup pair collapses to its min id
+    CorpusStream.dedupAndAppend(
+      vecs(Seq(
+        101L -> Seq(0.99f, 0.1f, 0f, 0f), // ~1 → dropped
+        102L -> Seq(0f, 0f, 1f, 0f), // fresh
+        104L -> Seq(1f, 1f, -1f, -1f),
+        105L -> Seq(1f, 0.95f, -1f, -0.95f))), // ~104 → collapsed
+      1L, idx, corpus, backend)
+    def ids = CorpusStream.readCorpus(spark, corpus)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L, 102L, 104L))
+    // replay of batch 1 is a no-op (self-collisions in the index)
+    CorpusStream.dedupAndAppend(
+      vecs(Seq(
+        101L -> Seq(0.99f, 0.1f, 0f, 0f),
+        102L -> Seq(0f, 0f, 1f, 0f),
+        104L -> Seq(1f, 1f, -1f, -1f),
+        105L -> Seq(1f, 0.95f, -1f, -0.95f))),
+      1L, idx, corpus, backend)
+    assert(ids == Set(1L, 2L, 102L, 104L))
   }
 
   test("streaming end-to-end: two AvailableNow passes share the checkpoint and index") {
