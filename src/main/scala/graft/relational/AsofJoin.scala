@@ -1,0 +1,81 @@
+package graft.relational
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — for each left row, attach the right row with the
+  * greatest timestamp at-or-before the left row's timestamp within the
+  * same key (the "most recent prior fact" lookup: last purchase before
+  * a click, last quote before a trade, last config before a request).
+  *
+  * Spark has no native as-of join, and the naive forms don't scale:
+  * an equi-join on key plus `r.ts <= l.ts` produces every (left row ×
+  * earlier right row) candidate pair before a row_number trims it —
+  * O(|L| × avg prior facts) shuffle volume — and a pure range join
+  * degenerates to BroadcastNestedLoopJoin. This implementation is the
+  * union-and-carry-forward form instead: tag both sides, union them,
+  * and run ONE window (partition by key, order by (ts, side)) whose
+  * running `last(payload, ignoreNulls)` carries each right row forward
+  * to exactly the left rows it is most-recent-prior for.
+  *
+  * Scale shape: one hash exchange on the key + one sort — identical to
+  * the shuffle a plain equi-join would need, with no candidate-pair
+  * blowup in between; the running-frame window (UNBOUNDED PRECEDING ..
+  * CURRENT ROW) holds O(1) state per partition, so a key's group only
+  * needs to stream through an executor, not fit in memory as pairs.
+  * Right rows sort before left rows at equal timestamps, making the
+  * match inclusive (an event AT the purchase instant sees that
+  * purchase), matching DuckDB's `ASOF JOIN ... ON l.ts >= r.ts`.
+  *
+  * The right payload rides as one struct, so multi-column matches are
+  * atomic — all payload columns come from the SAME matched row even
+  * under timestamp ties. Determinism under ties among right rows is
+  * the caller's contract: (key, ts) should be unique on the right
+  * (pre-aggregate with max_by first if not).
+  *
+  * No reference analogue — beyond-reference relational surface; the
+  * reference's engines (reference: flows/silver_flow.py joins) only
+  * ever equi-join.
+  */
+object AsofJoin {
+
+  /** Left as-of join: every left row, plus `payload` columns from the
+    * matched right row (null when no right row is at-or-before).
+    *
+    * @param left    driving rows; all its columns pass through
+    * @param right   fact rows to match; must contain `key`, `ts`, and
+    *                `payload` columns; (key, ts) should be unique
+    * @param key     equi-join key column name (same name both sides)
+    * @param ts      event-time column name (same name both sides, any
+    *                orderable type)
+    * @param payload right columns to attach; names must not collide
+    *                with left's columns
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               payload: Seq[String]): DataFrame = {
+    require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    val collisions = payload.toSet.intersect(left.columns.toSet)
+    require(collisions.isEmpty, s"payload columns collide with left side: $collisions")
+
+    val r = right.select(col(key), col(ts), lit(0).as("__side"),
+      struct(payload.map(col): _*).as("__p"))
+    val lRow = struct(left.columns.map(col): _*)
+    val l = left.select(lRow.as("__l"))
+      .select(col("__l").getField(key).as(key), col("__l").getField(ts).as(ts),
+        lit(1).as("__side"), lit(null).cast(r.schema("__p").dataType).as("__p"),
+        col("__l"))
+
+    val unioned = l.unionByName(
+      r.withColumn("__l", lit(null).cast(l.schema("__l").dataType)))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col(ts).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    unioned
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(c => col("__l").getField(c).as(c))
+        ++ payload.map(c => col("__m").getField(c).as(c)): _*)
+  }
+}
