@@ -34,6 +34,16 @@ import org.apache.spark.sql.functions._
   * the caller's contract: (key, ts) should be unique on the right
   * (pre-aggregate with max_by first if not).
   *
+  * NULL semantics match SQL ASOF (`ON l.key = r.key AND l.ts >= r.ts`
+  * is never true through a NULL): right rows with a NULL key or NULL
+  * ts are dropped before the union — a NULL key must not become a
+  * joinable partition under `Window.partitionBy`, and a NULL ts must
+  * not sort first and get carried forward as everyone's "earliest"
+  * fact. Left rows with NULL key/ts pass through UNMATCHED: a
+  * NULL-key left row's partition then holds no right rows, and a
+  * NULL-ts left row sorts before every right timestamp (asc = nulls
+  * first), so `last(…, ignoreNulls)` has nothing to carry to it.
+  *
   * No reference analogue — beyond-reference relational surface; the
   * reference's engines (reference: flows/silver_flow.py joins) only
   * ever equi-join.
@@ -57,8 +67,14 @@ object AsofJoin {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"payload columns collide with left side: $collisions")
+    val internal = Set("__side", "__p", "__l", "__m")
+    val internalHits = (left.columns.toSet ++ payload + key + ts).intersect(internal)
+    require(internalHits.isEmpty,
+      s"column names collide with asofJoin internals: $internalHits")
 
-    val r = right.select(col(key), col(ts), lit(0).as("__side"),
+    val r = right
+      .filter(col(key).isNotNull && col(ts).isNotNull)
+      .select(col(key), col(ts), lit(0).as("__side"),
       struct(payload.map(col): _*).as("__p"))
     val lRow = struct(left.columns.map(col): _*)
     val l = left.select(lRow.as("__l"))

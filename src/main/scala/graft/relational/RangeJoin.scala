@@ -40,12 +40,24 @@ object RangeJoin {
     require(bucketWidth > 0, "bucketWidth must be positive")
     val collisions = points.columns.toSet.intersect(intervals.columns.toSet)
     require(collisions.isEmpty, s"point/interval column names collide: $collisions")
+    val internalHits = (points.columns.toSet ++ intervals.columns).intersect(Set("__bucket"))
+    require(internalHits.isEmpty,
+      s"column names collide with pointInInterval internals: $internalHits")
 
     val w = lit(bucketWidth)
+    // Empty and inverted intervals (end <= start, e.g. an end=0
+    // sentinel against epoch-µs starts) can match nothing under the
+    // half-open predicate, but `sequence(a, b)` with a > b generates a
+    // DESCENDING sequence — one corrupt row would fan out onto ~start/W
+    // buckets (or die on the sequence-length cap) before the
+    // containment filter could discard it. Drop them up front; a NULL
+    // start/end also fails this predicate, matching inner-join
+    // semantics (SQL comparisons through NULL are never true).
+    val live = intervals.filter(col(endCol) > col(startCol))
     // end is exclusive, so the last bucket that can contain a point is
     // the one holding end-1 — never explode onto a bucket the interval
     // only touches at its open endpoint
-    val expl = intervals.withColumn("__bucket",
+    val expl = live.withColumn("__bucket",
       explode(sequence(floor(col(startCol) / w).cast("long"),
         floor((col(endCol) - 1) / w).cast("long"))))
     val pts = points.withColumn("__bucket", floor(col(ptCol) / w).cast("long"))
