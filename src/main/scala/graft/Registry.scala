@@ -18,7 +18,8 @@ object Registry {
       (graft.queries.SimilarityQueries.queries, graft.queries.SimilarityQueries.oracleSql),
       (graft.queries.SqlSurfaceQueries.queries, graft.queries.SqlSurfaceQueries.oracleSql),
       (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracleSql),
-      (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracleSql)
+      (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracleSql),
+      (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracleSql)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.relational.{AsofJoin, RangeJoin}
+
+/** Relational-join queries over the events table — the oracled call
+  * sites for the beyond-reference join operators
+  * ([[graft.relational.AsofJoin]], [[graft.relational.RangeJoin]]).
+  * DuckDB has a native `ASOF JOIN` and a native inequality (IE) join,
+  * so these are TRUE external oracles, not just equality specs.
+  *
+  * Timestamps are integer epoch-MICROseconds on both sides, the q28
+  * convention: DuckDB truncates parquet TIMESTAMP(NANOS) to µs on
+  * read, so Spark truncates its exact nanos the same way
+  * (`ts div 1000`).
+  */
+object RelationalQueries {
+
+  private val WindowUs = 5L * 60 * 1000 * 1000 // 5 minutes in µs
+
+  private def eventsUs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  // ===== q45 — as-of join: click → most recent prior purchase ============
+
+  /** For every click, the same user's most recent at-or-before
+    * purchase (id + value; null when the user has not purchased yet) —
+    * the canonical "last touch before the event" attribution lookup.
+    * (user_id, ts) is unique in the events table, so the right side
+    * needs no pre-aggregation and the match is deterministic.
+    *
+    * Scale shape ([[AsofJoin]]): ONE hash exchange on user_id + one
+    * sort — no candidate-pair blowup; the running window holds O(1)
+    * state.
+    */
+  def q45AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    AsofJoin.asofJoin(clicks, purchases, key = "user_id", ts = "ts_us",
+        payload = Seq("purchase_id", "purchase_value"))
+      .orderBy(col("click_id"))
+  }
+
+  val q45Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+      |c AS (SELECT event_id AS click_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts_us, event_id AS purchase_id, value AS purchase_value
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT c.click_id, c.user_id, c.ts_us, p.purchase_id, p.purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+      |ORDER BY click_id""".stripMargin
+
+  // ===== q46 — range join: purchases inside error-burst windows ==========
+
+  /** Which purchases landed within 5 minutes after ANY error event —
+    * a point-in-interval join with NO equi key (the ops question
+    * "was this order placed during an incident window?"). Intervals
+    * are [error ts, +5 min); a purchase matching several overlapping
+    * windows reports once per window.
+    *
+    * Scale shape ([[RangeJoin]]): bucketWidth = the window length, so
+    * each interval explodes onto ≤ 2 buckets; the join is a plain
+    * hash join on the bucket key + exact containment refine — never
+    * the O(|errors| × |purchases|) nested loop Spark would plan for
+    * the raw inequality predicate.
+    */
+  def q46RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val intervals = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts_us").as("win_start"),
+        (col("ts_us") + WindowUs).as("win_end"))
+    val points = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts_us").as("pt_us"))
+    RangeJoin.pointInInterval(points, "pt_us", intervals, "win_start", "win_end",
+        bucketWidth = WindowUs)
+      .select("error_id", "win_start", "win_end", "purchase_id", "p_user", "pt_us")
+      .orderBy(col("error_id"), col("purchase_id"))
+  }
+
+  val q46Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |i AS (SELECT event_id AS error_id, ts_us AS win_start, ts_us + 300000000 AS win_end
+      |      FROM e WHERE event_type = 'error'),
+      |p AS (SELECT event_id AS purchase_id, user_id AS p_user, ts_us AS pt_us
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT i.error_id, i.win_start, i.win_end, p.purchase_id, p.p_user, p.pt_us
+      |FROM i JOIN p ON p.pt_us >= i.win_start AND p.pt_us < i.win_end
+      |ORDER BY error_id, purchase_id""".stripMargin
+
+  // ===== q47 — session attribution: sessions × as-of purchases ===========
+
+  /** The production consumer the as-of join exists for: q28's
+    * gap-sessionization derives session starts, and each session is
+    * attributed to the user's most recent at-or-before purchase — the
+    * "which purchase preceded this visit" enrichment a funnel analysis
+    * runs. A session that starts WITH a purchase attributes to that
+    * purchase (inclusive match), matching DuckDB ASOF `>=`.
+    *
+    * Scale shape: the sessionization window, the session-start
+    * aggregate, and the as-of join all partition on user_id — one
+    * logical key pipeline, no cross-key shuffle between stages.
+    */
+  def q47SessionAttribution(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val ev = eventsUs(s, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val starts = ev
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts_us")).as("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("last_purchase_id"),
+        col("value").as("last_purchase_value"))
+    AsofJoin.asofJoin(starts, purchases, key = "user_id", ts = "ts_us",
+        payload = Seq("last_purchase_id", "last_purchase_value"))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q47Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |starts AS (
+      |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, min(ts_us) AS ts_us
+      |  FROM (SELECT user_id, ts_us,
+      |          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |        FROM flagged)
+      |  GROUP BY 1, 2),
+      |p AS (SELECT user_id, ts_us, event_id AS last_purchase_id, value AS last_purchase_value
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT s.user_id, s.session_idx, s.ts_us, p.last_purchase_id, p.last_purchase_value
+      |FROM starts s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts_us >= p.ts_us
+      |ORDER BY s.user_id, s.session_idx""".stripMargin
+
+  // ========================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q45_asof_join" -> (q45AsofJoin _),
+    "q46_range_join" -> (q46RangeJoin _),
+    "q47_session_attribution" -> (q47SessionAttribution _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q45_asof_join" -> q45Sql,
+    "q46_range_join" -> q46Sql,
+    "q47_session_attribution" -> q47Sql)
+}

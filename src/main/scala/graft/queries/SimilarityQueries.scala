@@ -191,15 +191,22 @@ object SimilarityQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
-  /** End-to-end dedup DECISION over the q21 planted corpus: MinHash-LSH
-    * pair detection → connected components → keep one representative
-    * per duplicate cluster ([[graft.dedup.DedupClusters.deduplicate]]).
-    * Every planted near-copy (doc_id ≥ 1000000) shares a cluster with
-    * its lower-id original, so survivors are (almost exactly) the
-    * original 500 docs — natural near-dup pairs within the corpus can
-    * collapse a handful more. Deterministic; rows-only check (the pair
-    * set comes from xxhash64 banding); the cluster semantics are
-    * spec-locked in DedupClustersSpec.
+  /** End-to-end dedup DECISION: MinHash-LSH pair detection → connected
+    * components → keep one representative (the min id) per duplicate
+    * cluster ([[graft.dedup.DedupClusters.deduplicate]]).
+    *
+    * ORACLED, not rows-only, by construction: the planted corpus is
+    * documents ∪ EXACT copies (doc_id + 1000000, same text) and the
+    * threshold is 1.0 — the verifier computes EXACT shingle-set
+    * Jaccard over banded candidates, an exact copy collides in every
+    * band (identical signatures), and the corpus's closest natural
+    * pair sits at J ≈ 0.989 < 1.0 (measured, sf0.01) — so the pair
+    * set is provably {(id, id+1000000)} and the survivors are exactly
+    * one min-id representative per distinct text, which DuckDB states
+    * independently as min(doc_id) per md5 group. The general
+    * near-threshold cluster semantics stay spec-locked in
+    * DedupClustersSpec; this query pins the full
+    * detect→cluster→resolve composition to an external oracle.
     *
     * Pair detection runs off a [[Warehouse]]-persisted index of the
     * planted corpus ([[MinHashLSH.nearDuplicatesFromIndex]]): shingling
@@ -210,18 +217,28 @@ object SimilarityQueries {
     */
   def q36DedupResolve(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-    val planted = docs.union(docs.select(col("doc_id") + 1000000,
-      concat(col("text"), lit(" planted near duplicate marker"))))
+    val planted = docs.union(docs.select(col("doc_id") + 1000000, col("text")))
     val idx = Warehouse.ensureBuilt(s,
       Warehouse.derivedDir(s, "minhash_planted_index", s"$dir/documents.parquet",
-        params = "n=3,k=128,b=16")) { d =>
+        params = "n=3,k=128,b=16,planted=exact")) { d =>
       MinHashLSH.buildIndex(planted, "doc_id", "text", d)
     }
-    val pairs = MinHashLSH.nearDuplicatesFromIndex(s, idx, threshold = 0.5)
+    val pairs = MinHashLSH.nearDuplicatesFromIndex(s, idx, threshold = 1.0)
     graft.dedup.DedupClusters.deduplicate(planted, "doc_id", pairs)
       .select(col("doc_id"))
       .orderBy(col("doc_id"))
   }
+
+  /** Survivors = min id per distinct text over the planted corpus —
+    * the independent statement of "one representative per duplicate
+    * cluster" when all duplicates are exact.
+    */
+  val q36Sql: String =
+    """WITH a AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      |SELECT min(doc_id) AS doc_id FROM a GROUP BY md5(text)
+      |ORDER BY doc_id""".stripMargin
 
   /** Incremental corpus-vs-batch SIMHASH near-dup — the day-2 shape of
     * q22, completing the incremental family (q33 MinHash, q34
@@ -287,5 +304,6 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "q20_knn_bruteforce" -> q20Sql,
     "q32_embedding_neardup" -> q32Sql,
-    "q34_incr_embedding_neardup" -> q34Sql)
+    "q34_incr_embedding_neardup" -> q34Sql,
+    "q36_dedup_resolve" -> q36Sql)
 }

@@ -39,13 +39,15 @@ import org.apache.spark.sql.functions._
   * ts are dropped before the union — a NULL key must not become a
   * joinable partition under `Window.partitionBy`, and a NULL ts must
   * not sort first and get carried forward as everyone's "earliest"
-  * fact. Left rows with NULL key/ts pass through UNMATCHED: a
-  * NULL-key left row's partition then holds no right rows, and a
-  * NULL-ts left row sorts before every right timestamp (asc = nulls
-  * first), so `last(…, ignoreNulls)` has nothing to carry to it.
+  * fact. Left rows with NULL key/ts pass through UNMATCHED — and they
+  * bypass the window entirely: routing them through `partitionBy(key)`
+  * would funnel every NULL-key row of a dirty dataset into ONE
+  * partition (a guaranteed straggler task at scale), so they are split
+  * off before the union and re-attached afterwards with null payload
+  * columns, which is observably the same result.
   *
   * No reference analogue — beyond-reference relational surface; the
-  * reference's engines (reference: flows/silver_flow.py joins) only
+  * reference's engines (reference: flows/silver.py joins) only
   * ever equi-join.
   */
 object AsofJoin {
@@ -76,8 +78,13 @@ object AsofJoin {
       .filter(col(key).isNotNull && col(ts).isNotNull)
       .select(col(key), col(ts), lit(0).as("__side"),
       struct(payload.map(col): _*).as("__p"))
+    // NULL-key/-ts left rows can never match; keep them out of the
+    // window (a NULL key is one partition — the straggler magnet) and
+    // re-attach them unmatched at the end.
+    val lLive = left.filter(col(key).isNotNull && col(ts).isNotNull)
+    val lNull = left.filter(col(key).isNull || col(ts).isNull)
     val lRow = struct(left.columns.map(col): _*)
-    val l = left.select(lRow.as("__l"))
+    val l = lLive.select(lRow.as("__l"))
       .select(col("__l").getField(key).as(key), col("__l").getField(ts).as(ts),
         lit(1).as("__side"), lit(null).cast(r.schema("__p").dataType).as("__p"),
         col("__l"))
@@ -88,10 +95,13 @@ object AsofJoin {
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    unioned
+    val matched = unioned
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
       .select(left.columns.map(c => col("__l").getField(c).as(c))
         ++ payload.map(c => col("__m").getField(c).as(c)): _*)
+    matched.unionByName(lNull.select(
+      left.columns.map(col)
+        ++ payload.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*))
   }
 }
