@@ -45,21 +45,37 @@ object Bench {
       else SparkEntry.queries.keys.toSeq.sorted
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
-      def once(): (Double, Option[String]) = {
+      // Each run records its Warehouse.ensureBuilt outcomes (drained
+      // around the timed region) so an indexed query's wall time is
+      // attributable: did THIS run pay the one-off index build, or
+      // only the steady-state probe?
+      case class Run(sec: Double, err: Option[String], touched: Boolean, built: Boolean)
+      def once(): Run = {
+        graft.core.Warehouse.drainBuildEvents()
         val t0 = System.nanoTime()
         val err: Option[String] =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
           catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
-        ((System.nanoTime() - t0) / 1e9, err)
+        val events = graft.core.Warehouse.drainBuildEvents()
+        Run((System.nanoTime() - t0) / 1e9, err, events.nonEmpty, events.exists(_._2))
       }
+      // "built_runN": run N paid an index build (its time is build+probe;
+      // the other run is pure probe). "prebuilt": probes only — the
+      // index predated this bench process.
+      def whState(runs: Seq[Run]): Option[String] =
+        runs.zipWithIndex.collectFirst { case (r, i) if r.built => s"built_run${i + 1}" }
+          .orElse(if (runs.exists(_.touched)) Some("prebuilt") else None)
+
       val first = once()
       // don't re-run a failing query — its error is the result
-      if (first._2.isDefined) (name, first._1, Seq(first._1), first._2)
+      if (first.err.isDefined)
+        (name, first.sec, Seq(first.sec), first.err, whState(Seq(first)))
       else {
         val second = once()
-        if (second._2.isEmpty)
-          (name, math.min(first._1, second._1), Seq(first._1, second._1), None)
-        else (name, first._1, Seq(first._1), first._2)
+        if (second.err.isEmpty)
+          (name, math.min(first.sec, second.sec), Seq(first.sec, second.sec), None,
+            whState(Seq(first, second)))
+        else (name, first.sec, Seq(first.sec), first.err, whState(Seq(first)))
       }
     }
 
@@ -72,16 +88,20 @@ object Bench {
       } + "\""
 
     val ok = results.filter(_._4.isEmpty)
-    val qs = ok.map { case (k, v, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
+    val qs = ok.map { case (k, v, _, _, _) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     // both raw timings per query, in run order: drift between run 1 and
     // run 2 (cold cache, one-time index builds, background noise) stays
     // visible in the record instead of vanishing into the min
-    val runs = ok.map { case (k, _, rs, _) => s"${jstr(k)}:${rs.mkString("[", ",", "]")}" }
+    val runs = ok.map { case (k, _, rs, _, _) => s"${jstr(k)}:${rs.mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) => s"${jstr(k)}:${jstr(e)}" }
+    val errs = results.collect { case (k, _, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
+      .mkString("{", ",", "}")
+    // per-indexed-query warehouse state: was the persisted index built
+    // during a timed run (and which), or already present?
+    val wh = results.collect { case (k, _, _, _, Some(w)) => s"${jstr(k)}:${jstr(w)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"sf":${jstr(sfDir)}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"warehouse":$wh,"sf":${jstr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -87,16 +87,39 @@ object Warehouse {
       // [[pruneStale]] — an index in active use never ages out
       try f.setTimes(marker, System.currentTimeMillis(), -1)
       catch { case _: java.io.IOException => () }
+      buildEvents.add(dir -> false)
       return dir
     }
+    var builtNow = false
     FsLock.withLock(spark, dir, s"warehouse-build-${ProcessHandle.current().pid()}") {
       if (!f.exists(marker)) { // double-check under the lock
         build(dir)
         f.create(marker, true).close()
+        builtNow = true
       }
     }
+    buildEvents.add(dir -> builtNow)
     pruneStale(spark, dir)
     dir
+  }
+
+  /** Process-local log of [[ensureBuilt]] outcomes, (dir → built this
+    * call?). A benchmark drains it around each timed query to record
+    * whether an indexed query's wall time includes the one-off index
+    * BUILD or only the steady-state probe — without it a build-vs-probe
+    * cost difference is unattributable noise in the bench artifact.
+    */
+  private val buildEvents =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Boolean)]
+
+  /** Drain and return the [[ensureBuilt]] outcomes recorded since the
+    * last drain.
+    */
+  def drainBuildEvents(): Seq[(String, Boolean)] = {
+    val b = Seq.newBuilder[(String, Boolean)]
+    var e = buildEvents.poll()
+    while (e != null) { b += e; e = buildEvents.poll() }
+    b.result()
   }
 
   /** Default retention for superseded index states: long enough that

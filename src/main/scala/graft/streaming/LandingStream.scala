@@ -155,4 +155,21 @@ object LandingStream {
     q.awaitTermination()
     finalizeBronze(spark, lake, dataset)
   }
+
+  /** Multi-dataset streaming ingest — the streaming twin of
+    * [[graft.medallion.Flows.runAll]]'s bronze leg: start every
+    * dataset's landing→staging stream (they run concurrently off the
+    * shared scheduler), await them all, then finalize each into
+    * bronze. `schemas` carries the declared raw landing contract per
+    * dataset, same as `Flows.runAll(schemas = …)` — a dataset with an
+    * entry skips the pre-stream inference scan entirely; one without
+    * pays it ([[inferLandingSchema]]).
+    */
+  def runAllAvailableNow(
+      spark: SparkSession, lake: Lake, datasets: Seq[String],
+      schemas: Map[String, StructType] = Map.empty): Map[String, String] = {
+    val qs = datasets.map(d => d -> start(spark, lake, d, schemas.get(d).orNull))
+    qs.foreach(_._2.awaitTermination())
+    datasets.map(d => d -> finalizeBronze(spark, lake, d)).toMap
+  }
 }

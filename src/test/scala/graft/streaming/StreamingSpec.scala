@@ -100,6 +100,67 @@ class StreamingSpec extends SparkTestBase {
     assert(first == second)
   }
 
+  test("multi-dataset entry threads declared schemas: no inference scan, same bronze") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val fixtures = Paths.get(getClass.getResource("/fixtures/albums.csv").toURI)
+      .getParent.toString
+    val datasets = Seq("albums", "reviews")
+
+    class BytesRead extends SparkListener {
+      val bytes = new java.util.concurrent.atomic.AtomicLong
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
+    }
+    def measure(f: => Unit): Long = {
+      val l = new BytesRead
+      spark.sparkContext.addSparkListener(l)
+      try {
+        f
+        var prev = -1L
+        var settled = 0
+        while (settled < 3) {
+          Thread.sleep(100)
+          val now = l.bytes.get
+          if (now == prev) settled += 1 else { settled = 0; prev = now }
+        }
+      } finally spark.sparkContext.removeSparkListener(l)
+      l.bytes.get
+    }
+    def landingBytes(lake: Lake): Long = datasets.map { d =>
+      new java.io.File(lake.landing(d)).listFiles().filter(_.isFile).map(_.length()).sum
+    }.sum
+
+    // inference path: each dataset pays a pre-stream schema scan
+    val lakeInfer = Lake(Files.createTempDirectory("streamall-infer").toString)
+    LandingFlow.run(fixtures, lakeInfer, maxBytes = 100, bufferBytes = 1000)
+    val inferBytes = measure(
+      LandingStream.runAllAvailableNow(spark, lakeInfer, datasets))
+
+    // declared-contract path: every dataset's schema passed through
+    val lakeDecl = Lake(Files.createTempDirectory("streamall-decl").toString)
+    LandingFlow.run(fixtures, lakeDecl, maxBytes = 100, bufferBytes = 1000)
+    val schemas = datasets.map { d =>
+      d -> spark.read.option("header", "true").option("inferSchema", "true")
+        .csv(lakeInfer.landing(d)).schema
+    }.toMap
+    val declBytes = measure(
+      LandingStream.runAllAvailableNow(spark, lakeDecl, datasets, schemas))
+
+    // declared schemas save at least one full landing scan across the set
+    val lb = landingBytes(lakeDecl)
+    assert(declBytes <= inferBytes - lb * 9 / 10,
+      s"declared=$declBytes inferred=$inferBytes landing=$lb")
+
+    // and each dataset lands the same bronze either way
+    for (d <- datasets) {
+      val a = spark.read.parquet(lakeInfer.bronze(d))
+      val b = spark.read.parquet(lakeDecl.bronze(d))
+      assert(a.schema == b.schema, s"schema mismatch for $d")
+      assert(a.collect().map(_.toSeq).toSet == b.collect().map(_.toSeq).toSet,
+        s"row mismatch for $d")
+    }
+  }
+
   test("finalize is incremental: a rerun over unchanged landing rewrites nothing") {
     val root = Files.createTempDirectory("stream-incr").toString
     val fixtures = Paths.get(getClass.getResource("/fixtures/albums.csv").toURI)
