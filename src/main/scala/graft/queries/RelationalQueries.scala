@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.relational.{AsofJoin, RangeJoin}
+import graft.relational.{AsofJoin, IntervalJoin, RangeJoin}
 
 /** Relational-join queries over the events table — the oracled call
   * sites for the beyond-reference join operators
@@ -151,15 +151,115 @@ object RelationalQueries {
       |FROM starts s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts_us >= p.ts_us
       |ORDER BY s.user_id, s.session_idx""".stripMargin
 
+  // ===== q48 — overlap join: sessions × incident windows =================
+
+  /** Which user sessions crossed an incident window — the
+    * interval-interval companion to q46's point-in-interval: sessions
+    * are `[first event, last event + 1µs)` from the q28/q47 gap
+    * sessionizer, incidents are `[error ts, +5 min)`, and a session
+    * overlapping several incidents reports once per incident.
+    *
+    * Scale shape ([[IntervalJoin]]): bucketWidth = the session gap
+    * (30 min), so incident windows explode onto ≤ 2 buckets and
+    * typical sessions onto a handful; the join is a hash join on the
+    * bucket key with the reference-point filter deduplicating — never
+    * the O(|sessions| × |incidents|) nested loop.
+    */
+  def q48OverlapJoin(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 30L * 60 * 1000 * 1000
+    val ev = eventsUs(s, dir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val sessions = ev
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("session_idx"))
+      // +1: half-open end; a single-event session still occupies its µs
+      .agg(min(col("ts_us")).as("sess_start"), (max(col("ts_us")) + 1).as("sess_end"))
+    val incidents = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("ts_us").as("win_start"),
+        (col("ts_us") + WindowUs).as("win_end"))
+    IntervalJoin.overlapJoin(sessions, "sess_start", "sess_end",
+        incidents, "win_start", "win_end", bucketWidth = gapUs)
+      .orderBy(col("user_id"), col("session_idx"), col("error_id"))
+  }
+
+  val q48Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |sessions AS (
+      |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |    min(ts_us) AS sess_start, max(ts_us) + 1 AS sess_end
+      |  FROM (SELECT user_id, ts_us,
+      |          SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |        FROM flagged)
+      |  GROUP BY 1, 2),
+      |i AS (SELECT event_id AS error_id, ts_us AS win_start, ts_us + 300000000 AS win_end
+      |      FROM e WHERE event_type = 'error')
+      |SELECT s.user_id, s.session_idx, s.sess_start, s.sess_end,
+      |       i.error_id, i.win_start, i.win_end
+      |FROM sessions s JOIN i
+      |  ON GREATEST(s.sess_start, i.win_start) < LEAST(s.sess_end, i.win_end)
+      |ORDER BY s.user_id, s.session_idx, i.error_id""".stripMargin
+
+  // ===== q49 — as-of join with tolerance: recent-purchase attribution ====
+
+  /** q45 with a staleness bound — each click attributes to the user's
+    * most recent at-or-before purchase ONLY if it is at most 10 minutes
+    * old (the feature-store contract: "most recent value, no older than
+    * X"). Same single-window plan as q45; the bound is a post-filter on
+    * the matched row's own timestamp, carried through the window inside
+    * the payload struct.
+    */
+  def q49AsofTolerance(s: SparkSession, dir: String): DataFrame = {
+    val tolUs = 10L * 60 * 1000 * 1000
+    val ev = eventsUs(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    AsofJoin.asofJoin(clicks, purchases, key = "user_id", ts = "ts_us",
+        payload = Seq("purchase_id", "purchase_value"), tolerance = Some(tolUs))
+      .orderBy(col("click_id"))
+  }
+
+  /** The most recent prior purchase being too old means every prior
+    * purchase is, so DuckDB's unbounded ASOF + a CASE age filter states
+    * the same result.
+    */
+  val q49Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+      |c AS (SELECT event_id AS click_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts_us, event_id AS purchase_id, value AS purchase_value
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT c.click_id, c.user_id, c.ts_us,
+      |  CASE WHEN c.ts_us - p.ts_us <= 600000000 THEN p.purchase_id END AS purchase_id,
+      |  CASE WHEN c.ts_us - p.ts_us <= 600000000 THEN p.purchase_value END AS purchase_value
+      |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+      |ORDER BY click_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_asof_join" -> (q45AsofJoin _),
     "q46_range_join" -> (q46RangeJoin _),
-    "q47_session_attribution" -> (q47SessionAttribution _))
+    "q47_session_attribution" -> (q47SessionAttribution _),
+    "q48_overlap_join" -> (q48OverlapJoin _),
+    "q49_asof_tolerance" -> (q49AsofTolerance _))
 
   val oracleSql: Map[String, String] = Map(
     "q45_asof_join" -> q45Sql,
     "q46_range_join" -> q46Sql,
-    "q47_session_attribution" -> q47Sql)
+    "q47_session_attribution" -> q47Sql,
+    "q48_overlap_join" -> q48Sql,
+    "q49_asof_tolerance" -> q49Sql)
 }

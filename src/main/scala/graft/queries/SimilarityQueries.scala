@@ -134,11 +134,22 @@ object SimilarityQueries {
 
   /** Incremental corpus-vs-batch near-dup — the day-2 shape of q21: the
     * corpus's shingles+bands are persisted once ([[MinHashLSH.buildIndex]]),
-    * then the planted batch is deduped against the stored index without
-    * any corpus-side recompute ([[MinHashLSH.nearDuplicatesAgainst]]).
-    * Deterministic; rows-only check (xxhash64 banding is not
-    * SQL-expressible) with restricted-equality-vs-full-rerun proven in
-    * IncrementalDedupSpec. No reference analogue (north-star surface).
+    * then a re-delivered batch (exact copies — the most common day-2
+    * duplicate: a re-sent file) is deduped against the stored index
+    * without any corpus-side recompute
+    * ([[MinHashLSH.nearDuplicatesAgainst]]). No reference analogue
+    * (north-star surface).
+    *
+    * DuckDB-ORACLED by the q36 argument restricted to batch-touching
+    * pairs: at threshold 1.0 the verifier's exact Jaccard keeps only
+    * identical shingle SETS; exact copies collide in every band
+    * (identical signatures) so LSH provably surfaces them, and no two
+    * distinct corpus texts share a shingle set (natural max J ≈ 0.989
+    * at sf0.01 — proven independently by q36's green oracle row, which
+    * would mismatch if any existed). The pair set is therefore exactly
+    * text-equality, which DuckDB states via md5. The realistic
+    * sub-threshold behavior stays covered by q21 (self-join, θ=0.5) and
+    * IncrementalDedupSpec's restricted-equality-vs-full-rerun proof.
     *
     * The index lives under [[Warehouse]] — shared storage on a cluster
     * (`spark.graft.warehouse`), keyed by the source table's file
@@ -148,17 +159,31 @@ object SimilarityQueries {
     */
   def q33IncrementalNearDup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-    val batch = docs.select((col("doc_id") + 1000000).as("doc_id"),
-      concat(col("text"), lit(" planted near duplicate marker")).as("text"))
+    val batch = docs.select((col("doc_id") + 1000000).as("doc_id"), col("text"))
     val idx = Warehouse.ensureBuilt(s,
       Warehouse.derivedDir(s, "minhash_index", s"$dir/documents.parquet",
         params = "n=3,k=128,b=16")) { d =>
       MinHashLSH.buildIndex(docs, "doc_id", "text", d)
     }
-    MinHashLSH.nearDuplicatesAgainst(batch, "doc_id", "text", idx, threshold = 0.5)
+    MinHashLSH.nearDuplicatesAgainst(batch, "doc_id", "text", idx, threshold = 1.0)
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** Batch-touching J=1.0 pairs ⟺ text equality (see q33's doc): each
+    * corpus doc pairs with its re-delivered copy; the within-batch term
+    * is stated for completeness and is empty on distinct-text corpora.
+    */
+  val q33Sql: String =
+    """WITH c AS (SELECT doc_id, md5(text) AS h FROM documents),
+      |b AS (SELECT doc_id + 1000000 AS doc_id, md5(text) AS h FROM documents),
+      |pairs AS (
+      |  SELECT c.doc_id AS id_a, b.doc_id AS id_b FROM c JOIN b USING (h)
+      |  UNION ALL
+      |  SELECT b1.doc_id, b2.doc_id FROM b b1 JOIN b b2
+      |    ON b1.h = b2.h AND b1.doc_id < b2.doc_id)
+      |SELECT id_a, id_b, CAST(1.0 AS DOUBLE) AS jaccard FROM pairs
+      |ORDER BY id_a, id_b""".stripMargin
 
   /** Incremental corpus-vs-batch EMBEDDING near-dup — the day-2 shape
     * of q32: the corpus's LSH sign-buckets and embeddings are persisted
@@ -248,6 +273,15 @@ object SimilarityQueries {
     * popcount(xor) filter runs inline (restricted-equality vs the full
     * self-join proven in IncrementalSimHashSpec). Rows-only check
     * (simhash64 is not SQL-expressible).
+    *
+    * NOT oracle-able by the q33/q34 exact-planting technique — checked
+    * and rejected by measurement: the sf0.01 corpus has 17 natural
+    * distinct-text pairs within Hamming ≤ 3, including at least one at
+    * distance 0 (identical fingerprints for different texts), so even
+    * an exact-copy batch at maxDist = 0 yields pairs a text-equality
+    * oracle cannot state. That is inherent to simhash (a 64-bit lossy
+    * sketch), not a defect; the exactness contract lives in
+    * IncrementalSimHashSpec instead.
     */
   def q40SimhashIncremental(s: SparkSession, dir: String): DataFrame = {
     SimHashDedup.ensureRegistered(s)
@@ -304,6 +338,7 @@ object SimilarityQueries {
   val oracleSql: Map[String, String] = Map(
     "q20_knn_bruteforce" -> q20Sql,
     "q32_embedding_neardup" -> q32Sql,
+    "q33_incremental_neardup" -> q33Sql,
     "q34_incr_embedding_neardup" -> q34Sql,
     "q36_dedup_resolve" -> q36Sql)
 }

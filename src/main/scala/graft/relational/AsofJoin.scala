@@ -55,29 +55,43 @@ object AsofJoin {
   /** Left as-of join: every left row, plus `payload` columns from the
     * matched right row (null when no right row is at-or-before).
     *
-    * @param left    driving rows; all its columns pass through
-    * @param right   fact rows to match; must contain `key`, `ts`, and
-    *                `payload` columns; (key, ts) should be unique
-    * @param key     equi-join key column name (same name both sides)
-    * @param ts      event-time column name (same name both sides, any
-    *                orderable type)
-    * @param payload right columns to attach; names must not collide
-    *                with left's columns
+    * @param left      driving rows; all its columns pass through
+    * @param right     fact rows to match; must contain `key`, `ts`, and
+    *                  `payload` columns; (key, ts) should be unique
+    * @param key       equi-join key column name (same name both sides)
+    * @param ts        event-time column name (same name both sides, any
+    *                  orderable type; numeric/timestamp when `tolerance`
+    *                  is set — the bound is checked by subtraction)
+    * @param payload   right columns to attach; names must not collide
+    *                  with left's columns
+    * @param tolerance max lookback: a match only counts while
+    *                  `l.ts - r.ts <= tolerance` (inclusive) — the
+    *                  feature-store staleness contract ("most recent
+    *                  value, but no older than an hour"). None = any
+    *                  age. Applied AFTER the single-window match: the
+    *                  most recent prior fact being too old means every
+    *                  prior fact is, so a post-filter is equivalent to
+    *                  restricting the match — same plan, no extra
+    *                  shuffle.
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               payload: Seq[String]): DataFrame = {
+               payload: Seq[String], tolerance: Option[Long] = None): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
+    require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     val collisions = payload.toSet.intersect(left.columns.toSet)
     require(collisions.isEmpty, s"payload columns collide with left side: $collisions")
-    val internal = Set("__side", "__p", "__l", "__m")
+    val internal = Set("__side", "__p", "__l", "__m", "__ts")
     val internalHits = (left.columns.toSet ++ payload + key + ts).intersect(internal)
     require(internalHits.isEmpty,
       s"column names collide with asofJoin internals: $internalHits")
 
+    // the matched right row's ts rides inside the payload struct so the
+    // tolerance bound can be checked against the SAME row the payload
+    // came from (atomic even under ties)
     val r = right
       .filter(col(key).isNotNull && col(ts).isNotNull)
       .select(col(key), col(ts), lit(0).as("__side"),
-      struct(payload.map(col): _*).as("__p"))
+      struct(col(ts).as("__ts") +: payload.map(col): _*).as("__p"))
     // NULL-key/-ts left rows can never match; keep them out of the
     // window (a NULL key is one partition — the straggler magnet) and
     // re-attach them unmatched at the end.
@@ -95,8 +109,16 @@ object AsofJoin {
       .orderBy(col(ts).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
+    val matchedStruct = tolerance match {
+      case Some(tol) =>
+        // too-stale match → unmatched (NULL when no match at all keeps
+        // the condition NULL → otherwise-null, same outcome)
+        when(col(ts) - col("__m").getField("__ts") <= tol, col("__m"))
+      case None => col("__m")
+    }
     val matched = unioned
       .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .withColumn("__m", matchedStruct)
       .filter(col("__side") === 1)
       .select(left.columns.map(c => col("__l").getField(c).as(c))
         ++ payload.map(c => col("__m").getField(c).as(c)): _*)

@@ -80,6 +80,29 @@ class PlanShapeSpec extends SparkTestBase {
       p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("q45 as-of join is one exchange + window — no join operator at all") {
+    // the operator's whole point: the naive key+inequality join (pair
+    // blowup) and the pure range join (nested loop) never appear; the
+    // match is a window over a union
+    val p = plan(RelationalQueries.q45AsofJoin(spark, sf))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "expected the carry-forward window")
+  }
+
+  test("q46/q48 manufactured-equi-key joins plan hash joins, never nested loops") {
+    for ((name, df) <- Seq(
+        "q46" -> RelationalQueries.q46RangeJoin(spark, sf),
+        "q48" -> RelationalQueries.q48OverlapJoin(spark, sf))) {
+      val p = plan(df)
+      assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$name: " + p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+      assert(p.contains("HashJoin") || p.contains("SortMergeJoin"),
+        s"$name: expected an equi-join on the bucket key")
+    }
+  }
+
   test("partitioned gold write partition-prunes a country filter at the scan") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

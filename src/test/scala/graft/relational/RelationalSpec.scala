@@ -100,6 +100,32 @@ class RelationalSpec extends SparkTestBase {
     assert((r.getLong(3), r.getString(4)) == ((200L, "b")))
   }
 
+  test("asof: tolerance bounds the lookback, inclusive at the bound") {
+    // facts at ts 10/20/30 for u1
+    val left = Seq(
+      (1L, Some("u1"), Some(25L)), // match 20, age 5
+      (2L, Some("u1"), Some(27L)), // match 20, age 7 = tol → kept (inclusive)
+      (3L, Some("u1"), Some(28L)), // match 20, age 8 > tol → null
+      (4L, Some("u1"), Some(30L)), // tie at 30, age 0
+      (5L, Some("u1"), Some(9L)),  // no prior at all → null
+      (6L, Some("u2"), Some(99L))  // match 15, age 84 → null
+    ).toDF("lid", "k", "ts")
+    val got = AsofJoin.asofJoin(left, rightDf, "k", "ts", Seq("pay_a", "pay_b"),
+        tolerance = Some(7L))
+      .select("lid", "k", "ts", "pay_a", "pay_b").collect().toSet
+    // brute force: same candidates, additionally require age <= tol
+    val r = rightDf.select(col("k").as("rk"), col("ts").as("rts"),
+      col("pay_a"), col("pay_b"))
+    val cands = left.join(r,
+      col("k") === col("rk") && col("rts") <= col("ts")
+        && col("ts") - col("rts") <= 7L, "left")
+    val w = Window.partitionBy(col("lid")).orderBy(col("rts").desc_nulls_last)
+    val brute = cands.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("lid", "k", "ts", "pay_a", "pay_b").collect().toSet
+    assert(got == brute)
+    assert(got.count(r => !r.isNullAt(3)) == 3) // lids 1, 2, 4
+  }
+
   test("asof: collision guards reject payload/internal name clashes") {
     val left = Seq((1L, "u1", 10L)).toDF("lid", "k", "ts")
     val bad = Seq(("u1", 5L, 1L)).toDF("k", "ts", "lid") // payload "lid" collides
@@ -193,6 +219,95 @@ class RelationalSpec extends SparkTestBase {
     val got = RangeJoin.pointInInterval(pts, "pt", iv, "s", "e", 4L)
       .select("iid", "pid").as[(Long, Long)].collect().toSet
     assert(got == Set((1L, 10L)))
+  }
+
+  // ------------------------------------------------------------- overlap
+
+  /** Brute-force overlap oracle — the nested loop the operator
+    * replaces. Nonempty-intersection semantics (max(starts) <
+    * min(ends)), NOT the two-sided textbook predicate, which would
+    * wrongly match an empty [x, x) strictly inside the other side.
+    */
+  private def overlapBrute(l: DataFrame, r: DataFrame): Set[Row] =
+    l.crossJoin(r)
+      .filter(greatest(col("ls"), col("rs")) < least(col("le"), col("re")))
+      .select("lid", "ls", "le", "rid", "rs", "re")
+      .collect().toSet
+
+  private def overlapRun(l: DataFrame, r: DataFrame, w: Long): Set[Row] =
+    IntervalJoin.overlapJoin(l, "ls", "le", r, "rs", "re", w)
+      .select("lid", "ls", "le", "rid", "rs", "re")
+      .collect().toSet
+
+  private val leftIvs = Seq(
+    // (lid, ls, le)
+    (1L, 0L, 10L),     // [0,10)
+    (2L, 10L, 20L),    // adjacent to 1
+    (3L, 5L, 100L),    // long, spans many buckets
+    (4L, 50L, 50L),    // empty
+    (5L, 60L, 40L),    // inverted
+    (6L, -25L, -5L)    // negative domain
+  ).toDF("lid", "ls", "le")
+
+  private val rightIvs = Seq(
+    // (rid, rs, re) — touching endpoints, containment, identity, point-ish
+    (10L, 9L, 11L),    // straddles the 1|2 boundary → overlaps both
+    (11L, 10L, 10L),   // empty at the boundary → overlaps nothing
+    (12L, 0L, 10L),    // identical to lid=1
+    (13L, 20L, 30L),   // touches lid=2's open end → no overlap with 2, inside 3
+    (14L, -30L, -20L), // negative, overlaps 6
+    (15L, 98L, 200L),  // tail of 3
+    (16L, 300L, 200L)  // inverted
+  ).toDF("rid", "rs", "re")
+
+  test("overlap: matches brute force at bucket widths below/at/above interval lengths") {
+    for (w <- Seq(1L, 3L, 7L, 10L, 64L, 1000L)) {
+      assert(overlapRun(leftIvs, rightIvs, w) == overlapBrute(leftIvs, rightIvs),
+        s"bucketWidth=$w")
+    }
+  }
+
+  test("overlap: exactly one row per overlapping pair (reference-point, no dedup)") {
+    for (w <- Seq(3L, 10L, 1000L)) {
+      val dups = IntervalJoin.overlapJoin(leftIvs, "ls", "le", rightIvs, "rs", "re", w)
+        .groupBy("lid", "rid").count().filter(col("count") > 1).count()
+      assert(dups == 0L, s"duplicates at bucketWidth=$w")
+    }
+  }
+
+  test("overlap: touching endpoints do not overlap (half-open both sides)") {
+    val got = overlapRun(leftIvs, rightIvs, 10L)
+    assert(!got.exists(r => r.getLong(0) == 2L && r.getLong(3) == 13L))
+    assert(got.exists(r => r.getLong(0) == 3L && r.getLong(3) == 13L))
+  }
+
+  test("overlap: bucketing exact beyond 2^53") {
+    val base = 1L << 60
+    val l = Seq((1L, base, base + 100L)).toDF("lid", "ls", "le")
+    val r = Seq((10L, base + 99L, base + 200L), (11L, base + 100L, base + 200L))
+      .toDF("rid", "rs", "re")
+    for (w <- Seq(7L, 333L, 1000L)) {
+      val got = overlapRun(l, r, w)
+      assert(got == overlapBrute(l, r), s"bucketWidth=$w")
+      assert(got.map(_.getLong(3)) == Set(10L)) // 11 only touches the open end
+    }
+  }
+
+  test("overlap: NULL bounds drop; collision guards reject shared names") {
+    val l = Seq((Some(1L), Some(0L), Some(10L)), (Some(2L), None, Some(10L)))
+      .toDF("lid", "ls", "le")
+    val r = Seq((Some(10L), Some(5L), Some(6L)), (Some(11L), Some(5L), None))
+      .toDF("rid", "rs", "re")
+    val got = IntervalJoin.overlapJoin(l, "ls", "le", r, "rs", "re", 4L)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+    intercept[IllegalArgumentException] { // shared column name
+      IntervalJoin.overlapJoin(l, "ls", "le", r.withColumnRenamed("rs", "ls"),
+        "ls", "re", 4L)
+    }
+    intercept[IllegalArgumentException] { // non-positive width
+      IntervalJoin.overlapJoin(l, "ls", "le", r, "rs", "re", 0L)
+    }
   }
 
   test("range: collision guards reject shared and internal names") {
