@@ -247,6 +247,35 @@ object RelationalQueries {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
       |ORDER BY click_id""".stripMargin
 
+  // ===== q50 — forward as-of: signup → first subsequent purchase =========
+
+  /** For every signup, the same user's EARLIEST at-or-after purchase —
+    * the time-to-first-conversion lookup, [[AsofJoin.Forward]]
+    * direction (q45 mirrored in time). Same single-window plan; only
+    * the sort direction flips.
+    */
+  def q50AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("event_id").as("signup_id"), col("user_id"), col("ts_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_us"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    AsofJoin.asofJoin(signups, purchases, key = "user_id", ts = "ts_us",
+        payload = Seq("purchase_id", "purchase_value"),
+        direction = AsofJoin.Forward)
+      .orderBy(col("signup_id"))
+  }
+
+  val q50Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+      |s AS (SELECT event_id AS signup_id, user_id, ts_us FROM e WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, ts_us, event_id AS purchase_id, value AS purchase_value
+      |      FROM e WHERE event_type = 'purchase')
+      |SELECT s.signup_id, s.user_id, s.ts_us, p.purchase_id, p.purchase_value
+      |FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts_us <= p.ts_us
+      |ORDER BY signup_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -254,12 +283,14 @@ object RelationalQueries {
     "q46_range_join" -> (q46RangeJoin _),
     "q47_session_attribution" -> (q47SessionAttribution _),
     "q48_overlap_join" -> (q48OverlapJoin _),
-    "q49_asof_tolerance" -> (q49AsofTolerance _))
+    "q49_asof_tolerance" -> (q49AsofTolerance _),
+    "q50_asof_forward" -> (q50AsofForward _))
 
   val oracleSql: Map[String, String] = Map(
     "q45_asof_join" -> q45Sql,
     "q46_range_join" -> q46Sql,
     "q47_session_attribution" -> q47Sql,
     "q48_overlap_join" -> q48Sql,
-    "q49_asof_tolerance" -> q49Sql)
+    "q49_asof_tolerance" -> q49Sql,
+    "q50_asof_forward" -> q50Sql)
 }

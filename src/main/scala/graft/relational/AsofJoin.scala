@@ -52,6 +52,16 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** Match direction: [[Backward]] = greatest ts at-or-before (the
+    * default, DuckDB `l.ts >= r.ts`); [[Forward]] = smallest ts
+    * at-or-after ("first purchase after signup", DuckDB
+    * `l.ts <= r.ts`). Forward is backward under reversed time — the
+    * implementation only flips the window's sort direction.
+    */
+  sealed trait Direction
+  case object Backward extends Direction
+  case object Forward extends Direction
+
   /** Left as-of join: every left row, plus `payload` columns from the
     * matched right row (null when no right row is at-or-before).
     *
@@ -64,18 +74,23 @@ object AsofJoin {
     *                  is set — the bound is checked by subtraction)
     * @param payload   right columns to attach; names must not collide
     *                  with left's columns
-    * @param tolerance max lookback: a match only counts while
-    *                  `l.ts - r.ts <= tolerance` (inclusive) — the
+    * @param tolerance max match distance: a match only counts while
+    *                  `|l.ts - r.ts| <= tolerance` (inclusive; the
+    *                  match is one-sided per `direction`, so the
+    *                  absolute value is just the age) — the
     *                  feature-store staleness contract ("most recent
     *                  value, but no older than an hour"). None = any
     *                  age. Applied AFTER the single-window match: the
-    *                  most recent prior fact being too old means every
-    *                  prior fact is, so a post-filter is equivalent to
+    *                  nearest fact being too far means every fact on
+    *                  that side is, so a post-filter is equivalent to
     *                  restricting the match — same plan, no extra
     *                  shuffle.
+    * @param direction [[Backward]] (most recent at-or-before, default)
+    *                  or [[Forward]] (earliest at-or-after)
     */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
-               payload: Seq[String], tolerance: Option[Long] = None): DataFrame = {
+               payload: Seq[String], tolerance: Option[Long] = None,
+               direction: Direction = Backward): DataFrame = {
     require(payload.nonEmpty, "asofJoin needs at least one payload column")
     require(tolerance.forall(_ >= 0), "tolerance must be non-negative")
     val collisions = payload.toSet.intersect(left.columns.toSet)
@@ -105,15 +120,28 @@ object AsofJoin {
 
     val unioned = l.unionByName(
       r.withColumn("__l", lit(null).cast(l.schema("__l").dataType)))
+    // Backward streams time forward and carries the latest prior fact;
+    // Forward streams time REVERSED, so the last fact seen before a
+    // left row is the smallest ts at-or-after it. Either way right
+    // rows sort before left rows at equal ts — inclusive match.
+    val tsOrder = direction match {
+      case Backward => col(ts).asc
+      case Forward  => col(ts).desc
+    }
     val w = Window.partitionBy(col(key))
-      .orderBy(col(ts).asc, col("__side").asc)
+      .orderBy(tsOrder, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     val matchedStruct = tolerance match {
       case Some(tol) =>
-        // too-stale match → unmatched (NULL when no match at all keeps
-        // the condition NULL → otherwise-null, same outcome)
-        when(col(ts) - col("__m").getField("__ts") <= tol, col("__m"))
+        // too-distant match → unmatched (NULL when no match at all
+        // keeps the condition NULL → otherwise-null, same outcome);
+        // the signed difference is non-negative per direction
+        val age = direction match {
+          case Backward => col(ts) - col("__m").getField("__ts")
+          case Forward  => col("__m").getField("__ts") - col(ts)
+        }
+        when(age <= tol, col("__m"))
       case None => col("__m")
     }
     val matched = unioned

@@ -126,6 +126,46 @@ class RelationalSpec extends SparkTestBase {
     assert(got.count(r => !r.isNullAt(3)) == 3) // lids 1, 2, 4
   }
 
+  test("asof: forward direction matches the earliest at-or-after fact, inclusive") {
+    // facts for u1 at ts 10/20/30
+    val left = Seq(
+      (1L, Some("u1"), Some(9L)),   // before all → 10
+      (2L, Some("u1"), Some(10L)),  // tie at 10 → inclusive match at 10
+      (3L, Some("u1"), Some(25L)),  // between 20 and 30 → 30
+      (4L, Some("u1"), Some(31L)),  // after all → null
+      (5L, Some("u2"), Some(15L)),  // tie on other key → d
+      (6L, Some("u3"), Some(1L)),   // u3's only fact has NULL ts → null
+      (7L, None, Some(5L))          // NULL key → unmatched passthrough
+    ).toDF("lid", "k", "ts")
+    val got = AsofJoin.asofJoin(left, rightDf, "k", "ts", Seq("pay_a", "pay_b"),
+        direction = AsofJoin.Forward)
+      .select("lid", "k", "ts", "pay_a", "pay_b").collect().toSet
+    // brute force: candidates at-or-after, keep the min-ts one
+    val r = rightDf.select(col("k").as("rk"), col("ts").as("rts"),
+      col("pay_a"), col("pay_b"))
+    val cands = left.join(r, col("k") === col("rk") && col("rts") >= col("ts"), "left")
+    val w = Window.partitionBy(col("lid")).orderBy(col("rts").asc_nulls_last)
+    val brute = cands.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("lid", "k", "ts", "pay_a", "pay_b").collect().toSet
+    assert(got == brute)
+    val at10 = got.find(_.getLong(0) == 2L).get
+    assert(at10.getLong(3) == 100L, "tie at 10 should match the fact AT 10")
+    assert(got.find(_.getLong(0) == 4L).get.isNullAt(3), "no later fact → null")
+  }
+
+  test("asof: forward tolerance bounds the look-ahead, inclusive at the bound") {
+    val left = Seq(
+      (1L, Some("u1"), Some(15L)), // next fact 20, distance 5 = tol → kept
+      (2L, Some("u1"), Some(14L)), // next fact 20, distance 6 > tol → null
+      (3L, Some("u1"), Some(30L))  // tie, distance 0
+    ).toDF("lid", "k", "ts")
+    val got = AsofJoin.asofJoin(left, rightDf, "k", "ts", Seq("pay_a"),
+        tolerance = Some(5L), direction = AsofJoin.Forward)
+      .select("lid", "pay_a").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(200L), 2L -> None, 3L -> Some(300L)))
+  }
+
   test("asof: collision guards reject payload/internal name clashes") {
     val left = Seq((1L, "u1", 10L)).toDF("lid", "k", "ts")
     val bad = Seq(("u1", 5L, 1L)).toDF("k", "ts", "lid") // payload "lid" collides
