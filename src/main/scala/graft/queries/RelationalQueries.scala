@@ -21,9 +21,23 @@ import graft.relational.{AsofJoin, IntervalJoin, RangeJoin}
 object RelationalQueries {
 
   private val WindowUs = 5L * 60 * 1000 * 1000 // 5 minutes in µs
+  private val GapUs = 30L * 60 * 1000 * 1000   // q28-convention session gap
 
   private def eventsUs(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "events").withColumn("ts_us", expr("ts div 1000"))
+
+  /** q28-convention gap sessionizer, shared by q47/q48: every event row
+    * tagged with its (user_id, session_idx) assignment — one exchange
+    * on user_id; callers aggregate per session from here.
+    */
+  private def sessionAssigned(ev: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    ev.withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > GapUs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+  }
 
   // ===== q45 — as-of join: click → most recent prior purchase ============
 
@@ -110,15 +124,8 @@ object RelationalQueries {
     * logical key pipeline, no cross-key shuffle between stages.
     */
   def q47SessionAttribution(s: SparkSession, dir: String): DataFrame = {
-    val gapUs = 30L * 60 * 1000 * 1000
     val ev = eventsUs(s, dir)
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-    val starts = ev
-      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+    val starts = sessionAssigned(ev)
       .groupBy(col("user_id"), col("session_idx"))
       .agg(min(col("ts_us")).as("ts_us"))
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -166,15 +173,8 @@ object RelationalQueries {
     * the O(|sessions| × |incidents|) nested loop.
     */
   def q48OverlapJoin(s: SparkSession, dir: String): DataFrame = {
-    val gapUs = 30L * 60 * 1000 * 1000
     val ev = eventsUs(s, dir)
-    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
-    val sessions = ev
-      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byUser))
-      .withColumn("is_new",
-        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1L)
-          .otherwise(0L))
-      .withColumn("session_idx", sum(col("is_new")).over(byUser))
+    val sessions = sessionAssigned(ev)
       .groupBy(col("user_id"), col("session_idx"))
       // +1: half-open end; a single-event session still occupies its µs
       .agg(min(col("ts_us")).as("sess_start"), (max(col("ts_us")) + 1).as("sess_end"))
@@ -182,7 +182,7 @@ object RelationalQueries {
       .select(col("event_id").as("error_id"), col("ts_us").as("win_start"),
         (col("ts_us") + WindowUs).as("win_end"))
     IntervalJoin.overlapJoin(sessions, "sess_start", "sess_end",
-        incidents, "win_start", "win_end", bucketWidth = gapUs)
+        incidents, "win_start", "win_end", bucketWidth = GapUs)
       .orderBy(col("user_id"), col("session_idx"), col("error_id"))
   }
 

@@ -70,8 +70,12 @@ object AsofJoin {
     *                  `payload` columns; (key, ts) should be unique
     * @param key       equi-join key column name (same name both sides)
     * @param ts        event-time column name (same name both sides, any
-    *                  orderable type; numeric/timestamp when `tolerance`
-    *                  is set — the bound is checked by subtraction)
+    *                  orderable type; must be NUMERIC — e.g. epoch-µs
+    *                  long — when `tolerance` is set: the bound is
+    *                  checked as `numeric difference <= tolerance`, so
+    *                  a TimestampType ts would fail analysis there
+    *                  (timestamp subtraction yields an interval);
+    *                  convert to epoch numbers first)
     * @param payload   right columns to attach; names must not collide
     *                  with left's columns
     * @param tolerance max match distance: a match only counts while

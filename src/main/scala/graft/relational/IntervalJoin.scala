@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Interval-overlap join — match interval rows to interval rows with NO
@@ -41,9 +41,10 @@ object IntervalJoin {
     * Output: every left column, then every right column, one row per
     * overlapping (left, right) pair. Column names must be disjoint.
     * Bound columns are integral (epoch-µs/-ns longs; bucketing is
-    * exact integer floor division over the full long domain).
-    * Inverted/empty intervals (end <= start) and NULL bounds drop,
-    * matching inner-join semantics.
+    * [[Buckets.bucketOf]]'s exact integer floor division, see there
+    * for the one documented bottom-edge limit). Inverted/empty
+    * intervals (end <= start) and NULL bounds drop, matching
+    * inner-join semantics.
     */
   def overlapJoin(left: DataFrame, lStart: String, lEnd: String,
                   right: DataFrame, rStart: String, rEnd: String,
@@ -56,21 +57,8 @@ object IntervalJoin {
     require(internalHits.isEmpty,
       s"column names collide with overlapJoin internals: $internalHits")
 
-    // exact integer floor division — see RangeJoin.bucketOf: floor of
-    // long/long double division misbuckets beyond 2^53
-    def bucketOf(x: Column): Column = {
-      val m = x - pmod(x, lit(bucketWidth))
-      call_function("div", m, lit(bucketWidth))
-    }
-    // drop inverted/empty intervals BEFORE the explode: a corrupt
-    // end<start row would otherwise generate a descending `sequence`
-    // (see RangeJoin). NULL bounds fail the predicate too.
-    def explodeSide(df: DataFrame, s: String, e: String): DataFrame =
-      df.filter(col(e) > col(s)).withColumn("__bucket",
-        explode(sequence(bucketOf(col(s)), bucketOf(col(e) - 1))))
-
-    val l = explodeSide(left, lStart, lEnd)
-    val r = explodeSide(right, rStart, rEnd)
+    val l = Buckets.explodeOntoBuckets(left, lStart, lEnd, bucketWidth)
+    val r = Buckets.explodeOntoBuckets(right, rStart, rEnd, bucketWidth)
     l.join(r, Seq("__bucket"))
       // nonempty intersection, stated directly (both sides are already
       // nonempty post-drop, so this equals the two-sided form here —
@@ -78,7 +66,8 @@ object IntervalJoin {
       .filter(greatest(col(lStart), col(rStart)) < least(col(lEnd), col(rEnd)))
       // emit each pair once: only from the first bucket of the
       // intersection, which both sides are guaranteed to have exploded
-      .filter(col("__bucket") === bucketOf(greatest(col(lStart), col(rStart))))
+      .filter(col("__bucket") ===
+        Buckets.bucketOf(greatest(col(lStart), col(rStart)), bucketWidth))
       .drop("__bucket")
   }
 }

@@ -1,6 +1,6 @@
 package graft.relational
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Range (interval-containment) join — match point rows to interval
@@ -32,9 +32,11 @@ object RangeJoin {
     * (half-open: start <= pt < end). Output: every interval column,
     * plus `points`' columns for each contained point. Column names must
     * be disjoint. `ptCol`, `startCol`, `endCol` are integral (e.g.
-    * epoch-µs or epoch-ns longs — bucketing is exact integer floor
-    * division, valid over the full long domain); `bucketWidth` in the
-    * same unit.
+    * epoch-µs or epoch-ns longs — bucketing is [[Buckets.bucketOf]]'s
+    * exact integer floor division, see there for the one documented
+    * bottom-edge limit); `bucketWidth` in the same unit. Inverted/empty
+    * intervals and NULL bounds drop ([[Buckets.explodeOntoBuckets]]),
+    * matching inner-join semantics.
     */
   def pointInInterval(points: DataFrame, ptCol: String,
                       intervals: DataFrame, startCol: String, endCol: String,
@@ -46,31 +48,8 @@ object RangeJoin {
     require(internalHits.isEmpty,
       s"column names collide with pointInInterval internals: $internalHits")
 
-    // Exact integer floor division — NOT floor(x / w): Spark evaluates
-    // long/long as DOUBLE division, so beyond 2^53 (epoch-ns values
-    // qualify) boundary points round to the wrong bucket and matches
-    // silently drop. (x - pmod(x, w)) is an exact multiple of w
-    // (pmod >= 0 for w > 0, negatives included), and `div` is integral
-    // division — exact over the full long domain.
-    def bucketOf(x: Column): Column = {
-      val m = x - pmod(x, lit(bucketWidth))
-      call_function("div", m, lit(bucketWidth))
-    }
-    // Empty and inverted intervals (end <= start, e.g. an end=0
-    // sentinel against epoch-µs starts) can match nothing under the
-    // half-open predicate, but `sequence(a, b)` with a > b generates a
-    // DESCENDING sequence — one corrupt row would fan out onto ~start/W
-    // buckets (or die on the sequence-length cap) before the
-    // containment filter could discard it. Drop them up front; a NULL
-    // start/end also fails this predicate, matching inner-join
-    // semantics (SQL comparisons through NULL are never true).
-    val live = intervals.filter(col(endCol) > col(startCol))
-    // end is exclusive, so the last bucket that can contain a point is
-    // the one holding end-1 — never explode onto a bucket the interval
-    // only touches at its open endpoint
-    val expl = live.withColumn("__bucket",
-      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol) - 1))))
-    val pts = points.withColumn("__bucket", bucketOf(col(ptCol)))
+    val expl = Buckets.explodeOntoBuckets(intervals, startCol, endCol, bucketWidth)
+    val pts = points.withColumn("__bucket", Buckets.bucketOf(col(ptCol), bucketWidth))
     expl.join(pts, Seq("__bucket"))
       .filter(col(ptCol) >= col(startCol) && col(ptCol) < col(endCol))
       .drop("__bucket")

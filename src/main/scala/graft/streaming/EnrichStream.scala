@@ -45,7 +45,13 @@ object EnrichStream {
       outDir: String, checkpointDir: String,
       tolerance: Option[Long] = None,
       direction: AsofJoin.Direction = AsofJoin.Backward,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // batch_id is the output's provenance PARTITION column — a data
+    // column with the same name would be shadowed by (or conflict
+    // with) the directory value on read; fail loudly like asofJoin's
+    // internal-name guards
+    val hits = (schema.fieldNames.toSet ++ payload).intersect(Set("batch_id"))
+    require(hits.isEmpty, s"column names collide with the batch_id partition column: $hits")
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .trigger(trigger)
@@ -55,6 +61,7 @@ object EnrichStream {
           tolerance, direction)
       }
       .start()
+  }
 
   /** One micro-batch of the enrichment (exposed for tests and direct
     * batch use). See class doc for the replay-safety contract.
@@ -73,7 +80,11 @@ object EnrichStream {
   }
 
   /** Read the enriched table (all batches; `batch_id` appears as a
-    * provenance partition column).
+    * provenance partition column). Precondition: at least one non-empty
+    * micro-batch has been enriched — a stream that never saw data never
+    * creates `outDir`, and this read then fails with PATH_NOT_FOUND
+    * (there is no schema to return an empty frame with); guard with an
+    * existence check on a feed that may be quiet.
     */
   def readEnriched(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(outDir)
