@@ -154,6 +154,45 @@ object PipelineQueries {
         col("ps").getItem(2).as("p99"))
       .orderBy(col("l_returnflag"))
 
+  // ===== q51/q52 — cardinality: exact anchor + HLL twin ===================
+
+  /** Exact per-type user cardinality over events — the audience-count /
+    * dedup-rate shape every corpus report needs. Spark plans
+    * `count(DISTINCT)` as an expand + two-phase aggregate whose state
+    * is proportional to the number of DISTINCT keys per group — the
+    * oracle-able correctness anchor, with [[q52CardinalityApprox]] as
+    * the bounded-state 100 TB path (the q30/q31 pairing applied to
+    * cardinality).
+    */
+  def q51Cardinality(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("distinct_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  val q51Sql: String =
+    """SELECT event_type, count(DISTINCT user_id) AS distinct_users,
+      |  count(*) AS n_events
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The scale-safe twin of [[q51Cardinality]]: `approx_count_distinct`
+    * (HyperLogLog++) keeps a fixed-size sketch per group — O(1/rsd²)
+    * registers, map-side partial-aggregated and mergeable — instead of
+    * state proportional to the distinct-key count, so a group with a
+    * billion distinct users costs the same memory as one with a
+    * thousand. The sketch is engine-specific (not DuckDB-comparable),
+    * so q52 is rows-only in the driver gate; CardinalitySpec pins
+    * |approx − exact| within the configured rsd's error bound and
+    * PlanShapeSpec locks the map-side partial.
+    */
+  def q52CardinalityApprox(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("distinct_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
   // ===== q37 — deterministic content-keyed train/valid/test split =========
 
   /** Reproducible dataset splitting, content-keyed: each document's
@@ -424,7 +463,9 @@ object PipelineQueries {
     "q37_deterministic_split" -> (q37DeterministicSplit _),
     "q41_sequence_pack" -> (q41SequencePack _),
     "q42_data_mixture" -> (q42DataMixture _),
-    "q44_curation_funnel" -> (q44CurationFunnel _))
+    "q44_curation_funnel" -> (q44CurationFunnel _),
+    "q51_cardinality" -> (q51Cardinality _),
+    "q52_cardinality_approx" -> (q52CardinalityApprox _))
 
   val oracleSql: Map[String, String] = Map(
     "q27_corpus_pipeline" -> q27Sql,
@@ -433,5 +474,6 @@ object PipelineQueries {
     "q37_deterministic_split" -> q37Sql,
     "q41_sequence_pack" -> q41Sql,
     "q42_data_mixture" -> q42Sql,
-    "q44_curation_funnel" -> q44Sql)
+    "q44_curation_funnel" -> q44Sql,
+    "q51_cardinality" -> q51Sql)
 }

@@ -80,6 +80,15 @@ class PlanShapeSpec extends SparkTestBase {
       p.linesIterator.take(12).mkString("\n"))
   }
 
+  test("q52 HLL cardinality aggregates partially before the exchange") {
+    // the sketch's point is fixed-size mergeable per-group state; a
+    // plan that shipped raw user_ids to the reducers would be q51's
+    // scale problem wearing q52's name
+    val p = plan(PipelineQueries.q52CardinalityApprox(spark, sf))
+    assert(p.contains("partial_approx_count_distinct"),
+      p.linesIterator.filter(_.contains("approx_count_distinct")).take(2).mkString("\n"))
+  }
+
   test("q45 as-of join is one exchange + window — no join operator at all") {
     // the operator's whole point: the naive key+inequality join (pair
     // blowup) and the pure range join (nested loop) never appear; the
