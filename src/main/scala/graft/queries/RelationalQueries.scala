@@ -9,9 +9,10 @@ import graft.relational.{AsofJoin, IntervalJoin, RangeJoin}
 
 /** Relational-join queries over the events table — the oracled call
   * sites for the beyond-reference join operators
-  * ([[graft.relational.AsofJoin]], [[graft.relational.RangeJoin]]).
-  * DuckDB has a native `ASOF JOIN` and a native inequality (IE) join,
-  * so these are TRUE external oracles, not just equality specs.
+  * ([[graft.relational.AsofJoin]], [[graft.relational.RangeJoin]],
+  * [[graft.relational.IntervalJoin]]). DuckDB has a native `ASOF JOIN`
+  * (both directions) and a native inequality (IE) join, so these are
+  * TRUE external oracles, not just equality specs.
   *
   * Timestamps are integer epoch-MICROseconds on both sides, the q28
   * convention: DuckDB truncates parquet TIMESTAMP(NANOS) to µs on
