@@ -35,16 +35,26 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * equi-join on version_id keeps the state store lean — at scale the
   * hydration join is cheap and stateless, the state store is not.
   *
+  * ==Quiescent keys flush by event-time timeout==
+  * `flatMapGroupsWithState` only invokes keys present in a micro-batch,
+  * so a key that goes quiet after buffering a probe would otherwise
+  * hold it (and its state) forever. Each invocation therefore arms an
+  * event-time timeout at the minimum pending probe's ts: when the
+  * global watermark passes it, Spark wakes the key with no rows
+  * (Spark's no-data micro-batch after a watermark advance triggers
+  * this even on an idle stream) and the probe emits. A key holding
+  * only versions needs no wake-up — that remainder IS the retained
+  * dimension snapshot (one version after the horizon passes), the
+  * minimum any temporal join keeps per key, same as Flink's.
+  *
   * ==Contract==
   * (key, ts) should be unique on the versions side (pre-aggregate if
   * not); ties probe.ts == version.ts match inclusively (consistent
   * with [[graft.relational.AsofJoin]] and DuckDB ASOF `>=`). Rows
-  * later than the watermark: late VERSIONS only affect future probes
-  * (history is final once emitted); late PROBES emit immediately,
-  * best-effort against the retained versions — exact unless an
-  * intermediate version between the retained one and the probe was
-  * already evicted. Streaming-only (the watermark drives emission);
-  * the batch equivalent is [[graft.relational.AsofJoin]].
+  * later than the watermark are DROPPED before the operator — the
+  * standard contract for event-time-timeout stateful ops, uniform for
+  * both sides. Streaming-only (the watermark drives emission); the
+  * batch equivalent is [[graft.relational.AsofJoin]].
   */
 object TemporalJoin {
 
@@ -61,7 +71,9 @@ object TemporalJoin {
 
   /** Fold one key's new rows into the buffers and emit every probe the
     * watermark has finalized. Pure over (rows, state, watermark) —
-    * spec-driven directly via TestGroupState.
+    * spec-driven directly via TestGroupState. Also the timeout
+    * handler: a woken key arrives here with an empty iterator and an
+    * advanced watermark, and the same body flushes it.
     */
   def updateKey(key: Long, rows: Iterator[Tagged],
       state: GroupState[TJState]): Iterator[Resolved] = {
@@ -71,8 +83,11 @@ object TemporalJoin {
     val prev = state.getOption.getOrElse(TJState(Nil, Nil))
     val (newProbes, newVersions) = rows.toSeq.partition(_.is_probe)
     val probes = prev.probes ++ newProbes.map(t => (t.ts_us, t.id))
+    // prev.versions is already sorted; only re-sort when this batch
+    // actually added versions (probe-heavy batches stay O(V))
     val versions =
-      (prev.versions ++ newVersions.map(t => (t.ts_us, t.id))).sortBy(_._1)
+      if (newVersions.isEmpty) prev.versions
+      else (prev.versions ++ newVersions.map(t => (t.ts_us, t.id))).sortBy(_._1)
 
     val (ready, pending) = probes.partition(_._1 < wmUs)
     val out = ready.sorted.map { case (pts, pid) =>
@@ -87,7 +102,14 @@ object TemporalJoin {
     val (below, above) = versions.partition(_._1 < wmUs)
     val kept = below.takeRight(1) ++ above
     if (pending.isEmpty && kept.isEmpty) state.remove()
-    else state.update(TJState(pending, kept))
+    else {
+      state.update(TJState(pending, kept))
+      // arm the wake-up for the oldest pending probe: it finalizes once
+      // wmMs*1000 > ts_us, i.e. at watermark ts_us/1000 + 1 ms (always
+      // > the current watermark, since pending means ts_us >= wmUs)
+      if (pending.nonEmpty)
+        state.setTimeoutTimestamp(pending.map(_._1).min / 1000L + 1L)
+    }
     out.iterator
   }
 
@@ -112,7 +134,7 @@ object TemporalJoin {
     }
     side(probes, isProbe = true).unionByName(side(versions, isProbe = false))
       .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         updateKey)
   }
 }

@@ -22,7 +22,10 @@ class CardinalitySpec extends SparkTestBase {
     for ((tpe, (eDistinct, eN)) <- exact) {
       val (aDistinct, aN) = approx(tpe)
       assert(aN == eN, s"$tpe: total count $aN != $eN (count(*) is not approximate)")
-      assert(math.abs(aDistinct - eDistinct).toDouble / eDistinct <= 0.05,
+      // all-NULL group → exact 0; the sketch must agree exactly (a
+      // relative bound would be 0/0)
+      if (eDistinct == 0L) assert(aDistinct == 0L, s"$tpe: approx $aDistinct vs exact 0")
+      else assert(math.abs(aDistinct - eDistinct).toDouble / eDistinct <= 0.05,
         s"$tpe: approx $aDistinct vs exact $eDistinct")
     }
   }

@@ -12,14 +12,14 @@ import TemporalJoin._
   */
 class TemporalJoinSpec extends SparkTestBase {
 
-  private def st(wmMs: Long, init: Option[TJState] = None) =
+  private def st(wmMs: Long, init: Option[TJState] = None, timedOut: Boolean = false) =
     TestGroupState.create[TJState](
       init.map(Optional.of[TJState]).getOrElse(Optional.empty[TJState]()),
-      GroupStateTimeout.NoTimeout,
+      GroupStateTimeout.EventTimeTimeout,
       batchProcessingTimeMs = 0L,
       eventTimeWatermarkMs =
         Optional.of(wmMs: java.lang.Long).asInstanceOf[Optional[Long]],
-      hasTimedOut = false)
+      hasTimedOut = timedOut)
 
   private def probe(ts: Long, id: Long) = Tagged(1L, ts, id, is_probe = true)
   private def version(ts: Long, id: Long) = Tagged(1L, ts, id, is_probe = false)
@@ -84,6 +84,27 @@ class TemporalJoinSpec extends SparkTestBase {
     assert(s.isRemoved, "fully-drained key must not hold state forever")
   }
 
+  test("pending probes arm a timeout; a timed-out quiescent key flushes with no rows") {
+    // probe buffers (above watermark) → timeout armed at ts/1000 + 1
+    val s0 = st(wmMs = 1_000)
+    val out0 = updateKey(1L,
+      Iterator(probe(5_000_000L, 10), version(4_000_000L, 100)), s0).toSeq
+    assert(out0.isEmpty)
+    assert(s0.getTimeoutTimestampMs.get() == 5_001L,
+      "wake-up must be armed exactly when the watermark finalizes the probe")
+    // the key receives NO further traffic: Spark wakes it via timeout
+    // with an empty iterator once the watermark passes — it must emit
+    val s1 = st(wmMs = 6_000, init = Some(s0.get), timedOut = true)
+    val out1 = updateKey(1L, Iterator.empty, s1).toSeq
+    assert(out1 == Seq(Resolved(1L, 5_000_000L, 10L, Some(100L), Some(4_000_000L))))
+    // only the retained dimension snapshot (latest version) remains
+    assert(s1.get == TJState(Nil, Seq((4_000_000L, 100L))))
+    // GroupState timeouts do not persist across invocations — they must
+    // be re-armed each call, and with no pending probes none is needed
+    assert(!s1.getTimeoutTimestampMs.isPresent,
+      "no pending probes → no re-armed wake-up")
+  }
+
   test("e2e MemoryStream run ≡ batch as-of for all watermark-finalized probes") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.functions._
@@ -110,13 +131,14 @@ class TemporalJoinSpec extends SparkTestBase {
     vIn.addData(Version(1, 33 * s, 102), Version(1, 200 * s, 110))
     pIn.addData(Probe(1, 36 * s, 6), Probe(2, 201 * s, 7))
     q.processAllAvailable()
-    // batch 3 at wm = min(201, 200) - 2 = 198s: probes 3, 6, 5 finalize
+    // batch 3 at wm = min(201, 200) - 2 = 198s: probes 3, 6, 5 finalize.
+    // Both sides' maxima must advance (the global watermark is their
+    // MIN); after this batch wm = 498s, past probe 7 (201s) — which
+    // receives NO further rows and must flush via its armed event-time
+    // timeout (Spark's no-data micro-batch after the advance wakes the
+    // key with an empty iterator)
     pIn.addData(Probe(1, 500 * s, 8))
     vIn.addData(Version(2, 500 * s, 210))
-    q.processAllAvailable()
-    // batch 4 at wm = 498s: probe 7 finalizes. Both keys need a row in
-    // this batch — NoTimeout state only wakes for keys present in it
-    vIn.addData(Version(1, 600 * s, 111), Version(2, 600 * s, 211))
     q.processAllAvailable()
     q.stop()
 
@@ -132,8 +154,8 @@ class TemporalJoinSpec extends SparkTestBase {
       4L -> ((None, None)),
       5L -> ((Some(200L), Some(5 * s))),
       6L -> ((Some(102L), Some(33 * s))),
-      7L -> ((Some(200L), Some(5 * s))))  // matched past the evicted horizon
-    assert(got == expected.map { case (k, (v, t)) => k -> ((v, t)) })
+      7L -> ((Some(200L), Some(5 * s))))  // timeout-flushed, quiescent key
+    assert(got == expected)
 
     // and the emitted set agrees with the batch as-of operator (the
     // operators' shared semantics, restricted to finalized probes)
@@ -142,7 +164,7 @@ class TemporalJoinSpec extends SparkTestBase {
       Probe(2, 201 * s, 7)).toDF("key", "ts_us", "probe_id")
     val versions = Seq(Version(1, 10 * s, 100), Version(1, 30 * s, 101),
       Version(2, 5 * s, 200), Version(1, 33 * s, 102), Version(1, 200 * s, 110),
-      Version(2, 500 * s, 210), Version(1, 600 * s, 111), Version(2, 600 * s, 211))
+      Version(2, 500 * s, 210))
       .toDF("key", "ts_us", "version_id")
       .withColumn("version_ts", col("ts_us"))
     val batch = graft.relational.AsofJoin.asofJoin(probes, versions,
