@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Tables, Warehouse}
 import graft.text.TextFunctions._
 
 /** Composite pipeline queries — the shapes a real training-data
@@ -192,6 +192,38 @@ object PipelineQueries {
       .agg(approx_count_distinct(col("user_id"), rsd = 0.01).as("distinct_users"),
         count(lit(1)).as("n_events"))
       .orderBy(col("event_type"))
+
+  // ===== q53 — incremental cardinality over persisted HLL sketches ========
+
+  /** The day-2 shape of q51/q52: per-(event_type, day) HyperLogLog
+    * sketches (DataSketches `hll_sketch_agg`) persist once under
+    * [[graft.core.Warehouse]] — a few KB per group — and every
+    * subsequent cardinality question merges STORED sketches
+    * (`hll_union_agg`) instead of rescanning raw events. At 100 TB the
+    * daily rollup pays the one full scan; "distinct users per type,
+    * any day range" then reads kilobytes. Mergeability is the whole
+    * point: HLL union is lossless over sketches, so
+    * estimate(union(daily)) ≡ estimate(sketch(all raw)) exactly —
+    * pinned in CardinalitySpec, along with the probe plan never
+    * touching the raw events table. Deterministic (HLL has no RNG) but
+    * engine-specific, hence rows-only in the driver gate.
+    */
+  def q53IncrementalCardinality(s: SparkSession, dir: String): DataFrame = {
+    val idx = Warehouse.ensureBuilt(s,
+      Warehouse.derivedDir(s, "hll_daily", s"$dir/events.parquet",
+        params = "lgk=12")) { d =>
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"),
+          to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lgConfigK = 12).as("sketch"))
+        .write.mode("overwrite").parquet(d)
+    }
+    s.read.parquet(idx)
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), allowDifferentLgConfigK = false))
+        .as("distinct_users_est"))
+      .orderBy(col("event_type"))
+  }
 
   // ===== q37 — deterministic content-keyed train/valid/test split =========
 
@@ -465,7 +497,8 @@ object PipelineQueries {
     "q42_data_mixture" -> (q42DataMixture _),
     "q44_curation_funnel" -> (q44CurationFunnel _),
     "q51_cardinality" -> (q51Cardinality _),
-    "q52_cardinality_approx" -> (q52CardinalityApprox _))
+    "q52_cardinality_approx" -> (q52CardinalityApprox _),
+    "q53_incr_cardinality" -> (q53IncrementalCardinality _))
 
   val oracleSql: Map[String, String] = Map(
     "q27_corpus_pipeline" -> q27Sql,

@@ -15,6 +15,29 @@ class CardinalitySpec extends SparkTestBase {
   private def byType(df: org.apache.spark.sql.DataFrame) =
     df.collect().map { r => r.getString(0) -> (r.getLong(1), r.getLong(2)) }.toMap
 
+  test("q53 sketch-merge estimate ≡ direct sketch over raw; probe never rescans events") {
+    // mergeability: estimate(union(per-day sketches)) must equal the
+    // estimate of one sketch over all raw rows — HLL union is lossless
+    import org.apache.spark.sql.functions._
+    val direct = graft.core.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lgConfigK = 12))
+        .as("distinct_users_est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val viaIndex = PipelineQueries.q53IncrementalCardinality(spark, sf)
+    val got = viaIndex.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == direct, "daily-sketch union diverged from the direct sketch")
+    // and within the HLL error envelope of the exact counts
+    val exact = byType(PipelineQueries.q51Cardinality(spark, sf)).view.mapValues(_._1).toMap
+    for ((tpe, e) <- exact)
+      assert(math.abs(got(tpe) - e).toDouble / math.max(e, 1L) <= 0.05,
+        s"$tpe: estimate ${got(tpe)} vs exact $e")
+    // probe-path plan reads the persisted sketch table, never raw events
+    val scans = viaIndex.queryExecution.executedPlan.toString
+    assert(scans.contains("hll_daily"), "probe should scan the warehouse sketch table")
+    assert(!scans.contains("events.parquet"), "probe must not rescan raw events")
+  }
+
   test("q52 approx cardinality tracks q51 exact within the rsd bound") {
     val exact = byType(PipelineQueries.q51Cardinality(spark, sf))
     val approx = byType(PipelineQueries.q52CardinalityApprox(spark, sf))
