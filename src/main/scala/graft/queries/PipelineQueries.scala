@@ -214,7 +214,7 @@ object PipelineQueries {
         params = "lgk=12")) { d =>
       Tables.load(s, dir, "events")
         .groupBy(col("event_type"),
-          to_date(timestamp_micros(expr("ts div 1000"))).as("day"))
+          to_date(graft.streaming.EventStream.nanosToTs(col("ts"))).as("day"))
         .agg(hll_sketch_agg(col("user_id"), lgConfigK = 12).as("sketch"))
         .write.mode("overwrite").parquet(d)
     }

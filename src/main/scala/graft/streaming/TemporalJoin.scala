@@ -35,6 +35,18 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * equi-join on version_id keeps the state store lean — at scale the
   * hydration join is cheap and stateless, the state store is not.
   *
+  * ==Liveness: BOTH inputs must keep their watermark moving==
+  * The global watermark is the MIN across the two inputs, so an idle
+  * VERSIONS stream (a config feed that publishes rarely) freezes it —
+  * probe emission halts and pending-probe state grows with probe rate
+  * until the next version arrives. This is inherent to min-watermark
+  * semantics (Spark's built-in stream-stream joins carry the same
+  * caveat) and is an input concern, not solvable inside the operator:
+  * give a slowly-changing versions feed a periodic heartbeat row (any
+  * row advances its side's watermark; an unused key works, and the
+  * per-key state it creates is one (ts, id) pair that evicts on the
+  * next heartbeat).
+  *
   * ==Quiescent keys flush by event-time timeout==
   * `flatMapGroupsWithState` only invokes keys present in a micro-batch,
   * so a key that goes quiet after buffering a probe would otherwise
@@ -90,10 +102,18 @@ object TemporalJoin {
       else (prev.versions ++ newVersions.map(t => (t.ts_us, t.id))).sortBy(_._1)
 
     val (ready, pending) = probes.partition(_._1 < wmUs)
-    val out = ready.sorted.map { case (pts, pid) =>
-      versions.takeWhile(_._1 <= pts).lastOption match {
-        case Some((vts, vid)) => Resolved(key, pts, pid, Some(vid), Some(vts))
-        case None             => Resolved(key, pts, pid, None, None)
+    // both sequences sorted → one two-pointer pass, O(P + V), instead
+    // of a version-prefix scan per probe
+    val out = {
+      val vs = versions.toIndexedSeq
+      var vi = 0
+      var last: Option[(Long, Long)] = None
+      ready.sorted.map { case (pts, pid) =>
+        while (vi < vs.length && vs(vi)._1 <= pts) { last = Some(vs(vi)); vi += 1 }
+        last match {
+          case Some((vts, vid)) => Resolved(key, pts, pid, Some(vid), Some(vts))
+          case None             => Resolved(key, pts, pid, None, None)
+        }
       }
     }
 
