@@ -17,16 +17,36 @@ import graft.core.Sessions
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Robustness against host degradation windows (round 11's driver
+    // bench was killed by an external timeout after >26 min with zero
+    // output, leaving an unparseable artifact): every query run is
+    // announced on stderr (visible in a truncated log tail), a runaway
+    // query is cancelled via its job group after QUERY_TIMEOUT, and
+    // when the global DEADLINE passes the remaining queries are skipped
+    // so the one-line JSON is ALWAYS emitted before any external kill.
+    // Defaults sized against an external ~30 min kill: worst case is
+    // deadline + one in-flight query timeout + sbt startup ≈ 28 min,
+    // so the JSON line always beats the kill.
+    val queryTimeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_QUERY_TIMEOUT_SEC", "420").toLong
+    val deadlineSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "1200").toLong
+    val benchStartNs = System.nanoTime()
+    def elapsedSec: Long = (System.nanoTime() - benchStartNs) / 1000000000L
+    def progress(msg: String): Unit =
+      System.err.println(f"[bench +${elapsedSec}%4ds] $msg")
     val spark = Sessions.local("graft-bench")
 
     // Untimed warmup: pay one-off JVM/codegen/scan-setup cost before
     // the measured loop so the alphabetically-first query doesn't
     // absorb it.
+    progress(s"warmup scan on $sfDir")
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count()
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
+    progress("warmup done")
 
     // Optional args = subset of query names to time (iteration aid);
     // no args = the full registered set (the driver's mode). A typo'd
@@ -43,6 +63,7 @@ object Bench {
     val names =
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
+    var deadlineHit = false
     val results = names.map { name =>
       val fn = SparkEntry.queries(name)
       // Each run records its Warehouse.ensureBuilt outcomes (drained
@@ -50,14 +71,38 @@ object Bench {
       // attributable: did THIS run pay the one-off index build, or
       // only the steady-state probe?
       case class Run(sec: Double, err: Option[String], touched: Boolean, built: Boolean)
-      def once(): Run = {
+      def once(runNo: Int): Run = {
         graft.core.Warehouse.drainBuildEvents()
         val t0 = System.nanoTime()
-        val err: Option[String] =
-          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-          catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200)) }
+        // The query runs on a worker thread under its own job group so
+        // the watchdog can cancel its Spark jobs; interruptOnCancel
+        // reaches task threads stuck in compute, and the thread
+        // interrupt reaches driver-side planning.
+        val group = s"bench-$name-run$runNo"
+        @volatile var err: Option[String] = None
+        val worker = new Thread(() => {
+          try {
+            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          } catch {
+            case e: Throwable =>
+              err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          } finally spark.sparkContext.clearJobGroup()
+        }, group)
+        worker.setDaemon(true)
+        worker.start()
+        worker.join(queryTimeoutSec * 1000)
+        if (worker.isAlive) {
+          progress(s"$name run$runNo exceeded ${queryTimeoutSec}s — cancelling job group")
+          spark.sparkContext.cancelJobGroup(group)
+          worker.interrupt()
+          worker.join(30000)
+          err = Some(s"bench_timeout_after_${queryTimeoutSec}s")
+        }
         val events = graft.core.Warehouse.drainBuildEvents()
-        Run((System.nanoTime() - t0) / 1e9, err, events.nonEmpty, events.exists(_._2))
+        val sec = (System.nanoTime() - t0) / 1e9
+        progress(f"$name run$runNo ${sec}%.2fs${err.map(e => s" ERR $e").getOrElse("")}")
+        Run(sec, err, events.nonEmpty, events.exists(_._2))
       }
       // "built_runN": run N paid an index build (its time is build+probe;
       // the other run is pure probe). "prebuilt": probes only — the
@@ -66,16 +111,27 @@ object Bench {
         runs.zipWithIndex.collectFirst { case (r, i) if r.built => s"built_run${i + 1}" }
           .orElse(if (runs.exists(_.touched)) Some("prebuilt") else None)
 
-      val first = once()
-      // don't re-run a failing query — its error is the result
-      if (first.err.isDefined)
-        (name, first.sec, Seq(first.sec), first.err, whState(Seq(first)))
+      if (deadlineHit)
+        (name, 0.0, Seq.empty[Double], Some("skipped_bench_deadline"), None)
       else {
-        val second = once()
-        if (second.err.isEmpty)
-          (name, math.min(first.sec, second.sec), Seq(first.sec, second.sec), None,
-            whState(Seq(first, second)))
-        else (name, first.sec, Seq(first.sec), first.err, whState(Seq(first)))
+        val first = once(1)
+        if (elapsedSec > deadlineSec && !deadlineHit) {
+          deadlineHit = true
+          progress(s"global deadline ${deadlineSec}s passed — skipping remaining second runs and queries")
+        }
+        // don't re-run a failing query — its error is the result; past
+        // the deadline, report run 1 alone rather than risk the artifact
+        if (first.err.isDefined)
+          (name, first.sec, Seq(first.sec), first.err, whState(Seq(first)))
+        else if (deadlineHit)
+          (name, first.sec, Seq(first.sec), None, whState(Seq(first)))
+        else {
+          val second = once(2)
+          if (second.err.isEmpty)
+            (name, math.min(first.sec, second.sec), Seq(first.sec, second.sec), None,
+              whState(Seq(first, second)))
+          else (name, first.sec, Seq(first.sec), first.err, whState(Seq(first)))
+        }
       }
     }
 
