@@ -52,6 +52,12 @@ object EnrichStream {
     // internal-name guards
     val hits = (schema.fieldNames.toSet ++ payload).intersect(Set("batch_id"))
     require(hits.isEmpty, s"column names collide with the batch_id partition column: $hits")
+    // the facts side is a batch snapshot by contract (see class doc); a
+    // streaming frame would only fail later inside foreachBatch with an
+    // obscure analysis error — reject it at the call site instead
+    require(!facts.isStreaming,
+      "facts must be a batch DataFrame (stream-static enrichment); " +
+        "for stream-stream as-of joins use TemporalJoin")
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
       .trigger(trigger)
