@@ -19,7 +19,8 @@ object Registry {
       (graft.queries.SqlSurfaceQueries.queries, graft.queries.SqlSurfaceQueries.oracleSql),
       (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracleSql),
       (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracleSql),
-      (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracleSql)
+      (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracleSql),
+      (graft.queries.CorpusOpsQueries.queries, graft.queries.CorpusOpsQueries.oracleSql)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -1,0 +1,236 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.MinHashLSH
+import graft.streaming.EventStream
+
+/** Corpus-analytics operators a large-scale training-data pipeline runs
+  * between ingest and packing: boilerplate detection (corpus-frequent
+  * n-grams), balanced stratified sampling, TF-IDF term scoring, and
+  * hopping-window event rollups. All four are DuckDB-oracled — the
+  * n-gram/token extraction used here (lowercase, collapse whitespace,
+  * whitespace tokens) is restated in the oracle SQL via
+  * `string_split`+`unnest`, and every float is rounded to 6 decimals on
+  * both sides (the q20 convention).
+  *
+  * Beyond-reference surface (no analogue in the reference's 25 files);
+  * the closest reference shapes are the groupBy/agg reports of
+  * `main.py:21-74`, which these extend to corpus-curation semantics.
+  */
+object CorpusOpsQueries {
+
+  /** Tokens-as-rows with the corpus shingler at n=1; blank docs emit
+    * the empty token (the shingler's whole-text fallback) which both
+    * sides exclude — DuckDB via `ts <> ['']`, Spark here.
+    */
+  private def tokenRows(docs: DataFrame): DataFrame =
+    MinHashLSH.shingleRows(docs, "doc_id", "text", n = 1)
+      .filter(col("sh") =!= "")
+
+  // ===== q54 — boilerplate n-grams: corpus-frequent 3-gram heavy hitters ==
+
+  /** The boilerplate detector: the 100 most frequent word 3-grams that
+    * appear in at least 2 documents, with occurrence and
+    * document-frequency counts — the first step of CCNet-style
+    * template/boilerplate removal (an n-gram shared by many documents
+    * is navigation chrome, license text, or a scraper artifact, not
+    * content).
+    *
+    * Scale shape: the shingler is one codegen'd map-side pass
+    * ([[MinHashLSH.shingleRows]] — no shuffle); the (count, distinct
+    * doc) aggregate is one hash-agg shuffle on the n-gram; the top-100
+    * is `TakeOrderedAndProject` (per-partition heads, never a global
+    * sort of the n-gram space). At 100 TB the n-gram key space is
+    * huge but the aggregate is map-side partial first, and the
+    * doc_freq >= 2 filter drops the singleton long tail before the
+    * ordering.
+    */
+  def q54BoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    MinHashLSH.shingleRows(docs, "doc_id", "text", n = 3)
+      .groupBy(col("sh").as("ngram"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("sid")).as("doc_freq"))
+      .filter(col("doc_freq") >= 2)
+      .orderBy(col("occurrences").desc, col("doc_freq").desc, col("ngram"))
+      .limit(100)
+  }
+
+  /** Same extraction relationally: tokens with ordinal via
+    * unnest/generate_subscripts, 3-grams via two `lead`s, the
+    * whole-text fallback for docs shorter than 3 tokens stated as the
+    * UNION ALL branch (mirroring the shingler's).
+    */
+  val q54Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i, len(ts) AS n FROM toks),
+      |grams AS (
+      |  SELECT doc_id, concat_ws(' ', tok, lead(tok,1) OVER w, lead(tok,2) OVER w) AS ngram
+      |  FROM tok WINDOW w AS (PARTITION BY doc_id ORDER BY i)
+      |  QUALIFY i + 2 <= n
+      |  UNION ALL
+      |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ngram
+      |  FROM documents
+      |  WHERE len(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) < 3)
+      |SELECT ngram, count(*) AS occurrences, count(DISTINCT doc_id) AS doc_freq
+      |FROM grams GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+      |ORDER BY occurrences DESC, doc_freq DESC, ngram LIMIT 100""".stripMargin
+
+  // ===== q55 — balanced stratified sample (downsample to smallest stratum)
+
+  /** Deterministic class-balancing: downsample every language stratum
+    * to (approximately) the size of the smallest one, content-keyed —
+    * each document's fate is a pure function of md5(text)
+    * ([[PipelineQueries.md5Bucket]], the q37 source of determinism), so
+    * reruns, engines, and duplicate texts agree. The keep rule is pure
+    * integer arithmetic (`bucket · n_stratum < 256 · min_n`) — no
+    * float rate to diverge between engines.
+    *
+    * Scale shape: stratum sizes are one tiny aggregate (|langs| rows,
+    * broadcast back); the sample itself is a map-side filter — the
+    * 100 TB corpus is never shuffled, and the output is written
+    * without any global ordering cost beyond the gate's orderBy.
+    */
+  def q55StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val bucketed = docs.select(col("doc_id"), col("lang"),
+      PipelineQueries.md5Bucket.as("bucket"))
+    val strata = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val smallest = strata.agg(min(col("n_lang")).as("min_n"))
+    bucketed
+      .join(broadcast(strata), "lang")
+      .crossJoin(broadcast(smallest))
+      .filter(col("bucket") * col("n_lang") < lit(256L) * col("min_n"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q55Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, lang,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket
+      |  FROM documents),
+      |n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+      |m AS (SELECT min(n_lang) AS min_n FROM n)
+      |SELECT b.doc_id, b.lang, b.bucket
+      |FROM b JOIN n USING (lang), m
+      |WHERE b.bucket * n.n_lang < 256 * m.min_n
+      |ORDER BY doc_id""".stripMargin
+
+  // ===== q56 — TF-IDF top terms per document ==============================
+
+  /** Per-document top-3 TF-IDF terms — the keyword-extraction /
+    * quality-signal shape (a document whose top terms are stopwords is
+    * template text). tf is the in-document occurrence count, idf is
+    * ln(N/df) over the corpus; ties break on the term string so the
+    * top-3 is total-ordered.
+    *
+    * Scale shape: two hash aggregates (doc-term tf, term df) + a join
+    * on term and a per-doc window. The df side is vocabulary-sized —
+    * joined (not broadcast) deliberately: at 100 TB the vocabulary
+    * does not fit an executor. N is a 1-row aggregate, broadcast.
+    */
+  def q56TfIdfTopTerms(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = tokenRows(docs)
+    val tf = toks.groupBy(col("sid").as("doc_id"), col("sh").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("sh").as("term"))
+      .agg(countDistinct(col("sid")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("score"), 6).as("tfidf_r6"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  val q56Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks WHERE ts <> ['']),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+      |    tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) AS score
+      |  FROM tf JOIN df USING (term), nd),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, df, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, tf, df, round(score, 6) AS tfidf_r6
+      |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
+  // ===== q57 — hopping-window event rollup ================================
+
+  /** Sliding (hopping) windows over the event stream in batch: 10-minute
+    * windows every 5 minutes, counts + distinct users per (window,
+    * type) — the smoothed-rate view a monitoring rollup needs (q14 is
+    * the tumbling special case). Uses Spark's native `window()`
+    * generator; with size = 2·slide each event lands in exactly 2
+    * windows, which the oracle states as an explicit 2-offset unnest.
+    *
+    * Timestamps are epoch-µs on both sides (the q45–q50 convention:
+    * DuckDB truncates parquet nanos to µs, Spark divides the nanos
+    * long by 1000).
+    *
+    * Scale shape: `window()` is a codegen'd 2-row generate (no
+    * shuffle), then ONE hash-agg shuffle on (window, type); the
+    * distinct-user count is the exact anchor — at 100 TB swap in
+    * `approx_count_distinct` (the q51/q52 pairing) and the plan shape
+    * is unchanged. Streaming twin: the same `window()` call under a
+    * watermark is [[EventStream.hourlyRollup]]'s shape with a slide.
+    */
+  def q57HoppingWindows(s: SparkSession, dir: String): DataFrame = {
+    val slide = "5 minutes"
+    val size = "10 minutes"
+    val ev = Tables.load(s, dir, "events")
+      .withColumn("ts_ev", EventStream.nanosToTs(col("ts")))
+    ev.groupBy(window(col("ts_ev"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("window.start")).as("win_start"),
+        unix_micros(col("window.end")).as("win_end"),
+        col("event_type"), col("n_events"), col("n_users"))
+      .orderBy(col("win_start"), col("event_type"))
+  }
+
+  val q57Sql: String =
+    """WITH e AS (SELECT event_type, user_id, epoch_us(ts) AS ts_us FROM events),
+      |offs AS (SELECT unnest([0, 300000000]) AS off),
+      |w AS (SELECT event_type, user_id,
+      |        ts_us - (ts_us % 300000000) - off AS win_start FROM e, offs)
+      |SELECT win_start, win_start + 600000000 AS win_end, event_type,
+      |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM w GROUP BY 1, 3 ORDER BY 1, 3""".stripMargin
+
+  // ========================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q54_boilerplate_ngrams" -> (q54BoilerplateNgrams _),
+    "q55_stratified_sample" -> (q55StratifiedSample _),
+    "q56_tfidf_top_terms" -> (q56TfIdfTopTerms _),
+    "q57_hopping_windows" -> (q57HoppingWindows _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q54_boilerplate_ngrams" -> q54Sql,
+    "q55_stratified_sample" -> q55Sql,
+    "q56_tfidf_top_terms" -> q56Sql,
+    "q57_hopping_windows" -> q57Sql)
+}

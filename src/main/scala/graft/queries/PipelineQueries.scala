@@ -243,7 +243,7 @@ object PipelineQueries {
     * so reruns, engines, and duplicate content all agree, and the md5
     * hex path is bit-identical in DuckDB for exact oracle comparison.
     */
-  private def md5Bucket: org.apache.spark.sql.Column = expr(
+  private[queries] def md5Bucket: org.apache.spark.sql.Column = expr(
     "cast(((locate(substring(md5(text), 1, 1), '0123456789abcdef') - 1) * 16" +
       " + (locate(substring(md5(text), 2, 1), '0123456789abcdef') - 1)) as bigint)")
 

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Corpus-analytics operators (q54–q57): planted-known-answer cases on
+  * synthetic corpora plus structural invariants on the real testdata —
+  * the DuckDB oracle covers exact parity at the gate; these pin the
+  * semantics the oracle SQL was derived from.
+  */
+class CorpusOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("corpusops-spec").toString
+    rows.toDF("doc_id", "text", "lang").write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q54 finds planted boilerplate and applies the short-doc fallback") {
+    val boiler = "all rights reserved"
+    val dir = writeDocs(Seq(
+      (1L, s"unique alpha content $boiler trailing words", "en"),
+      (2L, s"different beta text $boiler other tail", "en"),
+      (3L, s"$boiler $boiler", "en"), // two occurrences in one doc
+      (4L, "tiny doc", "en"),         // < 3 tokens -> whole-text fallback
+      (5L, "tiny doc", "en")))        // same fallback gram, second doc
+    val out = CorpusOpsQueries.q54BoilerplateNgrams(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    val byGram = out.map(r => r._1 -> (r._2, r._3)).toMap
+    // planted 3-gram: docs 1,2 once each; doc 3 contains it twice ("all
+    // rights reserved all rights reserved" also yields interior grams)
+    assert(byGram(boiler) == (4L, 3L), s"got ${byGram.get(boiler)}")
+    assert(byGram("tiny doc") == (2L, 2L), "short docs gram to whole text")
+    // every reported gram crosses >= 2 docs and counts are consistent
+    assert(out.forall { case (_, occ, df) => df >= 2 && occ >= df })
+    // ordering: occurrences desc, doc_freq desc, ngram asc
+    assert(out == out.sortBy { case (g, occ, df) => (-occ, -df, g) })
+  }
+
+  test("q55 balances strata to the smallest, deterministically") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val minN = docs.groupBy("lang").count()
+      .agg(min("count")).as[Long].head()
+    val out = CorpusOpsQueries.q55StratifiedSample(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    val out2 = CorpusOpsQueries.q55StratifiedSample(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out == out2, "content-keyed sample must be rerun-stable")
+    assert(out.nonEmpty)
+    // md5-uniform expectation: every stratum lands near min_n; the
+    // bound below is loose (binomial tails at sf0.001 scale) but pins
+    // the balancing direction — no stratum may exceed 2x the smallest.
+    val perLang = CorpusOpsQueries.q55StratifiedSample(spark, dir)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(perLang.values.forall(_ <= 2 * minN),
+      s"stratum exceeds 2x smallest: $perLang (min_n=$minN)")
+  }
+
+  test("q56 ranks corpus-rare terms above ubiquitous ones") {
+    val dir = writeDocs(Seq(
+      (1L, "common common rare", "en"),
+      (2L, "common filler words", "en"),
+      (3L, "common other stuff", "en")))
+    val out = CorpusOpsQueries.q56TfIdfTopTerms(spark, dir)
+      .select("doc_id", "rank", "term", "tfidf_r6")
+      .as[(Long, Int, String, Double)].collect().toSeq
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // "common" appears in every doc -> idf = ln(1) = 0, score 0 even at
+    // tf=2; "rare" (df=1) must outrank it
+    assert(doc1.head._3 == "rare", s"got $doc1")
+    assert(doc1.map(_._4).sameElements(doc1.map(_._4).sorted.reverse),
+      "scores must be non-increasing within a doc")
+    assert(out.forall(_._2 <= 3))
+    val common = out.find(r => r._1 == 1L && r._3 == "common")
+    assert(common.forall(_._4 == 0.0), "df=N term scores exactly 0")
+  }
+
+  test("q57 hopping windows cover each event exactly twice, aligned") {
+    val dir = "/root/testdata/sf0.001"
+    val nEvents = graft.core.Tables.load(spark, dir, "events").count()
+    val out = CorpusOpsQueries.q57HoppingWindows(spark, dir)
+    val rows = out.as[(Long, Long, String, Long, Long)].collect().toSeq
+    assert(rows.map(_._4).sum == 2 * nEvents,
+      "size = 2x slide => every event in exactly 2 windows")
+    assert(rows.forall { case (s0, e0, _, n, u) =>
+      e0 - s0 == 600000000L && s0 % 300000000L == 0 && u <= n && n > 0
+    })
+    // (window, type) keys are unique
+    assert(rows.map(r => (r._1, r._3)).distinct.size == rows.size)
+  }
+}
