@@ -11,10 +11,18 @@ import graft.core.Sessions
   */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional trailing args = subset of query names (iteration aid on
+    // a slow host); unknown names fail loudly like Bench's
+    val subset = args.drop(2).toSet
+    val unknown = subset.filterNot(SparkEntry.queries.contains)
+    require(unknown.isEmpty, s"unknown queries: ${unknown.mkString(", ")}")
     val spark = Sessions.local("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    val selected =
+      if (subset.isEmpty) SparkEntry.queries
+      else SparkEntry.queries.view.filterKeys(subset).toMap
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -220,17 +220,98 @@ object CorpusOpsQueries {
       |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
       |FROM w GROUP BY 1, 3 ORDER BY 1, 3""".stripMargin
 
+  // ===== q58 — source scorecard ===========================================
+
+  /** Per-source curation scorecard: document count, language spread,
+    * average token count, and the exact-duplicate count — the numbers a
+    * curation run consults when deciding which sources to keep, cap, or
+    * drop. A doc is a duplicate when its md5(text) appears more than
+    * once in the WHOLE corpus (cross-source copies count for both
+    * sources — scraper mirrors are exactly the cross-source case).
+    *
+    * Scale shape: the dup side is the q19 exact-dedup hash aggregate
+    * (one shuffle on md5); joining it back is a shuffle on the same
+    * key (co-partitioned — no extra exchange); the scorecard itself is
+    * a tiny per-source aggregate. Token counting is codegen'd
+    * ([[graft.text.TextFunctions.tokenCount]]), no UDFs.
+    */
+  def q58SourceScorecard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("h", md5(col("text")))
+      .withColumn("n_tok", graft.text.TextFunctions.tokenCount(col("text")))
+    val dupCounts = docs.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+    docs.join(dupCounts, "h")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        round(avg(col("n_tok")), 6).as("avg_tokens"),
+        sum(when(col("nh") > 1, 1L).otherwise(0L)).as("dup_docs"))
+      .orderBy(col("source"))
+  }
+
+  val q58Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, source, lang, md5(text) AS h,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS n_tok
+      |  FROM documents),
+      |dup AS (SELECT h, count(*) AS nh FROM d GROUP BY 1)
+      |SELECT d.source, count(*) AS n_docs, count(DISTINCT d.lang) AS n_langs,
+      |  round(avg(d.n_tok), 6) AS avg_tokens,
+      |  CAST(sum(CASE WHEN dup.nh > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_docs
+      |FROM d JOIN dup USING (h)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ===== q59 — per-source cap (mixture capping) ===========================
+
+  /** Cap every source at K documents, selected content-keyed: within a
+    * source, docs are ranked by (md5(text), doc_id) and the first K
+    * kept — the "no single domain may dominate the mixture" rule,
+    * deterministic across reruns and engines because the selection
+    * order is a pure function of content, never of ingestion order or
+    * partitioning.
+    *
+    * Scale shape: one exchange on source + a per-source sort. A
+    * pathologically hot source concentrates its sort on one partition —
+    * at 100 TB pre-prune with a per-partition local top-K on (source,
+    * h) before the global window (the rank only ever keeps K per
+    * source, so local heads are sufficient); AQE's skew handling splits
+    * the straggler reads. The window itself holds O(1) state per row
+    * (a running row_number), never the group.
+    */
+  def q59SourceCap(s: SparkSession, dir: String): DataFrame = {
+    val k = 10
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("h", md5(col("text")))
+      .withColumn("rn", row_number().over(bySource))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("source"), col("rn"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q59Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY md5(text), doc_id) AS rn
+      |  FROM documents)
+      |SELECT doc_id, source, rn FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q54_boilerplate_ngrams" -> (q54BoilerplateNgrams _),
     "q55_stratified_sample" -> (q55StratifiedSample _),
     "q56_tfidf_top_terms" -> (q56TfIdfTopTerms _),
-    "q57_hopping_windows" -> (q57HoppingWindows _))
+    "q57_hopping_windows" -> (q57HoppingWindows _),
+    "q58_source_scorecard" -> (q58SourceScorecard _),
+    "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
     "q54_boilerplate_ngrams" -> q54Sql,
     "q55_stratified_sample" -> q55Sql,
     "q56_tfidf_top_terms" -> q56Sql,
-    "q57_hopping_windows" -> q57Sql)
+    "q57_hopping_windows" -> q57Sql,
+    "q58_source_scorecard" -> q58Sql,
+    "q59_source_cap" -> q59Sql)
 }

@@ -78,6 +78,37 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(common.forall(_._4 == 0.0), "df=N term scores exactly 0")
   }
 
+  test("q58 scorecard counts cross-source duplicates for both sources") {
+    val dir = java.nio.file.Files.createTempDirectory("corpusops-spec").toString
+    Seq(
+      (1L, "shared mirrored document text", "en", "srcA"),
+      (2L, "shared mirrored document text", "en", "srcB"), // cross-source copy
+      (3L, "unique text one two three", "de", "srcA"),
+      (4L, "another unique body", "en", "srcB"),
+      (5L, "", "en", "srcB")) // empty doc -> 0 tokens
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q58SourceScorecard(spark, dir)
+      .as[(String, Long, Long, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("srcA") == ("srcA", 2L, 2L, 4.5, 1L), out("srcA").toString)
+    // srcB: 3 docs (4+3+0 tokens)/3 rounded to 6 dp; the mirror counts
+    // here too
+    assert(out("srcB") == ("srcB", 3L, 1L, 2.333333, 1L), out("srcB").toString)
+  }
+
+  test("q59 caps each source at K by content order, rerun-stable") {
+    val dir = "/root/testdata/sf0.01" // 25 docs/source: the K=10 cap binds
+    val out = CorpusOpsQueries.q59SourceCap(spark, dir)
+      .as[(Long, String, Int)].collect().toSeq
+    val out2 = CorpusOpsQueries.q59SourceCap(spark, dir)
+      .as[(Long, String, Int)].collect().toSeq
+    assert(out == out2, "content-keyed cap must be rerun-stable")
+    val perSource = out.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(perSource.values.forall(_ == 10), s"cap must bind at 10: $perSource")
+    assert(out.forall(_._3 <= 10))
+  }
+
   test("q57 hopping windows cover each event exactly twice, aligned") {
     val dir = "/root/testdata/sf0.001"
     val nEvents = graft.core.Tables.load(spark, dir, "events").count()

@@ -112,6 +112,30 @@ class PlanShapeSpec extends SparkTestBase {
     }
   }
 
+  test("q54 top-100 n-grams plans TakeOrderedAndProject over the aggregate") {
+    val p = plan(CorpusOpsQueries.q54BoilerplateNgrams(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), p.take(300))
+    assert(p.contains("partial_"), "n-gram counts must combine map-side")
+  }
+
+  test("q55 joins the tiny strata aggregates by broadcast, not shuffle") {
+    // strata cardinality = |langs| — a genuine always-small side, so
+    // the explicit broadcast hint is the right call (contrast q02's
+    // customer rule); the corpus side must never shuffle for the join
+    val p = plan(CorpusOpsQueries.q55StratifiedSample(spark, sf))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      p.linesIterator.filter(_.contains("Join")).take(3).mkString("\n"))
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled for a |langs|-row join: " +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("q57 hopping-window aggregate combines map-side before its exchange") {
+    val p = plan(CorpusOpsQueries.q57HoppingWindows(spark, sf))
+    assert(p.contains("partial_"), "no partial aggregation before shuffle")
+    assert(!p.contains("CartesianProduct"), "window generation must not join")
+  }
+
   test("partitioned gold write partition-prunes a country filter at the scan") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
