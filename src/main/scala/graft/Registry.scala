@@ -20,7 +20,8 @@ object Registry {
       (graft.queries.PipelineQueries.queries, graft.queries.PipelineQueries.oracleSql),
       (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracleSql),
       (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracleSql),
-      (graft.queries.CorpusOpsQueries.queries, graft.queries.CorpusOpsQueries.oracleSql)
+      (graft.queries.CorpusOpsQueries.queries, graft.queries.CorpusOpsQueries.oracleSql),
+      (graft.queries.AnalyticsOpsQueries.queries, graft.queries.AnalyticsOpsQueries.oracleSql)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

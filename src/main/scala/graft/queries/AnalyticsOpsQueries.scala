@@ -1,0 +1,233 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.streaming.EventStream
+
+/** Multidimensional-report operators a curation dashboard runs over the
+  * corpus and event tables: rollup subtotals, fixed-column pivots,
+  * per-entity time deltas (lag), quantile bucketing (ntile), and
+  * snapshot content-diff (anti join). All five are DuckDB-oracled.
+  *
+  * Beyond-reference surface: the reference's reports are flat
+  * one-level groupBys (`flows/gold.py:86-109`, `main.py:21-74`); these
+  * add the OLAP shapes (ROLLUP / PIVOT / LAG / NTILE / EXCEPT-style
+  * diff) that the same tables need once they feed a curation console.
+  */
+object AnalyticsOpsQueries {
+
+  /** Rollup key columns coalesced to a sentinel so subtotal markers are
+    * plain strings on both engines — sidesteps NULL-ordering and
+    * NULL-vs-subtotal ambiguity in the gate's hash compare. The
+    * `grouping()` flags still disambiguate a genuine "(all)" value.
+    */
+  private val AllSentinel = "(all)"
+
+  // ===== q60 — rollup scorecard (source × lang subtotals) =================
+
+  /** Document counts and size stats at every rollup level of
+    * (source, lang): per (source, lang), per source, and grand total —
+    * one pass, one operator. Spark's `rollup` plans a single Expand +
+    * hash aggregate: each input row is replicated once per grouping
+    * set map-side, then ONE shuffle aggregates all three levels
+    * together — strictly cheaper at 100 TB than three separate
+    * groupBys (three scans, three shuffles) and the idiomatic answer
+    * to "subtotals without re-reading the fact table".
+    */
+  def q60RollupScorecard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs.rollup(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        sum(col("n_chars")).as("total_chars"),
+        grouping(col("source")).as("g_source"),
+        grouping(col("lang")).as("g_lang"))
+      .select(coalesce(col("source"), lit(AllSentinel)).as("source"),
+        coalesce(col("lang"), lit(AllSentinel)).as("lang"),
+        col("g_source"), col("g_lang"),
+        col("n_docs"), col("avg_chars"), col("total_chars"))
+      .orderBy(col("g_source"), col("g_lang"), col("source"), col("lang"))
+  }
+
+  val q60Sql: String =
+    """SELECT coalesce(source, '(all)') AS source,
+      |  coalesce(lang, '(all)') AS lang,
+      |  CAST(GROUPING(source) AS TINYINT) AS g_source,
+      |  CAST(GROUPING(lang) AS TINYINT) AS g_lang,
+      |  count(*) AS n_docs,
+      |  round(avg(n_chars), 6) AS avg_chars,
+      |  sum(n_chars) AS total_chars
+      |FROM documents
+      |GROUP BY ROLLUP(source, lang)
+      |ORDER BY g_source, g_lang, 1, 2""".stripMargin
+
+  // ===== q61 — pivoted length-class counts ================================
+
+  /** Per-language document counts pivoted across fixed length classes
+    * (short < 500 chars, medium < 2000, long otherwise) — the wide
+    * report shape a mixture dashboard renders directly. The pivot
+    * values are DECLARED (not discovered), which is the 100 TB rule:
+    * an undeclared pivot runs an extra distinct-scan of the fact table
+    * just to learn its own schema, and an unbounded value set makes
+    * the row width data-dependent. With declared values Spark plans
+    * one hash aggregate (pivot_first partials) — a single shuffle on
+    * lang, no discovery pass.
+    */
+  def q61PivotLengthClasses(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("len_class",
+        when(col("n_chars") < 500, "short")
+          .when(col("n_chars") < 2000, "medium")
+          .otherwise("long"))
+    docs.groupBy(col("lang"))
+      .pivot("len_class", Seq("short", "medium", "long"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("short", "medium", "long"))
+      .orderBy(col("lang"))
+  }
+
+  val q61Sql: String =
+    """SELECT lang,
+      |  count(CASE WHEN n_chars < 500 THEN 1 END) AS short,
+      |  count(CASE WHEN n_chars >= 500 AND n_chars < 2000 THEN 1 END) AS medium,
+      |  count(CASE WHEN n_chars >= 2000 THEN 1 END) AS long
+      |FROM documents
+      |GROUP BY lang ORDER BY lang""".stripMargin
+
+  // ===== q62 — per-user inter-event deltas (lag) ==========================
+
+  /** Per-user inter-event-time statistics: gap = this event's timestamp
+    * minus the previous one's (lag over (user, time, id)), then count /
+    * mean / max of the gaps per user — the cadence signal that feeds
+    * bot detection and session-timeout tuning. Timestamps are epoch-µs
+    * on both sides (the q45–q50/q57 convention).
+    *
+    * Scale shape: ONE exchange on user_id feeds both the lag window
+    * and the final aggregate (same key — Catalyst reuses the
+    * partitioning, no second shuffle); window state is O(1) per row (a
+    * single trailing value), never the group. Users are numerous and
+    * individually small, so there is no skewed-partition hazard.
+    */
+  def q62EventDeltas(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    Tables.load(s, dir, "events")
+      .withColumn("ts_us", unix_micros(EventStream.nanosToTs(col("ts"))))
+      .withColumn("gap_us", col("ts_us") - lag(col("ts_us"), 1).over(byUser))
+      .filter(col("gap_us").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_us")), 6).as("avg_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q62Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts), 1)
+      |      OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      |  FROM events)
+      |SELECT user_id, count(*) AS n_gaps,
+      |  round(avg(gap_us), 6) AS avg_gap_us, max(gap_us) AS max_gap_us
+      |FROM g WHERE gap_us IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ===== q63 — size-decile summary (ntile) ================================
+
+  /** Corpus size deciles: every document assigned to one of 10
+    * equal-count buckets by (n_chars, doc_id) — the doc_id tiebreak
+    * makes the assignment total-ordered, so both engines cut the
+    * deciles identically — then per-decile count and char-range. The
+    * report a length-filter threshold is read off of.
+    *
+    * Scale shape: ntile over an unpartitioned window is a global sort —
+    * the honest cost of exact deciles, and Spark plans it as a
+    * range-partitioned exchange (parallel sort, not a single-node
+    * funnel). At 100 TB the swap is `approx_percentile` cut points +
+    * a map-side bucket join (the q30/q31 pairing); this exact anchor
+    * stays as the gate.
+    */
+  def q63SizeDeciles(s: SparkSession, dir: String): DataFrame = {
+    val byChars = Window.orderBy(col("n_chars"), col("doc_id"))
+    Tables.load(s, dir, "documents")
+      .withColumn("decile", ntile(10).over(byChars))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("decile"))
+  }
+
+  val q63Sql: String =
+    """WITH d AS (
+      |  SELECT n_chars, NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      |  FROM documents)
+      |SELECT decile, count(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ===== q64 — snapshot content diff (anti join) ==========================
+
+  /** New-content detection between two corpus snapshots: snapshot A =
+    * first 80% of doc ids, snapshot B = last 80% (60% overlap), and
+    * the diff = B-docs whose md5(text) appears nowhere in A — the
+    * incremental-crawl question ("which of today's documents are
+    * actually new content?") answered by content, not by id, so
+    * re-crawled copies of old pages are correctly excluded.
+    *
+    * Scale shape: a LEFT ANTI join on the content hash — one shuffle
+    * on md5 for each side, no payload columns carried for A (Catalyst
+    * prunes A to the hash column alone; the anti join emits B rows
+    * untouched). At 100 TB A's hash set can also be a bloom-filter
+    * pre-pass (`BloomFilterAggregate`) to cut the shuffle; the exact
+    * anti join stays as the gate.
+    */
+  def q64SnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val bounds = docs.agg(
+      min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val withCut = docs.crossJoin(broadcast(bounds))
+      .withColumn("cut_a", col("lo") + ((col("hi") - col("lo")) * 8) / 10)
+      .withColumn("cut_b", col("lo") + ((col("hi") - col("lo")) * 2) / 10)
+    val snapA = withCut.filter(col("doc_id") <= col("cut_a"))
+      .select(md5(col("text")).as("h"))
+    val snapB = withCut.filter(col("doc_id") >= col("cut_b"))
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"))
+    snapB.join(snapA, Seq("h"), "left_anti")
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q64Sql: String =
+    """WITH bounds AS (
+      |  SELECT min(doc_id) AS lo, max(doc_id) AS hi FROM documents),
+      |cuts AS (
+      |  SELECT lo + ((hi - lo) * 8) // 10 AS cut_a,
+      |         lo + ((hi - lo) * 2) // 10 AS cut_b FROM bounds),
+      |a AS (SELECT md5(text) AS h FROM documents, cuts WHERE doc_id <= cut_a),
+      |b AS (SELECT doc_id, source, md5(text) AS h FROM documents, cuts
+      |      WHERE doc_id >= cut_b)
+      |SELECT b.doc_id, b.source FROM b
+      |WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.h = b.h)
+      |ORDER BY b.doc_id""".stripMargin
+
+  // ========================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_rollup_scorecard" -> (q60RollupScorecard _),
+    "q61_pivot_length" -> (q61PivotLengthClasses _),
+    "q62_event_deltas" -> (q62EventDeltas _),
+    "q63_size_deciles" -> (q63SizeDeciles _),
+    "q64_snapshot_diff" -> (q64SnapshotDiff _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q60_rollup_scorecard" -> q60Sql,
+    "q61_pivot_length" -> q61Sql,
+    "q62_event_deltas" -> q62Sql,
+    "q63_size_deciles" -> q63Sql,
+    "q64_snapshot_diff" -> q64Sql)
+}

@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Multidimensional-report operators (q60–q64): planted-known-answer
+  * cases on synthetic tables plus structural invariants on the real
+  * testdata — the DuckDB oracle covers exact parity at the gate; these
+  * pin the semantics the oracle SQL was derived from.
+  */
+class AnalyticsOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("analytics-spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q60 rollup emits all three levels and they reconcile") {
+    val dir = writeDocs(Seq(
+      (1L, "a", "en", "web", 10L),
+      (2L, "b", "en", "web", 20L),
+      (3L, "c", "de", "web", 30L),
+      (4L, "d", "en", "books", 40L)))
+    val out = AnalyticsOpsQueries.q60RollupScorecard(spark, dir)
+      .select("source", "lang", "g_source", "g_lang", "n_docs", "total_chars")
+      .as[(String, String, Int, Int, Long, Long)].collect().toSeq
+    val grand = out.filter(r => r._3 == 1 && r._4 == 1)
+    assert(grand == Seq(("(all)", "(all)", 1, 1, 4L, 100L)))
+    val perSource = out.filter(r => r._3 == 0 && r._4 == 1)
+      .map(r => r._1 -> (r._5, r._6)).toMap
+    assert(perSource == Map("web" -> (3L, 60L), "books" -> (1L, 40L)))
+    val leaves = out.filter(r => r._3 == 0 && r._4 == 0)
+    // leaf counts sum to each source subtotal, subtotals to the total
+    assert(leaves.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap
+      == perSource.view.mapValues(_._1).toMap)
+    assert(leaves.map(_._5).sum == 4L)
+  }
+
+  test("q61 pivot declares fixed columns and zero-fills absent classes") {
+    val dir = writeDocs(Seq(
+      (1L, "a", "en", "web", 100L),   // short
+      (2L, "b", "en", "web", 1500L),  // medium
+      (3L, "c", "en", "web", 5000L),  // long
+      (4L, "d", "de", "web", 100L)))  // de has only short
+    val out = AnalyticsOpsQueries.q61PivotLengthClasses(spark, dir)
+    assert(out.columns.toSeq == Seq("lang", "short", "medium", "long"))
+    val m = out.as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(m("en") == (1L, 1L, 1L))
+    assert(m("de") == (1L, 0L, 0L), "missing classes must read 0, not null")
+  }
+
+  test("q62 lag gaps: known cadence, first event excluded") {
+    val dir = java.nio.file.Files.createTempDirectory("analytics-spec").toString
+    // ts stored as epoch-nanos longs (the events-table convention)
+    val sec = 1000000000L
+    Seq(
+      (1L, 10L * sec, 7L, "view", 0.0, ""),
+      (2L, 13L * sec, 7L, "view", 0.0, ""),   // gap 3s
+      (3L, 19L * sec, 7L, "view", 0.0, ""),   // gap 6s
+      (4L, 50L * sec, 8L, "view", 0.0, ""))   // single event -> no gaps
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = AnalyticsOpsQueries.q62EventDeltas(spark, dir)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(out == Seq((7L, 2L, 4500000.0, 6000000L)),
+      s"user 8 must not appear (no gaps); got $out")
+  }
+
+  test("q63 ntile buckets are equal-count, ordered, and exhaustive") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AnalyticsOpsQueries.q63SizeDeciles(spark, dir)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == (1 to 10))
+    val total = graft.core.Tables.load(spark, dir, "documents").count()
+    assert(out.map(_._2).sum == total)
+    // ntile: bucket sizes differ by at most 1, larger buckets first
+    val sizes = out.map(_._2)
+    assert(sizes.max - sizes.min <= 1 && sizes == sizes.sortBy(-_))
+    // deciles are non-overlapping and ascending in char range
+    out.sliding(2).foreach { case Seq(a, b) =>
+      assert(a._4 <= b._3, s"decile ranges overlap: $a vs $b")
+    case _ => ()
+    }
+  }
+
+  test("q64 diff keeps new content, drops re-crawled copies by hash") {
+    // ids 1..10: cut_a = 1+(9*8)/10 = 8 (A = ids 1..8), cut_b = 2 (B = 2..10)
+    // B-only ids are 9 and 10; all-unique texts -> both are new content
+    val dir = writeDocs(Seq.tabulate(10) { i =>
+      val id = (i + 1).toLong
+      (id, s"text $id", "en", "web", 10L)
+    })
+    val out = AnalyticsOpsQueries.q64SnapshotDiff(spark, dir)
+      .as[(Long, String)].collect().toSeq.map(_._1)
+    assert(out == Seq(9L, 10L), s"unexpected diff: $out")
+    // plant id 9 as an exact re-crawl of doc 1 -> only 10 is new content
+    val dir2 = writeDocs(Seq.tabulate(10) { i =>
+      val id = (i + 1).toLong
+      val text = if (id == 9L) "text 1" else s"text $id"
+      (id, text, "en", "web", 10L)
+    })
+    val out2 = AnalyticsOpsQueries.q64SnapshotDiff(spark, dir2)
+      .as[(Long, String)].collect().toSeq.map(_._1)
+    assert(out2 == Seq(10L), s"re-crawled copy (id 9) must be excluded: $out2")
+  }
+}
