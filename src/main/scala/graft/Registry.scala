@@ -21,7 +21,8 @@ object Registry {
       (graft.queries.MultimodalQueries.queries, graft.queries.MultimodalQueries.oracleSql),
       (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracleSql),
       (graft.queries.CorpusOpsQueries.queries, graft.queries.CorpusOpsQueries.oracleSql),
-      (graft.queries.AnalyticsOpsQueries.queries, graft.queries.AnalyticsOpsQueries.oracleSql)
+      (graft.queries.AnalyticsOpsQueries.queries, graft.queries.AnalyticsOpsQueries.oracleSql),
+      (graft.queries.ScaleOpsQueries.queries, graft.queries.ScaleOpsQueries.oracleSql)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

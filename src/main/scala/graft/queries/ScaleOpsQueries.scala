@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.MinHashLSH.shingleRows
+
+/** Scale-path variants of operators whose naive form stops working at
+  * 100 TB: bloom-filter-pruned decontamination (for a contamination
+  * side too large to broadcast as an exact set) and Count-Min-Sketch
+  * heavy-hitter estimation (frequency queries from one mergeable,
+  * fixed-size sketch instead of a full aggregate).
+  *
+  * Beyond-reference surface; the exact anchors these pair with are
+  * q39 (broadcast-set decontamination) and q54 (exact heavy hitters).
+  */
+object ScaleOpsQueries {
+
+  // ===== q65 — bloom-pruned decontamination ===============================
+
+  /** q39's decontamination with the broadcast exact-set replaced by a
+    * bloom filter + exact verify — the shape that survives a
+    * contamination side too big to broadcast (a full held-out corpus,
+    * not a 10-doc eval set). Three stages:
+    *
+    *  1. BUILD: a bloom filter over the contamination side's distinct
+    *     8-gram hashes (`DataFrameStatFunctions.bloomFilter` — a
+    *     map-side mergeable sketch; ~1.2 MB per million grams at 1%
+    *     fpp, vs an exact broadcast set that grows with gram count).
+    *  2. PRUNE: map-side filter of the training side's grams through
+    *     the bloom (no false negatives — no contaminated gram can be
+    *     lost; ~1% of clean grams survive as false positives). The
+    *     membership probe is the one deliberate UDF in this repo: it
+    *     is a pruning-only predicate — results never depend on it —
+    *     and Spark exposes no public expression for sketch probes.
+    *  3. VERIFY: exact inner join (shuffle, NOT broadcast) of the
+    *     survivors against the contamination grams — false positives
+    *     die here, so the output is bit-identical to q39's exact
+    *     semantics, and the oracle below is a true exact gate.
+    *
+    * The shuffle-join in stage 3 touches only bloom survivors —
+    * O(contaminated + fpp·clean) rows instead of the full training
+    * gram stream, which is the entire point at 100 TB. (Spark's own
+    * `InjectRuntimeFilter` applies the same trick automatically to
+    * some shuffle joins; stating it as an operator makes the pruning
+    * unconditional and the sketch size/fpp explicit.)
+    *
+    * Contamination side here: docs 0–199; training side: the rest
+    * plus planted copies of the first 10 (shifted ids prove the
+    * detector fires through the bloom path).
+    */
+  def q65BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val contam = docs.filter(col("doc_id") < 200)
+    val train = docs.filter(col("doc_id") >= 200)
+      .union(contam.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+
+    val contamGrams = shingleRows(contam, "doc_id", "text", n = 8)
+      .select(col("sh")).distinct()
+    // BUILD: bloom over gram hashes; expected-items from a cheap count
+    // of the (already tiny relative to training) contamination grams.
+    val nGrams = math.max(1L, contamGrams.count())
+    val bloom = contamGrams.select(xxhash64(col("sh")).as("gh"))
+      .stat.bloomFilter("gh", nGrams, 0.01)
+    val mightContain = udf((h: Long) => bloom.mightContain(h))
+
+    // PRUNE map-side BEFORE the distinct — the dedup shuffle must only
+    // ever see bloom survivors (pruning after it would shuffle the
+    // full 100 TB gram stream first) — then VERIFY with the exact join
+    // (false positives drop here; no broadcast of the exact set
+    // anywhere).
+    val trainGrams = shingleRows(train, "doc_id", "text", n = 8)
+      .filter(mightContain(xxhash64(col("sh")))).distinct()
+    val overlap = trainGrams.join(contamGrams, Seq("sh"))
+      .groupBy(col("sid").as("doc_id"))
+      .agg(count(lit(1)).as("overlap_grams"))
+    train.select(col("doc_id"))
+      .join(overlap, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("overlap_grams"), lit(0L)).as("overlap_grams"),
+        (coalesce(col("overlap_grams"), lit(0L)) > 0).as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Exact-semantics oracle (the bloom never changes results): q39's
+    * SQL with the 200-doc contamination split and 3000000 id shift.
+    */
+  val q65Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+      |  FROM (SELECT doc_id, text FROM documents
+      |        UNION ALL
+      |        SELECT doc_id + 3000000, text FROM documents WHERE doc_id < 10)),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+      |                i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2], ' ', tk[i+3], ' ',
+      |                            tk[i+4], ' ', tk[i+5], ' ', tk[i+6], ' ', tk[i+7]))) END AS gs
+      |  FROM t),
+      |cg AS (SELECT DISTINCT unnest(gs) AS sh FROM g WHERE doc_id < 200),
+      |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS sh FROM g WHERE doc_id >= 200),
+      |ov AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS overlap_grams
+      |  FROM dg JOIN cg USING (sh) GROUP BY 1)
+      |SELECT d.doc_id,
+      |  COALESCE(overlap_grams, 0) AS overlap_grams,
+      |  COALESCE(overlap_grams, 0) > 0 AS contaminated
+      |FROM (SELECT doc_id FROM g WHERE doc_id >= 200) d
+      |LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  // ===== q66 — Count-Min-Sketch heavy-hitter estimates ====================
+
+  /** Heavy-hitter frequencies from a Count-Min Sketch next to their
+    * exact counts: the top-20 event types by exact count, each with
+    * its CMS estimate — the operator a monitoring pipeline uses when
+    * the key space is too wide to aggregate exactly on every tick
+    * (the sketch is fixed-size and mergeable; the exact aggregate is
+    * the anchor, the q51/q52 HLL pairing applied to frequencies).
+    *
+    * Determinism: Spark's `count_min_sketch` with a fixed seed is
+    * deterministic under any partitioning — per-partition sketches
+    * are cell-wise sums, and addition commutes — so the output is
+    * rerun-stable even though DuckDB cannot replicate it (rows-only
+    * gate; the exact columns carry the correctness signal, and
+    * [[graft.queries.ScaleOpsSpec]] pins the CMS error bound).
+    *
+    * Scale shape: one map-side-partial aggregate for the sketch (a
+    * single ~KB binary at the driver — justified collect), one exact
+    * groupBy for the anchor counts, estimates probed driver-side for
+    * only the top-20 keys.
+    */
+  def q66HeavyHittersCms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.load(s, dir, "events")
+    val sketchBytes = ev
+      .select(col("event_type"))
+      .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("cms"))
+      .as[Array[Byte]].head()
+    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+    val estimate = udf((t: String) => cms.estimateCount(t))
+    ev.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(col("exact_count").desc, col("event_type"))
+      .limit(20)
+      .withColumn("cms_estimate", estimate(col("event_type")))
+      .select(col("event_type"), col("exact_count"), col("cms_estimate"))
+      .orderBy(col("event_type"))
+  }
+
+  // ========================================================================
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_bloom_decontaminate" -> (q65BloomDecontaminate _),
+    "q66_heavy_hitters_cms" -> (q66HeavyHittersCms _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q65_bloom_decontaminate" -> q65Sql)
+}
