@@ -150,4 +150,40 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("= brazil"), "country predicate not in PartitionFilters")
     assert(scan.select("band_id").as[Long].collect().toSeq == Seq(1L))
   }
+
+  test("q60 rollup plans one Expand + one aggregate, not three scans") {
+    val p = plan(AnalyticsOpsQueries.q60RollupScorecard(spark, sf))
+    assert(p.contains("Expand"), "rollup must plan an Expand over grouping sets")
+    assert(p.contains("partial_"), "no partial aggregation before shuffle")
+    assert(countScans(p, "documents") == 1,
+      "rollup re-scanned the fact table for subtotal levels")
+  }
+
+  test("q61 declared-values pivot runs zero discovery scans") {
+    val p = plan(AnalyticsOpsQueries.q61PivotLengthClasses(spark, sf))
+    assert(countScans(p, "documents") == 1,
+      "pivot ran an extra distinct-scan to discover its columns")
+    assert(p.contains("partial_"), "no partial aggregation before shuffle")
+  }
+
+  test("q62 reuses one user_id exchange for both the window and the agg") {
+    val p = plan(AnalyticsOpsQueries.q62EventDeltas(spark, sf))
+    val exchanges = "Exchange hashpartitioning\\(user_id".r
+      .findAllIn(p).size
+    assert(exchanges == 1,
+      s"expected one user_id exchange (window + agg co-partitioned), got $exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q64 snapshot diff plans an anti join with the A side pruned") {
+    val p = plan(AnalyticsOpsQueries.q64SnapshotDiff(spark, sf))
+    assert(p.contains("LeftAnti"), "diff must plan an anti join")
+    // the A (old snapshot) side must carry only the hash column into
+    // the join — source/lang/n_chars pruned at its scan
+    assert(!p.contains("ReadSchema: struct<doc_id:bigint,text:string,lang"),
+      "A-side scan reads payload columns the anti join never uses")
+  }
+
+  private def countScans(plan: String, table: String): Int =
+    s"$table\\.parquet".r.findAllIn(plan).size
 }
