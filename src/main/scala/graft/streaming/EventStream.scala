@@ -34,6 +34,24 @@ object EventStream {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Hopping-window (window, event_type) counts/sums — the streaming
+    * twin of batch q57 ([[graft.queries.CorpusOpsQueries]]): each event
+    * lands in size/slide windows, all finalized by the same watermark.
+    * State per (window, type) key is one row; window count per event
+    * is a constant (size/slide), so state growth stays bounded by the
+    * watermark horizon exactly as in the tumbling case.
+    */
+  def hoppingRollup(events: DataFrame, size: String = "10 minutes",
+      slide: String = "5 minutes", watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("event_ts", nanosToTs(col("ts")))
+      .withWatermark("event_ts", watermark)
+      .groupBy(window(col("event_ts"), size, slide), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
   /** At-least-once → effectively-once: drop redelivered events by id
     * within the watermark horizon. `dropDuplicatesWithinWatermark`
     * keeps state only until the watermark passes a key's event time —

@@ -257,4 +257,25 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.count() > 0)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("event-time hopping rollup: streaming result ≡ batch result") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventStream.readEventsStream(spark, dir)
+    val q = EventStream.hoppingRollup(stream)
+      .writeStream
+      .format("memory")
+      .queryName("events_hopping_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("events_hopping_stream")
+    val batch = EventStream.hoppingRollup(spark.read.parquet(s"$dir/events.parquet"))
+    assert(streamed.count() > 0)
+    // each event lands in exactly size/slide = 2 windows
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(streamed.agg(sum("n_events")).head.getLong(0) == 2 * nEvents)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
