@@ -152,12 +152,65 @@ object ScaleOpsQueries {
       .orderBy(col("event_type"))
   }
 
+  // ===== q67 — Z-ordered layout round-trip ================================
+
+  /** Events re-laid-out Z-ordered on (user_id, time) via
+    * [[graft.sql.Layout.zorderWrite]], then scanned with a filter on
+    * BOTH dimensions — the layout every large events table wants when
+    * it serves "one user's activity in a time range" queries. The gate
+    * proves the rewrite is results-neutral (identical rows to the same
+    * filter on the raw table); the bytes-read locality win itself is
+    * pinned in [[graft.sql.LayoutSpec]].
+    *
+    * The layout is Warehouse-persisted keyed to the source fingerprint
+    * (the q33/q25 convention): built once, every later scan pays probe
+    * cost only — exactly how a nightly OPTIMIZE job amortizes on a
+    * cluster. Time cuts are computed from the data's own min/max (the
+    * q64 technique) so the query is scale-factor-independent.
+    */
+  def q67ZorderScan(s: SparkSession, dir: String): DataFrame = {
+    import graft.core.Warehouse
+    import graft.streaming.EventStream
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(EventStream.nanosToTs(col("ts"))).as("ts_us"),
+        col("event_type"), col("value"))
+    val zDir = Warehouse.ensureBuilt(s,
+      Warehouse.derivedDir(s, "zorder_events", s"$dir/events.parquet",
+        "dims=user_id,ts_us;files=32")) { d =>
+      graft.sql.Layout.zorderWrite(ev, "user_id", "ts_us", d, numFiles = 32)
+    }
+    val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+    s.read.parquet(zDir)
+      .crossJoin(broadcast(bounds))
+      .filter(col("user_id").between(10, 19) &&
+        col("ts_us") >= col("lo") + ((col("hi") - col("lo")) * 4) / 10 &&
+        col("ts_us") < col("lo") + ((col("hi") - col("lo")) * 6) / 10)
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("event_type"), col("value"))
+      .orderBy(col("event_id"))
+  }
+
+  val q67Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+      |  FROM events),
+      |b AS (SELECT min(ts_us) AS lo, max(ts_us) AS hi FROM e)
+      |SELECT event_id, user_id, ts_us, event_type, value
+      |FROM e, b
+      |WHERE user_id BETWEEN 10 AND 19
+      |  AND ts_us >= lo + ((hi - lo) * 4) // 10
+      |  AND ts_us <  lo + ((hi - lo) * 6) // 10
+      |ORDER BY event_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_bloom_decontaminate" -> (q65BloomDecontaminate _),
-    "q66_heavy_hitters_cms" -> (q66HeavyHittersCms _))
+    "q66_heavy_hitters_cms" -> (q66HeavyHittersCms _),
+    "q67_zorder_scan" -> (q67ZorderScan _))
 
   val oracleSql: Map[String, String] = Map(
-    "q65_bloom_decontaminate" -> q65Sql)
+    "q65_bloom_decontaminate" -> q65Sql,
+    "q67_zorder_scan" -> q67Sql)
 }
