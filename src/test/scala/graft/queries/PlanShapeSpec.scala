@@ -186,4 +186,14 @@ class PlanShapeSpec extends SparkTestBase {
 
   private def countScans(plan: String, table: String): Int =
     s"$table\\.parquet".r.findAllIn(plan).size
+
+  test("q67 pushes the user_id bounds into the z-layout scan") {
+    val p = plan(ScaleOpsQueries.q67ZorderScan(spark, sf))
+    // the literal dimension filter must reach the parquet reader so
+    // row-group min/max stats (narrow under Z-order) can skip splits;
+    // the ts bounds are computed from data, so they filter post-scan
+    assert(p.contains("GreaterThanOrEqual(user_id,10)")
+      && p.contains("LessThanOrEqual(user_id,19)"),
+      p.linesIterator.filter(_.contains("PushedFilters")).take(3).mkString("\n"))
+  }
 }

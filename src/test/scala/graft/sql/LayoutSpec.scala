@@ -48,6 +48,19 @@ class LayoutSpec extends SparkTestBase {
     assert(out == rows.map { case (a, b) => ZOrderKey.interleave(a, b) })
   }
 
+  test("zorder_key stays inside a whole-stage-codegen span") {
+    ZOrderKey.register(spark)
+    // spark.range (not a local Seq): a LocalTableScan would collapse
+    // the whole plan and prove nothing about codegen
+    val df = spark.range(100)
+      .select(ZOrderKey.zorderKey(col("id"), col("id") * 3).as("z"))
+    // `*(n)` is the whole-stage-codegen marker in the simple plan
+    // string; an interpreted fallback renders the Project without it
+    val p = df.queryExecution.executedPlan.toString
+    val zLines = p.linesIterator.filter(_.contains("zorder_key")).toSeq
+    assert(zLines.nonEmpty && zLines.forall(_.trim.startsWith("*(")), p)
+  }
+
   test("Z-ordered layout reads fewer bytes than single-dim sort on the other dim") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // two independent uniform dims; enough rows that parquet stats
