@@ -170,6 +170,48 @@ object AnalyticsOpsQueries {
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q68 — value-cut decile buckets (no global sort) ==================
+
+  /** q63's documented 100 TB swap, implemented: decile summaries from
+    * percentile CUT POINTS instead of a global-sort ntile. One
+    * aggregate computes the nine cut values, broadcast back as an
+    * array; each row's bucket is `1 + |{cuts below it}|` — a codegen'd
+    * higher-order filter over a 9-element array, pure map-side — then
+    * one hash-agg shuffle on the bucket id. No global sort, no
+    * single-partition window, no driver-side collect.
+    *
+    * Value-cut semantics (not equal-count): boundary ties share a
+    * bucket, so counts are only approximately N/10 — the honest trade
+    * against q63's exact equal-count anchor. The cuts here use the
+    * exact `percentile` aggregate to stay oracle-comparable (DuckDB
+    * `quantile_cont`, the q30 interpolation parity); at 100 TB swap
+    * in `approx_percentile` cuts — the bucketing plan is unchanged.
+    */
+  def q68DecileBuckets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val cuts = docs.agg(expr(
+      "percentile(n_chars, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+      .as("qs"))
+    docs.crossJoin(broadcast(cuts))
+      .withColumn("decile", expr("1 + size(filter(qs, c -> n_chars > c))"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"))
+      .orderBy(col("decile"))
+  }
+
+  val q68Sql: String =
+    """WITH c AS (
+      |  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      |  FROM documents),
+      |b AS (
+      |  SELECT 1 + len(list_filter(c.qs, q -> d.n_chars > q)) AS decile, d.n_chars
+      |  FROM documents d, c)
+      |SELECT decile, count(*) AS n_docs,
+      |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===== q64 — snapshot content diff (anti join) ==========================
 
   /** New-content detection between two corpus snapshots: snapshot A =
@@ -222,12 +264,14 @@ object AnalyticsOpsQueries {
     "q61_pivot_length" -> (q61PivotLengthClasses _),
     "q62_event_deltas" -> (q62EventDeltas _),
     "q63_size_deciles" -> (q63SizeDeciles _),
-    "q64_snapshot_diff" -> (q64SnapshotDiff _))
+    "q64_snapshot_diff" -> (q64SnapshotDiff _),
+    "q68_decile_buckets" -> (q68DecileBuckets _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_rollup_scorecard" -> q60Sql,
     "q61_pivot_length" -> q61Sql,
     "q62_event_deltas" -> q62Sql,
     "q63_size_deciles" -> q63Sql,
-    "q64_snapshot_diff" -> q64Sql)
+    "q64_snapshot_diff" -> q64Sql,
+    "q68_decile_buckets" -> q68Sql)
 }

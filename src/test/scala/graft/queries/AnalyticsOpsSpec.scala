@@ -88,6 +88,24 @@ class AnalyticsOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q68 value-cut deciles cover all docs with ascending disjoint ranges") {
+    val dir = "/root/testdata/sf0.001"
+    val out = AnalyticsOpsQueries.q68DecileBuckets(spark, dir)
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    val total = graft.core.Tables.load(spark, dir, "documents").count()
+    assert(out.map(_._2).sum == total, "every doc lands in exactly one bucket")
+    assert(out.map(_._1) == out.map(_._1).sorted && out.map(_._1).distinct == out.map(_._1))
+    out.sliding(2).foreach {
+      case Seq(a, b) => assert(a._4 <= b._3, s"bucket ranges overlap: $a vs $b")
+      case _ => ()
+    }
+    // value-cut buckets track q63's equal-count deciles loosely: no
+    // bucket may be empty-by-construction beyond tie collapse, and
+    // every bucket holds at most ~2x the equal share at this data
+    val share = total / 10.0
+    assert(out.forall(_._2 <= 2 * share + 1), s"degenerate bucketing: $out")
+  }
+
   test("q64 diff keeps new content, drops re-crawled copies by hash") {
     // ids 1..10: cut_a = 1+(9*8)/10 = 8 (A = ids 1..8), cut_b = 2 (B = 2..10)
     // B-only ids are 9 and 10; all-unique texts -> both are new content

@@ -187,6 +187,16 @@ class PlanShapeSpec extends SparkTestBase {
   private def countScans(plan: String, table: String): Int =
     s"$table\\.parquet".r.findAllIn(plan).size
 
+  test("q68 buckets without any window or per-row sort — q63's scale swap") {
+    val p = plan(AnalyticsOpsQueries.q68DecileBuckets(spark, sf))
+    assert(!p.contains("Window"), "bucket-join variant must not plan a window")
+    // the only Sort allowed is the output orderBy over 10 rows — no
+    // sort may sit below the bucket aggregate
+    val belowAgg = p.split("HashAggregate").last
+    assert(!belowAgg.contains("Sort"),
+      "full-table sort below the bucket aggregate defeats the design")
+  }
+
   test("q67 pushes the user_id bounds into the z-layout scan") {
     val p = plan(ScaleOpsQueries.q67ZorderScan(spark, sf))
     // the literal dimension filter must reach the parquet reader so
