@@ -137,6 +137,34 @@ object Maintenance {
         .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
     }
 
+  /** Z-order-aware compaction: rewrite `dir` into `targetFiles` files
+    * clustered on (dimA, dimB) via [[graft.sql.Layout.zorderWrite]],
+    * under the same writer lock and atomic staging swap as [[compact]]
+    * — the nightly OPTIMIZE job that fixes small files AND restores
+    * multi-dimensional scan locality in one rewrite (appends both
+    * accrete files and interleave the clustering; recompacting heals
+    * both at once). Readers never see a partial table: the swap is the
+    * same pointer-style rename `compact` uses.
+    */
+  def compactZordered(
+      spark: SparkSession, dir: String, dimA: String, dimB: String,
+      targetFiles: Int,
+      lockStaleMs: Long = graft.core.FsLock.DefaultStaleMs): Int =
+    graft.core.FsLock.withLock(spark, dir,
+      s"compact-z-${ProcessHandle.current().pid()}", lockStaleMs) {
+      healStranded(spark, dir)
+      require(!isPartitioned(spark, dir),
+        s"compactZordered would flatten the partition layout of $dir; " +
+          "compact each partition dir instead")
+      val staging = dir + "_compacting"
+      graft.sql.Layout.zorderWrite(
+        spark.read.parquet(dir), dimA, dimB, staging, targetFiles)
+      swapIn(spark, staging, dir)
+      val p = new HPath(dir)
+      fs(spark, p).listStatus(p)
+        .count(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+    }
+
   /** Keyed upsert: rows in `updates` replace same-key rows in the
     * table; new keys append. One left-anti join (existing minus
     * updated keys) + union — the plain-parquet MERGE. Updates must be

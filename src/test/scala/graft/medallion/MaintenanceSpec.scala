@@ -25,6 +25,36 @@ class MaintenanceSpec extends SparkTestBase {
     assert(!Files.exists(java.nio.file.Paths.get(dir + "_old")))
   }
 
+  test("z-order compaction collapses files AND restores 2-dim locality") {
+    import org.apache.spark.sql.functions._
+    val dir = Files.createTempDirectory("compact-z").toString + "/t"
+    val rnd = new scala.util.Random(5)
+    (1 to 50000).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("ka", "kb")
+      .repartition(64) // accreted appends: many files, no clustering
+      .write.parquet(dir)
+    val before = new java.io.File(dir).list().count(_.endsWith(".parquet"))
+    val rowsBefore = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+
+    val after = Maintenance.compactZordered(spark, dir, "ka", "kb", targetFiles = 16)
+    assert(after <= 16 && after < before / 2, s"still $after files")
+    val rowsAfter = spark.read.parquet(dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(rowsAfter.toSeq == rowsBefore.toSeq, "compaction must not change rows")
+    assert(!Files.exists(java.nio.file.Paths.get(dir + "_compacting")))
+    assert(!Files.exists(java.nio.file.Paths.get(dir + "_old")))
+    // locality: per-file spans must be narrow on BOTH dims (a Z-range
+    // block covers ~1/4 of each dim at 16 files); unclustered appends
+    // would span the full domain in every file
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max("ka") - min("ka")).as("sa"), (max("kb") - min("kb")).as("sb"))
+      .agg(avg("sa"), avg("sb")).head()
+    assert(spans.getDouble(0) < 600 && spans.getDouble(1) < 600,
+      s"no 2-dim locality after z-compaction: $spans")
+  }
+
   test("compaction refuses a partitioned table instead of flattening it") {
     val dir = Files.createTempDirectory("compact-part").toString + "/t"
     Seq((1L, "a"), (2L, "b")).toDF("id", "part")
