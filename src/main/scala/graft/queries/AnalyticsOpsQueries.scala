@@ -257,6 +257,38 @@ object AnalyticsOpsQueries {
       |WHERE NOT EXISTS (SELECT 1 FROM a WHERE a.h = b.h)
       |ORDER BY b.doc_id""".stripMargin
 
+  // ===== q69 — per-label embedding centroids ==============================
+
+  /** Element-wise mean embedding per label — the class-centroid
+    * building block (IVF coarse quantizers, per-source semantic
+    * profiles, cluster summaries all start here). Output is the flat
+    * (label, pos, centroid component) form — gate-friendly and
+    * directly joinable; reassembling arrays is one `collect_list`
+    * away when a consumer wants vectors.
+    *
+    * Scale shape: `posexplode` is a codegen'd generate (dim× rows, no
+    * shuffle), then ONE hash-agg shuffle on (label, pos) with
+    * map-side partial sums — dim·|labels| final groups. Components
+    * round to 6 decimals on both sides (the q20 float convention;
+    * double summation order differs between engines at the last ulp).
+    */
+  def q69LabelCentroids(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "v")))
+      .groupBy(col("label"), (col("pos0") + 1).as("pos"))
+      .agg(round(avg(col("v")), 6).as("centroid_r6"),
+        count(lit(1)).as("n_vecs"))
+      .orderBy(col("label"), col("pos"))
+  }
+
+  val q69Sql: String =
+    """SELECT label, i AS pos, round(avg(CAST(v AS DOUBLE)), 6) AS centroid_r6,
+      |  count(*) AS n_vecs
+      |FROM (SELECT label, unnest(embedding) AS v,
+      |        generate_subscripts(embedding, 1) AS i
+      |      FROM embeddings)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -265,7 +297,8 @@ object AnalyticsOpsQueries {
     "q62_event_deltas" -> (q62EventDeltas _),
     "q63_size_deciles" -> (q63SizeDeciles _),
     "q64_snapshot_diff" -> (q64SnapshotDiff _),
-    "q68_decile_buckets" -> (q68DecileBuckets _))
+    "q68_decile_buckets" -> (q68DecileBuckets _),
+    "q69_label_centroids" -> (q69LabelCentroids _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_rollup_scorecard" -> q60Sql,
@@ -273,5 +306,6 @@ object AnalyticsOpsQueries {
     "q62_event_deltas" -> q62Sql,
     "q63_size_deciles" -> q63Sql,
     "q64_snapshot_diff" -> q64Sql,
-    "q68_decile_buckets" -> q68Sql)
+    "q68_decile_buckets" -> q68Sql,
+    "q69_label_centroids" -> q69Sql)
 }
