@@ -19,9 +19,10 @@ import org.apache.spark.sql.functions.call_function
   * Bit semantics: the low 32 bits of each input are interleaved
   * (dim a on even bit positions, dim b on odd). Inputs are expected
   * non-negative and < 2^32 AFTER the caller's normalization —
-  * [[graft.layout.Layout.zorderWrite]] rank-normalizes arbitrary
-  * domains first, which also makes the interleave's fixed 32-bit
-  * budget a non-issue (ranks are dense).
+  * [[graft.sql.Layout.zorderWrite]] min/max-scales arbitrary domains
+  * into exactly that range first (linear, so a heavily skewed
+  * dimension degrades block balance — see that method's doc for the
+  * quantile-cut upgrade path).
   */
 case class ZOrderKeyExpr(left: Expression, right: Expression)
     extends BinaryExpression {

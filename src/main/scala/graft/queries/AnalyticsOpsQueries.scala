@@ -59,7 +59,7 @@ object AnalyticsOpsQueries {
       |  CAST(GROUPING(lang) AS TINYINT) AS g_lang,
       |  count(*) AS n_docs,
       |  round(avg(n_chars), 6) AS avg_chars,
-      |  sum(n_chars) AS total_chars
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
       |FROM documents
       |GROUP BY ROLLUP(source, lang)
       |ORDER BY g_source, g_lang, 1, 2""".stripMargin
@@ -144,12 +144,12 @@ object AnalyticsOpsQueries {
     * deciles identically — then per-decile count and char-range. The
     * report a length-filter threshold is read off of.
     *
-    * Scale shape: ntile over an unpartitioned window is a global sort —
-    * the honest cost of exact deciles, and Spark plans it as a
-    * range-partitioned exchange (parallel sort, not a single-node
-    * funnel). At 100 TB the swap is `approx_percentile` cut points +
-    * a map-side bucket join (the q30/q31 pairing); this exact anchor
-    * stays as the gate.
+    * Scale shape: ntile over an unpartitioned window is the honest
+    * cost of exact equal-count deciles, and it is a REAL single-node
+    * funnel — Spark plans Exchange SinglePartition + Sort (and warns
+    * so). That is exactly why q68 exists: same report from percentile
+    * cut points with no window at all. This exact anchor stays as the
+    * gate; q68 is the plan to run at 100 TB.
     */
   def q63SizeDeciles(s: SparkSession, dir: String): DataFrame = {
     val byChars = Window.orderBy(col("n_chars"), col("doc_id"))
@@ -164,7 +164,8 @@ object AnalyticsOpsQueries {
 
   val q63Sql: String =
     """WITH d AS (
-      |  SELECT n_chars, NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      |  SELECT n_chars,
+      |    CAST(NTILE(10) OVER (ORDER BY n_chars, doc_id) AS INTEGER) AS decile
       |  FROM documents)
       |SELECT decile, count(*) AS n_docs,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
@@ -206,7 +207,8 @@ object AnalyticsOpsQueries {
       |  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
       |  FROM documents),
       |b AS (
-      |  SELECT 1 + len(list_filter(c.qs, q -> d.n_chars > q)) AS decile, d.n_chars
+      |  SELECT CAST(1 + len(list_filter(c.qs, q -> d.n_chars > q)) AS INTEGER)
+      |    AS decile, d.n_chars
       |  FROM documents d, c)
       |SELECT decile, count(*) AS n_docs,
       |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
@@ -232,9 +234,14 @@ object AnalyticsOpsQueries {
     val docs = Tables.load(s, dir, "documents")
     val bounds = docs.agg(
       min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    // integer floor division (`div`): Column./ on longs is DOUBLE
+    // division, which would put the cuts between ids while the oracle's
+    // `//` floors them — a boundary id would then differ per engine
     val withCut = docs.crossJoin(broadcast(bounds))
-      .withColumn("cut_a", col("lo") + ((col("hi") - col("lo")) * 8) / 10)
-      .withColumn("cut_b", col("lo") + ((col("hi") - col("lo")) * 2) / 10)
+      .withColumn("cut_a",
+        col("lo") + call_function("div", (col("hi") - col("lo")) * 8, lit(10L)))
+      .withColumn("cut_b",
+        col("lo") + call_function("div", (col("hi") - col("lo")) * 2, lit(10L)))
     val snapA = withCut.filter(col("doc_id") <= col("cut_a"))
       .select(md5(col("text")).as("h"))
     val snapB = withCut.filter(col("doc_id") >= col("cut_b"))
@@ -282,7 +289,8 @@ object AnalyticsOpsQueries {
   }
 
   val q69Sql: String =
-    """SELECT label, i AS pos, round(avg(CAST(v AS DOUBLE)), 6) AS centroid_r6,
+    """SELECT label, CAST(i AS INTEGER) AS pos,
+      |  round(avg(CAST(v AS DOUBLE)), 6) AS centroid_r6,
       |  count(*) AS n_vecs
       |FROM (SELECT label, unnest(embedding) AS v,
       |        generate_subscripts(embedding, 1) AS i

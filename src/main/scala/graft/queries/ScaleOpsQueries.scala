@@ -57,8 +57,11 @@ object ScaleOpsQueries {
       .union(contam.filter(col("doc_id") < 10)
         .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
 
+    // persisted: the gram set is consumed three times (count, bloom
+    // build, verify join) — without the persist each pass re-runs the
+    // shingle explode + distinct shuffle over the contamination corpus
     val contamGrams = shingleRows(contam, "doc_id", "text", n = 8)
-      .select(col("sh")).distinct()
+      .select(col("sh")).distinct().persist()
     // BUILD: bloom over gram hashes; expected-items from a cheap count
     // of the (already tiny relative to training) contamination grams.
     val nGrams = math.max(1L, contamGrams.count())
@@ -181,11 +184,15 @@ object ScaleOpsQueries {
       graft.sql.Layout.zorderWrite(ev, "user_id", "ts_us", d, numFiles = 32)
     }
     val bounds = ev.agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+    // integer floor division (`div`) to match the oracle's `//`:
+    // Column./ is DOUBLE division, and an event landing exactly on a
+    // floored cut would be classified differently per engine
+    def cut(mul: Int) =
+      col("lo") + call_function("div", (col("hi") - col("lo")) * mul, lit(10L))
     s.read.parquet(zDir)
       .crossJoin(broadcast(bounds))
       .filter(col("user_id").between(10, 19) &&
-        col("ts_us") >= col("lo") + ((col("hi") - col("lo")) * 4) / 10 &&
-        col("ts_us") < col("lo") + ((col("hi") - col("lo")) * 6) / 10)
+        col("ts_us") >= cut(4) && col("ts_us") < cut(6))
       .select(col("event_id"), col("user_id"), col("ts_us"),
         col("event_type"), col("value"))
       .orderBy(col("event_id"))
