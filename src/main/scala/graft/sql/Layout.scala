@@ -17,38 +17,61 @@ object Layout {
 
   /** Write `df` Z-ordered on (dimA, dimB) into `numFiles` files.
     *
-    * Each dimension is min/max-scaled to 32 bits, interleaved by the
-    * codegen'd [[ZOrderKey]] expression, then range-partitioned and
-    * sorted by the key — range partitioning makes files contiguous
-    * Z-ranges (2-D blocks), so every file's min/max footprint is
-    * narrow in BOTH dimensions. Linear scaling keeps the normalize
-    * pass to one cheap min/max aggregate; a heavily skewed dimension
-    * degrades block balance (not correctness) — swap in
-    * approx-quantile cut points for rank-like scaling if that bites.
+    * Each dimension is normalized to a bounded integer range,
+    * interleaved by the codegen'd [[ZOrderKey]] expression, then
+    * range-partitioned and sorted by the key — range partitioning
+    * makes files contiguous Z-ranges (2-D blocks), so every file's
+    * min/max footprint is narrow in BOTH dimensions.
+    *
+    * Normalization (`quantile` flag):
+    *  - `false` (default): linear min/max scale to 32 bits — one
+    *    cheap min/max aggregate. A heavily skewed dimension wastes
+    *    key resolution (most mass lands on few key values), which
+    *    degrades block balance, not correctness.
+    *  - `true`: rank-like scaling via `approx_percentile` cut points
+    *    (1024 buckets/dim, the q68 bucketing technique) — each bucket
+    *    holds ~equal row mass regardless of the value distribution,
+    *    so Z-blocks stay balanced under skew. Costs one sketch
+    *    aggregate instead of min/max; bucket lookup is a codegen'd
+    *    higher-order filter over the broadcast cut array.
     *
     * The helper columns never reach the written schema.
     */
   def zorderWrite(df: DataFrame, dimA: String, dimB: String,
-      outDir: String, numFiles: Int): Unit = {
+      outDir: String, numFiles: Int, quantile: Boolean = false): Unit = {
     require(numFiles >= 1, s"numFiles=$numFiles must be >= 1")
-    val internal = Seq("__z", "__lo_a", "__hi_a", "__lo_b", "__hi_b")
+    val internal = Seq("__z", "__lo_a", "__hi_a", "__lo_b", "__hi_b",
+      "__qa", "__qb")
     val clash = df.columns.toSet.intersect(internal.toSet)
     require(clash.isEmpty, s"input columns collide with internal names: $clash")
     ZOrderKey.register(df.sparkSession)
-    val bounds = df.agg(
-      min(col(dimA)).as("__lo_a"), max(col(dimA)).as("__hi_a"),
-      min(col(dimB)).as("__lo_b"), max(col(dimB)).as("__hi_b"))
-    def scaled(c: String, lo: String, hi: String) = {
-      val span = greatest(col(hi) - col(lo), lit(1L)).cast("double")
-      (((col(c) - col(lo)).cast("double") / span) * 4294967295.0).cast("long")
-    }
-    val keyed = df.crossJoin(broadcast(bounds))
-      .withColumn("__z", ZOrderKey.zorderKey(
-        scaled(dimA, "__lo_a", "__hi_a"), scaled(dimB, "__lo_b", "__hi_b")))
+    val keyed =
+      if (quantile) {
+        val probs = (1 until 1024).map(i => i / 1024.0)
+          .mkString("array(", "D,", "D)")
+        val cuts = df.agg(
+          expr(s"approx_percentile($dimA, $probs, 10000)").as("__qa"),
+          expr(s"approx_percentile($dimB, $probs, 10000)").as("__qb"))
+        df.crossJoin(broadcast(cuts))
+          .withColumn("__z", ZOrderKey.zorderKey(
+            expr(s"size(filter(__qa, c -> $dimA > c))").cast("long"),
+            expr(s"size(filter(__qb, c -> $dimB > c))").cast("long")))
+      } else {
+        val bounds = df.agg(
+          min(col(dimA)).as("__lo_a"), max(col(dimA)).as("__hi_a"),
+          min(col(dimB)).as("__lo_b"), max(col(dimB)).as("__hi_b"))
+        def scaled(c: String, lo: String, hi: String) = {
+          val span = greatest(col(hi) - col(lo), lit(1L)).cast("double")
+          (((col(c) - col(lo)).cast("double") / span) * 4294967295.0).cast("long")
+        }
+        df.crossJoin(broadcast(bounds))
+          .withColumn("__z", ZOrderKey.zorderKey(
+            scaled(dimA, "__lo_a", "__hi_a"), scaled(dimB, "__lo_b", "__hi_b")))
+      }
     keyed
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
-      .drop("__z", "__lo_a", "__hi_a", "__lo_b", "__hi_b")
+      .drop(internal: _*)
       .write.mode("overwrite").parquet(outDir)
   }
 }

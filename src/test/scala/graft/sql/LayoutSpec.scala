@@ -61,6 +61,36 @@ class LayoutSpec extends SparkTestBase {
     assert(zLines.nonEmpty && zLines.forall(_.trim.startsWith("*(")), p)
   }
 
+  test("quantile scaling keeps Z-blocks selective under heavy skew") {
+    // dim a lognormal-ish: half the mass crammed into ~1% of the value
+    // range — linear scaling maps that bulk onto a handful of key
+    // values, so files lose a-selectivity; quantile buckets spread it
+    val n = 100000
+    val rnd = new scala.util.Random(23)
+    val df = (1 to n).map { _ =>
+      (math.exp(rnd.nextDouble() * 8).toLong, rnd.nextInt(1000).toLong)
+    }.toDF("ka", "kb")
+    val root = java.nio.file.Files.createTempDirectory("layout-skew").toString
+    Layout.zorderWrite(df, "ka", "kb", s"$root/lin", numFiles = 32)
+    Layout.zorderWrite(df, "ka", "kb", s"$root/qnt", numFiles = 32, quantile = true)
+
+    // probe: a narrow value band around the bulk (~median); count files
+    // whose [minA, maxA] stats would have to be read
+    val lo = 20L; val hi = 60L
+    def filesTouched(dir: String): Long =
+      spark.read.parquet(dir)
+        .groupBy(input_file_name())
+        .agg(min("ka").as("mn"), max("ka").as("mx"))
+        .filter(col("mn") <= hi && col("mx") >= lo)
+        .count()
+    val linT = filesTouched(s"$root/lin")
+    val qntT = filesTouched(s"$root/qnt")
+    assert(qntT < linT,
+      s"quantile layout not more selective under skew: qnt=$qntT lin=$linT of 32")
+    // both layouts hold identical rows
+    assert(spark.read.parquet(s"$root/qnt").count() == n)
+  }
+
   test("Z-ordered layout reads fewer bytes than single-dim sort on the other dim") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // two independent uniform dims; enough rows that parquet stats
