@@ -297,6 +297,61 @@ object AnalyticsOpsQueries {
       |      FROM embeddings)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ===== q70 — native session_window sessionization =======================
+
+  /** q28's sessionization via Spark's NATIVE `session_window`
+    * generator — the declarative form: no lag, no running sum, no
+    * manual island arithmetic; the aggregate operator itself merges
+    * events closer than the gap. Catalyst plans it as a single
+    * session-aware aggregation (UpdatingSessionsExec + merge), and the
+    * SAME expression under `withWatermark` is the streaming
+    * sessionizer — the q14/q57 batch-twin pattern applied to sessions.
+    *
+    * Boundary: an event exactly `gap` after its predecessor MERGES —
+    * sessions chain while `next.start <= prev.end` with
+    * `end = ts + gap`, so the split rule is `diff > gap` (verified by
+    * the exact-boundary case in AnalyticsOpsSpec; q28's manual chain
+    * uses the same `>` rule). Session end is `last event + gap` (the
+    * window's natural end), not the last event time — q28 reports
+    * observed duration instead; both are kept deliberately.
+    *
+    * Scale shape: one exchange on user_id, per-partition session
+    * merge; state per open session is O(1). At 100 TB this is the
+    * operator to prefer over the q28 window chain — one aggregation
+    * instead of two window passes plus an aggregate.
+    */
+  def q70SessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.EventStream
+    Tables.load(s, dir, "events")
+      .withColumn("ts_ev", EventStream.nanosToTs(col("ts")))
+      .groupBy(session_window(col("ts_ev"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start"),
+        unix_micros(col("session_window.end")).as("sess_end"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("sess_start"))
+  }
+
+  val q70Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |sess AS (
+      |  SELECT user_id, ts,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM flagged)
+      |SELECT user_id, min(ts) AS sess_start,
+      |  max(ts) + 1800000000 AS sess_end,
+      |  count(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, sess_start""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -306,7 +361,8 @@ object AnalyticsOpsQueries {
     "q63_size_deciles" -> (q63SizeDeciles _),
     "q64_snapshot_diff" -> (q64SnapshotDiff _),
     "q68_decile_buckets" -> (q68DecileBuckets _),
-    "q69_label_centroids" -> (q69LabelCentroids _))
+    "q69_label_centroids" -> (q69LabelCentroids _),
+    "q70_session_window" -> (q70SessionWindow _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_rollup_scorecard" -> q60Sql,
@@ -315,5 +371,6 @@ object AnalyticsOpsQueries {
     "q63_size_deciles" -> q63Sql,
     "q64_snapshot_diff" -> q64Sql,
     "q68_decile_buckets" -> q68Sql,
-    "q69_label_centroids" -> q69Sql)
+    "q69_label_centroids" -> q69Sql,
+    "q70_session_window" -> q70Sql)
 }

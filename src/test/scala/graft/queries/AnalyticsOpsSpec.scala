@@ -106,6 +106,28 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out.forall(_._2 <= 2 * share + 1), s"degenerate bucketing: $out")
   }
 
+  test("q70 native session_window: merge within gap, split at exact gap") {
+    val dir = java.nio.file.Files.createTempDirectory("analytics-spec").toString
+    val min = 60L * 1000000000L // one minute in nanos
+    Seq(
+      (1L, 0L * min, 7L, "view", 0.0, ""),
+      (2L, 10L * min, 7L, "view", 0.0, ""),  // merges: 10 < 30 gap
+      (3L, 50L * min, 7L, "view", 0.0, ""),  // splits: 40 >= 30
+      (4L, 0L * min, 8L, "view", 0.0, ""),
+      (5L, 30L * min, 8L, "view", 0.0, ""),  // exact gap boundary: MERGES
+      (6L, 61L * min, 8L, "view", 0.0, ""))  // 31 > 30: splits
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = AnalyticsOpsQueries.q70SessionWindow(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    val us = 60L * 1000000L
+    assert(out == Seq(
+      (7L, 0L, 10 * us + 30 * us, 2L),   // session covers both events + gap
+      (7L, 50 * us, 80 * us, 1L),
+      (8L, 0L, 60 * us, 2L),             // event AT the gap chains the session
+      (8L, 61 * us, 91 * us, 1L)), s"got $out")
+  }
+
   test("q64 diff keeps new content, drops re-crawled copies by hash") {
     // ids 1..10: cut_a = 1+(9*8)/10 = 8 (A = ids 1..8), cut_b = 2 (B = 2..10)
     // B-only ids are 9 and 10; all-unique texts -> both are new content
