@@ -321,7 +321,6 @@ object AnalyticsOpsQueries {
     * instead of two window passes plus an aggregate.
     */
   def q70SessionWindow(s: SparkSession, dir: String): DataFrame = {
-    import graft.streaming.EventStream
     Tables.load(s, dir, "events")
       .withColumn("ts_ev", EventStream.nanosToTs(col("ts")))
       .groupBy(session_window(col("ts_ev"), "30 minutes"), col("user_id"))

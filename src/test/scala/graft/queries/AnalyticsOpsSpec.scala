@@ -112,7 +112,7 @@ class AnalyticsOpsSpec extends SparkTestBase {
     Seq(
       (1L, 0L * min, 7L, "view", 0.0, ""),
       (2L, 10L * min, 7L, "view", 0.0, ""),  // merges: 10 < 30 gap
-      (3L, 50L * min, 7L, "view", 0.0, ""),  // splits: 40 >= 30
+      (3L, 50L * min, 7L, "view", 0.0, ""),  // splits: 40 > 30
       (4L, 0L * min, 8L, "view", 0.0, ""),
       (5L, 30L * min, 8L, "view", 0.0, ""),  // exact gap boundary: MERGES
       (6L, 61L * min, 8L, "view", 0.0, ""))  // 31 > 30: splits
