@@ -351,6 +351,41 @@ object AnalyticsOpsQueries {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, sess_start""".stripMargin
 
+  // ===== q71 — semi-structured JSON extraction ============================
+
+  /** Schema-on-read over the `props` JSON column: `from_json` with a
+    * DECLARED schema (`k LONG`) parses once into a typed struct —
+    * codegen'd, null on malformed input (the engine's non-strict cast
+    * posture applied to JSON) — then a plain typed aggregate per event
+    * type. The declared schema is the 100 TB rule for the same reason
+    * as q61's declared pivot values: schema inference over a JSON
+    * column is an extra full scan, and a drifting inferred schema
+    * changes the plan under the consumer's feet.
+    *
+    * Scale shape: parse is map-side inside whole-stage codegen, then
+    * ONE hash-agg shuffle on event_type. Catalyst also prunes the
+    * struct to the referenced field (JsonToStructs pushdown), so a
+    * wider props schema would not widen the parse.
+    */
+  def q71JsonExtract(s: SparkSession, dir: String): DataFrame = {
+    Tables.load(s, dir, "events")
+      .withColumn("k", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        round(avg(col("k")), 6).as("avg_k"))
+      .orderBy(col("event_type"))
+  }
+
+  val q71Sql: String =
+    """SELECT event_type,
+      |  count(CAST(props->>'k' AS BIGINT)) AS n_with_k,
+      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+      |  round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
+      |FROM events
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -361,7 +396,8 @@ object AnalyticsOpsQueries {
     "q64_snapshot_diff" -> (q64SnapshotDiff _),
     "q68_decile_buckets" -> (q68DecileBuckets _),
     "q69_label_centroids" -> (q69LabelCentroids _),
-    "q70_session_window" -> (q70SessionWindow _))
+    "q70_session_window" -> (q70SessionWindow _),
+    "q71_json_extract" -> (q71JsonExtract _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_rollup_scorecard" -> q60Sql,
@@ -371,5 +407,6 @@ object AnalyticsOpsQueries {
     "q64_snapshot_diff" -> q64Sql,
     "q68_decile_buckets" -> q68Sql,
     "q69_label_centroids" -> q69Sql,
-    "q70_session_window" -> q70Sql)
+    "q70_session_window" -> q70Sql,
+    "q71_json_extract" -> q71Sql)
 }

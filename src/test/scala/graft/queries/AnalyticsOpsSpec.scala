@@ -128,6 +128,22 @@ class AnalyticsOpsSpec extends SparkTestBase {
       (8L, 61 * us, 91 * us, 1L)), s"got $out")
   }
 
+  test("q71 JSON parse: malformed and missing-key rows null out, not fail") {
+    val dir = java.nio.file.Files.createTempDirectory("analytics-spec").toString
+    Seq(
+      (1L, 0L, 1L, "view", 0.0, """{"k": 5}"""),
+      (2L, 0L, 1L, "view", 0.0, """{"k": 7}"""),
+      (3L, 0L, 1L, "view", 0.0, """not json at all"""),
+      (4L, 0L, 1L, "view", 0.0, """{"other": 1}"""),
+      (5L, 0L, 1L, "click", 0.0, """{"k": 2}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = AnalyticsOpsQueries.q71JsonExtract(spark, dir)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    // count(k) skips the malformed and missing-key rows; sums unaffected
+    assert(out == Seq(("click", 1L, 2L, 2.0), ("view", 2L, 12L, 6.0)), s"got $out")
+  }
+
   test("q64 diff keeps new content, drops re-crawled copies by hash") {
     // ids 1..10: cut_a = 1+(9*8)/10 = 8 (A = ids 1..8), cut_b = 2 (B = 2..10)
     // B-only ids are 9 and 10; all-unique texts -> both are new content
