@@ -386,6 +386,59 @@ object AnalyticsOpsQueries {
       |FROM events
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q72 — temperature-scaled language mixture ========================
+
+  /** The canonical multilingual rebalancing rule: sample language i
+    * with probability ∝ n_i^α (α = 0.5 here) — low-resource languages
+    * upweighted relative to their natural share, the exact scheme
+    * multilingual training mixes use. Selection is content-keyed
+    * (md5 bucket, the q37/q42/q55 determinism source): doc kept iff
+    * `bucket/256 < keep_rate_i` where `keep_rate_i = min(1,
+    * N·w_i / n_i)` and `w_i = n_i^α / Σ_j n_j^α` — reruns and engines
+    * agree because no RNG is involved.
+    *
+    * Float caveat (q33-style precondition): both engines derive
+    * keep_rate from the same integer aggregates with IEEE double
+    * math; a doc flips only if its integer bucket/256 lands within
+    * one ulp of a rate — impossible unless a rate is within ~1e-16 of
+    * a multiple of 1/256, which integer-count-derived rates are not
+    * at gate scale.
+    *
+    * Scale shape: language counts are a tiny aggregate broadcast
+    * back; the keep decision is a map-side filter — the corpus is
+    * never shuffled (q55's shape with a temperature-weighted rate).
+    */
+  def q72TemperatureMixture(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val weights = counts
+      .crossJoin(broadcast(counts.agg(
+        sum(sqrt(col("n_lang"))).as("z"),
+        sum(col("n_lang")).as("n_total"))))
+      .withColumn("keep_rate",
+        least(lit(1.0), col("n_total") * sqrt(col("n_lang")) / col("z") / col("n_lang")))
+    docs.select(col("doc_id"), col("lang"), PipelineQueries.md5Bucket.as("bucket"))
+      .join(broadcast(weights.select(col("lang"), col("keep_rate"))), "lang")
+      .filter(col("bucket") / 256.0 < col("keep_rate"))
+      .select(col("doc_id"), col("lang"), col("bucket"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q72Sql: String =
+    """WITH n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+      |t AS (SELECT sum(sqrt(n_lang)) AS z, CAST(sum(n_lang) AS BIGINT) AS n_total FROM n),
+      |w AS (SELECT lang, least(1.0, n_total * sqrt(n_lang) / z / n_lang) AS keep_rate
+      |      FROM n, t),
+      |b AS (
+      |  SELECT doc_id, lang,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket
+      |  FROM documents)
+      |SELECT b.doc_id, b.lang, b.bucket
+      |FROM b JOIN w USING (lang)
+      |WHERE b.bucket / 256.0 < w.keep_rate
+      |ORDER BY doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -397,7 +450,8 @@ object AnalyticsOpsQueries {
     "q68_decile_buckets" -> (q68DecileBuckets _),
     "q69_label_centroids" -> (q69LabelCentroids _),
     "q70_session_window" -> (q70SessionWindow _),
-    "q71_json_extract" -> (q71JsonExtract _))
+    "q71_json_extract" -> (q71JsonExtract _),
+    "q72_temperature_mixture" -> (q72TemperatureMixture _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_rollup_scorecard" -> q60Sql,
@@ -408,5 +462,6 @@ object AnalyticsOpsQueries {
     "q68_decile_buckets" -> q68Sql,
     "q69_label_centroids" -> q69Sql,
     "q70_session_window" -> q70Sql,
-    "q71_json_extract" -> q71Sql)
+    "q71_json_extract" -> q71Sql,
+    "q72_temperature_mixture" -> q72Sql)
 }

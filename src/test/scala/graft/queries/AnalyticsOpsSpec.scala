@@ -144,6 +144,34 @@ class AnalyticsOpsSpec extends SparkTestBase {
     assert(out == Seq(("click", 1L, 2L, 2.0), ("view", 2L, 12L, 6.0)), s"got $out")
   }
 
+  test("q72 temperature mixture upweights small strata, caps at full keep") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val natural = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val out = AnalyticsOpsQueries.q72TemperatureMixture(spark, dir)
+    val kept = out.groupBy("lang").count().as[(String, Long)].collect().toMap
+    // realized keep fraction must be monotone DECREASING in stratum
+    // size (alpha=0.5 flattens the distribution): order languages by
+    // natural size and compare adjacent realized rates with slack for
+    // md5-bucket quantization at small counts
+    val rates = natural.keys.toSeq.sortBy(natural)
+      .map(l => kept.getOrElse(l, 0L).toDouble / natural(l))
+    rates.sliding(2).foreach {
+      case Seq(small, big) =>
+        assert(small >= big - 0.15, s"smaller stratum kept at lower rate: $rates")
+      case _ => ()
+    }
+    // the smallest language must be kept (almost) fully: expected
+    // keep_rate there is min(1, ...) = 1 at alpha < 1
+    val smallest = natural.minBy(_._2)._1
+    assert(kept(smallest) >= (natural(smallest) * 0.95).toLong,
+      s"smallest stratum not preserved: ${kept(smallest)}/${natural(smallest)}")
+    // rerun-stable (content-keyed, no RNG)
+    val out2 = AnalyticsOpsQueries.q72TemperatureMixture(spark, dir)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.as[(Long, String, Long)].collect().toSeq == out2)
+  }
+
   test("q64 diff keeps new content, drops re-crawled copies by hash") {
     // ids 1..10: cut_a = 1+(9*8)/10 = 8 (A = ids 1..8), cut_b = 2 (B = 2..10)
     // B-only ids are 9 and 10; all-unique texts -> both are new content

@@ -197,6 +197,24 @@ class PlanShapeSpec extends SparkTestBase {
       "full-table sort below the bucket aggregate defeats the design")
   }
 
+  test("q70 session_window plans the native session aggregate, no window exec") {
+    val p = plan(AnalyticsOpsQueries.q70SessionWindow(spark, sf))
+    assert(p.contains("UpdatingSessions") || p.contains("session_window"),
+      p.take(400))
+    assert(!p.contains("Window "), "manual window chain defeats the operator")
+    assert(countScans(p, "events") == 1)
+  }
+
+  test("q71/q72 broadcast their tiny sides; the fact table never shuffles for the join") {
+    val p72 = plan(AnalyticsOpsQueries.q72TemperatureMixture(spark, sf))
+    assert(p72.contains("BroadcastHashJoin"), "per-lang rates must broadcast")
+    assert(!p72.contains("SortMergeJoin"),
+      "corpus shuffled for a |langs|-row join:\n" +
+        p72.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    val p71 = plan(AnalyticsOpsQueries.q71JsonExtract(spark, sf))
+    assert(p71.contains("partial_"), "no map-side combine under the JSON parse")
+  }
+
   test("q67 pushes the user_id bounds into the z-layout scan") {
     val p = plan(ScaleOpsQueries.q67ZorderScan(spark, sf))
     // the literal dimension filter must reach the parquet reader so
