@@ -439,6 +439,49 @@ object AnalyticsOpsQueries {
       |WHERE b.bucket / 256.0 < w.keep_rate
       |ORDER BY doc_id""".stripMargin
 
+  // ===== q73 — overlapping document chunking ==============================
+
+  /** Split every document into fixed-size character windows with
+    * overlap (500-char chunks, 100-char stride overlap → step 400) —
+    * the chunker in front of every embedding/RAG indexing pipeline
+    * and long-document pretraining split. Chunk starts are
+    * `0, 400, 800, …` while a start strictly inside the text; a doc
+    * shorter than one chunk yields exactly one chunk. Chunks carry
+    * their md5 so downstream dedup (q19's shape) works at chunk
+    * grain.
+    *
+    * Scale shape: `sequence` + `explode` is a codegen'd generate —
+    * ~len/400 rows per doc, no shuffle anywhere in the operator (the
+    * gate's orderBy is presentation only). Substring on the already-
+    * loaded text column costs no extra scan.
+    */
+  def q73DocChunks(s: SparkSession, dir: String): DataFrame = {
+    val size = 500
+    val step = 400
+    Tables.load(s, dir, "documents")
+      .withColumn("len", length(col("text")))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(col("len") - 1, lit(0)), lit(step))))
+      .select(col("doc_id"),
+        (col("start") / step).cast("int").as("chunk_idx"),
+        length(substring(col("text"), col("start") + 1, lit(size))).as("chunk_len"),
+        md5(substring(col("text"), col("start") + 1, lit(size))).as("chunk_md5"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  val q73Sql: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS len FROM documents),
+      |starts AS (
+      |  SELECT doc_id, text, len,
+      |    unnest(range(0, greatest(len, 1), 400)) AS start
+      |  FROM d)
+      |SELECT doc_id,
+      |  CAST(start // 400 AS INTEGER) AS chunk_idx,
+      |  CAST(length(substr(text, start + 1, 500)) AS INTEGER) AS chunk_len,
+      |  md5(substr(text, start + 1, 500)) AS chunk_md5
+      |FROM starts
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -451,7 +494,8 @@ object AnalyticsOpsQueries {
     "q69_label_centroids" -> (q69LabelCentroids _),
     "q70_session_window" -> (q70SessionWindow _),
     "q71_json_extract" -> (q71JsonExtract _),
-    "q72_temperature_mixture" -> (q72TemperatureMixture _))
+    "q72_temperature_mixture" -> (q72TemperatureMixture _),
+    "q73_doc_chunks" -> (q73DocChunks _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_rollup_scorecard" -> q60Sql,
@@ -463,5 +507,6 @@ object AnalyticsOpsQueries {
     "q69_label_centroids" -> q69Sql,
     "q70_session_window" -> q70Sql,
     "q71_json_extract" -> q71Sql,
-    "q72_temperature_mixture" -> q72Sql)
+    "q72_temperature_mixture" -> q72Sql,
+    "q73_doc_chunks" -> q73Sql)
 }
