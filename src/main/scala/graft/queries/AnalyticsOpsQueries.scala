@@ -7,15 +7,20 @@ import org.apache.spark.sql.functions._
 import graft.core.Tables
 import graft.streaming.EventStream
 
-/** Multidimensional-report operators a curation dashboard runs over the
-  * corpus and event tables: rollup subtotals, fixed-column pivots,
-  * per-entity time deltas (lag), quantile bucketing (ntile), and
-  * snapshot content-diff (anti join). All five are DuckDB-oracled.
+/** Multidimensional-report and pipeline operators over the corpus and
+  * event tables: rollup subtotals (q60), fixed-column pivots (q61),
+  * per-entity time deltas (q62), quantile bucketing — exact ntile
+  * anchor (q63) and its no-sort cut-point swap (q68) — snapshot
+  * content-diff (q64), per-label embedding centroids (q69), native
+  * session windows (q70), declared-schema JSON extraction (q71),
+  * temperature-scaled language mixture (q72), and overlapping document
+  * chunking (q73). All ten are DuckDB-oracled.
   *
   * Beyond-reference surface: the reference's reports are flat
   * one-level groupBys (`flows/gold.py:86-109`, `main.py:21-74`); these
   * add the OLAP shapes (ROLLUP / PIVOT / LAG / NTILE / EXCEPT-style
-  * diff) that the same tables need once they feed a curation console.
+  * diff / SESSION) and curation steps the same tables need once they
+  * feed a training-data pipeline.
   */
 object AnalyticsOpsQueries {
 
