@@ -383,13 +383,23 @@ object AnalyticsOpsQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Null-safe restatement of Spark's `from_json(k LONG)` posture:
+    * malformed JSON (TRY_CAST to JSON), a missing key, and a
+    * non-integer value (json_type gate — Spark does NOT coerce "5" or
+    * 6.9 to long) all null out instead of erroring the oracle.
+    */
   val q71Sql: String =
-    """SELECT event_type,
-      |  count(CAST(props->>'k' AS BIGINT)) AS n_with_k,
-      |  CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
-      |  round(avg(CAST(props->>'k' AS BIGINT)), 6) AS avg_k
-      |FROM events
-      |GROUP BY 1 ORDER BY 1""".stripMargin
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k') IN ('BIGINT','UBIGINT')
+      |         THEN CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT)
+      |    END AS k
+      |  FROM events)
+      |SELECT event_type,
+      |  count(k) AS n_with_k,
+      |  CAST(sum(k) AS BIGINT) AS sum_k,
+      |  round(avg(k), 6) AS avg_k
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
   // ===== q72 — temperature-scaled language mixture ========================
 

@@ -41,7 +41,7 @@ object Layout {
       outDir: String, numFiles: Int, quantile: Boolean = false): Unit = {
     require(numFiles >= 1, s"numFiles=$numFiles must be >= 1")
     val internal = Seq("__z", "__lo_a", "__hi_a", "__lo_b", "__hi_b",
-      "__qa", "__qb")
+      "__qa", "__qb", "__x")
     val clash = df.columns.toSet.intersect(internal.toSet)
     require(clash.isEmpty, s"input columns collide with internal names: $clash")
     ZOrderKey.register(df.sparkSession)
@@ -49,13 +49,18 @@ object Layout {
       if (quantile) {
         val probs = (1 until 1024).map(i => i / 1024.0)
           .mkString("array(", "D,", "D)")
+        // dims are backtick-quoted and the lambda variable is a
+        // guarded internal name — a raw splice would let a dim named
+        // like the lambda var shadow itself (always-false predicate,
+        // silent bucket collapse) and reject names needing quoting
+        def q(name: String) = "`" + name.replace("`", "``") + "`"
         val cuts = df.agg(
-          expr(s"approx_percentile($dimA, $probs, 10000)").as("__qa"),
-          expr(s"approx_percentile($dimB, $probs, 10000)").as("__qb"))
+          expr(s"approx_percentile(${q(dimA)}, $probs, 10000)").as("__qa"),
+          expr(s"approx_percentile(${q(dimB)}, $probs, 10000)").as("__qb"))
         df.crossJoin(broadcast(cuts))
           .withColumn("__z", ZOrderKey.zorderKey(
-            expr(s"size(filter(__qa, c -> $dimA > c))").cast("long"),
-            expr(s"size(filter(__qb, c -> $dimB > c))").cast("long")))
+            expr(s"size(filter(__qa, __x -> ${q(dimA)} > __x))").cast("long"),
+            expr(s"size(filter(__qb, __x -> ${q(dimB)} > __x))").cast("long")))
       } else {
         val bounds = df.agg(
           min(col(dimA)).as("__lo_a"), max(col(dimA)).as("__hi_a"),

@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
 
-/** Multidimensional-report operators (q60–q64): planted-known-answer
-  * cases on synthetic tables plus structural invariants on the real
-  * testdata — the DuckDB oracle covers exact parity at the gate; these
-  * pin the semantics the oracle SQL was derived from.
+/** Multidimensional-report and pipeline operators (q60–q64, q68–q73):
+  * planted-known-answer cases on synthetic tables plus structural
+  * invariants on the real testdata — the DuckDB oracle covers exact
+  * parity at the gate; these pin the semantics the oracle SQL was
+  * derived from.
   */
 class AnalyticsOpsSpec extends SparkTestBase {
   import spark.implicits._

@@ -91,6 +91,23 @@ class LayoutSpec extends SparkTestBase {
     assert(spark.read.parquet(s"$root/qnt").count() == n)
   }
 
+  test("quantile path survives a dimension named like a lambda variable") {
+    // regression: raw name splicing let a dim named `c` be shadowed by
+    // the filter lambda's variable — always-false predicate, every
+    // row in bucket 0, silent loss of that dimension's clustering
+    val rnd = new scala.util.Random(31)
+    val df = (1 to 20000).map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong))
+      .toDF("c", "d")
+    val dir = java.nio.file.Files.createTempDirectory("layout-lambda").toString + "/t"
+    Layout.zorderWrite(df, "c", "d", dir, numFiles = 8, quantile = true)
+    val spans = spark.read.parquet(dir)
+      .groupBy(input_file_name())
+      .agg((max("c") - min("c")).as("sc"))
+      .agg(avg("sc")).head().getDouble(0)
+    assert(spans < 700,
+      s"dim `c` lost clustering (avg per-file span $spans of 1000) — lambda shadowing")
+  }
+
   test("Z-ordered layout reads fewer bytes than single-dim sort on the other dim") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
     // two independent uniform dims; enough rows that parquet stats
