@@ -364,6 +364,34 @@ object SimilarityQueries {
       |SELECT id_a, id_b, round(cosine, 6) AS cosine_r6
       |FROM pairs WHERE cosine >= 0.99 ORDER BY id_a, id_b""".stripMargin
 
+  // ===== q74/q75 — oracled exact twins of the batch near-dup paths ========
+
+  /** q21's batch MinHash-LSH self-join at θ = 1.0 over exact planted
+    * copies — the oracled twin (q33's technique applied to the BATCH
+    * path): J = 1.0 survivors are provably text-equality pairs once
+    * the shingle-set precondition holds, so the full band→candidate→
+    * verify machinery is gate-checked end-to-end, not just spec'd.
+    */
+  def q74MinhashExact(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    requireQ33OraclePreconditions(docs, dir)
+    val planted = docs.union(
+      docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    MinHashLSH.nearDuplicates(planted, "doc_id", "text", threshold = 1.0)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q74Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, md5(text) FROM documents)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  CAST(1.0 AS DOUBLE) AS jaccard
+      |FROM u a JOIN u b ON a.h = b.h AND a.doc_id < b.doc_id
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_knn_bruteforce" -> (q20KnnBruteForce _),
     "q21_minhash_neardup" -> (q21MinhashNearDup _),
@@ -374,12 +402,14 @@ object SimilarityQueries {
     "q33_incremental_neardup" -> (q33IncrementalNearDup _),
     "q34_incr_embedding_neardup" -> (q34IncrementalEmbeddingNearDup _),
     "q36_dedup_resolve" -> (q36DedupResolve _),
-    "q40_simhash_incremental" -> (q40SimhashIncremental _))
+    "q40_simhash_incremental" -> (q40SimhashIncremental _),
+    "q74_minhash_exact" -> (q74MinhashExact _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_knn_bruteforce" -> q20Sql,
     "q32_embedding_neardup" -> q32Sql,
     "q33_incremental_neardup" -> q33Sql,
     "q34_incr_embedding_neardup" -> q34Sql,
-    "q36_dedup_resolve" -> q36Sql)
+    "q36_dedup_resolve" -> q36Sql,
+    "q74_minhash_exact" -> q74Sql)
 }
