@@ -157,7 +157,41 @@ object Bench {
     val wh = results.collect { case (k, _, _, _, Some(w)) => s"${jstr(k)}:${jstr(w)}" }
       .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"warehouse":$wh,"sf":${jstr(sfDir)}}""")
+
+    // Durable artifact: the full per-query record (timings, both raw runs,
+    // errors, warehouse state) is written to a file in the repo, because the
+    // driver only captures a 2 KB tail of stdout and at 73 queries the full
+    // JSON is >2 KB — rounds 11-13 each lost their per-query evidence to
+    // that truncation. The FINAL stdout line is a compact summary that is
+    // guaranteed to fit the tail capture and names the detail file.
+    val fullJson =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"warehouse":$wh,"sf":${jstr(sfDir)}}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val detail =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(outPath),
+          (fullJson + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        outPath
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"bench_out write failed: ${e.getMessage}")
+          "unwritable"
+      }
+
+    // Compact line: per-query mins rounded to ms; if even that exceeds the
+    // tail budget, drop trailing entries (full fidelity lives in the detail
+    // file) and say how many were omitted. Never exceeds ~1900 bytes, so
+    // the driver's 2 KB tail always parses it.
+    def fmt3(v: Double): String = f"$v%.3f"
+    val compactEntries = ok.map { case (k, v, _, _, _) => s"${jstr(k)}:${fmt3(v)}" }
+    val errCount = results.count(_._4.isDefined)
+    def compactLine(entries: Seq[String], omitted: Int): String =
+      s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"queries_omitted":$omitted,"queries_n":${results.size},"errors_n":$errCount,"detail":${jstr(detail)},"sf":${jstr(sfDir)}}"""
+    var kept = compactEntries
+    while (compactLine(kept, compactEntries.size - kept.size).length > 1900 && kept.nonEmpty)
+      kept = kept.dropRight(1)
+    println(compactLine(kept, compactEntries.size - kept.size))
     spark.stop()
   }
 }

@@ -79,7 +79,13 @@ object ZOrderKey {
       spark.sessionState.functionRegistry.registerFunction(
         id,
         new ExpressionInfo(classOf[ZOrderKeyExpr].getName, FunctionName),
-        (children: Seq[Expression]) => ZOrderKeyExpr(children(0), children(1)))
+        (children: Seq[Expression]) => {
+          // surfaced as an analysis-time error: unchecked indexing dies
+          // with IndexOutOfBoundsException on a wrong-arity SQL call
+          require(children.size == 2,
+            s"$FunctionName requires exactly 2 arguments, got ${children.size}")
+          ZOrderKeyExpr(children(0), children(1))
+        })
   }
 
   /** Column API: requires [[register]] on the executing session. */

@@ -387,12 +387,18 @@ object AnalyticsOpsQueries {
     * malformed JSON (TRY_CAST to JSON), a missing key, and a
     * non-integer value (json_type gate — Spark does NOT coerce "5" or
     * 6.9 to long) all null out instead of erroring the oracle.
+    * DuckDB types EVERY non-negative JSON integer 'UBIGINT' (and only
+    * negatives 'BIGINT'), so both must be admitted — but through
+    * TRY_CAST, not CAST: a value in [2^63, 2^64) is a valid UBIGINT
+    * that cannot fit a BIGINT, and a hard CAST would throw the oracle
+    * where Spark's from_json nulls the row. TRY_CAST shares Spark's
+    * overflow-to-null posture.
     */
   val q71Sql: String =
     """WITH e AS (
       |  SELECT event_type,
       |    CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k') IN ('BIGINT','UBIGINT')
-      |         THEN CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT)
+      |         THEN TRY_CAST(json_extract(TRY_CAST(props AS JSON), '$.k') AS BIGINT)
       |    END AS k
       |  FROM events)
       |SELECT event_type,

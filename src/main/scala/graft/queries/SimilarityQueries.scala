@@ -158,9 +158,9 @@ object SimilarityQueries {
     * the number the day-2 story cares about.
     */
   /** Corpora whose q33 oracle preconditions have been checked this
-    * process — the check is a property of the corpus, not of the run,
-    * so one verification per (process, corpus) keeps the bench's
-    * min-of-2 second run an undistorted probe measurement.
+    * process — the in-memory fast path over the [[Warehouse]] marker,
+    * saving the (metadata-only) fingerprint listing on repeat calls
+    * so the bench's min-of-2 second run is an undistorted probe.
     */
   private val q33PreconditionOk =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -177,23 +177,36 @@ object SimilarityQueries {
     * mismatch. Docs shorter than the shingle width fall back to the
     * whole normalized text (one shingle), so the set-collision check
     * subsumes the short/empty-doc case.
+    *
+    * The verdict is a property of the CORPUS, not of the run or the
+    * process, so a passed check persists as a [[Warehouse]] marker
+    * keyed on the corpus fingerprint (the q33-index convention):
+    * separate JVMs (Verify, then Bench) pay the corpus-wide scan at
+    * most once per corpus state instead of once each. A FAILED check
+    * throws before any marker is written, so an unsound corpus is
+    * re-flagged loudly on every attempt.
     */
   private def requireQ33OraclePreconditions(docs: DataFrame, dir: String): Unit =
     if (!q33PreconditionOk.contains(dir)) {
-      val collisions = MinHashLSH.shingleRows(docs, "doc_id", "text", n = 3)
-        .groupBy(col("sid"))
-        // newline cannot appear inside a shingle (whitespace collapses
-        // to single spaces pre-shingling), so the set join is unambiguous
-        .agg(md5(concat_ws("\n", array_sort(collect_set(col("sh"))))).as("set_h"))
-        .join(docs.select(col("doc_id").as("sid"), md5(col("text")).as("text_h")), "sid")
-        .groupBy(col("set_h"))
-        .agg(countDistinct(col("text_h")).as("n_texts"))
-        .filter(col("n_texts") > 1)
-        .count()
-      require(collisions == 0,
-        s"q33 oracle precondition violated on $dir: $collisions shingle-set groups " +
-          "span distinct raw texts — the md5 text-equality oracle does not hold for " +
-          "this corpus; re-derive the oracle or demote q33 to a rows-only check")
+      val s = docs.sparkSession
+      Warehouse.ensureBuilt(s,
+        Warehouse.derivedDir(s, "q33_precondition_ok", s"$dir/documents.parquet",
+          params = "n=3")) { _ =>
+        val collisions = MinHashLSH.shingleRows(docs, "doc_id", "text", n = 3)
+          .groupBy(col("sid"))
+          // newline cannot appear inside a shingle (whitespace collapses
+          // to single spaces pre-shingling), so the set join is unambiguous
+          .agg(md5(concat_ws("\n", array_sort(collect_set(col("sh"))))).as("set_h"))
+          .join(docs.select(col("doc_id").as("sid"), md5(col("text")).as("text_h")), "sid")
+          .groupBy(col("set_h"))
+          .agg(countDistinct(col("text_h")).as("n_texts"))
+          .filter(col("n_texts") > 1)
+          .count()
+        require(collisions == 0,
+          s"q33 oracle precondition violated on $dir: $collisions shingle-set groups " +
+            "span distinct raw texts — the md5 text-equality oracle does not hold for " +
+            "this corpus; re-derive the oracle or demote q33 to a rows-only check")
+      }
       q33PreconditionOk.add(dir)
     }
 
@@ -392,6 +405,33 @@ object SimilarityQueries {
       |FROM u a JOIN u b ON a.h = b.h AND a.doc_id < b.doc_id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** q25's IVF machinery at nprobe = nlist — the oracled twin of the
+    * ANN path (the q74 technique applied to similarity search): probing
+    * EVERY cell makes the candidate set the whole corpus (each vector
+    * lives in exactly one cell, each query probes all of them once), so
+    * the quantizer/persisted-index/probe-join/rank pipeline must
+    * reproduce exact brute force bit-for-bit and q20's DuckDB SQL is a
+    * sound oracle for it. IvfIndexSpec proves the same equality
+    * in-process; this query pins it to the external gate and flips the
+    * IVF family from rows-only to oracled. Same Warehouse index as q25
+    * — no extra build cost, just a wider probe.
+    */
+  def q75IvfFullProbe(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    val idxDir = Warehouse.ensureBuilt(s,
+      Warehouse.derivedDir(s, "ivf_index", s"$dir/embeddings.parquet",
+        params = "c=16,seed=42,maxIter=5")) { d =>
+      val idx = graft.similarity.IvfIndex.fit(vecs, c = 16, maxIter = 5)
+      graft.similarity.IvfIndex.save(idx, idx.assign(vecs), d)
+    }
+    val (idx, assigned) = graft.similarity.IvfIndex.load(s, idxDir)
+    idx.approxTopKAssigned(assigned, vecs.filter(col("vec_id") < 50),
+        k = 5, nprobe = idx.centroids.size)
+      .withColumn("cosine_r6", round(col("cosine"), 6))
+      .drop("cosine")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_knn_bruteforce" -> (q20KnnBruteForce _),
     "q21_minhash_neardup" -> (q21MinhashNearDup _),
@@ -403,7 +443,8 @@ object SimilarityQueries {
     "q34_incr_embedding_neardup" -> (q34IncrementalEmbeddingNearDup _),
     "q36_dedup_resolve" -> (q36DedupResolve _),
     "q40_simhash_incremental" -> (q40SimhashIncremental _),
-    "q74_minhash_exact" -> (q74MinhashExact _))
+    "q74_minhash_exact" -> (q74MinhashExact _),
+    "q75_ivf_full_probe" -> (q75IvfFullProbe _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_knn_bruteforce" -> q20Sql,
@@ -411,5 +452,7 @@ object SimilarityQueries {
     "q33_incremental_neardup" -> q33Sql,
     "q34_incr_embedding_neardup" -> q34Sql,
     "q36_dedup_resolve" -> q36Sql,
-    "q74_minhash_exact" -> q74Sql)
+    "q74_minhash_exact" -> q74Sql,
+    // full probe ≡ exact brute force (see q75's doc) — q20's SQL is sound
+    "q75_ivf_full_probe" -> q20Sql)
 }

@@ -49,18 +49,27 @@ object Layout {
       if (quantile) {
         val probs = (1 until 1024).map(i => i / 1024.0)
           .mkString("array(", "D,", "D)")
-        // dims are backtick-quoted and the lambda variable is a
-        // guarded internal name — a raw splice would let a dim named
-        // like the lambda var shadow itself (always-false predicate,
-        // silent bucket collapse) and reject names needing quoting
+        // dims are backtick-quoted — a raw splice would reject names
+        // needing quoting (and, pre-fix, let a dim named like the old
+        // SQL lambda variable shadow itself)
         def q(name: String) = "`" + name.replace("`", "``") + "`"
-        val cuts = df.agg(
+        // Cut arrays are collected (2 × ≤1023 numerics — a sketch
+        // result, driver-sized by construction) and embedded as TYPED
+        // LITERALS: they constant-fold into the codegen'd bucket
+        // filter, where the former broadcast-crossJoin form carried
+        // the arrays as join output attributes evaluated against
+        // every row.
+        val cutRow = df.agg(
           expr(s"approx_percentile(${q(dimA)}, $probs, 10000)").as("__qa"),
-          expr(s"approx_percentile(${q(dimB)}, $probs, 10000)").as("__qb"))
-        df.crossJoin(broadcast(cuts))
-          .withColumn("__z", ZOrderKey.zorderKey(
-            expr(s"size(filter(__qa, __x -> ${q(dimA)} > __x))").cast("long"),
-            expr(s"size(filter(__qb, __x -> ${q(dimB)} > __x))").cast("long")))
+          expr(s"approx_percentile(${q(dimB)}, $probs, 10000)").as("__qb")).head()
+        require(!cutRow.isNullAt(0) && !cutRow.isNullAt(1),
+          s"quantile cuts are null — empty input or all-null $dimA/$dimB")
+        def bucket(dim: String, i: Int) = {
+          val cuts = array(cutRow.getSeq[Any](i).map(lit): _*)
+          size(filter(cuts, x => expr(q(dim)) > x)).cast("long")
+        }
+        df.withColumn("__z",
+          ZOrderKey.zorderKey(bucket(dimA, 0), bucket(dimB, 1)))
       } else {
         val bounds = df.agg(
           min(col(dimA)).as("__lo_a"), max(col(dimA)).as("__hi_a"),

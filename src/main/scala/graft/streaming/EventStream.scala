@@ -52,6 +52,31 @@ object EventStream {
       .select(col("window.start").as("win_start"), col("window.end").as("win_end"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Session-window per-user event counts — the streaming twin of the
+    * batch q70 ([[graft.queries.AnalyticsOpsQueries.q70SessionWindow]]),
+    * demonstrating the claim in its doc: the SAME `session_window`
+    * expression under a watermark IS the streaming sessionizer. Same
+    * gap, same merge rule (events exactly `gap` apart chain), same
+    * output shape (session end = last event + gap).
+    *
+    * State per (user, open session) is one row; the watermark closes a
+    * session once no mergeable event can still arrive (event time past
+    * session end + delay), so state is bounded by the horizon times
+    * the active-user cardinality — the q14/q57 batch-twin pattern
+    * applied to sessions.
+    */
+  def sessionRollup(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame =
+    events
+      .withColumn("ts_ev", nanosToTs(col("ts")))
+      .withWatermark("ts_ev", watermark)
+      .groupBy(session_window(col("ts_ev"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start"),
+        unix_micros(col("session_window.end")).as("sess_end"),
+        col("n_events"))
+
   /** At-least-once → effectively-once: drop redelivered events by id
     * within the watermark horizon. `dropDuplicatesWithinWatermark`
     * keeps state only until the watermark passes a key's event time —

@@ -59,4 +59,19 @@ class ScaleOpsSpec extends SparkTestBase {
       .as[(String, Long, Long)].collect().toSeq
     assert(out == out2, "CMS with fixed seed must be deterministic")
   }
+
+  test("q66 null event_type group reports a zero estimate, not an NPE") {
+    // regression: the estimate UDF called CountMinSketch.estimateCount
+    // on the null group's key and NPE'd; count_min_sketch itself never
+    // counts nulls, so 0 is the sketch-faithful answer
+    val dir = java.nio.file.Files.createTempDirectory("q66-null").toString
+    Seq(Option("click"), Option("click"), None, None, None)
+      .toDF("event_type").write.parquet(s"$dir/events.parquet")
+    val out = ScaleOpsQueries.q66HeavyHittersCms(spark, dir).collect().toSeq
+    val nullRow = out.find(_.isNullAt(0))
+    assert(nullRow.isDefined, s"null group must survive the exact top-20: $out")
+    assert(nullRow.get.getLong(1) == 3 && nullRow.get.getLong(2) == 0L, s"$out")
+    assert(out.find(_.getString(0) == "click").exists(r =>
+      r.getLong(1) == 2 && r.getLong(2) >= 2), s"$out")
+  }
 }

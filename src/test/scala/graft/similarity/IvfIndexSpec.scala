@@ -93,4 +93,16 @@ class IvfIndexSpec extends SparkTestBase {
       .select("query_id", "rank", "vec_id").as[(Long, Int, Long)].collect().toSet
     assert(full == exact)
   }
+
+  test("q75 (registered full-probe query, Warehouse path) equals q20 brute force") {
+    // the gate-facing statement of the test above: q75 goes through
+    // the persisted index (ensureBuilt → save → load) and must still
+    // be row-identical to q20, which is what makes q20's DuckDB SQL a
+    // sound oracle for it
+    val q20 = graft.queries.SimilarityQueries.q20KnnBruteForce(spark, sf)
+      .collect().toSeq
+    val q75 = graft.queries.SimilarityQueries.q75IvfFullProbe(spark, sf)
+      .collect().toSeq
+    assert(q75 == q20)
+  }
 }

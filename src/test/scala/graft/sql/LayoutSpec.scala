@@ -48,6 +48,23 @@ class LayoutSpec extends SparkTestBase {
     assert(out == rows.map { case (a, b) => ZOrderKey.interleave(a, b) })
   }
 
+  test("zorder_key rejects wrong arity with a clear analysis-time error") {
+    // regression: the SQL builder indexed children(0)/children(1)
+    // unchecked — a one-arg call died with IndexOutOfBoundsException
+    ZOrderKey.register(spark)
+    def messages(t: Throwable): String =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
+    val e = intercept[Exception] {
+      spark.range(1).selectExpr("zorder_key(id)").collect()
+    }
+    assert(messages(e).contains("requires exactly 2 arguments"), messages(e))
+    val e3 = intercept[Exception] {
+      spark.range(1).selectExpr("zorder_key(id, id, id)").collect()
+    }
+    assert(messages(e3).contains("requires exactly 2 arguments"), messages(e3))
+  }
+
   test("zorder_key stays inside a whole-stage-codegen span") {
     ZOrderKey.register(spark)
     // spark.range (not a local Seq): a LocalTableScan would collapse
@@ -128,19 +145,25 @@ class LayoutSpec extends SparkTestBase {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
         bytes.addAndGet(t.taskMetrics.inputMetrics.bytesRead)
     }
+    // deterministic drain instead of sleep-polling for a settled
+    // counter: LiveListenerBus.waitUntilEmpty blocks until every queued
+    // event (incl. our TaskEnds) is delivered. The bus accessor is
+    // private[spark], which Scala compiles to a public bytecode method
+    // — reflection reaches it without a package-name dodge.
+    def drainListenerBus(): Unit = {
+      val sc = spark.sparkContext
+      val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+      val m = bus.getClass.getMethods
+        .filter(_.getName == "waitUntilEmpty")
+        .minBy(_.getParameterCount)
+      if (m.getParameterCount == 1) m.invoke(bus, java.lang.Long.valueOf(30000L))
+      else m.invoke(bus)
+    }
     def measure(f: => Unit): Long = {
       val l = new BytesRead
       spark.sparkContext.addSparkListener(l)
-      try {
-        f
-        var prev = -1L
-        var settled = 0
-        while (settled < 3) {
-          Thread.sleep(100)
-          val now = l.bytes.get
-          if (now == prev) settled += 1 else { settled = 0; prev = now }
-        }
-      } finally spark.sparkContext.removeSparkListener(l)
+      try { f; drainListenerBus() }
+      finally spark.sparkContext.removeSparkListener(l)
       l.bytes.get
     }
 

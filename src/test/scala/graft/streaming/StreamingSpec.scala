@@ -278,4 +278,28 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed.agg(sum("n_events")).head.getLong(0) == 2 * nEvents)
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("event-time session rollup: streaming result ≡ batch q70") {
+    val dir = "/root/testdata/sf0.001"
+    val stream = EventStream.readEventsStream(spark, dir)
+    val q = EventStream.sessionRollup(stream)
+      .writeStream
+      .format("memory")
+      .queryName("events_session_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val streamed = spark.table("events_session_stream")
+    assert(streamed.count() > 0)
+    // the claim under test (q70's doc): the same session_window
+    // expression under a watermark is the streaming sessionizer —
+    // streamed sessions must equal the batch q70 result exactly
+    val batch = graft.queries.AnalyticsOpsQueries.q70SessionWindow(spark, dir)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // every event is in exactly one session
+    val nEvents = spark.read.parquet(s"$dir/events.parquet").count()
+    assert(streamed.agg(sum("n_events")).head.getLong(0) == nEvents)
+  }
 }
