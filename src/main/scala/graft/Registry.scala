@@ -22,7 +22,8 @@ object Registry {
       (graft.queries.RelationalQueries.queries, graft.queries.RelationalQueries.oracleSql),
       (graft.queries.CorpusOpsQueries.queries, graft.queries.CorpusOpsQueries.oracleSql),
       (graft.queries.AnalyticsOpsQueries.queries, graft.queries.AnalyticsOpsQueries.oracleSql),
-      (graft.queries.ScaleOpsQueries.queries, graft.queries.ScaleOpsQueries.oracleSql)
+      (graft.queries.ScaleOpsQueries.queries, graft.queries.ScaleOpsQueries.oracleSql),
+      (graft.queries.CurationOpsQueries.queries, graft.queries.CurationOpsQueries.oracleSql)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

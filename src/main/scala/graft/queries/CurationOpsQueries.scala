@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.dedup.MinHashLSH
+
+/** Corpus-curation analytics beyond the reference's operator set
+  * (SURVEY.md beyond-reference table): cube reporting, unigram-LM
+  * surprisal scoring, passage-grain duplication measurement, and
+  * event-rate anomaly detection. Every query is DuckDB-oracled; float
+  * outputs either quantize to fixed-point longs before any
+  * order-dependent aggregation (q77) or derive from exact integer sums
+  * (q78, q79), so results are bit-stable under AQE re-partitioning —
+  * the same property `core.Exact` gives the parity queries.
+  */
+object CurationOpsQueries {
+
+  private val AllSentinel = "(all)"
+
+  // ===== q76 — cube scorecard (all four grouping sets) ====================
+
+  /** Document counts and volume at EVERY grouping set of
+    * (source, lang): per pair, per source, per lang, and grand total —
+    * q60's rollup can't answer "per lang across sources" without a
+    * second scan; `cube` plans the same single Expand + one shuffle
+    * with four grouping sets instead of three. At 100 TB this is the
+    * cheapest way to serve both marginals of a mixture dashboard:
+    * strictly one pass of the fact table, partial aggregation
+    * map-side, no re-read per dimension.
+    */
+  def q76CubeScorecard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    docs.cube(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        grouping(col("source")).as("g_source"),
+        grouping(col("lang")).as("g_lang"))
+      .select(coalesce(col("source"), lit(AllSentinel)).as("source"),
+        coalesce(col("lang"), lit(AllSentinel)).as("lang"),
+        col("g_source"), col("g_lang"), col("n_docs"), col("total_chars"))
+      .orderBy(col("g_source"), col("g_lang"), col("source"), col("lang"))
+  }
+
+  val q76Sql: String =
+    """SELECT coalesce(source, '(all)') AS source,
+      |  coalesce(lang, '(all)') AS lang,
+      |  CAST(GROUPING(source) AS TINYINT) AS g_source,
+      |  CAST(GROUPING(lang) AS TINYINT) AS g_lang,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM documents
+      |GROUP BY CUBE(source, lang)
+      |ORDER BY g_source, g_lang, 1, 2""".stripMargin
+
+  // ===== q77 — unigram-LM surprisal score per document ====================
+
+  /** Per-document average unigram surprisal −ln p(w) — the simplest
+    * perplexity-style quality signal (a CCNet/Gopher-family filter:
+    * template text full of corpus-frequent tokens scores low, rare-token
+    * gibberish scores high; both tails get cut). Tokens are the corpus
+    * shingler at n=1, so the vocabulary is shared with the dedup and
+    * TF-IDF paths.
+    *
+    * Determinism: per-token surprisal is a SCALAR (ln of a count ratio,
+    * the q56 precedent) quantized to integer micro-units BEFORE the
+    * per-doc aggregation, so the sum is exact and order-independent —
+    * a raw double sum of logs would drift in the last ulps under AQE
+    * partial-merge reordering and break the oracle hash.
+    *
+    * Scale shape: two hash aggregates (vocabulary counts, per-doc
+    * score) + a join on token. The count side is vocabulary-sized —
+    * joined, NOT broadcast (q56's rule: at 100 TB the vocabulary does
+    * not fit an executor); the grand total is a 1-row aggregate,
+    * broadcast.
+    */
+  def q77UnigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = MinHashLSH.shingleRows(docs, "doc_id", "text", n = 1)
+      .filter(col("sh") =!= "")
+      .select(col("sid").as("doc_id"), col("sh").as("w"))
+    val cnts = toks.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = cnts.agg(sum(col("c")).cast("double").as("n"))
+    toks.join(cnts, "w")
+      .crossJoin(broadcast(tot))
+      .withColumn("micro", round(-log(col("c") / col("n")) * 1e6, 0).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(sum(col("micro")).cast("double") / count(lit(1)) / 1e6, 6)
+          .as("surprisal_r6"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q77Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |tok AS (SELECT * FROM toks WHERE w <> ''),
+      |cnts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnts),
+      |scored AS (
+      |  SELECT t.doc_id, CAST(round(-ln(c / n) * 1000000, 0) AS BIGINT) AS micro
+      |  FROM tok t JOIN cnts USING (w), tot)
+      |SELECT doc_id, count(*) AS n_tokens,
+      |  round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000, 6) AS surprisal_r6
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ===== q78 — passage-grain duplication fraction =========================
+
+  /** Per-document fraction of 16-word tiles that occur more than once
+    * in the corpus — the MassiveText/Gopher "duplicate fraction"
+    * filter at passage grain: exact-dedup (q09/q19) misses documents
+    * that EMBED copied passages in fresh text; this measures exactly
+    * that. Tiles are non-overlapping windows of the raw space-split
+    * words; ragged tails (< 16 words) are not tiled, and documents
+    * under 16 words emit no row — too short for passage evidence
+    * either way.
+    *
+    * Scale shape: tiles are generated with `sequence`+`explode`+`slice`
+    * (zero shuffles, the q73 chunker pattern), occurrence counts via a
+    * window over the tile hash — ONE shuffle keyed by md5(tile), which
+    * is uniform by construction (no skew, no salting needed) — then one
+    * per-doc aggregate. The hash is the shuffle key, never the 16-word
+    * string: bytes moved per tile are constant.
+    */
+  def q78PassageDupFraction(s: SparkSession, dir: String): DataFrame = {
+    val w = 16
+    val tiles = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("nt", floor(size(col("ws")) / w).cast("int"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), col("nt") - 1)).as("i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("ws"), col("i") * w + 1, lit(w)), " ")).as("h"))
+    tiles
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(when(col("c") > 1, 1L).otherwise(0L)).as("dup_tiles"))
+      .withColumn("dup_frac_r6",
+        round(col("dup_tiles").cast("double") / col("n_tiles"), 6))
+      .orderBy(col("doc_id"))
+  }
+
+  val q78Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |tiles AS (
+      |  SELECT doc_id, md5(array_to_string(ws[(i*16+1):(i*16+16)], ' ')) AS h
+      |  FROM w, unnest(range(CAST(floor(len(ws)/16) AS BIGINT))) AS t(i)),
+      |occ AS (SELECT doc_id, h, count(*) OVER (PARTITION BY h) AS c FROM tiles)
+      |SELECT doc_id, count(*) AS n_tiles,
+      |  CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dup_tiles,
+      |  round(CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS dup_frac_r6
+      |FROM occ GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ===== q79 — hourly event-rate anomalies (z-score) ======================
+
+  /** Hours whose event count sits more than two sample standard
+    * deviations from that event type's hourly mean — the ingest-
+    * monitoring primitive (a scraper burst or a dead source shows up
+    * here first). Mean and stddev derive from exact integer window
+    * sums (Σc, Σc² over the type's hours — the `Exact.stdd` identity),
+    * so z is bit-stable; types with one hour or zero variance emit
+    * nothing rather than dividing by zero.
+    *
+    * Scale shape: one hash aggregate shuffled by (hour, type), then a
+    * window partitioned by type alone — safe because its input is
+    * already hour-grain (≤ 8760 rows per type per year, not raw
+    * events). The hour bucket is integer `div` on epoch-nanos (q14's
+    * rule: double math at 1e18 loses sub-second precision).
+    */
+  def q79EventAnomalies(s: SparkSession, dir: String): DataFrame = {
+    val hour = from_unixtime(expr("ts div 3600000000000") * 3600,
+      "yyyy-MM-dd HH:mm:ss")
+    val hourly = Tables.load(s, dir, "events")
+      .groupBy(hour.as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val byType = Window.partitionBy(col("event_type"))
+    hourly
+      .withColumn("nh", count(lit(1)).over(byType))
+      .withColumn("s1", sum(col("n_events")).over(byType).cast("double"))
+      .withColumn("s2", sum(col("n_events") * col("n_events")).over(byType).cast("double"))
+      .filter(col("nh") > 1 && (col("s2") - col("s1") * col("s1") / col("nh")) > 0)
+      .withColumn("zv", (col("n_events") - col("s1") / col("nh")) /
+        sqrt(greatest(col("s2") - col("s1") * col("s1") / col("nh"), lit(0.0))
+          / (col("nh") - 1)))
+      .filter(abs(col("zv")) > 2)
+      .select(col("hour"), col("event_type"), col("n_events"),
+        round(col("zv"), 6).as("z_r6"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  val q79Sql: String =
+    """WITH hourly AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+      |    event_type, count(*) AS n_events
+      |  FROM events GROUP BY 1, 2),
+      |stats AS (
+      |  SELECT *, count(*) OVER w AS nh,
+      |    CAST(sum(n_events) OVER w AS DOUBLE) AS s1,
+      |    CAST(sum(n_events * n_events) OVER w AS DOUBLE) AS s2
+      |  FROM hourly WINDOW w AS (PARTITION BY event_type)),
+      |z AS (
+      |  SELECT hour, event_type, n_events,
+      |    (n_events - s1 / nh)
+      |      / sqrt(greatest(s2 - s1 * s1 / nh, CAST(0 AS DOUBLE)) / (nh - 1)) AS zv
+      |  FROM stats WHERE nh > 1 AND (s2 - s1 * s1 / nh) > 0)
+      |SELECT hour, event_type, n_events, round(zv, 6) AS z_r6
+      |FROM z WHERE abs(zv) > 2 ORDER BY event_type, hour""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_cube_scorecard" -> (q76CubeScorecard _),
+    "q77_unigram_surprisal" -> (q77UnigramSurprisal _),
+    "q78_passage_dup_fraction" -> (q78PassageDupFraction _),
+    "q79_event_anomalies" -> (q79EventAnomalies _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q76_cube_scorecard" -> q76Sql,
+    "q77_unigram_surprisal" -> q77Sql,
+    "q78_passage_dup_fraction" -> q78Sql,
+    "q79_event_anomalies" -> q79Sql)
+}

@@ -1,0 +1,128 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Curation analytics (q76–q79): planted-known-answer cases pinning the
+  * semantics each oracle SQL was derived from — grouping-set coverage,
+  * surprisal ordering, passage-dup detection, anomaly flagging.
+  */
+class CurationOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+    val dir = java.nio.file.Files.createTempDirectory("curation-spec").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("q76 cube emits all four grouping sets and marginals reconcile") {
+    val dir = writeDocs(Seq(
+      (1L, "a", "en", "web", 10L),
+      (2L, "b", "en", "web", 20L),
+      (3L, "c", "de", "web", 30L),
+      (4L, "d", "en", "books", 40L)))
+    val out = CurationOpsQueries.q76CubeScorecard(spark, dir)
+      .select("source", "lang", "g_source", "g_lang", "n_docs", "total_chars")
+      .as[(String, String, Int, Int, Long, Long)].collect().toSeq
+    assert(out.filter(r => r._3 == 1 && r._4 == 1)
+      == Seq(("(all)", "(all)", 1, 1, 4L, 100L)))
+    // the grouping set rollup lacks: per-lang across sources
+    val perLang = out.filter(r => r._3 == 1 && r._4 == 0)
+      .map(r => r._2 -> (r._5, r._6)).toMap
+    assert(perLang == Map("en" -> (3L, 70L), "de" -> (1L, 30L)))
+    val perSource = out.filter(r => r._3 == 0 && r._4 == 1)
+      .map(r => r._1 -> r._5).toMap
+    assert(perSource == Map("web" -> 3L, "books" -> 1L))
+    // leaves sum to both marginals
+    val leaves = out.filter(r => r._3 == 0 && r._4 == 0)
+    assert(leaves.groupBy(_._2).view.mapValues(_.map(_._5).sum).toMap
+      == perLang.view.mapValues(_._1).toMap)
+    assert(leaves.groupBy(_._1).view.mapValues(_.map(_._5).sum).toMap == perSource)
+  }
+
+  test("q77 surprisal: rare-token doc scores above common-token doc; uniform corpus is flat") {
+    // corpus: 7×"a" + 1×"b" → p(a)=7/8, p(b)=1/8
+    val dir = writeDocs(Seq(
+      (1L, "a a a a", "en", "w", 7L),
+      (2L, "a a a b", "en", "w", 7L)))
+    val out = CurationOpsQueries.q77UnigramSurprisal(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 4L), (2L, 4L)))
+    val Seq(common, mixed) = out.map(_._3)
+    assert(mixed > common, s"doc with rare token must score higher: $out")
+    // exact values: -ln(7/8) and avg(3×-ln(7/8), -ln(1/8)), micro-quantized
+    def micro(p: Double) = math.round(-math.log(p) * 1e6)
+    assert(common == micro(7.0 / 8) / 1e6, s"got $common")
+    val exp2 = BigDecimal((3 * micro(7.0 / 8) + micro(1.0 / 8)) / 4.0 / 1e6)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(math.abs(mixed - exp2) < 1e-9, s"got $mixed want $exp2")
+
+    val flat = writeDocs(Seq(
+      (1L, "x y", "en", "w", 3L),
+      (2L, "y x", "en", "w", 3L)))
+    val f = CurationOpsQueries.q77UnigramSurprisal(spark, flat)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(f.map(_._3).distinct.size == 1, s"uniform corpus must be flat: $f")
+  }
+
+  test("q78 flags planted shared passages, skips short docs, counts tiles") {
+    val passage = (1 to 16).map(i => s"p$i").mkString(" ")   // one shared tile
+    val unique1 = (1 to 16).map(i => s"u$i").mkString(" ")
+    val unique2 = (1 to 16).map(i => s"v$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, s"$passage $unique1", "en", "w", 0L),  // 2 tiles, 1 duplicated
+      (2L, s"$passage $unique2", "en", "w", 0L),  // 2 tiles, 1 duplicated
+      (3L, unique2.replace("v", "z"), "en", "w", 0L),  // 1 tile, unique
+      (4L, "too short", "en", "w", 0L)))               // < 16 words: no row
+    val out = CurationOpsQueries.q78PassageDupFraction(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq(
+      (1L, 2L, 1L, 0.5),
+      (2L, 2L, 1L, 0.5),
+      (3L, 1L, 0L, 0.0)), s"got $out")
+  }
+
+  test("q78 ragged tail words are not tiled") {
+    val t16 = (1 to 16).map(i => s"w$i").mkString(" ")
+    // 16 + 10 words: exactly one tile; the 10-word tail must not pad-tile
+    val dir = writeDocs(Seq(
+      (1L, s"$t16 ${(1 to 10).map(i => s"t$i").mkString(" ")}", "en", "w", 0L)))
+    val out = CurationOpsQueries.q78PassageDupFraction(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 1L, 0L, 0.0)))
+  }
+
+  test("q79 flags a planted burst hour and stays silent on a flat series") {
+    val dir = java.nio.file.Files.createTempDirectory("curation-spec").toString
+    val hourNs = 3600L * 1000000000L
+    // "view": 1 event/hour for 12 hours, then a 30-event burst hour.
+    // "flat": 2 events/hour for 6 hours — zero variance, no output.
+    val rows =
+      (0 until 12).map(h => (h.toLong, h * hourNs, 1L, "view", 0.0, "")) ++
+      (0 until 30).map(i => (100L + i, 12 * hourNs + i, 1L, "view", 0.0, "")) ++
+      (0 until 12).map(i => (200L + i, (i / 2) * hourNs, 1L, "flat", 0.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = CurationOpsQueries.q79EventAnomalies(spark, dir)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out.map(_._2).distinct == Seq("view"), s"flat series must not appear: $out")
+    assert(out.map(_._3) == Seq(30L), s"only the burst hour flags: $out")
+    assert(out.head._4 > 2, s"burst z must exceed threshold: $out")
+  }
+
+  test("q76–q79 run on real testdata with sane shapes") {
+    val dir = "/root/testdata/sf0.001"
+    val cube = CurationOpsQueries.q76CubeScorecard(spark, dir).collect()
+    assert(cube.length > 1)
+    val surp = CurationOpsQueries.q77UnigramSurprisal(spark, dir)
+    assert(surp.filter(col("surprisal_r6") <= 0).isEmpty,
+      "surprisal is positive for any non-degenerate corpus")
+    val dup = CurationOpsQueries.q78PassageDupFraction(spark, dir)
+    assert(dup.filter(col("dup_frac_r6") < 0 || col("dup_frac_r6") > 1).isEmpty)
+    val anom = CurationOpsQueries.q79EventAnomalies(spark, dir)
+    assert(anom.filter(abs(col("z_r6")) <= 2).isEmpty)
+  }
+}

@@ -215,6 +215,44 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p71.contains("partial_"), "no map-side combine under the JSON parse")
   }
 
+  test("q76 cube plans ONE Expand — four grouping sets, one pass, one shuffle") {
+    val p = plan(CurationOpsQueries.q76CubeScorecard(spark, sf))
+    assert(p.contains("Expand"), "cube should plan an Expand")
+    assert(p.sliding("Expand".length).count(_ == "Expand") <= 2, // node + its detail line
+      "more than one Expand — grouping sets split into multiple passes")
+    assert(p.contains("partial_"), "no map-side combine under the Expand")
+    assert(countScans(p, "documents") == 1, "cube must not re-scan per grouping set")
+  }
+
+  test("q77 broadcasts only the 1-row total; vocabulary counts combine map-side") {
+    val p = plan(CurationOpsQueries.q77UnigramSurprisal(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the grand-total row must broadcast, not shuffle")
+    assert(p.contains("partial_count"), "vocabulary counts must partial-aggregate")
+  }
+
+  test("q78 tile generation is join-free: one window over the tile hash, one per-doc aggregate") {
+    val df = CurationOpsQueries.q78PassageDupFraction(spark, sf)
+    val p = plan(df)
+    assert(!p.contains("Join"),
+      "occurrence counting must be a window, not a self-join:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("Window"), p.take(300))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "scan must prune to doc_id+text: " +
+        p.linesIterator.find(_.contains("ReadSchema")).getOrElse("?"))
+  }
+
+  test("q79 window input is hour-grain: aggregate before the per-type window, no joins") {
+    val p = plan(CurationOpsQueries.q79EventAnomalies(spark, sf))
+    assert(!p.contains("Join"), "stats must come from windows, not joins")
+    assert(p.contains("partial_count"), "hourly rollup must partial-aggregate")
+    val aggIdx = p.indexOf("HashAggregate")
+    val winIdx = p.indexOf("Window")
+    assert(aggIdx >= 0 && winIdx >= 0 && winIdx < aggIdx,
+      "window must sit ABOVE the hourly aggregate (bottom-up plan prints top-down)")
+  }
+
   test("q67 pushes the user_id bounds into the z-layout scan") {
     val p = plan(ScaleOpsQueries.q67ZorderScan(spark, sf))
     // the literal dimension filter must reach the parquet reader so
