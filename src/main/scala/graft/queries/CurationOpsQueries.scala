@@ -212,15 +212,130 @@ object CurationOpsQueries {
       |SELECT hour, event_type, n_events, round(zv, 6) AS z_r6
       |FROM z WHERE abs(zv) > 2 ORDER BY event_type, hour""".stripMargin
 
+  // ===== q80 — int8 scalar quantization of embeddings =====================
+
+  /** Per-vector int8 scalar quantization — the vector-compression step
+    * an embedding pipeline applies before ANN at scale: codes =
+    * round((x−mn)·255/(mx−mn)) per element, 4× smaller than float32,
+    * reconstruction error provably ≤ (mx−mn)/510 per element (half a
+    * quantization step under nearest rounding). Output per vector: the
+    * md5 of the code string (compact exact-comparable form), the
+    * min/max dequantization params, and the max reconstruction error.
+    *
+    * Exactly oracle-able because every op is deterministic per-row IEEE
+    * double arithmetic in the SAME order both engines evaluate
+    * (`floor(v + 0.5)` spelled out — Spark's `round` is HALF_UP while
+    * DuckDB's is not guaranteed to match at exact .5 ties), and the
+    * only aggregations are `array_min`/`array_max` — order-independent.
+    *
+    * Scale shape: pure per-row higher-order functions — ZERO shuffles
+    * except the presentation sort; the scan prunes to
+    * (vec_id, embedding). A 100 TB embedding table quantizes in one
+    * embarrassingly parallel map pass.
+    */
+  def q80EmbeddingQuantize(s: SparkSession, dir: String): DataFrame = {
+    val e = col("e"); val mn = col("mn"); val mx = col("mx"); val rng = mx - mn
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+      .withColumn("mn", array_min(e))
+      .withColumn("mx", array_max(e))
+      .withColumn("codes",
+        when(mx === mn, transform(e, _ => lit(0L)))
+          .otherwise(transform(e,
+            x => floor((x - mn) * lit(255.0) / rng + lit(0.5)).cast("long"))))
+      .withColumn("max_err",
+        array_max(zip_with(e, col("codes"),
+          (x, c) => abs(x - (mn + c * rng / lit(255.0))))))
+      .select(col("vec_id"), size(e).as("n_dims"),
+        md5(array_join(transform(col("codes"), _.cast("string")), ",")).as("code_md5"),
+        round(mn, 6).as("mn_r6"), round(mx, 6).as("mx_r6"),
+        round(col("max_err"), 9).as("max_err_r9"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q80Sql: String =
+    """WITH v AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |    list_min(CAST(embedding AS DOUBLE[])) AS mn,
+      |    list_max(CAST(embedding AS DOUBLE[])) AS mx
+      |  FROM embeddings),
+      |c AS (
+      |  SELECT vec_id, e, mn, mx,
+      |    CASE WHEN mx = mn THEN list_transform(e, x -> CAST(0 AS BIGINT))
+      |      ELSE list_transform(e,
+      |        x -> CAST(floor((x - mn) * 255.0 / (mx - mn) + 0.5) AS BIGINT))
+      |    END AS codes
+      |  FROM v)
+      |SELECT vec_id, len(e) AS n_dims,
+      |  md5(array_to_string(codes, ',')) AS code_md5,
+      |  round(mn, 6) AS mn_r6, round(mx, 6) AS mx_r6,
+      |  round(list_max(list_transform(range(1, len(e) + 1),
+      |    i -> abs(e[i] - (mn + codes[i] * (mx - mn) / 255.0)))), 9) AS max_err_r9
+      |FROM c ORDER BY vec_id""".stripMargin
+
+  // ===== q81 — exact heavy-hitter tokens via bounded-memory sketch ========
+
+  /** Tokens making up ≥ 0.5% of each source's token stream — with
+    * EXACT counts, found without vocabulary-sized state: pass 1 runs
+    * one [[graft.functions.FreqTokensAgg]] (Misra–Gries, O(capacity)
+    * memory per source, the repo's first TypedImperativeAggregate) to
+    * get a certified no-false-negative candidate list; pass 2
+    * broadcast-joins the tiny candidate set back over the token stream
+    * and counts ONLY candidate tokens exactly. The q65 bloom pattern
+    * for aggregation: sketch prunes, exact join decides, so the result
+    * is provably independent of sketch internals — a naive exact
+    * groupBy(source, token) holds the full vocabulary in the
+    * aggregation hash; here shuffle+state are candidate-sized.
+    *
+    * The sketch evaluates to (n, thr, cand): n is the exact stream
+    * length it counted, thr = max(1, ceil(0.005·n)), and it FAILS
+    * LOUDLY if purging eroded its certificate past thr (silently
+    * missing a heavy hitter is wrong, not approximate).
+    */
+  def q81FrequentTokens(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.FreqTokens.register(s)
+    val docs = Tables.load(s, dir, "documents")
+    val toks = MinHashLSH.shingleRows(docs, "source", "text", n = 1)
+      .filter(col("sh") =!= "")
+      .select(col("sid").as("source"), col("sh").as("w"))
+    val sk = toks.groupBy(col("source"))
+      .agg(graft.functions.FreqTokens.freqTokens(col("w"), 4096, 0.005).as("fk"))
+    val cand = sk.select(col("source"), col("fk").getField("thr").as("thr"),
+      explode(col("fk").getField("cand")).as("w"))
+    toks.join(broadcast(cand), Seq("source", "w"))
+      .groupBy(col("source"), col("w"), col("thr"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= col("thr"))
+      .select(col("source"), col("w"), col("c"))
+      .orderBy(col("source"), col("w"))
+  }
+
+  val q81Sql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |tok AS (SELECT * FROM toks WHERE w <> ''),
+      |tot AS (SELECT source, count(*) AS n FROM tok GROUP BY source),
+      |cnt AS (SELECT source, w, count(*) AS c FROM tok GROUP BY source, w)
+      |SELECT c.source, c.w, c.c
+      |FROM cnt c JOIN tot t ON c.source = t.source
+      |WHERE c.c >= greatest(CAST(1 AS BIGINT), CAST(ceil(0.005 * t.n) AS BIGINT))
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_cube_scorecard" -> (q76CubeScorecard _),
     "q77_unigram_surprisal" -> (q77UnigramSurprisal _),
     "q78_passage_dup_fraction" -> (q78PassageDupFraction _),
-    "q79_event_anomalies" -> (q79EventAnomalies _))
+    "q79_event_anomalies" -> (q79EventAnomalies _),
+    "q80_embedding_quantize" -> (q80EmbeddingQuantize _),
+    "q81_frequent_tokens" -> (q81FrequentTokens _))
 
   val oracleSql: Map[String, String] = Map(
     "q76_cube_scorecard" -> q76Sql,
     "q77_unigram_surprisal" -> q77Sql,
     "q78_passage_dup_fraction" -> q78Sql,
-    "q79_event_anomalies" -> q79Sql)
+    "q79_event_anomalies" -> q79Sql,
+    "q80_embedding_quantize" -> q80Sql,
+    "q81_frequent_tokens" -> q81Sql)
 }

@@ -112,15 +112,24 @@ object PipelineQueries {
     * 100 TB use [[q31PercentilesApprox]] (sketch-based, bounded state
     * per group); the sketch is engine-specific and therefore not
     * DuckDB-comparable, which is why the exact form anchors the gate.
+    *
+    * The three percentiles come from ONE `percentile(col, array(…))`
+    * aggregate, not three: each scalar `percentile` call is its own
+    * TypedImperativeAggregate with its own every-value buffer, so the
+    * split form triples the buffered state and partial-merge
+    * serialization for identical results (measured ~3× slower at
+    * sf0.1).
     */
   def q30Percentiles(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("l_returnflag"), col("n"),
+        round(col("ps").getItem(0), 6).as("p50"),
+        round(col("ps").getItem(1), 6).as("p90"),
+        round(col("ps").getItem(2), 6).as("p99"))
       .orderBy(col("l_returnflag"))
 
   val q30Sql: String =

@@ -1,0 +1,104 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Misra–Gries heavy-hitter aggregate: certificate soundness (no false
+  * negatives while offset < thr), exactness of the q81 two-pass pattern
+  * vs a naive exact groupBy, the distributed merge path, loud failure
+  * on certificate exhaustion, and analysis-time arg validation.
+  */
+class FreqTokensSpec extends SparkTestBase {
+  import spark.implicits._
+
+  FreqTokens.register(spark)
+
+  test("MgSummary: exact n, bounded size, certified candidates under purge pressure") {
+    val s = new MgSummary(capacity = 8)
+    // 40× "hot", one each of 200 distinct cold tokens, interleaved
+    val stream = (0 until 200).flatMap { i =>
+      (if (i % 5 == 0) Seq("hot") else Nil) ++ Seq(s"cold$i")
+    }  // true("hot") = 40, 200 distinct cold singletons
+    stream.foreach(s.update)
+    assert(s.n == stream.length)
+    assert(s.counts.size <= 8, s"state must stay bounded, got ${s.counts.size}")
+    assert(s.offset > 0, "purges must have happened at this capacity")
+    // certificate: true("hot") = 40; est + offset must cover it
+    val est = s.counts.getOrDefault("hot", 0L)
+    assert(est + s.offset >= 40, s"est=$est offset=${s.offset}")
+  }
+
+  test("MgSummary.mergeIn preserves n, additive offsets, and the certificate") {
+    val a = new MgSummary(8); val b = new MgSummary(8)
+    (1 to 150).foreach(i => a.update(if (i % 3 == 0) "x" else s"a$i"))
+    (1 to 150).foreach(i => b.update(if (i % 3 == 0) "x" else s"b$i"))
+    val offA = a.offset; val offB = b.offset
+    a.mergeIn(b)
+    assert(a.n == 300)
+    assert(a.offset >= offA + offB, "offset only grows through merge+repurge")
+    assert(a.counts.size <= 8)
+    // true("x") = 100 across both streams
+    assert(a.counts.getOrDefault("x", 0L) + a.offset >= 100)
+  }
+
+  test("aggregate is exact-equivalent to a full groupBy count at any partitioning") {
+    // planted: per-source heavy hitters + distinct noise, 7 partitions so
+    // the serialize/merge path runs
+    val rows = (1 to 400).flatMap { i =>
+      val src = if (i % 2 == 0) "web" else "books"
+      Seq((src, "the"), (src, s"noise${src}$i")) ++
+        (if (i % 4 == 0) Seq((src, "of")) else Nil)
+    }
+    val df = rows.toDF("source", "w").repartition(7)
+    val sk = df.groupBy($"source")
+      .agg(FreqTokens.freqTokens($"w", 256, 0.05).as("fk"))
+      .select($"source", $"fk.n".as("n"), $"fk.thr".as("thr"),
+        explode($"fk.cand").as("w"))
+    // pass 2 of the q81 pattern: exact counts on candidates only
+    val got = df.join(sk.select($"source", $"thr", $"w"), Seq("source", "w"))
+      .groupBy($"source", $"w", $"thr").agg(count(lit(1)).as("c"))
+      .filter($"c" >= $"thr")
+      .select($"source", $"w", $"c")
+      .as[(String, String, Long)].collect().toSet
+    // naive exact answer
+    val exact = df.groupBy($"source", $"w").agg(count(lit(1)).as("c"))
+      .join(df.groupBy($"source").agg(count(lit(1)).as("n")), "source")
+      .filter($"c" >= greatest(lit(1L), ceil($"n" * 0.05).cast("long")))
+      .select($"source", $"w", $"c")
+      .as[(String, String, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture must contain heavy hitters")
+    assert(got == exact)
+    // exact n survives the sketch
+    val ns = sk.select($"source", $"n").distinct.as[(String, Long)].collect().toMap
+    // web: 200 i's × 2 rows + 100 "of" rows; books: 200 × 2 (i%4==0 is even)
+    assert(ns == Map("web" -> 500L, "books" -> 400L))
+  }
+
+  test("certificate exhaustion fails loudly instead of dropping heavy hitters") {
+    // all-distinct stream at minimum capacity: offset ~ n/9 exceeds
+    // thr = 0.02·n, so eval must refuse to emit an uncertified answer
+    val df = (1 to 2000).map(i => ("g", s"w$i")).toDF("g", "w")
+    val e = intercept[Exception] {
+      df.groupBy($"g").agg(FreqTokens.freqTokens($"w", 8, 0.02)).collect()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10).toSeq
+    assert(chain(e).exists(c => Option(c.getMessage).exists(_.contains("certificate exhausted"))),
+      s"got: $e")
+  }
+
+  test("analysis rejects bad arity, non-literal params, and out-of-range frac") {
+    val df = Seq(("g", "w")).toDF("g", "w")
+    df.createOrReplaceTempView("ft_args")
+    intercept[Exception] {
+      spark.sql("SELECT freq_tokens(w) FROM ft_args GROUP BY g").collect()
+    }
+    intercept[Exception] {  // non-foldable capacity
+      df.groupBy($"g").agg(call_function("freq_tokens", $"w", length($"w"), lit(0.1))).collect()
+    }
+    intercept[Exception] {  // frac out of (0,1)
+      df.groupBy($"g").agg(FreqTokens.freqTokens($"w", 64, 1.5)).collect()
+    }
+  }
+}
