@@ -23,7 +23,8 @@ object Registry {
       (graft.queries.CorpusOpsQueries.queries, graft.queries.CorpusOpsQueries.oracleSql),
       (graft.queries.AnalyticsOpsQueries.queries, graft.queries.AnalyticsOpsQueries.oracleSql),
       (graft.queries.ScaleOpsQueries.queries, graft.queries.ScaleOpsQueries.oracleSql),
-      (graft.queries.CurationOpsQueries.queries, graft.queries.CurationOpsQueries.oracleSql)
+      (graft.queries.CurationOpsQueries.queries, graft.queries.CurationOpsQueries.oracleSql),
+      (graft.queries.RetrievalQueries.queries, graft.queries.RetrievalQueries.oracleSql)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {

@@ -1,0 +1,173 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.dedup.MinHashLSH
+import graft.similarity.{IvfIndex, Similarity}
+
+/** Semantic retrieval / curation operators a training-data pipeline
+  * runs between dedup and mixture: cluster-scoped semantic dedup
+  * (SemDeDup, Abbas et al. 2023) and BM25 relevance scoring (Robertson
+  * & Zaragoza 2009) — both exactly DuckDB-oracled.
+  */
+object RetrievalQueries {
+
+  // ===== q82 — cluster-scoped semantic dedup (SemDeDup) ===================
+
+  /** SemDeDup: coarse-quantize every embedding to its nearest centroid,
+    * then look for near-duplicates ONLY within a cluster — the trick
+    * that turns O(N²) semantic dedup into O(Σ cellsize²). Planted exact
+    * copies (vec_id + 1000000, the q32/q74 convention) give the dup
+    * side a known answer while the cluster-assignment side runs on the
+    * real corpus; the oracle recomputes the FULL pipeline in SQL, not
+    * the shortcut.
+    *
+    * The coarse quantizer is the per-label mean (q69's centroids,
+    * micro-rounded to 6 so both engines assign from identical
+    * literals); assignment reuses [[IvfIndex.assign]] — one codegen'd
+    * projection per row scoring all C centroids from literals, no
+    * join, no shuffle. A vector is `kept` unless a LOWER-id vector in
+    * the same cell has cosine ≥ 0.99 (keep-first, deterministic).
+    *
+    * Scale shape: centroid build is one tiny agg (C×dim rows); the
+    * only data-sized shuffle is the self-join on cell_id, whose cost
+    * O(Σ c²) is controlled by the quantizer granularity — at 100 TB
+    * you raise C (finer cells) exactly like IVF, and the assignment
+    * stays a single map pass because centroids ride along as literals.
+    */
+  def q82SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    val cents: Seq[(Int, Seq[Double])] = vecs
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        _.getField("c")).as("cent"))
+      .collect()  // C rows (one per label) — the blessed tiny-centroid load
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).toSeq
+    val planted = vecs.select(col("vec_id"), col("embedding"))
+      .union(vecs.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    val assigned = IvfIndex(cents).assign(planted)  // (vec_id, cell_id, emb)
+    val dups = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell_id") === col("b.cell_id") && col("a.vec_id") > col("b.vec_id"))
+      .filter(Similarity.cosine(col("a.emb"), col("b.emb")) >= 0.99)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("b.vec_id")).as("dup_of"))
+    assigned.select(col("vec_id"), col("cell_id"))
+      .join(dups, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell_id"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"), col("dup_of"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("kept"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q82Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+      |cent AS (
+      |  SELECT label, list(c ORDER BY pos) AS c FROM (
+      |    SELECT label, i AS pos, round(avg(x), 6) AS c
+      |    FROM (SELECT label, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v)
+      |    GROUP BY 1, 2) GROUP BY 1),
+      |allv AS (SELECT vec_id, e FROM v UNION ALL SELECT vec_id + 1000000, e FROM v),
+      |scored AS (
+      |  SELECT a.vec_id, a.e, c.label AS cell_id,
+      |    list_dot_product(a.e, c.c) / sqrt(list_dot_product(c.c, c.c)) AS s
+      |  FROM allv a CROSS JOIN cent c),
+      |asg AS (
+      |  SELECT vec_id, e, cell_id FROM (
+      |    SELECT vec_id, e, cell_id,
+      |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id ASC) AS rn
+      |    FROM scored) WHERE rn = 1),
+      |dups AS (
+      |  SELECT a.vec_id, count(*) AS n_dups, min(b.vec_id) AS dup_of
+      |  FROM asg a JOIN asg b ON a.cell_id = b.cell_id AND a.vec_id > b.vec_id
+      |  WHERE list_dot_product(a.e, b.e)
+      |          / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) >= 0.99
+      |  GROUP BY 1)
+      |SELECT a.vec_id, a.cell_id, coalesce(d.n_dups, 0) AS n_dups, d.dup_of,
+      |  CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS kept
+      |FROM asg a LEFT JOIN dups d USING (vec_id) ORDER BY vec_id""".stripMargin
+
+  // ===== q83 — BM25 relevance scoring =====================================
+
+  private val Bm25Terms = Seq("merge", "stream", "window")
+  private val K1 = 1.2
+  private val B = 0.75
+
+  /** BM25 (Okapi, k1 = 1.2, b = 0.75) of every document against a fixed
+    * query-term set — the ranked-retrieval primitive behind quality
+    * classifiers and targeted corpus slicing. tf/df/dl all derive from
+    * the SAME tokenization as the dedup stack ([[MinHashLSH.shingleRows]]
+    * n = 1), so scores are consistent with every other text operator.
+    *
+    * Exactly oracled because each per-term score is micro-quantized
+    * (×1e6, rounded to long — the q77 technique) BEFORE the per-doc
+    * sum, making the sum integer arithmetic: associative, so Spark's
+    * partial-aggregation order and DuckDB's scan order cannot diverge
+    * in the last ulp.
+    *
+    * Scale shape: doc lengths are one map-side-combinable count;
+    * corpus stats are a single broadcast row; df is a broadcast-sized
+    * aggregate of the TERM-FILTERED token stream (the isin filter
+    * prunes the token explosion to query terms before the shuffle).
+    * No data×data join: tf⋈dl is doc-keyed, df and stats ride in as
+    * broadcasts.
+    */
+  def q83Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = MinHashLSH.shingleRows(docs, "doc_id", "text", n = 1)
+      .filter(col("sh") =!= "")
+    val dl = toks.groupBy(col("sid")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
+    val tf = toks.filter(col("sh").isin(Bm25Terms: _*))
+      .groupBy(col("sid"), col("sh")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
+    val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val termScore = idf * (col("tf") * lit(K1 + 1.0)) /
+      (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
+    tf.join(dl, Seq("sid"))
+      .join(broadcast(df), Seq("sh"))
+      .crossJoin(broadcast(stats))
+      .withColumn("micro", floor(termScore * lit(1e6) + lit(0.5)).cast("long"))
+      .groupBy(col("sid"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("micro")).as("msum"))
+      .select(col("sid").as("doc_id"), col("n_terms"),
+        (col("msum").cast("double") / lit(1e6)).as("score_r6"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q83Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |tok AS (SELECT * FROM toks WHERE w <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+      |       WHERE w IN ('merge', 'stream', 'window') GROUP BY 1, 2),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |ts AS (
+      |  SELECT t.doc_id,
+      |    CAST(floor(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+      |      * (t.tf * ${K1 + 1.0}) / (t.tf + $K1 * (${1.0 - B} + $B * d.dl
+      |        / (CAST(s.tot_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) * 1e6 + 0.5) AS BIGINT) AS micro
+      |  FROM tf t JOIN dl d USING (doc_id) JOIN df f USING (w) CROSS JOIN stats s)
+      |SELECT doc_id, count(*) AS n_terms,
+      |  CAST(sum(micro) AS DOUBLE) / 1e6 AS score_r6
+      |FROM ts GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q82_semantic_dedup" -> (q82SemanticDedup _),
+    "q83_bm25" -> (q83Bm25 _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q82_semantic_dedup" -> q82Sql,
+    "q83_bm25" -> q83Sql)
+}
