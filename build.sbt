@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses Bench's final stdout line as JSON. Without these, sbt
+// relays forked output through its logger (an "[info] " prefix on the JSON
+// line) and appends "[success] Total time: ..." as the true final line —
+// which is why every BENCH_r*.json through r14 shows parsed:null even when
+// the line fits the 2 KB tail. StdoutOutput passes the forked process's
+// stdout through undecorated; showSuccess drops the trailing banner.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

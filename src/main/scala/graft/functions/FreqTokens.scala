@@ -192,7 +192,13 @@ case class FreqTokensAgg(
     val it = buffer.counts.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // length-prefixed raw UTF-8, not writeUTF: modified-UTF-8 caps a
+      // token at 65535 encoded bytes and throws past it — a pathological
+      // unbroken run in a document must degrade to a long token, not
+      // crash the aggregate at the shuffle boundary
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -206,7 +212,9 @@ case class FreqTokensAgg(
     s.offset = in.readLong()
     var k = in.readInt()
     while (k > 0) {
-      val w = in.readUTF()
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      val w = new String(kb, java.nio.charset.StandardCharsets.UTF_8)
       s.counts.put(w, in.readLong())
       k -= 1
     }

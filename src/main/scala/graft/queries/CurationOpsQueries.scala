@@ -85,10 +85,15 @@ object CurationOpsQueries {
     val tot = cnts.agg(sum(col("c")).cast("double").as("n"))
     toks.join(cnts, "w")
       .crossJoin(broadcast(tot))
-      .withColumn("micro", round(-log(col("c") / col("n")) * 1e6, 0).cast("long"))
+      // floor(v + 0.5), not round(): Spark rounds HALF_UP, DuckDB
+      // half-to-even — surprisal is ≥ 0 so the spellings agree, and the
+      // q80/q83 form keeps both engines on the same tie rule by
+      // construction rather than by measure-zero luck
+      .withColumn("micro",
+        floor(-log(col("c") / col("n")) * lit(1e6) + lit(0.5)).cast("long"))
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
-        round(sum(col("micro")).cast("double") / count(lit(1)) / 1e6, 6)
+        (floor(sum(col("micro")).cast("double") / count(lit(1)) + lit(0.5)) / lit(1e6))
           .as("surprisal_r6"))
       .orderBy(col("doc_id"))
   }
@@ -102,10 +107,10 @@ object CurationOpsQueries {
       |cnts AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
       |tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM cnts),
       |scored AS (
-      |  SELECT t.doc_id, CAST(round(-ln(c / n) * 1000000, 0) AS BIGINT) AS micro
+      |  SELECT t.doc_id, CAST(floor(-ln(c / n) * 1000000 + 0.5) AS BIGINT) AS micro
       |  FROM tok t JOIN cnts USING (w), tot)
       |SELECT doc_id, count(*) AS n_tokens,
-      |  round(CAST(sum(micro) AS DOUBLE) / count(*) / 1000000, 6) AS surprisal_r6
+      |  floor(CAST(sum(micro) AS DOUBLE) / count(*) + 0.5) / 1000000 AS surprisal_r6
       |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   // ===== q78 — passage-grain duplication fraction =========================
@@ -323,13 +328,154 @@ object CurationOpsQueries {
       |WHERE c.c >= greatest(CAST(1 AS BIGINT), CAST(ceil(0.005 * t.n) AS BIGINT))
       |ORDER BY 1, 2""".stripMargin
 
+  // ===== q84 — duplicate-span extraction (position-grain dedup) ===========
+
+  /** WHERE the duplicated text sits, not just how much: every maximal
+    * span of words covered by overlapping 8-word windows that occur
+    * more than once in the corpus — the position-grain refinement of
+    * q78's tile fraction, and the batch primitive behind substring-
+    * level dedup (Lee et al. 2022 cut exact duplicate spans, not whole
+    * documents; a span list is what a surgical cutter consumes).
+    *
+    * Windows are stride-1 (every occurrence of a copied passage is
+    * covered, unlike q78's aligned tiles which miss shifted copies);
+    * flagged windows at positions i, j merge into one span when
+    * j − i ≤ w (their word ranges overlap or touch), the classic
+    * gaps-and-islands rule. Self-repetition inside one document counts
+    * — a training-data cutter wants those spans too.
+    *
+    * Scale shape: window generation is `sequence`+`explode`+`slice`
+    * (zero shuffles); occurrence counts via a count window keyed by
+    * md5(window) — ONE data-sized shuffle, hash-uniform by
+    * construction, moving (doc_id, pos, hash) and never the window
+    * string; span merge is a per-doc lag/sum window over the flagged
+    * subset only. The q78 discipline at stride 1: rows shuffled ≈ total
+    * corpus words, each constant-width.
+    */
+  def q84DuplicateSpans(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val wins = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - w)).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " ")).as("h"))
+    val flagged = wins
+      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
+      .filter(col("c") > 1)
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    flagged
+      .withColumn("prev", lag(col("i"), 1).over(byDoc))
+      .withColumn("ns",
+        when(col("prev").isNull || col("i") - col("prev") > w, 1L).otherwise(0L))
+      .withColumn("span_id", sum(col("ns")).over(byDoc))
+      .groupBy(col("doc_id"), col("span_id"))
+      .agg(min(col("i")).cast("long").as("span_start"),
+        (max(col("i")) + lit(w - 1)).cast("long").as("span_end"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("span_start"), col("span_end"),
+        (col("span_end") - col("span_start") + 1L).as("span_words"),
+        col("n_windows"))
+      .orderBy(col("doc_id"), col("span_start"))
+  }
+
+  val q84Sql: String =
+    """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i, md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS h
+      |  FROM w, unnest(range(len(ws) - 8 + 1)) AS t(i)
+      |  WHERE len(ws) >= 8),
+      |flagged AS (
+      |  SELECT doc_id, i FROM (
+      |    SELECT doc_id, i, count(*) OVER (PARTITION BY h) AS c FROM wins) WHERE c > 1),
+      |marked AS (
+      |  SELECT doc_id, i,
+      |    CASE WHEN lag(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+      |          OR i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 8 THEN 1 ELSE 0 END AS ns
+      |  FROM flagged),
+      |sp AS (
+      |  SELECT doc_id, i, sum(ns) OVER (PARTITION BY doc_id ORDER BY i
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id
+      |  FROM marked)
+      |SELECT doc_id, min(i) AS span_start, max(i) + 7 AS span_end,
+      |  max(i) + 7 - min(i) + 1 AS span_words, count(*) AS n_windows
+      |FROM sp GROUP BY doc_id, span_id ORDER BY doc_id, span_start""".stripMargin
+
+  // ===== q86 — source-overlap matrix (corpus lineage) =====================
+
+  /** WHICH sources share text with which: for every source pair, the
+    * count of distinct 8-word windows present in both, plus the
+    * gram-set Jaccard — the corpus-lineage view behind mixture
+    * decisions (two "independent" crawls sharing 30% of their grams
+    * are not independent weight in a data mixture) and the
+    * source-grain rollup of q84's span evidence.
+    *
+    * Scale shape: the gram inventory is `distinct (source, h)` — one
+    * hash-keyed shuffle, md5-uniform; the pair expansion self-joins on
+    * h, so candidate volume is O(Σ_h s_h²) with s_h ≤ |sources| — a
+    * CONSTANT per gram (≤ S²/2 pairs), never corpus². Per-source sizes
+    * (S rows) broadcast onto the pair aggregate. The q21/LSH
+    * discipline: all-pairs work happens only where a hash already
+    * collides.
+    */
+  def q86SourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val wins = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("source"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - w)).as("i"))
+      .select(col("source"),
+        md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " ")).as("h"))
+      .distinct()
+    val sizes = wins.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
+    val shared = wins.as("a")
+      .join(wins.as("b"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(broadcast(sizes.select(col("source").as("source_a"),
+        col("n_grams").as("grams_a"))), Seq("source_a"))
+      .join(broadcast(sizes.select(col("source").as("source_b"),
+        col("n_grams").as("grams_b"))), Seq("source_b"))
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        col("grams_a"), col("grams_b"),
+        round(col("n_shared").cast("double")
+          / (col("grams_a") + col("grams_b") - col("n_shared")), 6)
+          .as("jaccard_r6"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q86Sql: String =
+    """WITH w AS (SELECT doc_id, source, string_split(text, ' ') AS ws FROM documents),
+      |wins AS (
+      |  SELECT DISTINCT source, md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS h
+      |  FROM w, unnest(range(len(ws) - 8 + 1)) AS t(i)
+      |  WHERE len(ws) >= 8),
+      |sizes AS (SELECT source, count(*) AS n_grams FROM wins GROUP BY source),
+      |shared AS (
+      |  SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      |  FROM wins a JOIN wins b ON a.h = b.h AND a.source < b.source
+      |  GROUP BY 1, 2)
+      |SELECT s.source_a, s.source_b, s.n_shared,
+      |  sa.n_grams AS grams_a, sb.n_grams AS grams_b,
+      |  round(CAST(s.n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - s.n_shared), 6) AS jaccard_r6
+      |FROM shared s
+      |JOIN sizes sa ON sa.source = s.source_a
+      |JOIN sizes sb ON sb.source = s.source_b
+      |ORDER BY source_a, source_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q76_cube_scorecard" -> (q76CubeScorecard _),
     "q77_unigram_surprisal" -> (q77UnigramSurprisal _),
     "q78_passage_dup_fraction" -> (q78PassageDupFraction _),
     "q79_event_anomalies" -> (q79EventAnomalies _),
     "q80_embedding_quantize" -> (q80EmbeddingQuantize _),
-    "q81_frequent_tokens" -> (q81FrequentTokens _))
+    "q81_frequent_tokens" -> (q81FrequentTokens _),
+    "q84_duplicate_spans" -> (q84DuplicateSpans _),
+    "q86_source_overlap" -> (q86SourceOverlap _))
 
   val oracleSql: Map[String, String] = Map(
     "q76_cube_scorecard" -> q76Sql,
@@ -337,5 +483,7 @@ object CurationOpsQueries {
     "q78_passage_dup_fraction" -> q78Sql,
     "q79_event_anomalies" -> q79Sql,
     "q80_embedding_quantize" -> q80Sql,
-    "q81_frequent_tokens" -> q81Sql)
+    "q81_frequent_tokens" -> q81Sql,
+    "q84_duplicate_spans" -> q84Sql,
+    "q86_source_overlap" -> q86Sql)
 }

@@ -25,8 +25,14 @@ object RetrievalQueries {
     * the shortcut.
     *
     * The coarse quantizer is the per-label mean (q69's centroids,
-    * micro-rounded to 6 so both engines assign from identical
-    * literals); assignment reuses [[IvfIndex.assign]] — one codegen'd
+    * micro-rounded to 6). Each engine computes its own mean before
+    * rounding, and a mean is order-dependent in the last ulp — so a
+    * value sitting within an ulp of a 0.5e-6 rounding boundary could in
+    * principle round apart and flip a cell assignment. That residual
+    * boundary-tie exposure is the q69 precedent (measure-zero for this
+    * data, not structurally impossible); rounding merely shrinks the
+    * disagreement window from every ulp to the boundary set.
+    * Assignment reuses [[IvfIndex.assign]] — one codegen'd
     * projection per row scoring all C centroids from literals, no
     * join, no shuffle. A vector is `kept` unless a LOWER-id vector in
     * the same cell has cosine ≥ 0.99 (keep-first, deterministic).
@@ -163,11 +169,67 @@ object RetrievalQueries {
       |  CAST(sum(micro) AS DOUBLE) / 1e6 AS score_r6
       |FROM ts GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q85 — binary-quantized ANN (sign bits + Hamming + rerank) ========
+
+  /** Hamming-candidate ANN over 1-bit sign-quantized embeddings with
+    * exact-cosine rerank — [[graft.similarity.BinaryAnn]]; see its doc
+    * for the 16× memory story and the ids-only shuffle shape. Same
+    * query set as q20 (vec_id < 50), k = 5 from C = 32 Hamming
+    * survivors. Exactly oracled: packing (32-bit blocks), the
+    * (hamming, vec_id) candidate cut, and the left-to-right dot in the
+    * rerank are all bit-reproducible in DuckDB; recall against the
+    * exact q20 answer is measured (not assumed) in BinaryAnnSpec.
+    */
+  def q85HammingAnn(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    graft.similarity.BinaryAnn.hammingTopK(
+        vecs, vecs.filter(col("vec_id") < 50), k = 5, candidates = 32)
+      .withColumn("cosine_r6", round(col("cosine"), 6))
+      .drop("cosine")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q85Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, list(wv ORDER BY w) AS bits FROM (
+      |    SELECT vec_id, (i - 1) // 32 AS w,
+      |      sum(CASE WHEN x > 0 THEN 1::BIGINT << ((i - 1) % 32) ELSE 0 END) AS wv
+      |    FROM (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v)
+      |    GROUP BY 1, 2) GROUP BY 1),
+      |q AS (SELECT vec_id AS query_id, bits AS qb FROM bits WHERE vec_id < 50),
+      |ham AS (
+      |  SELECT q.query_id, b.vec_id,
+      |    list_sum(list_transform(list_zip(q.qb, b.bits),
+      |      p -> bit_count(xor(p[1], p[2])))) AS hamming
+      |  FROM q, bits b WHERE b.vec_id <> q.query_id),
+      |cand AS (
+      |  SELECT query_id, vec_id, hamming,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS crank
+      |  FROM ham),
+      |rer AS (
+      |  SELECT c.query_id, c.vec_id, c.hamming,
+      |    list_dot_product(qv.e, vv.e)
+      |      / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(vv.e, vv.e))) AS cosine
+      |  FROM cand c
+      |  JOIN v qv ON qv.vec_id = c.query_id
+      |  JOIN v vv ON vv.vec_id = c.vec_id
+      |  WHERE c.crank <= 32),
+      |ranked AS (
+      |  SELECT query_id, vec_id, hamming, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM rer)
+      |SELECT query_id, rank, vec_id, CAST(hamming AS BIGINT) AS hamming,
+      |  round(cosine, 6) AS cosine_r6
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semantic_dedup" -> (q82SemanticDedup _),
-    "q83_bm25" -> (q83Bm25 _))
+    "q83_bm25" -> (q83Bm25 _),
+    "q85_hamming_ann" -> (q85HammingAnn _))
 
   val oracleSql: Map[String, String] = Map(
     "q82_semantic_dedup" -> q82Sql,
-    "q83_bm25" -> q83Sql)
+    "q83_bm25" -> q83Sql,
+    "q85_hamming_ann" -> q85Sql)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.core.Tables
+import graft.core.{Tables, Warehouse}
 import graft.dedup.MinHashLSH.shingleRows
 
 /** Scale-path variants of operators whose naive form stops working at
@@ -68,7 +68,12 @@ object ScaleOpsQueries {
       .union(contam.filter(col("doc_id") < 10)
         .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
 
-    val contamGrams = contamGramCache.compute(dir, (_, prev) => {
+    // Cache key carries the Warehouse fingerprint of documents.parquet
+    // (file names/sizes/mtimes), not just the dir: a corpus regenerated
+    // in-place within one live session must invalidate the cached grams.
+    val cacheKey = Warehouse.derivedDir(
+      s, "contam_grams_memo", s"$dir/documents.parquet", "n=8;doc_id<200")
+    val contamGrams = contamGramCache.compute(cacheKey, (_, prev) => {
       if (prev != null && (prev.sparkSession eq s)) prev
       else {
         if (prev != null) prev.unpersist(blocking = false)

@@ -1,0 +1,104 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorOps
+
+/** Binary-quantized ANN: 1-bit sign quantization of each embedding
+  * dimension packed into 32-bit blocks, Hamming-distance candidate
+  * generation, exact-cosine rerank. The memory story at 100 TB is the
+  * point — a 64-dim float32 embedding (256 B) becomes two packed words
+  * (16 B), a 16× reduction, and the candidate scan runs on popcount
+  * (the native [[graft.functions.HammingBitsExpr]]) instead of FMA.
+  * Sign-bit Hamming distance is a monotone estimator of angular
+  * distance (Charikar 2002, the q23 hyperplane-LSH family with the
+  * identity basis), so a top-C Hamming cut keeps most of the true
+  * cosine top-k, and the rerank restores exact order among survivors.
+  *
+  * Packing uses 32-bit blocks (not 64) so every word stays in
+  * [0, 2^32) — representable without sign-bit gymnastics in BOTH
+  * engines (DuckDB's `1::BIGINT << 63` overflows), and generalizing to
+  * any dim as ceil(dim/32) words.
+  *
+  * Scale shape: queries broadcast (|Q| bounded, the bruteForceTopK
+  * contract); the Hamming stage shuffles only (query_id, vec_id,
+  * hamming) — ids and an int, never vectors; the C×Q surviving
+  * candidate list is broadcast back against the corpus scan for the
+  * rerank, so full-precision embeddings never shuffle at all. The
+  * single per-query window is the q20 shape; at 1000 executors the
+  * refinement is a per-input-split partial top-C before the global
+  * window, which prunes the shuffle to C rows per (split, query).
+  */
+object BinaryAnn {
+
+  /** Sign bits of an array<double>, packed little-endian into 32-bit
+    * blocks stored as longs: word w bit j set ⟺ e[32w+j] > 0. Built
+    * from codegen-friendly builtins; runs once per vector (the
+    * per-pair hot path is [[VectorOps.hamming64]], a native
+    * expression). The ragged tail reads `element_at` past the end,
+    * which is NULL under non-ANSI, so `null > 0` falls to the
+    * otherwise-branch and trailing bits stay 0.
+    */
+  def packSignBits(emb: Column): Column =
+    transform(
+      // (size+31)/32 in `/` is a DOUBLE divide; cast truncates (= floor
+      // for the positive sizes here) back to the int sequence bound
+      sequence(lit(0), ((size(emb) + lit(31)) / lit(32)).cast("int") - lit(1)),
+      w =>
+        aggregate(
+          sequence(lit(0), lit(31)),
+          lit(0L),
+          (acc, j) =>
+            when(element_at(emb, w * 32 + j + 1) > 0,
+              acc.bitwiseOR(call_function("shiftleft", lit(1L), j)))
+              .otherwise(acc)))
+
+  /** Top-k neighbors by Hamming-candidate + exact-cosine rerank.
+    * Output: (query_id, rank, vec_id, hamming, cosine) — rank is the
+    * rerank order (cosine desc, vec_id tie-break), hamming the code
+    * distance that admitted the candidate.
+    *
+    * @param corpus     (vec_id, embedding) — embedding array<numeric>
+    * @param queries    same schema; must be broadcast-small
+    * @param k          neighbors returned per query
+    * @param candidates Hamming survivors reranked per query (C ≥ k);
+    *                   recall rises with C, cost is C×Q rerank rows
+    */
+  def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      candidates: Int): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    VectorOps.register(corpus.sparkSession)
+    val c = corpus.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("emb"))
+      .withColumn("bits", packSignBits(col("emb")))
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("q_bits", packSignBits(col("q_emb")))
+
+    // Stage 1: Hamming scores — ids only through the per-query window
+    val cw = Window.partitionBy(col("query_id"))
+      .orderBy(col("hamming"), col("vec_id"))
+    val cand = c.select(col("vec_id"), col("bits"))
+      .join(broadcast(q.select(col("query_id"), col("q_bits"))),
+        col("vec_id") =!= col("query_id"))
+      .withColumn("hamming", VectorOps.hamming64(col("q_bits"), col("bits")))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= candidates)
+      .select(col("query_id"), col("vec_id"), col("hamming"))
+
+    // Stage 2: exact rerank — C×Q candidate list broadcast against the
+    // corpus scan; the corpus never shuffles
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id"))
+    c.select(col("vec_id"), col("emb"))
+      .join(broadcast(cand), Seq("vec_id"))
+      .join(broadcast(q.select(col("query_id"), col("q_emb"))), Seq("query_id"))
+      .withColumn("cosine", Similarity.cosine(col("q_emb"), col("emb")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        col("hamming").cast("long").as("hamming"), col("cosine"))
+  }
+}

@@ -8,12 +8,18 @@ import org.apache.spark.sql.functions._
   * streaming; SURVEY §2.9): tumbling windows + watermark, the
   * streaming twin of the batch q14 hourly rollup.
   *
-  * `ts` arrives as epoch-nanos LongType (nanosAsLong); it converts to
-  * a proper timestamp for event-time semantics. At scale the state
+  * `ts` arrives either as epoch-nanos LongType (legacy nanosAsLong
+  * files) or as a timestamp column (standard TIMESTAMP(MICROS)
+  * parquet); every entry point normalizes to epoch-nanos via
+  * [[graft.core.Tables.normalizeEventTs]] before converting to a
+  * proper timestamp for event-time semantics. At scale the state
   * store holds one row per (window, event_type) — low cardinality —
   * and the watermark bounds state growth.
   */
 object EventStream {
+
+  private def norm(events: DataFrame): DataFrame =
+    graft.core.Tables.normalizeEventTs(events)
 
   /** Epoch-nanos long → timestamp (microsecond precision). Integer
     * division (`div`): the double-division form `(c / 1000)` has a
@@ -25,7 +31,7 @@ object EventStream {
 
   /** Hourly (window, event_type) counts/sums with a watermark. */
   def hourlyRollup(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
+    norm(events)
       .withColumn("event_ts", nanosToTs(col("ts")))
       .withWatermark("event_ts", watermark)
       .groupBy(window(col("event_ts"), "1 hour"), col("event_type"))
@@ -43,7 +49,7 @@ object EventStream {
     */
   def hoppingRollup(events: DataFrame, size: String = "10 minutes",
       slide: String = "5 minutes", watermark: String = "2 hours"): DataFrame =
-    events
+    norm(events)
       .withColumn("event_ts", nanosToTs(col("ts")))
       .withWatermark("event_ts", watermark)
       .groupBy(window(col("event_ts"), size, slide), col("event_type"))
@@ -67,7 +73,7 @@ object EventStream {
     */
   def sessionRollup(events: DataFrame, gap: String = "30 minutes",
       watermark: String = "2 hours"): DataFrame =
-    events
+    norm(events)
       .withColumn("ts_ev", nanosToTs(col("ts")))
       .withWatermark("ts_ev", watermark)
       .groupBy(session_window(col("ts_ev"), gap), col("user_id"))
@@ -86,7 +92,7 @@ object EventStream {
     * at-least-once delivery (reference `infra/main.tf:66-124`).
     */
   def dedupedEvents(events: DataFrame, watermark: String = "2 hours"): DataFrame =
-    events
+    norm(events)
       .withColumn("event_ts", nanosToTs(col("ts")))
       .withWatermark("event_ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
@@ -96,10 +102,13 @@ object EventStream {
     * sample), for AvailableNow replays in tests and backfills.
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    // declared schema must match the files' physical encoding; normalize
+    // AFTER source creation (it's a plain projection, streaming-safe) so
+    // consumers always see the canonical epoch-nanos LongType `ts`
     val schema = spark.read.parquet(s"$dir/events.parquet").schema
     // file stream sources take a directory; glob-filter to the table
-    spark.readStream.schema(schema)
+    norm(spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+      .parquet(dir))
   }
 }

@@ -75,6 +75,24 @@ class FreqTokensSpec extends SparkTestBase {
     assert(ns == Map("web" -> 500L, "books" -> 400L))
   }
 
+  test("serialize survives tokens past the 64 KB modified-UTF-8 limit") {
+    // writeUTF caps a key at 65535 encoded bytes; the length-prefixed
+    // raw-UTF-8 codec must round-trip a token past that limit (and
+    // multi-byte text) instead of throwing at the shuffle boundary
+    val agg = FreqTokensAgg(
+      org.apache.spark.sql.catalyst.expressions.Literal("x"),
+      org.apache.spark.sql.catalyst.expressions.Literal(8),
+      org.apache.spark.sql.catalyst.expressions.Literal(0.2))
+    val s = new MgSummary(capacity = 8)
+    val giant = "x" * 70000
+    val multi = "héllo→世界"
+    s.update(giant); s.update(giant); s.update(multi)
+    val back = agg.deserialize(agg.serialize(s))
+    assert(back.n == s.n && back.offset == s.offset)
+    assert(back.counts.get(giant) == 2L)
+    assert(back.counts.get(multi) == 1L)
+  }
+
   test("certificate exhaustion fails loudly instead of dropping heavy hitters") {
     // all-distinct stream at minimum capacity: offset ~ n/9 exceeds
     // thr = 0.02·n, so eval must refuse to emit an uncertified answer

@@ -95,6 +95,58 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out == Seq((1L, 1L, 0L, 0.0)))
   }
 
+  test("q84 span boundaries are exact: shifted copy, two islands, merge rule") {
+    // doc 1 carries the 10-word passage at words 5..14; doc 2 carries it
+    // SHIFTED (offset 3) inside fresh text — q78's aligned tiles can miss
+    // this, stride-1 windows cannot. doc 3 has TWO disjoint copies of two
+    // different shared passages -> two spans, not one merged one.
+    val p1 = (0 until 10).map(i => s"p$i").mkString(" ")   // shared passage A
+    val p2 = (0 until 10).map(i => s"q$i").mkString(" ")   // shared passage B
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, s"${uniq("a", 5)} $p1 ${uniq("b", 20)}", "en", "web", 0L),
+      (2L, s"${uniq("c", 3)} $p1 ${uniq("d", 22)}", "en", "web", 0L),
+      (3L, s"$p2 ${uniq("e", 10)} $p2 ${uniq("f", 8)}", "en", "web", 0L)))
+    val out = CurationOpsQueries.q84DuplicateSpans(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // passage A: 10 words -> 3 flagged windows (w=8), span = exactly the
+    // passage: doc1 words 5..14, doc2 words 3..12
+    assert(out.filter(_._1 == 1L) == Seq((1L, 5L, 14L, 10L, 3L)), s"got $out")
+    assert(out.filter(_._1 == 2L) == Seq((2L, 3L, 12L, 10L, 3L)), s"got $out")
+    // doc3: two islands (gap of 10 unique words > w=8 apart)
+    val d3 = out.filter(_._1 == 3L)
+    assert(d3 == Seq((3L, 0L, 9L, 10L, 3L), (3L, 20L, 29L, 10L, 3L)), s"got $out")
+  }
+
+  test("q84 adjacent flagged windows merge into one span") {
+    // one long shared passage: every window duplicated, one maximal span
+    val p = (0 until 24).map(i => s"s$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, p, "en", "web", 0L),
+      (2L, p, "en", "web", 0L)))
+    val out = CurationOpsQueries.q84DuplicateSpans(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 0L, 23L, 24L, 17L), (2L, 0L, 23L, 24L, 17L)), s"got $out")
+  }
+
+  test("q86 overlap matrix: planted cross-source copy with exact jaccard") {
+    val p = (0 until 8).map(i => s"x$i").mkString(" ")  // exactly one window
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    // srcA: p + 8 unique words -> 9 distinct grams; srcB: p + different 8
+    // unique -> 9 grams; shared = exactly the 1 all-p window... plus the
+    // mixed windows differ between sources by construction
+    val dir = writeDocs(Seq(
+      (1L, s"$p ${uniq("a", 8)}", "en", "srcA", 0L),
+      (2L, s"$p ${uniq("b", 8)}", "en", "srcB", 0L),
+      (3L, uniq("z", 20), "en", "srcC", 0L)))
+    val out = CurationOpsQueries.q86SourceOverlap(spark, dir)
+      .as[(String, String, Long, Long, Long, Double)].collect().toSeq
+    // each doc: 16 words -> 9 windows, all distinct within source; only
+    // the pure-p window is shared between A and B; C shares nothing
+    assert(out == Seq(("srcA", "srcB", 1L, 9L, 9L, math.floor(1.0 / 17.0 * 1e6 + 0.5) / 1e6)),
+      s"got $out")
+  }
+
   test("q79 flags a planted burst hour and stays silent on a flat series") {
     val dir = java.nio.file.Files.createTempDirectory("curation-spec").toString
     val hourNs = 3600L * 1000000000L

@@ -1,0 +1,75 @@
+package graft.similarity
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.VectorOps
+
+/** Binary-quantized ANN: packing layout pinned bit-for-bit, native
+  * hamming64 semantics (count + strictness), the planted-copy
+  * guarantee (identical vectors are Hamming-0 and must surface at
+  * rank 1), and MEASURED recall against the exact brute-force answer
+  * on the natural corpus — quality is a number here, not a hope.
+  */
+class BinaryAnnSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("packSignBits: little-endian 32-bit blocks, ragged tail stays zero") {
+    VectorOps.register(spark)
+    val out = Seq(
+      (1L, Seq(1.0, -1.0, 0.0, 2.0, -3.0)),             // bits 0,3 -> 9, one word
+      (2L, (0 until 64).map(i =>
+        if (i == 0 || i == 31 || i == 32 || i == 63) 1.0 else -1.0)))
+      .toDF("id", "e")
+      .select($"id", BinaryAnn.packSignBits($"e").as("bits"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(out(1L) == Seq(9L), s"got ${out(1L)}")
+    assert(out(2L) == Seq(2147483649L, 2147483649L), s"got ${out(2L)}")
+  }
+
+  test("hamming64: popcount of xor; NULL on length mismatch") {
+    VectorOps.register(spark)
+    val d = Seq((Seq(10L, 6L), Seq(6L, 6L)), (Seq(1L), Seq(1L, 2L)))
+      .toDF("a", "b")
+      .select(VectorOps.hamming64($"a", $"b").as("h"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getInt(0))).toSeq
+    // 10^6 = 0b1100 -> 2 bits; second word equal -> 0
+    assert(d == Seq(Some(2), None), s"got $d")
+  }
+
+  test("planted exact copies surface at rank 1 with hamming 0, cosine 1") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select($"vec_id", $"embedding")
+    val planted = vecs.union(
+      vecs.select(($"vec_id" + 1000000).as("vec_id"), $"embedding"))
+    val queries = vecs.filter($"vec_id" < 20)
+    val top1 = BinaryAnn.hammingTopK(planted, queries, k = 5, candidates = 32)
+      .filter($"rank" === 1)
+      .select($"query_id", $"vec_id", $"hamming", round($"cosine", 9).as("c"))
+      .as[(Long, Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(top1.size == 20)
+    top1.foreach { case (q, v, h, c) =>
+      assert(v == q + 1000000 && h == 0L && c == 1.0, s"query $q got ($v, $h, $c)")
+    }
+  }
+
+  test("recall@5 vs exact brute force ≥ 0.5 at C=32 (measured 0.56)") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = vecs.filter($"vec_id" < 50)
+    val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val approx = BinaryAnn.hammingTopK(vecs, queries, k = 5, candidates = 32)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
+  test("candidates < k is rejected") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    intercept[IllegalArgumentException] {
+      BinaryAnn.hammingTopK(vecs, vecs.limit(1), k = 10, candidates = 5)
+    }
+  }
+}

@@ -15,7 +15,7 @@ class EnrichStreamSpec extends SparkTestBase {
 
   test("streamed enrichment ≡ batch as-of; rerun adds nothing") {
     val root = Files.createTempDirectory("enrich-stream").toString
-    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    val ev = graft.core.Tables.load(spark, "/root/testdata/sf0.001", "events")
       .withColumn("ts_us", expr("ts div 1000")).drop("ts", "props")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
