@@ -1,6 +1,7 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.text.TextFunctions
@@ -21,6 +22,25 @@ import graft.text.TextFunctions
   * positives are impossible — only borderline-jaccard misses are.
   */
 object MinHashLSH {
+
+  /** Band buckets wider than this are EXCLUDED from candidate-pair
+    * generation. An LSH band bucket of width s contributes s² candidate
+    * pairs to the self-join — a corpus-frequent boilerplate signature
+    * (every page sharing one template band) is the classic LSH skew
+    * killer at scale: one bucket of 10⁶ docs is 10¹² pairs on one
+    * reducer. The cap bounds any bucket's contribution at maxBucket²/2.
+    *
+    * What a drop can and cannot lose: a pair is only lost if EVERY band
+    * the two docs share is oversized — any collision in one
+    * normal-width band still surfaces the pair (b independent chances).
+    * Oversized buckets are overwhelmingly boilerplate (near-identical
+    * template content, the q54 detector's target), and every drop is
+    * counted and logged loudly by the eager entry points via
+    * [[Observation]] metrics collected during the same job — never
+    * silent. Raise the cap (or pre-strip boilerplate) if the log fires
+    * on content you care about.
+    */
+  val DefaultMaxBandBucket: Int = 1024
 
   /** Distinct word n-gram shingles; docs shorter than n shingle to the
     * whole text so they can still collide with near-copies. Array form

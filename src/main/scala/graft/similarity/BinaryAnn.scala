@@ -27,9 +27,10 @@ import graft.functions.VectorOps
   * hamming) — ids and an int, never vectors; the C×Q surviving
   * candidate list is broadcast back against the corpus scan for the
   * rerank, so full-precision embeddings never shuffle at all. The
-  * single per-query window is the q20 shape; at 1000 executors the
-  * refinement is a per-input-split partial top-C before the global
-  * window, which prunes the shuffle to C rows per (split, query).
+  * Hamming cut runs as a bounded per-split top-C aggregate
+  * ([[graft.functions.TopKAgg]], map-side partial combine), so the
+  * exchange carries at most C entries per (split, query) — at 1000
+  * executors no query ever collects all N corpus ids in one place.
   */
 object BinaryAnn {
 
@@ -39,21 +40,25 @@ object BinaryAnn {
     * per-pair hot path is [[VectorOps.hamming64]], a native
     * expression). The ragged tail reads `element_at` past the end,
     * which is NULL under non-ANSI, so `null > 0` falls to the
-    * otherwise-branch and trailing bits stay 0.
+    * otherwise-branch and trailing bits stay 0. An EMPTY embedding
+    * packs to an empty word list (guarded: the unguarded word-count
+    * sequence(0, -1) DESCENDS in Spark, yielding two spurious zero
+    * words where the oracle has none); a NULL embedding stays NULL.
     */
   def packSignBits(emb: Column): Column =
-    transform(
-      // (size+31)/32 in `/` is a DOUBLE divide; cast truncates (= floor
-      // for the positive sizes here) back to the int sequence bound
-      sequence(lit(0), ((size(emb) + lit(31)) / lit(32)).cast("int") - lit(1)),
-      w =>
-        aggregate(
-          sequence(lit(0), lit(31)),
-          lit(0L),
-          (acc, j) =>
-            when(element_at(emb, w * 32 + j + 1) > 0,
-              acc.bitwiseOR(call_function("shiftleft", lit(1L), j)))
-              .otherwise(acc)))
+    when(size(emb) === 0, array().cast("array<bigint>"))
+      .otherwise(transform(
+        // (size+31)/32 in `/` is a DOUBLE divide; cast truncates (= floor
+        // for the positive sizes here) back to the int sequence bound
+        sequence(lit(0), ((size(emb) + lit(31)) / lit(32)).cast("int") - lit(1)),
+        w =>
+          aggregate(
+            sequence(lit(0), lit(31)),
+            lit(0L),
+            (acc, j) =>
+              when(element_at(emb, w * 32 + j + 1) > 0,
+                acc.bitwiseOR(call_function("shiftleft", lit(1L), j)))
+              .otherwise(acc))))
 
   /** Top-k neighbors by Hamming-candidate + exact-cosine rerank.
     * Output: (query_id, rank, vec_id, hamming, cosine) — rank is the
@@ -70,6 +75,7 @@ object BinaryAnn {
       candidates: Int): DataFrame = {
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
     VectorOps.register(corpus.sparkSession)
+    graft.functions.TopKAgg.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id"),
       col("embedding").cast("array<double>").as("emb"))
       .withColumn("bits", packSignBits(col("emb")))
@@ -77,16 +83,21 @@ object BinaryAnn {
       col("embedding").cast("array<double>").as("q_emb"))
       .withColumn("q_bits", packSignBits(col("q_emb")))
 
-    // Stage 1: Hamming scores — ids only through the per-query window
-    val cw = Window.partitionBy(col("query_id"))
-      .orderBy(col("hamming"), col("vec_id"))
+    // Stage 1: Hamming cut — a bounded per-split top-C aggregate, so
+    // only ids + an int distance reach the exchange, at most C entries
+    // per (split, query). Hamming (small int) is exact in the agg's
+    // double score slot.
     val cand = c.select(col("vec_id"), col("bits"))
       .join(broadcast(q.select(col("query_id"), col("q_bits"))),
         col("vec_id") =!= col("query_id"))
-      .withColumn("hamming", VectorOps.hamming64(col("q_bits"), col("bits")))
-      .withColumn("crank", row_number().over(cw))
-      .filter(col("crank") <= candidates)
-      .select(col("query_id"), col("vec_id"), col("hamming"))
+      .select(col("query_id"), col("vec_id"),
+        VectorOps.hamming64(col("q_bits"), col("bits")).as("hamming"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topkBy(
+        col("hamming").cast("double"), col("vec_id"), candidates, asc = true).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.id").as("vec_id"),
+        col("e.score").cast("int").as("hamming"))
 
     // Stage 2: exact rerank — C×Q candidate list broadcast against the
     // corpus scan; the corpus never shuffles

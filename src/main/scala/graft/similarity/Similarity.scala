@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   * Two paths:
   *  - [[bruteForceTopK]]: exact cosine top-k. The query side is
   *    broadcast (it's the small side by construction), so the corpus
-  *    never shuffles — each partition scores its slice and a per-query
-  *    window takes the top k. Correct baseline at any corpus size as
-  *    long as |queries| stays broadcast-able.
+  *    never shuffles — each partition scores its slice and keeps a
+  *    bounded per-query top-k ([[graft.functions.TopKAgg]], a
+  *    TypedImperativeAggregate with map-side partial combine), so the
+  *    shuffle carries at most k entries per (split, query) instead of
+  *    ranking all N scored ids in one global window. Correct baseline
+  *    at any corpus size as long as |queries| stays broadcast-able.
   *  - [[RandomHyperplaneLsh]]: the scale path — sign-random-projection
   *    bucketing over L tables; only bucket-colliding pairs are scored.
   *    Corpus shuffles once per table on the bucket key; candidate
@@ -40,19 +43,29 @@ object Similarity {
   /** Exact top-k neighbors (cosine) of each query vector, excluding
     * self-matches; deterministic vec_id tie-break.
     * Output: (query_id, rank, vec_id, cosine).
+    *
+    * Scale shape: per-split bounded top-k via [[graft.functions.TopKAgg]]
+    * — each input split keeps a k-entry heap per query (map-side partial
+    * aggregation), so the exchange ships O(k · splits) entries per query
+    * rather than all N scored corpus ids through a global window. Null
+    * cosines (degenerate embeddings) are excluded from ranking rather
+    * than ranked last, matching the non-null-by-construction inputs.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.VectorOps.register(corpus.sparkSession)
+    graft.functions.TopKAgg.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
     c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("q_emb"), col("emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cosine")
+      .select(col("query_id"), col("vec_id"),
+        cosine(col("q_emb"), col("emb")).as("cosine"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topkBy(
+        col("cosine"), col("vec_id"), k, asc = false).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("e.id").as("vec_id"), col("e.score").as("cosine"))
   }
 
   /** Sign-random-projection LSH: deterministic hyperplanes from a seed,

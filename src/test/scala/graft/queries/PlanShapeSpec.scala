@@ -262,4 +262,29 @@ class PlanShapeSpec extends SparkTestBase {
       && p.contains("LessThanOrEqual(user_id,19)"),
       p.linesIterator.filter(_.contains("PushedFilters")).take(3).mkString("\n"))
   }
+
+  test("q20 brute-force top-k is a bounded partial aggregate — no global window") {
+    // the scale killer this locks out: row_number over ALL N scored
+    // corpus ids per query; the topk_by aggregate ships at most k
+    // entries per (split, query) through the exchange
+    val p = plan(SimilarityQueries.q20KnnBruteForce(spark, sf))
+    assert(p.contains("partial_topk_by"),
+      "top-k must pre-aggregate per split:\n" + p.take(400))
+    assert(!p.contains("Window"),
+      "no window may rank the full scored set:\n" +
+        p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+  }
+
+  test("q85 Hamming candidate cut pre-aggregates per split before any window") {
+    // stage 1 (N×Q Hamming scores) must be the bounded aggregate; the
+    // only window allowed is the stage-2 rerank over C×Q candidates
+    val p = plan(RetrievalQueries.q85HammingAnn(spark, sf))
+    assert(p.contains("partial_topk_by"),
+      "Hamming cut must pre-aggregate per split:\n" + p.take(400))
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("ObjectHashAggregate")
+    assert(aggIdx >= 0, "no ObjectHashAggregate for the candidate cut")
+    assert(winIdx < 0 || winIdx < aggIdx,
+      "a window ranks below the candidate cut (full-corpus input)")
+  }
 }
