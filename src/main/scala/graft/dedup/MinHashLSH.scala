@@ -199,24 +199,87 @@ object MinHashLSH {
         posexplode(array(bandKeyCols(b, r): _*)).as(Seq("band_idx", "band_hash")))
   }
 
-  /** Candidate pairs (id_a < id_b) sharing ≥1 band bucket. The join
-    * shuffles narrow (band_idx, band_hash, id) rows — bucket-local
-    * pairs only, never all-pairs.
-    */
-  def candidatePairs(
-      docs: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, k: Int = 128, b: Int = 16): DataFrame =
-    candidatePairsFromShingles(shingleRows(docs, idCol, textCol, n), k, b)
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  private def candidatePairsFromShingles(sh: DataFrame, k: Int, b: Int): DataFrame = {
-    val banded = bandedFromShingles(sh, k, b)
-    val left = banded.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_a"))
-    val right = banded.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_b"))
+  /** Annotates a banded relation with its bucket width and drops rows
+    * in buckets wider than `maxBucket` (see [[DefaultMaxBandBucket]])
+    * or narrower than 2 (singleton buckets yield no pairs — skipping
+    * them prunes the self-join input for free). The width comes from a
+    * window count over the band key — the SAME hash partitioning the
+    * candidate self-join requires, so the count rides the exchange the
+    * join pays anyway, and the window's partition-key sort satisfies a
+    * sort-merge join's ordering requirement.
+    *
+    * When `obs` is given, drop accounting is collected DURING the same
+    * job (zero extra passes) — callers must evaluate the result exactly
+    * once (checkpoint) before reusing it, both so the metrics are exact
+    * and because Spark rejects one observation attached to two plan
+    * subtrees.
+    */
+  private def cappedBands(
+      banded: DataFrame, maxBucket: Int, obs: Option[Observation]): DataFrame = {
+    val widthed = banded.withColumn("bsz",
+      count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
+    val observed = obs.map(o => widthed.observe(o,
+      sum(when(col("bsz") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
+      max(col("bsz")).as("widest_bucket"))).getOrElse(widthed)
+    observed.filter(col("bsz").between(2, maxBucket))
+      .select(col("band_idx"), col("band_hash"), col("mh_id"))
+  }
+
+  /** WARN loudly when an evaluated observation recorded dropped rows —
+    * a dropped bucket means possible missed pairs (only those colliding
+    * in NO normal-width band), so it must never pass silently. Callers
+    * invoke this right after the eager action that evaluated the
+    * observed plan; the metric row arrives via an async listener, so
+    * wait briefly rather than assume it already landed.
+    */
+  private def warnDrops(obs: Observation, maxBucket: Int, what: String): Unit =
+    try {
+      val row = scala.concurrent.Await.result(
+        obs.future, scala.concurrent.duration.Duration(60, "s"))
+      val dropped = row.getAs[Long]("dropped_rows")
+      if (dropped > 0) {
+        val widest = row.getAs[Any]("widest_bucket")
+        log.warn(s"LSH $what: dropped $dropped (doc, band) rows in buckets " +
+          s"wider than maxBucket=$maxBucket (widest: $widest). Pairs colliding " +
+          "only in oversized buckets are NOT candidates; raise maxBucket or " +
+          "strip boilerplate if these matter.")
+      }
+    } catch {
+      case _: java.util.concurrent.TimeoutException =>
+        log.warn(s"LSH $what: bucket-cap drop metrics unavailable (listener timeout)")
+    }
+
+  /** Candidate pairs (id_a < id_b) from a width-capped banded relation.
+    * The join shuffles narrow (band_idx, band_hash, id) rows — bucket-
+    * local pairs only, never all-pairs, and never more than
+    * maxBucket²/2 pairs per bucket.
+    */
+  private def pairsFromBands(kept: DataFrame): DataFrame = {
+    val left = kept.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_a"))
+    val right = kept.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_b"))
     left.join(right, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
   }
+
+  /** Candidate pairs (id_a < id_b) sharing ≥1 band bucket of width
+    * ≤ maxBucket. Lazy — drop accounting only happens on the eager
+    * entry points ([[nearDuplicates]] and friends), which observe the
+    * capped relation during their own jobs.
+    */
+  def candidatePairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, k: Int = 128, b: Int = 16,
+      maxBucket: Int = DefaultMaxBandBucket): DataFrame =
+    candidatePairsFromShingles(shingleRows(docs, idCol, textCol, n), k, b, maxBucket)
+
+  private def candidatePairsFromShingles(
+      sh: DataFrame, k: Int, b: Int,
+      maxBucket: Int = DefaultMaxBandBucket): DataFrame =
+    pairsFromBands(cappedBands(bandedFromShingles(sh, k, b), maxBucket, None))
 
   /** Verified near-duplicate pairs at a Jaccard threshold. Exact
     * verification is fully relational: candidate pairs (the small
@@ -247,7 +310,8 @@ object MinHashLSH {
     */
   def nearDuplicates(
       docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, n: Int = 3, k: Int = 128, b: Int = 16): DataFrame = {
+      threshold: Double, n: Int = 3, k: Int = 128, b: Int = 16,
+      maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -257,9 +321,18 @@ object MinHashLSH {
       // call whose files outlive their usefulness (Spark only deletes
       // them under cleanCheckpoints). Cost of the trade: an executor
       // loss mid-verify fails this query and the caller re-runs it.
-      val pairs = candidatePairsFromShingles(sh, k, b).localCheckpoint(eager = true)
+      // The capped band relation checkpoints FIRST (evaluating the
+      // bucket-width observation exactly once, and sparing the pair
+      // self-join a double signature recompute); drops warn loudly.
+      val obs = Observation()
+      val kept = cappedBands(bandedFromShingles(sh, k, b), maxBucket, Some(obs))
+        .localCheckpoint(eager = true)
+      warnDrops(obs, maxBucket, s"nearDuplicates(n=$n,k=$k,b=$b)")
+      val pairs = pairsFromBands(kept).localCheckpoint(eager = true)
       // materialize the (small) verified set so the shingle cache can be
-      // released before returning — no reliance on ContextCleaner GC
+      // released before returning — no reliance on ContextCleaner GC.
+      // kept's checkpoint blocks free with the RDD (ContextCleaner),
+      // like every other localCheckpoint here.
       materialize(verifyPairs(pairs, sh, threshold))
     } finally sh.unpersist()
   }
@@ -352,18 +425,33 @@ object MinHashLSH {
   /** Candidate pairs touching the batch: batch×batch (id_a < id_b)
     * plus batch×corpus (ordered with least/greatest). Lazy — exposed
     * for plan-shape tests; the corpus side must be a stored-band scan.
+    *
+    * Both sides are width-capped INDEPENDENTLY (an oversized corpus
+    * bucket × its batch collisions is s_corpus × s_batch pairs — the
+    * same skew killer as the self-join): a bucket contributes only if
+    * its width on that side is ≤ maxBucket. Batch-singleton buckets
+    * stay in (a lone batch doc still probes the corpus); they are
+    * no-ops in the batch self-join.
     */
   private[dedup] def incrementalCandidates(
-      corpusBands: DataFrame, batchBands: DataFrame): DataFrame = {
-    val bb = batchBands
-      .select(col("band_idx"), col("band_hash"), col("mh_id").as("id_a"))
-      .join(batchBands.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_b")),
-        Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"))
-    val bc = batchBands
+      corpusBands: DataFrame, batchBands: DataFrame,
+      maxBucket: Int = DefaultMaxBandBucket,
+      obs: Option[Observation] = None): DataFrame = {
+    def widthCapped(bands: DataFrame, o: Option[Observation]): DataFrame = {
+      val widthed = bands.withColumn("bsz",
+        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
+      val observed = o.map(ob => widthed.observe(ob,
+        sum(when(col("bsz") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
+        max(col("bsz")).as("widest_bucket"))).getOrElse(widthed)
+      observed.filter(col("bsz") <= maxBucket)
+        .select(col("band_idx"), col("band_hash"), col("mh_id"))
+    }
+    val batchKept = widthCapped(batchBands, None)
+    val bb = pairsFromBands(batchKept)
+    val bc = batchKept
       .select(col("band_idx"), col("band_hash"), col("mh_id").as("batch_id"))
-      .join(corpusBands.select(col("band_idx"), col("band_hash"), col("mh_id").as("corpus_id")),
+      .join(widthCapped(corpusBands, obs)
+          .select(col("band_idx"), col("band_hash"), col("mh_id").as("corpus_id")),
         Seq("band_idx", "band_hash"))
       .select(least(col("batch_id"), col("corpus_id")).as("id_a"),
         greatest(col("batch_id"), col("corpus_id")).as("id_b"))
@@ -381,15 +469,14 @@ object MinHashLSH {
     * EAGER, like [[nearDuplicates]].
     */
   def nearDuplicatesFromIndex(
-      spark: SparkSession, indexDir: String, threshold: Double): DataFrame = {
+      spark: SparkSession, indexDir: String, threshold: Double,
+      maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
     val bands = spark.read.parquet(bandsPath(indexDir))
-    val left = bands.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_a"))
-    val right = bands.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_b"))
-    val pairs = left.join(right, Seq("band_idx", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
+    val obs = Observation()
+    val kept = cappedBands(bands, maxBucket, Some(obs))
       .localCheckpoint(eager = true)
+    warnDrops(obs, maxBucket, s"nearDuplicatesFromIndex($indexDir)")
+    val pairs = pairsFromBands(kept).localCheckpoint(eager = true)
     val candIds = pairs.select(col("id_a").as("sid"))
       .union(pairs.select(col("id_b").as("sid"))).distinct()
     // NO broadcast hint here, unlike the batch-probe path: a corpus-wide
@@ -413,15 +500,19 @@ object MinHashLSH {
     */
   def nearDuplicatesAgainst(
       batch: DataFrame, idCol: String, textCol: String, indexDir: String,
-      threshold: Double, n: Int = 3, k: Int = 128, b: Int = 16): DataFrame = {
+      threshold: Double, n: Int = 3, k: Int = 128, b: Int = 16,
+      maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
     val spark = batch.sparkSession
     val corpusSh = spark.read.parquet(shinglesPath(indexDir))
     val corpusBands = spark.read.parquet(bandsPath(indexDir))
     val batchSh = shingleRows(batch, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val pairs = incrementalCandidates(corpusBands, bandedFromShingles(batchSh, k, b))
+      val obs = Observation()
+      val pairs = incrementalCandidates(corpusBands,
+          bandedFromShingles(batchSh, k, b), maxBucket, Some(obs))
         .localCheckpoint(eager = true)
+      warnDrops(obs, maxBucket, s"nearDuplicatesAgainst($indexDir,n=$n,k=$k,b=$b)")
       // verification reads corpus shingles for CANDIDATE docs only: the
       // candidate id set is small by construction, so a broadcast
       // semi-join prunes the stored-shingle scan before the probe join

@@ -33,6 +33,29 @@ class DedupSpec extends SparkTestBase {
     assert(cands < n * (n - 1) / 2, s"candidates=$cands look like all-pairs")
   }
 
+  test("oversized band buckets are capped: a planted mega-bucket yields no pairs, " +
+      "normal pairs still surface, and the default cap changes nothing here") {
+    // 40 exact copies of one boilerplate text → every band bucket they
+    // occupy has width 40; with maxBucket=8 ALL their pairs must be
+    // dropped (each pair collides ONLY in oversized buckets), while the
+    // planted normal near-dup pair (1,101) keeps its width-2 buckets
+    val boiler = (1000L until 1040L).map(i =>
+      i -> "identical boilerplate footer text repeated across every single page of the site")
+    val mixed = (base ++ nearCopies ++ boiler).toDF("doc_id", "text")
+    val capped = MinHashLSH.nearDuplicates(mixed, "doc_id", "text",
+      threshold = 0.5, maxBucket = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 101L), (2L, 102L)),
+      s"expected only the normal pairs, got ${capped.size}")
+    // candidate volume is bounded by the cap, not by the 40² mega-bucket
+    val cands = MinHashLSH.candidatePairs(mixed, "doc_id", "text", maxBucket = 8).count()
+    assert(cands < 40L * 39 / 2, s"candidates=$cands include mega-bucket pairs")
+    // at the default cap the mega-bucket fits and all pairs return
+    val full = MinHashLSH.nearDuplicates(mixed, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(full.size == 2 + 40 * 39 / 2, s"default cap lost pairs: ${full.size}")
+  }
+
   test("jaccard verification is exact") {
     val a = Seq((1L, "a b c d e"), (2L, "a b c d f")).toDF("doc_id", "text")
     // 3-shingles: {abc,bcd,cde} vs {abc,bcd,cdf} → J = 2/4 = 0.5.
