@@ -31,9 +31,10 @@ object ScaleOpsQueries {
     *  2. PRUNE: map-side filter of the training side's grams through
     *     the bloom (no false negatives — no contaminated gram can be
     *     lost; ~1% of clean grams survive as false positives). The
-    *     membership probe is the one deliberate UDF in this repo: it
-    *     is a pruning-only predicate — results never depend on it —
-    *     and Spark exposes no public expression for sketch probes.
+    *     probe is the native codegen'd
+    *     [[graft.functions.BloomMightContainExpr]] — sketch bytes ride
+    *     the plan as a literal, deserialize once per task, and the
+    *     filter stays inside whole-stage codegen (no per-row UDF).
     *  3. VERIFY: exact inner join (shuffle, NOT broadcast) of the
     *     survivors against the contamination grams — false positives
     *     die here, so the output is bit-identical to q39's exact
@@ -59,7 +60,7 @@ object ScaleOpsQueries {
     * entry from a stopped/replaced session is unpersisted and rebuilt.
     */
   private val contamGramCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[String, (String, DataFrame)]()
 
   def q65BloomDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -68,19 +69,22 @@ object ScaleOpsQueries {
       .union(contam.filter(col("doc_id") < 10)
         .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
 
-    // Cache key carries the Warehouse fingerprint of documents.parquet
-    // (file names/sizes/mtimes), not just the dir: a corpus regenerated
-    // in-place within one live session must invalidate the cached grams.
-    val cacheKey = Warehouse.derivedDir(
+    // Keyed by corpus DIR with the Warehouse fingerprint of
+    // documents.parquet (file names/sizes/mtimes) stored alongside: a
+    // corpus regenerated in-place within one live session rotates the
+    // fingerprint, which both invalidates the cached grams AND
+    // unpersists the superseded entry — fingerprint-as-key would leak
+    // one persisted RDD per regeneration (ADVICE r15).
+    val fp = Warehouse.derivedDir(
       s, "contam_grams_memo", s"$dir/documents.parquet", "n=8;doc_id<200")
-    val contamGrams = contamGramCache.compute(cacheKey, (_, prev) => {
-      if (prev != null && (prev.sparkSession eq s)) prev
+    val contamGrams = contamGramCache.compute(dir, (_, prev) => {
+      if (prev != null && prev._1 == fp && (prev._2.sparkSession eq s)) prev
       else {
-        if (prev != null) prev.unpersist(blocking = false)
-        shingleRows(contam, "doc_id", "text", n = 8)
-          .select(col("sh")).distinct().persist()
+        if (prev != null) prev._2.unpersist(blocking = false)
+        (fp, shingleRows(contam, "doc_id", "text", n = 8)
+          .select(col("sh")).distinct().persist())
       }
-    })
+    })._2
     // BUILD: bloom over gram hashes; expected-items from a cheap count
     // of the (already tiny relative to training) contamination grams.
     // Bloom size arithmetic: at 1% fpp a bloom costs ~9.6 bits per
@@ -89,7 +93,8 @@ object ScaleOpsQueries {
     val nGrams = math.max(1L, contamGrams.count())
     val bloom = contamGrams.select(xxhash64(col("sh")).as("gh"))
       .stat.bloomFilter("gh", nGrams, 0.01)
-    val mightContain = udf((h: Long) => bloom.mightContain(h))
+    val bloomBytes = graft.functions.SketchProbes.bloomBytes(bloom)
+    graft.functions.SketchProbes.register(s)
 
     // PRUNE map-side BEFORE the distinct — the dedup shuffle must only
     // ever see bloom survivors (pruning after it would shuffle the
@@ -97,7 +102,8 @@ object ScaleOpsQueries {
     // (false positives drop here; no broadcast of the exact set
     // anywhere).
     val trainGrams = shingleRows(train, "doc_id", "text", n = 8)
-      .filter(mightContain(xxhash64(col("sh")))).distinct()
+      .filter(graft.functions.SketchProbes.bloomMightContain(
+        bloomBytes, xxhash64(col("sh")))).distinct()
     val overlap = trainGrams.join(contamGrams, Seq("sh"))
       .groupBy(col("sid").as("doc_id"))
       .agg(count(lit(1)).as("overlap_grams"))
@@ -165,17 +171,17 @@ object ScaleOpsQueries {
       .select(col("event_type"))
       .agg(expr("count_min_sketch(event_type, 0.001d, 0.99d, 42)").as("cms"))
       .as[Array[Byte]].head()
-    val cms = org.apache.spark.util.sketch.CountMinSketch.readFrom(
-      new java.io.ByteArrayInputStream(sketchBytes))
-    // null-guarded: a null event_type forms its own group in the exact
-    // aggregate, but CountMinSketch.estimateCount NPEs on null — report
-    // 0 (count_min_sketch likewise never counted the nulls)
-    val estimate = udf((t: String) => if (t == null) 0L else cms.estimateCount(t))
+    graft.functions.SketchProbes.register(s)
+    // null-coalesced: a null event_type forms its own group in the
+    // exact aggregate but was never counted by count_min_sketch, so its
+    // estimate reports 0 (the native probe is NULL-in → NULL-out)
     ev.groupBy(col("event_type"))
       .agg(count(lit(1)).as("exact_count"))
       .orderBy(col("exact_count").desc, col("event_type"))
       .limit(20)
-      .withColumn("cms_estimate", estimate(col("event_type")))
+      .withColumn("cms_estimate", coalesce(
+        graft.functions.SketchProbes.cmsEstimate(sketchBytes, col("event_type")),
+        lit(0L)))
       .select(col("event_type"), col("exact_count"), col("cms_estimate"))
       .orderBy(col("event_type"))
   }

@@ -263,6 +263,17 @@ class PlanShapeSpec extends SparkTestBase {
       p.linesIterator.filter(_.contains("PushedFilters")).take(3).mkString("\n"))
   }
 
+  test("q65/q66 sketch probes are native expressions — no ScalaUDF anywhere") {
+    // the bloom/CMS probes were the repo's last per-row Scala UDFs on
+    // 100-TB paths (VERDICT r15 #3); both now ride codegen expressions
+    val p65 = plan(ScaleOpsQueries.q65BloomDecontaminate(spark, sf))
+    assert(!p65.contains("ScalaUDF"), "q65 still carries a UDF")
+    assert(p65.contains("bloom_might_contain"), "q65 lost the bloom prune")
+    val p66 = plan(ScaleOpsQueries.q66HeavyHittersCms(spark, sf))
+    assert(!p66.contains("ScalaUDF"), "q66 still carries a UDF")
+    assert(p66.contains("cms_estimate"), "q66 lost the CMS probe")
+  }
+
   test("q20 brute-force top-k is a bounded partial aggregate — no global window") {
     // the scale killer this locks out: row_number over ALL N scored
     // corpus ids per query; the topk_by aggregate ships at most k
