@@ -10,7 +10,10 @@ import graft.queries.Parity
   * object-init time so a collision fails fast in any test or run).
   */
 object Registry {
-  private val families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
+  // def, not val: oracle maps may re-render per access (q82 splices the
+  // centroids captured by its latest run into its oracle SQL, so the
+  // dump Verify writes AFTER running queries must re-read them)
+  private def families: Seq[(Map[String, (SparkSession, String) => DataFrame], Map[String, String])] =
     Seq(
       (Parity.queries, Parity.oracleSql),
       (graft.queries.MedallionRoundtrip.queries, graft.queries.MedallionRoundtrip.oracleSql),
@@ -33,8 +36,10 @@ object Registry {
     all.toMap
   }
 
-  val oracleSql: Map[String, String] = families.flatMap(_._2).toMap
-
-  require(oracleSql.keySet.subsetOf(queries.keySet),
-    s"oracleSql keys without queries: ${oracleSql.keySet -- queries.keySet}")
+  def oracleSql: Map[String, String] = {
+    val o = families.flatMap(_._2).toMap
+    require(o.keySet.subsetOf(queries.keySet),
+      s"oracleSql keys without queries: ${o.keySet -- queries.keySet}")
+    o
+  }
 }

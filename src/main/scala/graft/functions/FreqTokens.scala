@@ -185,6 +185,12 @@ case class FreqTokensAgg(
   override def serialize(buffer: MgSummary): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
+    // format-version marker: a batch shuffle always pairs identical builds, but
+    // persisted state (a streaming checkpoint holding this buffer)
+    // could meet a build with a different wire format — mis-decoding
+    // length-prefixed bytes as the old writeUTF layout would corrupt
+    // silently; a version mismatch must fail loudly instead.
+    out.writeByte(FreqTokensAgg.SerFormatVersion)
     out.writeInt(buffer.capacity)
     out.writeLong(buffer.n)
     out.writeLong(buffer.offset)
@@ -207,6 +213,12 @@ case class FreqTokensAgg(
 
   override def deserialize(bytes: Array[Byte]): MgSummary = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val ver = in.readByte()
+    if (ver != FreqTokensAgg.SerFormatVersion)
+      throw new IllegalStateException(
+        s"$prettyName buffer format version $ver != expected " +
+          s"${FreqTokensAgg.SerFormatVersion} — state from an incompatible " +
+          "build (e.g. a stale streaming checkpoint); rebuild the state.")
     val s = new MgSummary(in.readInt())
     s.n = in.readLong()
     s.offset = in.readLong()
@@ -229,6 +241,13 @@ case class FreqTokensAgg(
     copy(mutableAggBufferOffset = newOffset)
   override def withNewInputAggBufferOffset(newOffset: Int): FreqTokensAgg =
     copy(inputAggBufferOffset = newOffset)
+}
+
+object FreqTokensAgg {
+  /** Aggregation-buffer wire format version ([[FreqTokensAgg.serialize]]).
+    * v2 = length-prefixed raw UTF-8 keys (v1 was writeUTF).
+    */
+  val SerFormatVersion: Byte = 2
 }
 
 object FreqTokens {

@@ -442,8 +442,13 @@ object CurationOpsQueries {
         col("n_grams").as("grams_b"))), Seq("source_b"))
       .select(col("source_a"), col("source_b"), col("n_shared"),
         col("grams_a"), col("grams_b"),
-        round(col("n_shared").cast("double")
-          / (col("grams_a") + col("grams_b") - col("n_shared")), 6)
+        // floor(v·1e6 + 0.5)/1e6, not round(): jaccard is a small
+        // rational that CAN land exactly on a 0.5e-6 boundary (dyadic
+        // ratios), where Spark's HALF_UP and DuckDB's half-to-even
+        // disagree — the q77/q80/q83 micro-rounding convention
+        (floor(col("n_shared").cast("double")
+          / (col("grams_a") + col("grams_b") - col("n_shared"))
+          * lit(1e6) + lit(0.5)) / lit(1e6))
           .as("jaccard_r6"))
       .orderBy(col("source_a"), col("source_b"))
   }
@@ -461,7 +466,8 @@ object CurationOpsQueries {
       |  GROUP BY 1, 2)
       |SELECT s.source_a, s.source_b, s.n_shared,
       |  sa.n_grams AS grams_a, sb.n_grams AS grams_b,
-      |  round(CAST(s.n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - s.n_shared), 6) AS jaccard_r6
+      |  floor(CAST(s.n_shared AS DOUBLE) / (sa.n_grams + sb.n_grams - s.n_shared)
+      |        * 1000000 + 0.5) / 1000000 AS jaccard_r6
       |FROM shared s
       |JOIN sizes sa ON sa.source = s.source_a
       |JOIN sizes sb ON sb.source = s.source_b

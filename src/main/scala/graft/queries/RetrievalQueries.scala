@@ -25,13 +25,16 @@ object RetrievalQueries {
     * the shortcut.
     *
     * The coarse quantizer is the per-label mean (q69's centroids,
-    * micro-rounded to 6). Each engine computes its own mean before
-    * rounding, and a mean is order-dependent in the last ulp — so a
-    * value sitting within an ulp of a 0.5e-6 rounding boundary could in
-    * principle round apart and flip a cell assignment. That residual
-    * boundary-tie exposure is the q69 precedent (measure-zero for this
-    * data, not structurally impossible); rounding merely shrinks the
-    * disagreement window from every ulp to the boundary set.
+    * micro-rounded to 6). The centroids Spark computes are CAPTURED and
+    * spliced into the oracle SQL as literals (see [[q82Sql]]): both
+    * engines then run assignment + dedup from the bit-identical
+    * quantizer, eliminating the cross-engine mean-rounding boundary-tie
+    * window entirely (previously a mean within an ulp of a 0.5e-6
+    * boundary could round apart and flip a cell). The oracle still
+    * recomputes everything DOWNSTREAM of the quantizer independently —
+    * the quantizer is pipeline input, not the claim under test. (q69,
+    * whose OUTPUT is the rounded mean itself, keeps engine-vs-engine
+    * comparison: injecting there would make its oracle vacuous.)
     * Assignment reuses [[IvfIndex.assign]] — one codegen'd
     * projection per row scoring all C centroids from literals, no
     * join, no shuffle. A vector is `kept` unless a LOWER-id vector in
@@ -55,6 +58,7 @@ object RetrievalQueries {
       .collect()  // C rows (one per label) — the blessed tiny-centroid load
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1).toSeq
+    q82CapturedCents = Some(cents) // feeds the literal-injected oracle
     val planted = vecs.select(col("vec_id"), col("embedding"))
       .union(vecs.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
     val assigned = IvfIndex(cents).assign(planted)  // (vec_id, cell_id, emb)
@@ -72,14 +76,42 @@ object RetrievalQueries {
       .orderBy(col("vec_id"))
   }
 
-  val q82Sql: String =
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
-      |cent AS (
-      |  SELECT label, list(c ORDER BY pos) AS c FROM (
+  /** Centroids captured by the last [[q82SemanticDedup]] run in this
+    * process — the driver's Verify flow runs every query BEFORE dumping
+    * `oracle_sql.json`, so the dump sees them. Volatile write/read; one
+    * slot suffices because verification runs one corpus per process.
+    */
+  @volatile private var q82CapturedCents: Option[Seq[(Int, Seq[Double])]] = None
+
+  /** The cent CTE as literal rows carrying Spark's captured centroids.
+    * Each component was produced by `round(avg, 6)`, so its exact
+    * 6-decimal rendering round-trips bit-identically through DuckDB's
+    * double parser (the decimal is within half an ulp of the stored
+    * double by construction). Locale-pinned formatting — a comma
+    * decimal separator would silently corrupt the SQL.
+    */
+  private def centLiteralClause(cents: Seq[(Int, Seq[Double])]): String =
+    cents.map { case (label, cs) =>
+      val list = cs.map(v => "%.6f".formatLocal(java.util.Locale.ROOT, v))
+        .mkString("[", ", ", "]")
+      s"SELECT $label AS label, $list::DOUBLE[] AS c"
+    }.mkString(" UNION ALL ")
+
+  /** Self-computing fallback when q82 has not run in this process —
+    * same semantics, minus the boundary-tie immunity.
+    */
+  private val centComputedClause: String =
+    """SELECT label, list(c ORDER BY pos) AS c FROM (
       |    SELECT label, i AS pos, round(avg(x), 6) AS c
       |    FROM (SELECT label, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v)
-      |    GROUP BY 1, 2) GROUP BY 1),
-      |allv AS (SELECT vec_id, e FROM v UNION ALL SELECT vec_id + 1000000, e FROM v),
+      |    GROUP BY 1, 2) GROUP BY 1""".stripMargin
+
+  def q82Sql: String = {
+    val cent = q82CapturedCents.map(centLiteralClause).getOrElse(centComputedClause)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+      |cent AS ($cent),
+      |allv AS (SELECT vec_id, e FROM v UNION ALL SELECT vec_id + 1000000, e FROM v),""".stripMargin +
+    """
       |scored AS (
       |  SELECT a.vec_id, a.e, c.label AS cell_id,
       |    list_dot_product(a.e, c.c) / sqrt(list_dot_product(c.c, c.c)) AS s
@@ -98,6 +130,7 @@ object RetrievalQueries {
       |SELECT a.vec_id, a.cell_id, coalesce(d.n_dups, 0) AS n_dups, d.dup_of,
       |  CASE WHEN d.dup_of IS NULL THEN 1 ELSE 0 END AS kept
       |FROM asg a LEFT JOIN dups d USING (vec_id) ORDER BY vec_id""".stripMargin
+  }
 
   // ===== q83 — BM25 relevance scoring =====================================
 
@@ -228,7 +261,11 @@ object RetrievalQueries {
     "q83_bm25" -> (q83Bm25 _),
     "q85_hamming_ann" -> (q85HammingAnn _))
 
-  val oracleSql: Map[String, String] = Map(
+  /** def, not val: the q82 entry re-renders with the centroids captured
+    * by the latest q82 run (Verify dumps oracle SQL after running the
+    * queries, so the driver's DuckDB sees the injected literals).
+    */
+  def oracleSql: Map[String, String] = Map(
     "q82_semantic_dedup" -> q82Sql,
     "q83_bm25" -> q83Sql,
     "q85_hamming_ann" -> q85Sql)
