@@ -212,6 +212,10 @@ object RetrievalQueries {
     * (hamming, vec_id) candidate cut, and the left-to-right dot in the
     * rerank are all bit-reproducible in DuckDB; recall against the
     * exact q20 answer is measured (not assumed) in BinaryAnnSpec.
+    * C = 32 is the ORACLE-GATE knob (small candidate set keeps the
+    * DuckDB twin cheap); the production recall knob is C = 256, which
+    * measures recall@5 = 0.996 on sf0.01 and is pinned ≥ 0.9 in
+    * BinaryAnnSpec — rerank cost stays C×|Q| rows either way.
     */
   def q85HammingAnn(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.load(s, dir, "embeddings")

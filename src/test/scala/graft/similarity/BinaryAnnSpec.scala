@@ -55,15 +55,27 @@ class BinaryAnnSpec extends SparkTestBase {
     }
   }
 
-  test("recall@5 vs exact brute force ≥ 0.5 at C=32 (measured 0.56)") {
-    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+  private def recallAt5(dir: String, candidates: Int): Double = {
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
     val queries = vecs.filter($"vec_id" < 50)
     val exact = Similarity.bruteForceTopK(vecs, queries, k = 5)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
-    val approx = BinaryAnn.hammingTopK(vecs, queries, k = 5, candidates = 32)
+    val approx = BinaryAnn.hammingTopK(vecs, queries, k = 5, candidates = candidates)
       .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
-    val recall = (exact & approx).size.toDouble / exact.size
+    (exact & approx).size.toDouble / exact.size
+  }
+
+  test("recall@5 vs exact brute force ≥ 0.5 at the q85 test knob C=32 (measured 0.56)") {
+    val recall = recallAt5(sf, candidates = 32)
     assert(recall >= 0.5, s"recall@5 = $recall")
+  }
+
+  test("at production strength C=256, recall@5 ≥ 0.9 (sf0.01, measured 0.996)") {
+    // the LSH/IVF family standard: the production knob is pinned at the
+    // family bound, not the test knob's looser one. Measured curve
+    // (sf0.01): C=64 → 0.79, C=128 → 0.91, C=192 → 0.96, C=256 → 0.996.
+    val recall = recallAt5("/root/testdata/sf0.01", candidates = 256)
+    assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
   test("candidates < k is rejected") {
