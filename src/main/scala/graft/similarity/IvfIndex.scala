@@ -101,14 +101,15 @@ final case class IvfIndex(centroids: Seq[(Int, Seq[Double])]) {
   def approxTopKAssigned(
       assigned: DataFrame, queries: DataFrame, k: Int, nprobe: Int): DataFrame = {
     val probed = probes(queries, nprobe)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("vec_id"))
-    assigned.join(probed, Seq("cell_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("cosine", Similarity.cosine(col("q_emb"), col("emb")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "vec_id", "cosine")
+    // ranking via the bounded per-split aggregate (Similarity.rankTopK):
+    // a probed cell holds ~N/C members, so a global per-query window
+    // would shuffle N·nprobe/C ids per query — corpus-proportional
+    Similarity.rankTopK(
+      assigned.join(probed, Seq("cell_id"))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          Similarity.cosine(col("q_emb"), col("emb")).as("cosine")),
+      k)
   }
 }
 

@@ -53,13 +53,29 @@ object Similarity {
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     graft.functions.VectorOps.register(corpus.sparkSession)
-    graft.functions.TopKAgg.register(corpus.sparkSession)
     val c = corpus.select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("q_emb"))
-    c.join(broadcast(q), col("vec_id") =!= col("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        cosine(col("q_emb"), col("emb")).as("cosine"))
+    rankTopK(
+      c.join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          cosine(col("q_emb"), col("emb")).as("cosine")),
+      k)
+  }
+
+  /** (query_id, vec_id, cosine) → (query_id, rank, vec_id, cosine),
+    * rank 1..k by cosine desc with vec_id tie-break — the shared ANN
+    * ranking tail. A bounded per-split top-k aggregate
+    * ([[graft.functions.TopKAgg]]): identical output to
+    * `row_number().over(partitionBy(query_id).orderBy(cosine desc,
+    * vec_id)) <= k`, but the exchange carries at most k entries per
+    * (split, query) instead of every scored candidate id — the global
+    * ranking window was the one ANN stage whose shuffle grew with the
+    * corpus rather than with k.
+    */
+  private[similarity] def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    graft.functions.TopKAgg.register(scored.sparkSession)
+    scored
       .groupBy(col("query_id"))
       .agg(graft.functions.TopKAgg.topkBy(
         col("cosine"), col("vec_id"), k, asc = false).as("tk"))
@@ -115,18 +131,16 @@ object Similarity {
         col("embedding").cast("array<double>").as("q_emb"))
       val cEmb = corpus.select(col("vec_id"),
         col("embedding").cast("array<double>").as("emb"))
-      val w = Window.partitionBy(col("query_id"))
-        .orderBy(col("cosine").desc, col("vec_id"))
       // equi-joins, no hints: AQE broadcasts a small query set and
       // shuffles a corpus-sized one — a forced broadcast would cap the
       // scale path at driver memory
-      cands
-        .join(qEmb, Seq("query_id"))
-        .join(cEmb, Seq("vec_id"))
-        .withColumn("cosine", Similarity.cosine(col("q_emb"), col("emb")))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= k)
-        .select("query_id", "rank", "vec_id", "cosine")
+      Similarity.rankTopK(
+        cands
+          .join(qEmb, Seq("query_id"))
+          .join(cEmb, Seq("vec_id"))
+          .select(col("query_id"), col("vec_id"),
+            Similarity.cosine(col("q_emb"), col("emb")).as("cosine")),
+        k)
     }
   }
 
