@@ -238,9 +238,14 @@ object MinHashLSH {
     try {
       val row = scala.concurrent.Await.result(
         obs.future, scala.concurrent.duration.Duration(60, "s"))
-      val dropped = row.getAs[Long]("dropped_rows")
+      // positional access, not by name: under foreachBatch the metric
+      // row arrives as a schema-less GenericRow where fieldIndex throws.
+      // Slot 0 = dropped_rows, 1 = widest_bucket (observe expr order);
+      // both null on an empty input relation.
+      val dropped =
+        if (row.length > 0 && !row.isNullAt(0)) row.getLong(0) else 0L
       if (dropped > 0) {
-        val widest = row.getAs[Any]("widest_bucket")
+        val widest = if (row.length > 1) row.get(1) else "?"
         log.warn(s"LSH $what: dropped $dropped (doc, band) rows in buckets " +
           s"wider than maxBucket=$maxBucket (widest: $widest). Pairs colliding " +
           "only in oversized buckets are NOT candidates; raise maxBucket or " +
