@@ -26,6 +26,13 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // TypedImperativeAggregates (topk_by, freq_tokens) run in
+      // ObjectHashAggregate, which falls back to sort-based aggregation
+      // past this many distinct keys per task — the default 128 would
+      // force a per-partition sort for modest ANN query fan-outs. The
+      // buffers are small by construction (O(k)/O(capacity) state), so
+      // a few thousand in-memory keys is cheap.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "4096")
       .config("spark.sql.parquet.compression.codec", "snappy")
       // Parquet TIMESTAMP(NANOS) (events.ts) is unreadable by default;
       // read as epoch-nanos LongType and convert explicitly in queries.

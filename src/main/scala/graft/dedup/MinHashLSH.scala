@@ -514,8 +514,12 @@ object MinHashLSH {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val obs = Observation()
-      val pairs = incrementalCandidates(corpusBands,
-          bandedFromShingles(batchSh, k, b), maxBucket, Some(obs))
+      // the batch bands feed three candidate subtrees (self-join left +
+      // right, corpus probe); the eager checkpoint runs the batch's
+      // shingle→signature→band derivation ONCE instead of per reference
+      // — the batch is small by construction, so the checkpoint is too
+      val batchBands = bandedFromShingles(batchSh, k, b).localCheckpoint(eager = true)
+      val pairs = incrementalCandidates(corpusBands, batchBands, maxBucket, Some(obs))
         .localCheckpoint(eager = true)
       warnDrops(obs, maxBucket, s"nearDuplicatesAgainst($indexDir,n=$n,k=$k,b=$b)")
       // verification reads corpus shingles for CANDIDATE docs only: the
