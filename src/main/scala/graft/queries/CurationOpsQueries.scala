@@ -473,7 +473,110 @@ object CurationOpsQueries {
       |JOIN sizes sb ON sb.source = s.source_b
       |ORDER BY source_a, source_b""".stripMargin
 
+  // ===== q87 — duplicate-span CUT (substring-level dedup) =================
+
+  /** The surgical step q84's span list exists for: REMOVE duplicated
+    * passages from the corpus while keeping exactly one canonical copy
+    * (Lee et al. 2022's dedup cut, word-grain). Rules, all
+    * deterministic:
+    *
+    *  - a stride-1 8-word window is a duplicate when its text occurs
+    *    more than once corpus-wide (q84's flag);
+    *  - each duplicated window's CANONICAL occurrence is its
+    *    corpus-wide first — min (doc_id, position) — which keeps its
+    *    words;
+    *  - a word is cut iff some covering duplicate-window occurrence is
+    *    non-canonical AND no covering canonical occurrence protects it
+    *    (boundary words shared with a canonical window survive, so the
+    *    kept copy is never torn).
+    *
+    * Output: per doc, the rebuilt text plus words_total/words_cut —
+    * a fully-duplicated non-canonical doc rebuilds to ''.
+    *
+    * Scale shape: linear explodes all the way — windows (stride 1),
+    * w-position coverage rows (8× word count, constant factor), one
+    * (doc, pos) hash-agg for the cut set, one anti join + per-doc
+    * rebuild agg. Shuffle keys are md5-uniform window hashes and
+    * (doc_id, pos) — no skew pivot; nothing quadratic anywhere (the
+    * occurrence window counts, it never pairs). The canonical
+    * row_number window partitions by window hash — bounded by that
+    * hash's occurrence count, the same key q84 already shuffles on.
+    */
+  def q87DedupCut(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val words = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    val wins = words.filter(size(col("ws")) >= w)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - w)).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " ")).as("h"))
+    val occ = Window.partitionBy(col("h"))
+    val flagged = wins
+      .withColumn("c", count(lit(1)).over(occ))
+      .withColumn("rn", row_number().over(occ.orderBy(col("doc_id"), col("i"))))
+      .filter(col("c") > 1)
+    val cover = flagged
+      .select(col("doc_id"), (col("rn") === 1).as("canon"),
+        explode(sequence(col("i"), col("i") + lit(w - 1))).as("p"))
+    val cut = cover.groupBy(col("doc_id"), col("p"))
+      .agg(max(when(!col("canon"), 1).otherwise(0)).as("has_dup"),
+        max(when(col("canon"), 1).otherwise(0)).as("has_canon"))
+      .filter(col("has_dup") === 1 && col("has_canon") === 0)
+      .select(col("doc_id"), col("p"))
+    val wordRows = words
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+    val rebuilt = wordRows
+      .join(cut,
+        wordRows("doc_id") === cut("doc_id") && wordRows("pos") === cut("p"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("words_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          _.getField("word")), " ").as("kept_text"))
+    words.select(col("doc_id"), size(col("ws")).cast("long").as("words_total"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("words_total"),
+        (col("words_total") - coalesce(col("words_kept"), lit(0L))).as("words_cut"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q87Sql: String =
+    """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i, md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS h
+      |  FROM d, unnest(range(len(ws) - 8 + 1)) AS t(i)
+      |  WHERE len(ws) >= 8),
+      |fl AS (
+      |  SELECT doc_id, i,
+      |    count(*) OVER (PARTITION BY h) AS c,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+      |  FROM wins),
+      |cover AS (
+      |  SELECT doc_id, i + u AS p, rn = 1 AS canon
+      |  FROM (SELECT * FROM fl WHERE c > 1), unnest(range(8)) AS t(u)),
+      |cut AS (
+      |  SELECT doc_id, p FROM cover GROUP BY doc_id, p
+      |  HAVING max(CASE WHEN NOT canon THEN 1 ELSE 0 END) = 1
+      |     AND max(CASE WHEN canon THEN 1 ELSE 0 END) = 0),
+      |wordsx AS (
+      |  SELECT doc_id, u AS pos, ws[u + 1] AS word
+      |  FROM d, unnest(range(len(ws))) AS t(u)),
+      |reb AS (
+      |  SELECT w.doc_id, count(*) AS words_kept,
+      |    string_agg(w.word, ' ' ORDER BY w.pos) AS kept_text
+      |  FROM wordsx w
+      |  WHERE NOT EXISTS (SELECT 1 FROM cut c WHERE c.doc_id = w.doc_id AND c.p = w.pos)
+      |  GROUP BY w.doc_id)
+      |SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS words_total,
+      |  CAST(len(d.ws) - coalesce(words_kept, 0) AS BIGINT) AS words_cut,
+      |  coalesce(kept_text, '') AS kept_text
+      |FROM d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q87_dedup_cut" -> (q87DedupCut _),
     "q76_cube_scorecard" -> (q76CubeScorecard _),
     "q77_unigram_surprisal" -> (q77UnigramSurprisal _),
     "q78_passage_dup_fraction" -> (q78PassageDupFraction _),
@@ -484,6 +587,7 @@ object CurationOpsQueries {
     "q86_source_overlap" -> (q86SourceOverlap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q87_dedup_cut" -> q87Sql,
     "q76_cube_scorecard" -> q76Sql,
     "q77_unigram_surprisal" -> q77Sql,
     "q78_passage_dup_fraction" -> q78Sql,

@@ -129,6 +129,50 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out == Seq((1L, 0L, 23L, 24L, 17L), (2L, 0L, 23L, 24L, 17L)), s"got $out")
   }
 
+  test("q87 cut removes the copy, keeps the canonical, protects boundary words") {
+    // doc 1 (lower doc_id) owns the 10-word passage; doc 2 carries the
+    // same passage inside fresh text. The cut must keep doc 1 intact
+    // (every flagged window's canonical occurrence is in doc 1) and
+    // remove exactly the passage words from doc 2.
+    val p = (0 until 10).map(i => s"p$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val a5 = uniq("a", 5); val b20 = uniq("b", 20)
+    val c3 = uniq("c", 3); val d22 = uniq("d", 22)
+    val dir = writeDocs(Seq(
+      (1L, s"$a5 $p $b20", "en", "web", 0L),
+      (2L, s"$c3 $p $d22", "en", "web", 0L)))
+    val out = CurationOpsQueries.q87DedupCut(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    val Seq(d1, d2) = out
+    assert(d1 == (1L, 35L, 0L, s"$a5 $p $b20"), s"canonical doc changed: $d1")
+    assert(d2._2 == 35L && d2._3 == 10L, s"copy doc cut wrong count: $d2")
+    assert(d2._4 == s"$c3 $d22", s"copy doc kept wrong words: ${d2._4}")
+  }
+
+  test("q87 full non-canonical duplicate rebuilds to empty; canonical untouched") {
+    val p = (0 until 16).map(i => s"z$i").mkString(" ")
+    val dir = writeDocs(Seq(
+      (1L, p, "en", "web", 0L),
+      (2L, p, "en", "web", 0L)))
+    val out = CurationOpsQueries.q87DedupCut(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out(0) == (1L, 16L, 0L, p), s"got ${out(0)}")
+    assert(out(1) == (2L, 16L, 16L, ""), s"got ${out(1)}")
+  }
+
+  test("q87 words shared with a canonical window survive in the canonical doc " +
+      "even when that doc also holds a non-canonical copy") {
+    // one doc containing the same passage twice: first occurrence is
+    // canonical (kept), second is cut — self-repetition dedup
+    val p = (0 until 12).map(i => s"r$i").mkString(" ")
+    val g = (0 until 10).map(i => s"g$i").mkString(" ")
+    val dir = writeDocs(Seq((1L, s"$p $g $p", "en", "web", 0L)))
+    val out = CurationOpsQueries.q87DedupCut(spark, dir)
+      .as[(Long, Long, Long, String)].collect().head
+    assert(out._2 == 34L && out._3 == 12L, s"got $out")
+    assert(out._4 == s"$p $g", s"got ${out._4}")
+  }
+
   test("q86 overlap matrix: planted cross-source copy with exact jaccard") {
     val p = (0 until 8).map(i => s"x$i").mkString(" ")  // exactly one window
     def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
