@@ -260,10 +260,36 @@ object RetrievalQueries {
       |  round(cosine, 6) AS cosine_r6
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ===== q88 — binary-ANN over a persisted code index =====================
+
+  /** q85's search against a [[graft.similarity.BinaryAnn.buildIndex]]-
+    * persisted sign-bit code table — the q25/q33 persistence convention
+    * for the binary family: the corpus-wide packing pass runs ONCE
+    * (Warehouse build-once, fingerprint-keyed), and every later search
+    * scans the ~16×-smaller stored codes; full-precision embeddings are
+    * read only for the C×Q rerank candidates. Results equal q85 by
+    * construction (packing is deterministic), so the oracle is the
+    * same SQL — an independent full recompute in DuckDB.
+    */
+  def q88HammingAnnIndexed(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    val idxDir = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "binary_ann_codes",
+        s"$dir/embeddings.parquet", params = "words=32bit")) { d =>
+      graft.similarity.BinaryAnn.buildIndex(vecs, d)
+    }
+    graft.similarity.BinaryAnn.hammingTopKFromIndex(
+        idxDir, vecs, vecs.filter(col("vec_id") < 50), k = 5, candidates = 32)
+      .withColumn("cosine_r6", round(col("cosine"), 6))
+      .drop("cosine")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semantic_dedup" -> (q82SemanticDedup _),
     "q83_bm25" -> (q83Bm25 _),
-    "q85_hamming_ann" -> (q85HammingAnn _))
+    "q85_hamming_ann" -> (q85HammingAnn _),
+    "q88_hamming_ann_indexed" -> (q88HammingAnnIndexed _))
 
   /** def, not val: the q82 entry re-renders with the centroids captured
     * by the latest q82 run (Verify dumps oracle SQL after running the
@@ -272,5 +298,8 @@ object RetrievalQueries {
   def oracleSql: Map[String, String] = Map(
     "q82_semantic_dedup" -> q82Sql,
     "q83_bm25" -> q83Sql,
-    "q85_hamming_ann" -> q85Sql)
+    "q85_hamming_ann" -> q85Sql,
+    // identical pipeline semantics; the index is a deterministic
+    // re-materialization, so the q85 recompute oracles q88 too
+    "q88_hamming_ann_indexed" -> q85Sql)
 }

@@ -72,13 +72,44 @@ object BinaryAnn {
     *                   recall rises with C, cost is C×Q rerank rows
     */
   def hammingTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      candidates: Int): DataFrame = {
+      candidates: Int): DataFrame =
+    topKWithBits(corpus,
+      corpus.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("emb"))
+        .select(col("vec_id"), packSignBits(col("emb")).as("bits")),
+      queries, k, candidates)
+
+  /** Persist the packed sign-bit codes for `corpus` at `indexDir`
+    * (overwrite) — the binary-ANN analogue of the q25/q33 persisted
+    * indexes: packing is the one corpus-wide map pass, and the stored
+    * (vec_id, bits) table is ~16× smaller than the embeddings, so the
+    * day-2 probe path scans kilobits per vector and never re-packs.
+    * Full-precision embeddings are NOT stored — the rerank reads them
+    * from the corpus table itself (only for the C×Q candidates).
+    */
+  def buildIndex(corpus: DataFrame, indexDir: String): Unit = {
+    VectorOps.register(corpus.sparkSession)
+    corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
+      .select(col("vec_id"), packSignBits(col("emb")).as("bits"))
+      .write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** [[hammingTopK]] against a [[buildIndex]]-persisted code table —
+    * equal by construction (packing is a deterministic function of the
+    * embeddings). `corpus` supplies the full-precision vectors for the
+    * candidate rerank only.
+    */
+  def hammingTopKFromIndex(indexDir: String, corpus: DataFrame,
+      queries: DataFrame, k: Int, candidates: Int): DataFrame =
+    topKWithBits(corpus,
+      corpus.sparkSession.read.parquet(indexDir), queries, k, candidates)
+
+  private def topKWithBits(corpus: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int, candidates: Int): DataFrame = {
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
     VectorOps.register(corpus.sparkSession)
     graft.functions.TopKAgg.register(corpus.sparkSession)
-    val c = corpus.select(col("vec_id"),
-      col("embedding").cast("array<double>").as("emb"))
-      .withColumn("bits", packSignBits(col("emb")))
     val q = queries.select(col("vec_id").as("query_id"),
       col("embedding").cast("array<double>").as("q_emb"))
       .withColumn("q_bits", packSignBits(col("q_emb")))
@@ -87,7 +118,7 @@ object BinaryAnn {
     // only ids + an int distance reach the exchange, at most C entries
     // per (split, query). Hamming (small int) is exact in the agg's
     // double score slot.
-    val cand = c.select(col("vec_id"), col("bits"))
+    val cand = codes.select(col("vec_id"), col("bits"))
       .join(broadcast(q.select(col("query_id"), col("q_bits"))),
         col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
@@ -103,7 +134,8 @@ object BinaryAnn {
     // corpus scan; the corpus never shuffles
     val rw = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
-    c.select(col("vec_id"), col("emb"))
+    corpus.select(col("vec_id"),
+        col("embedding").cast("array<double>").as("emb"))
       .join(broadcast(cand), Seq("vec_id"))
       .join(broadcast(q.select(col("query_id"), col("q_emb"))), Seq("query_id"))
       .withColumn("cosine", Similarity.cosine(col("q_emb"), col("emb")))

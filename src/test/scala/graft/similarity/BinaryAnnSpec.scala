@@ -78,6 +78,23 @@ class BinaryAnnSpec extends SparkTestBase {
     assert(recall >= 0.9, s"recall@5 = $recall")
   }
 
+  test("search from a persisted code index equals the fresh-pack path") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = vecs.filter($"vec_id" < 20)
+    val idx = java.nio.file.Files.createTempDirectory("bann-idx").toString
+    BinaryAnn.buildIndex(vecs, idx)
+    val fresh = BinaryAnn.hammingTopK(vecs, queries, k = 5, candidates = 32)
+      .collect().map(_.toSeq).toSet
+    val loaded = BinaryAnn.hammingTopKFromIndex(idx, vecs, queries, k = 5, candidates = 32)
+      .collect().map(_.toSeq).toSet
+    assert(loaded == fresh)
+    // the probe plan reads the stored codes, not a re-pack: no
+    // shiftleft (the packing kernel) may appear on the candidate side
+    val p = BinaryAnn.hammingTopKFromIndex(idx, vecs, queries, k = 5, candidates = 32)
+      .queryExecution.executedPlan.toString
+    assert(p.contains(idx), "stored code table not scanned")
+  }
+
   test("candidates < k is rejected") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
     intercept[IllegalArgumentException] {
