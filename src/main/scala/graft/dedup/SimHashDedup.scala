@@ -12,6 +12,19 @@ import graft.functions.SimHash64
   * negatives, and the exact popcount(xor) filter removes false
   * positives. Same shuffle shape as MinHash LSH: bucket join, never
   * all-pairs.
+  *
+  * Bucket-width note (deliberately NOT capped, unlike
+  * [[MinHashLSH.DefaultMaxBandBucket]]): the pigeonhole argument is a
+  * ZERO-false-negative guarantee — every ≤3-bit pair agrees on some
+  * chunk, and exact duplicates agree on all four — so dropping a wide
+  * (chunk_idx, chunk_value) bucket would break the guarantee the q22/
+  * q40 gates pin, exactly for the duplicate-heavy content dedup
+  * exists for. A wide chunk bucket IS the duplicate cluster being
+  * sought. The worst case is bounded differently here: chunk values
+  * are 16-bit, so a bucket is one of 4×65536 cells, and a pathological
+  * cell means near-identical fingerprints — resolve those through
+  * [[graft.dedup.DedupClusters]] (one survivor per cluster), not by
+  * discarding evidence.
   */
 object SimHashDedup {
 

@@ -151,6 +151,16 @@ object Similarity {
     * Full-corpus self-join form; a daily pipeline should use
     * [[buildCosineIndex]] + [[cosineNearDuplicatesAgainst]] so each
     * batch only buckets itself.
+    *
+    * Bucket-width note (deliberately NOT capped, unlike
+    * [[graft.dedup.MinHashLSH.DefaultMaxBandBucket]]): sign buckets are
+    * COARSE by design — 2^bits cells per table — so wide buckets are
+    * expected and carry real pairs; identical vectors share EVERY
+    * bucket, so dropping wide buckets would silently lose exact
+    * duplicates (the guarantee the q32/q34 gates pin). The scale lever
+    * here is `bits` ∝ log₂(N) (per-bucket occupancy ≈ N/2^bits keeps
+    * the s² pair work bounded), plus more `tables` to restore recall —
+    * a cap is the wrong tool for this family.
     */
   def cosineNearDuplicates(
       vecs: DataFrame, lsh: RandomHyperplaneLsh, threshold: Double): DataFrame = {
