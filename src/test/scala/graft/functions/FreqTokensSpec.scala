@@ -106,6 +106,38 @@ class FreqTokensSpec extends SparkTestBase {
       s"got: $e")
   }
 
+  test("streaming aggregation: state survives micro-batches and equals the batch answer") {
+    // the buffer serializes into the streaming state store between
+    // micro-batches — the exact persisted-state path the wire-format
+    // version byte guards. Two batches of grouped tokens in complete
+    // mode must end at the same certified candidates as one batch run.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val rows1 = (1 to 300).map(i => ("a", if (i % 3 == 0) "hot" else s"w$i"))
+    val rows2 = (1 to 300).map(i => ("a", if (i % 2 == 0) "hot" else s"v$i")) ++
+      (1 to 50).map(i => ("b", "solo"))
+    val in = MemoryStream[(String, String)]
+    val q = in.toDS().toDF("g", "w")
+      .groupBy($"g").agg(FreqTokens.freqTokens($"w", 256, 0.1).as("ft"))
+      .writeStream.format("memory").queryName("ft_stream")
+      .outputMode("complete").start()
+    try {
+      in.addData(rows1: _*)
+      q.processAllAvailable()
+      in.addData(rows2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("ft_stream")
+      .select($"g", $"ft.n", $"ft.cand").as[(String, Long, Seq[String])]
+      .collect().map { case (g, n, c) => g -> ((n, c)) }.toMap
+    val batch = (rows1 ++ rows2).toDF("g", "w")
+      .groupBy($"g").agg(FreqTokens.freqTokens($"w", 256, 0.1).as("ft"))
+      .select($"g", $"ft.n", $"ft.cand").as[(String, Long, Seq[String])]
+      .collect().map { case (g, n, c) => g -> ((n, c)) }.toMap
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed("a")._2.contains("hot") && streamed("b")._2 == Seq("solo"))
+  }
+
   test("analysis rejects bad arity, non-literal params, and out-of-range frac") {
     val df = Seq(("g", "w")).toDF("g", "w")
     df.createOrReplaceTempView("ft_args")
