@@ -274,6 +274,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p66.contains("cms_estimate"), "q66 lost the CMS probe")
   }
 
+  test("q87 cut scan prunes to doc_id+text; occurrence counting joins nothing") {
+    val p = plan(CurationOpsQueries.q87DedupCut(spark, sf))
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+      "documents scan must prune to doc_id+text: " +
+        p.linesIterator.find(_.contains("ReadSchema")).getOrElse("?"))
+    // exactly one join is allowed: the cut-position anti join (plus the
+    // final left join back onto the doc spine); the flag/canonical
+    // counting must be windows over the md5 key, never a self-join
+    val joins = p.linesIterator.filter(_.contains("Join")).toSeq
+    assert(joins.forall(l => l.contains("LeftAnti") || l.contains("LeftOuter")),
+      "unexpected join kind:\n" + joins.mkString("\n"))
+  }
+
   test("q20 brute-force top-k is a bounded partial aggregate — no global window") {
     // the scale killer this locks out: row_number over ALL N scored
     // corpus ids per query; the topk_by aggregate ships at most k
