@@ -99,6 +99,9 @@ final class TopKHeap(val k: Int, val asc: Boolean) {
   }
 
   def writeTo(out: DataOutputStream): Unit = {
+    // format-version marker (the FreqTokens convention): persisted
+    // state from an incompatible build must fail loudly, not mis-decode
+    out.writeByte(TopKAgg.SerFormatVersion)
     out.writeInt(size)
     var i = 0
     while (i < size) {
@@ -185,6 +188,11 @@ case class TopKByAgg(
 
   override def deserialize(bytes: Array[Byte]): TopKHeap = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val ver = in.readByte()
+    if (ver != TopKAgg.SerFormatVersion)
+      throw new IllegalStateException(
+        s"$prettyName buffer format version $ver != expected " +
+          s"${TopKAgg.SerFormatVersion} — state from an incompatible build")
     val h = new TopKHeap(k, asc)
     var n = in.readInt()
     while (n > 0) { h.insert(in.readDouble(), in.readLong()); n -= 1 }
@@ -205,6 +213,9 @@ case class TopKByAgg(
 object TopKAgg {
 
   val FunctionName = "topk_by"
+
+  /** Aggregation-buffer wire format version ([[TopKHeap.writeTo]]). */
+  val SerFormatVersion: Byte = 1
 
   /** Idempotent session registration (the [[FreqTokens.register]]
     * convention).
