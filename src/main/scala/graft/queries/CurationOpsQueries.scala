@@ -575,8 +575,103 @@ object CurationOpsQueries {
       |  coalesce(kept_text, '') AS kept_text
       |FROM d LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ===== q89 — decontamination CUT (span-grain eval removal) ==============
+
+  /** The surgical third stage of the decontamination family: q39 FLAGS
+    * contaminated training docs, q65 scales the flagging with a bloom
+    * prune, and this REMOVES the contaminated text itself — every
+    * training word covered by an 8-word window whose text occurs in
+    * the held-out set is cut (NO canonical exemption, unlike q87's
+    * intra-corpus rule: eval text must not survive anywhere in
+    * training). Dropping whole documents wastes the clean remainder;
+    * span-grain cutting keeps it.
+    *
+    * Same corpus split as q39/q65: docs 0–199 are the held-out side,
+    * the rest plus planted copies of the first 10 (ids +3000000) are
+    * training — the plants prove the cutter fires.
+    *
+    * Scale shape: window generation is linear and shuffle-free; the
+    * flag is ONE equi-join on the md5 window hash (held-out side
+    * aggregated distinct first — no broadcast assumption, AQE
+    * broadcasts when it fits); cut-set and rebuild as in q87. At
+    * 100 TB, pre-prune the training window stream with the q65 bloom
+    * before this join — results identical, the join then touches only
+    * survivors.
+    */
+  def q89DecontaminateCut(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") >= 200)
+      .union(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+    val words = train.select(col("doc_id"), split(col("text"), " ").as("ws"))
+    def windows(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .filter(size(col("ws")) >= w)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - w)).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " ")).as("h"))
+    val contamGrams = windows(docs.filter(col("doc_id") < 200))
+      .select(col("h")).distinct()
+    val cut = windows(train)
+      .join(contamGrams, Seq("h"))
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(w - 1))).as("p"))
+      .distinct()
+    val wordRows = words
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+    val rebuilt = wordRows
+      .join(cut,
+        wordRows("doc_id") === cut("doc_id") && wordRows("pos") === cut("p"),
+        "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("words_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("word")))),
+          _.getField("word")), " ").as("kept_text"))
+    words.select(col("doc_id"), size(col("ws")).cast("long").as("words_total"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("words_total"),
+        (col("words_total") - coalesce(col("words_kept"), lit(0L))).as("words_cut"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q89Sql: String =
+    """WITH base AS (SELECT doc_id, text FROM documents),
+      |train AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM base WHERE doc_id >= 200
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, string_split(text, ' ') FROM base WHERE doc_id < 10),
+      |cg AS (
+      |  SELECT DISTINCT md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS h
+      |  FROM (SELECT string_split(text, ' ') AS ws FROM base WHERE doc_id < 200),
+      |       unnest(range(len(ws) - 8 + 1)) AS t(i)
+      |  WHERE len(ws) >= 8),
+      |tw AS (
+      |  SELECT doc_id, i, md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS h
+      |  FROM train, unnest(range(len(ws) - 8 + 1)) AS t(i)
+      |  WHERE len(ws) >= 8),
+      |cut AS (
+      |  SELECT DISTINCT doc_id, i + u AS p
+      |  FROM tw JOIN cg USING (h), unnest(range(8)) AS t(u)),
+      |wordsx AS (
+      |  SELECT doc_id, u AS pos, ws[u + 1] AS word
+      |  FROM train, unnest(range(len(ws))) AS t(u)),
+      |reb AS (
+      |  SELECT w.doc_id, count(*) AS words_kept,
+      |    string_agg(w.word, ' ' ORDER BY w.pos) AS kept_text
+      |  FROM wordsx w
+      |  WHERE NOT EXISTS (SELECT 1 FROM cut c WHERE c.doc_id = w.doc_id AND c.p = w.pos)
+      |  GROUP BY w.doc_id)
+      |SELECT t.doc_id, CAST(len(t.ws) AS BIGINT) AS words_total,
+      |  CAST(len(t.ws) - coalesce(words_kept, 0) AS BIGINT) AS words_cut,
+      |  coalesce(kept_text, '') AS kept_text
+      |FROM train t LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_dedup_cut" -> (q87DedupCut _),
+    "q89_decontaminate_cut" -> (q89DecontaminateCut _),
     "q76_cube_scorecard" -> (q76CubeScorecard _),
     "q77_unigram_surprisal" -> (q77UnigramSurprisal _),
     "q78_passage_dup_fraction" -> (q78PassageDupFraction _),
@@ -588,6 +683,7 @@ object CurationOpsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q87_dedup_cut" -> q87Sql,
+    "q89_decontaminate_cut" -> q89Sql,
     "q76_cube_scorecard" -> q76Sql,
     "q77_unigram_surprisal" -> q77Sql,
     "q78_passage_dup_fraction" -> q78Sql,

@@ -173,6 +173,27 @@ class CurationOpsSpec extends SparkTestBase {
     assert(out._4 == s"$p $g", s"got ${out._4}")
   }
 
+  test("q89 planted eval copies are cut to empty; clean training docs untouched") {
+    // ids < 200 are held-out; ids >= 200 train. doc 300 embeds the
+    // eval passage mid-document → exactly that span is cut; doc 301 is
+    // clean → untouched. The q65-convention plants (ids < 10 shifted
+    // +3000000) are verbatim eval copies → cut to nothing.
+    val evalP = (0 until 12).map(i => s"e$i").mkString(" ")
+    def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
+    val a6 = uniq("a", 6); val b9 = uniq("b", 9); val c30 = uniq("c", 30)
+    val dir = writeDocs(Seq(
+      (0L, evalP, "en", "web", 0L),                       // held-out
+      (300L, s"$a6 $evalP $b9", "en", "web", 0L),         // train, contaminated
+      (301L, c30, "en", "web", 0L)))                      // train, clean
+    val out = CurationOpsQueries.q89DecontaminateCut(spark, dir)
+      .as[(Long, Long, Long, String)].collect().toSeq.sortBy(_._1)
+    assert(out.map(_._1) == Seq(300L, 301L, 3000000L), s"got $out")
+    val Seq(d300, d301, plant) = out
+    assert(d300 == (300L, 27L, 12L, s"$a6 $b9"), s"contaminated doc: $d300")
+    assert(d301 == (301L, 30L, 0L, c30), s"clean doc changed: $d301")
+    assert(plant == (3000000L, 12L, 12L, ""), s"plant not fully cut: $plant")
+  }
+
   test("q86 overlap matrix: planted cross-source copy with exact jaccard") {
     val p = (0 until 8).map(i => s"x$i").mkString(" ")  // exactly one window
     def uniq(tag: String, n: Int) = (0 until n).map(i => s"$tag$i").mkString(" ")
