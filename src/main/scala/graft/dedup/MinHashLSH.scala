@@ -23,22 +23,26 @@ import graft.text.TextFunctions
   */
 object MinHashLSH {
 
-  /** Band buckets wider than this are EXCLUDED from candidate-pair
-    * generation. An LSH band bucket of width s contributes s² candidate
-    * pairs to the self-join — a corpus-frequent boilerplate signature
-    * (every page sharing one template band) is the classic LSH skew
-    * killer at scale: one bucket of 10⁶ docs is 10¹² pairs on one
-    * reducer. The cap bounds any bucket's contribution at maxBucket²/2.
-    *
-    * What a drop can and cannot lose: a pair is only lost if EVERY band
-    * the two docs share is oversized — any collision in one
-    * normal-width band still surfaces the pair (b independent chances).
-    * Oversized buckets are overwhelmingly boilerplate (near-identical
-    * template content, the q54 detector's target), and every drop is
-    * counted and logged loudly by the eager entry points via
-    * [[Observation]] metrics collected during the same job — never
-    * silent. Raise the cap (or pre-strip boilerplate) if the log fires
-    * on content you care about.
+  /** Band buckets wider than this are DEGRADED — not dropped — in
+    * candidate-pair generation. An LSH band bucket of width s
+    * contributes s² candidate pairs to the self-join — a
+    * corpus-frequent boilerplate signature (every page sharing one
+    * template band) is the classic LSH skew killer at scale: one
+    * bucket of 10⁶ docs is 10¹² pairs on one reducer. A bucket within
+    * the cap enumerates its pairs fully (≤ maxBucket²/2); a bucket
+    * OVER the cap instead emits a bounded representative star — each
+    * member paired with the bucket's minimum id, O(s) pairs — so a
+    * duplicate cluster wider than the cap (which shares EVERY band
+    * bucket, making all of them oversized) still surfaces as one
+    * connected component around its minimum-id member instead of
+    * vanishing. That preserves cluster-survivor dedup semantics
+    * exactly for exact-copy clusters (every star pair verifies at
+    * J = 1); for merely-similar members the star edge can fail
+    * verification where some dropped member↔member edge would have
+    * passed — the degradation, counted and logged loudly by the eager
+    * entry points via [[Observation]] metrics collected during the
+    * same job. Raise the cap (or pre-strip boilerplate) if the log
+    * fires on content you care about.
     */
   val DefaultMaxBandBucket: Int = 1024
 
@@ -201,38 +205,49 @@ object MinHashLSH {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
-  /** Annotates a banded relation with its bucket width and drops rows
-    * in buckets wider than `maxBucket` (see [[DefaultMaxBandBucket]])
-    * or narrower than 2 (singleton buckets yield no pairs — skipping
-    * them prunes the self-join input for free). The width comes from a
-    * window count over the band key — the SAME hash partitioning the
-    * candidate self-join requires, so the count rides the exchange the
-    * join pays anyway, and the window's partition-key sort satisfies a
-    * sort-merge join's ordering requirement.
+  /** Annotates a banded relation with its bucket width and minimum id,
+    * keeping `rep` (the bucket's min id) non-null exactly on rows in
+    * buckets wider than `maxBucket` (see [[DefaultMaxBandBucket]]).
+    * Downstream consumers read the schema as: rep null → enumerate the
+    * bucket's pairs fully; rep non-null → the bucket is oversized and
+    * degrades to the (rep, member) star. Singleton buckets are dropped
+    * when `keepSingletons` is false (they yield no self-join pairs —
+    * skipping them prunes the join input for free); the incremental
+    * path keeps them (a lone batch doc still probes the corpus). Width
+    * and min come from one window over the band key — the SAME hash
+    * partitioning the candidate self-join requires, so they ride the
+    * exchange the join pays anyway, and the window's partition-key
+    * sort satisfies a sort-merge join's ordering requirement.
     *
-    * When `obs` is given, drop accounting is collected DURING the same
-    * job (zero extra passes) — callers must evaluate the result exactly
-    * once (checkpoint) before reusing it, both so the metrics are exact
-    * and because Spark rejects one observation attached to two plan
-    * subtrees.
+    * When `obs` is given, degrade accounting is collected DURING the
+    * same job (zero extra passes) — callers must evaluate the result
+    * exactly once (checkpoint) before reusing it, both so the metrics
+    * are exact and because Spark rejects one observation attached to
+    * two plan subtrees.
     */
   private def cappedBands(
-      banded: DataFrame, maxBucket: Int, obs: Option[Observation]): DataFrame = {
-    val widthed = banded.withColumn("bsz",
-      count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
+      banded: DataFrame, maxBucket: Int, obs: Option[Observation],
+      keepSingletons: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val widthed = banded
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("mh_id")).over(w))
     val observed = obs.map(o => widthed.observe(o,
-      sum(when(col("bsz") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
+      sum(when(col("bsz") > maxBucket, lit(1L)).otherwise(lit(0L))).as("degraded_rows"),
       max(col("bsz")).as("widest_bucket"))).getOrElse(widthed)
-    observed.filter(col("bsz").between(2, maxBucket))
-      .select(col("band_idx"), col("band_hash"), col("mh_id"))
+    val bounded = if (keepSingletons) observed else observed.filter(col("bsz") >= 2)
+    bounded.select(col("band_idx"), col("band_hash"), col("mh_id"),
+      when(col("bsz") > maxBucket, col("bmin")).as("rep"))
   }
 
-  /** WARN loudly when an evaluated observation recorded dropped rows —
-    * a dropped bucket means possible missed pairs (only those colliding
-    * in NO normal-width band), so it must never pass silently. Callers
-    * invoke this right after the eager action that evaluated the
-    * observed plan; the metric row arrives via an async listener, so
-    * wait briefly rather than assume it already landed.
+  /** WARN loudly when an evaluated observation recorded degraded rows —
+    * an oversized bucket falls back to representative star pairing, so
+    * member↔member pairs colliding in no normal-width band are only
+    * found if both members verify against the bucket's min id; that
+    * must never pass silently. Callers invoke this right after the
+    * eager action that evaluated the observed plan; the metric row
+    * arrives via an async listener, so wait briefly rather than assume
+    * it already landed.
     */
   private def warnDrops(obs: Observation, maxBucket: Int, what: String): Unit =
     try {
@@ -240,40 +255,50 @@ object MinHashLSH {
         obs.future, scala.concurrent.duration.Duration(60, "s"))
       // positional access, not by name: under foreachBatch the metric
       // row arrives as a schema-less GenericRow where fieldIndex throws.
-      // Slot 0 = dropped_rows, 1 = widest_bucket (observe expr order);
+      // Slot 0 = degraded_rows, 1 = widest_bucket (observe expr order);
       // both null on an empty input relation.
-      val dropped =
+      val degraded =
         if (row.length > 0 && !row.isNullAt(0)) row.getLong(0) else 0L
-      if (dropped > 0) {
+      if (degraded > 0) {
         val widest = if (row.length > 1) row.get(1) else "?"
-        log.warn(s"LSH $what: dropped $dropped (doc, band) rows in buckets " +
-          s"wider than maxBucket=$maxBucket (widest: $widest). Pairs colliding " +
-          "only in oversized buckets are NOT candidates; raise maxBucket or " +
-          "strip boilerplate if these matter.")
+        log.warn(s"LSH $what: degraded $degraded (doc, band) rows in buckets " +
+          s"wider than maxBucket=$maxBucket (widest: $widest) to min-id star " +
+          "pairing — full pair enumeration is skipped there; raise maxBucket " +
+          "or strip boilerplate if member-to-member pairs in those buckets matter.")
       }
     } catch {
       case _: java.util.concurrent.TimeoutException =>
-        log.warn(s"LSH $what: bucket-cap drop metrics unavailable (listener timeout)")
+        log.warn(s"LSH $what: bucket-cap degrade metrics unavailable (listener timeout)")
     }
 
-  /** Candidate pairs (id_a < id_b) from a width-capped banded relation.
-    * The join shuffles narrow (band_idx, band_hash, id) rows — bucket-
-    * local pairs only, never all-pairs, and never more than
-    * maxBucket²/2 pairs per bucket.
+  /** Candidate pairs (id_a < id_b) from a [[cappedBands]]-annotated
+    * relation. Normal buckets (rep null) self-join fully — the join
+    * shuffles narrow (band_idx, band_hash, id) rows, bucket-local
+    * pairs only, never more than maxBucket²/2 per bucket. Oversized
+    * buckets (rep non-null) contribute only their (rep, member) star —
+    * O(s) rows with no join at all, so a mega-bucket's cost is linear
+    * in its width while its duplicate cluster stays connected.
     */
-  private def pairsFromBands(kept: DataFrame): DataFrame = {
+  private def pairsFromBands(capped: DataFrame): DataFrame = {
+    val kept = capped.filter(col("rep").isNull)
     val left = kept.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_a"))
     val right = kept.select(col("band_idx"), col("band_hash"), col("mh_id").as("id_b"))
-    left.join(right, Seq("band_idx", "band_hash"))
+    val full = left.join(right, Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
-      .distinct()
+    val star = capped.filter(col("rep").isNotNull && col("mh_id") =!= col("rep"))
+      .select(col("rep").as("id_a"), col("mh_id").as("id_b"))
+    full.union(star).distinct()
   }
 
-  /** Candidate pairs (id_a < id_b) sharing ≥1 band bucket of width
-    * ≤ maxBucket. Lazy — drop accounting only happens on the eager
-    * entry points ([[nearDuplicates]] and friends), which observe the
-    * capped relation during their own jobs.
+  /** Candidate pairs (id_a < id_b): full pair enumeration within band
+    * buckets of width ≤ maxBucket, min-id star pairs from wider ones
+    * (see [[DefaultMaxBandBucket]]). Lazy — SILENT about degradation:
+    * the [[Observation]] accounting only happens on the eager entry
+    * points ([[nearDuplicates]] and friends), which observe the capped
+    * relation during their own jobs. Callers who must know whether a
+    * bucket degraded should use those, or pass maxBucket =
+    * Int.MaxValue here to forgo the cap entirely.
     */
   def candidatePairs(
       docs: DataFrame, idCol: String, textCol: String,
@@ -431,33 +456,47 @@ object MinHashLSH {
     * plus batch×corpus (ordered with least/greatest). Lazy — exposed
     * for plan-shape tests; the corpus side must be a stored-band scan.
     *
-    * Both sides are width-capped INDEPENDENTLY (an oversized corpus
+    * Both sides are width-annotated INDEPENDENTLY (an oversized corpus
     * bucket × its batch collisions is s_corpus × s_batch pairs — the
-    * same skew killer as the self-join): a bucket contributes only if
-    * its width on that side is ≤ maxBucket. Batch-singleton buckets
-    * stay in (a lone batch doc still probes the corpus); they are
-    * no-ops in the batch self-join.
+    * same skew killer as the self-join). An oversized bucket degrades
+    * on its own side: the batch self-join falls to the batch min-id
+    * star, and in the cross probe an oversized side is COLLAPSED to
+    * its single min-id representative row — a batch doc hitting an
+    * oversized corpus bucket pairs with that cluster's representative
+    * (≤1 cross pair per batch row per band) instead of all s members.
+    * Batch-singleton buckets stay in (a lone batch doc still probes
+    * the corpus); they are no-ops in the batch self-join.
+    *
+    * Degrade accounting: `obs` observes the corpus side, `batchObs`
+    * the batch side. A caller passing `batchObs` must reference the
+    * batch relation through ONE evaluation (the eager entry point
+    * checkpoints its annotated batch) — here the observed batch
+    * subtree feeds three joins, so metrics from a lazily-passed
+    * `batchObs` would multiply-count.
     */
   private[dedup] def incrementalCandidates(
       corpusBands: DataFrame, batchBands: DataFrame,
       maxBucket: Int = DefaultMaxBandBucket,
-      obs: Option[Observation] = None): DataFrame = {
-    def widthCapped(bands: DataFrame, o: Option[Observation]): DataFrame = {
-      val widthed = bands.withColumn("bsz",
-        count(lit(1)).over(Window.partitionBy(col("band_idx"), col("band_hash"))))
-      val observed = o.map(ob => widthed.observe(ob,
-        sum(when(col("bsz") > maxBucket, lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
-        max(col("bsz")).as("widest_bucket"))).getOrElse(widthed)
-      observed.filter(col("bsz") <= maxBucket)
-        .select(col("band_idx"), col("band_hash"), col("mh_id"))
-    }
-    val batchKept = widthCapped(batchBands, None)
-    val bb = pairsFromBands(batchKept)
-    val bc = batchKept
-      .select(col("band_idx"), col("band_hash"), col("mh_id").as("batch_id"))
-      .join(widthCapped(corpusBands, obs)
-          .select(col("band_idx"), col("band_hash"), col("mh_id").as("corpus_id")),
-        Seq("band_idx", "band_hash"))
+      obs: Option[Observation] = None,
+      batchObs: Option[Observation] = None): DataFrame =
+    incrementalCandidatesAnnotated(
+      corpusBands,
+      cappedBands(batchBands, maxBucket, batchObs, keepSingletons = true),
+      maxBucket, obs)
+
+  /** [[incrementalCandidates]] over an already-[[cappedBands]]-annotated
+    * (and ideally checkpointed) batch relation. */
+  private def incrementalCandidatesAnnotated(
+      corpusBands: DataFrame, batchAnn: DataFrame,
+      maxBucket: Int, obs: Option[Observation]): DataFrame = {
+    def collapsed(ann: DataFrame, as: String): DataFrame =
+      ann.filter(col("rep").isNull || col("mh_id") === col("rep"))
+        .select(col("band_idx"), col("band_hash"), col("mh_id").as(as))
+    val bb = pairsFromBands(batchAnn)
+    val corpusAnn =
+      cappedBands(corpusBands, maxBucket, obs, keepSingletons = true)
+    val bc = collapsed(batchAnn, "batch_id")
+      .join(collapsed(corpusAnn, "corpus_id"), Seq("band_idx", "band_hash"))
       .select(least(col("batch_id"), col("corpus_id")).as("id_a"),
         greatest(col("batch_id"), col("corpus_id")).as("id_b"))
     bb.union(bc).distinct()
@@ -514,14 +553,23 @@ object MinHashLSH {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val obs = Observation()
-      // the batch bands feed three candidate subtrees (self-join left +
-      // right, corpus probe); the eager checkpoint runs the batch's
-      // shingle→signature→band derivation ONCE instead of per reference
-      // — the batch is small by construction, so the checkpoint is too
-      val batchBands = bandedFromShingles(batchSh, k, b).localCheckpoint(eager = true)
-      val pairs = incrementalCandidates(corpusBands, batchBands, maxBucket, Some(obs))
+      val batchObs = Observation()
+      // the annotated batch bands feed three candidate subtrees
+      // (self-join left + right, corpus probe); the eager checkpoint
+      // runs the batch's shingle→signature→band→width derivation ONCE
+      // instead of per reference — the batch is small by construction,
+      // so the checkpoint is too — and evaluates the batch-side
+      // degrade observation exactly once (metrics exact)
+      val batchAnn = cappedBands(
+          bandedFromShingles(batchSh, k, b), maxBucket, Some(batchObs),
+          keepSingletons = true)
         .localCheckpoint(eager = true)
-      warnDrops(obs, maxBucket, s"nearDuplicatesAgainst($indexDir,n=$n,k=$k,b=$b)")
+      warnDrops(batchObs, maxBucket,
+        s"nearDuplicatesAgainst($indexDir,n=$n,k=$k,b=$b) batch side")
+      val pairs = incrementalCandidatesAnnotated(corpusBands, batchAnn, maxBucket, Some(obs))
+        .localCheckpoint(eager = true)
+      warnDrops(obs, maxBucket,
+        s"nearDuplicatesAgainst($indexDir,n=$n,k=$k,b=$b) corpus side")
       // verification reads corpus shingles for CANDIDATE docs only: the
       // candidate id set is small by construction, so a broadcast
       // semi-join prunes the stored-shingle scan before the probe join

@@ -33,23 +33,34 @@ class DedupSpec extends SparkTestBase {
     assert(cands < n * (n - 1) / 2, s"candidates=$cands look like all-pairs")
   }
 
-  test("oversized band buckets are capped: a planted mega-bucket yields no pairs, " +
-      "normal pairs still surface, and the default cap changes nothing here") {
+  test("oversized band buckets degrade to min-id star pairs: a planted mega-bucket " +
+      "keeps cluster-survivor semantics at O(s) pairs, normal pairs still surface, " +
+      "and the default cap changes nothing here") {
     // 40 exact copies of one boilerplate text → every band bucket they
-    // occupy has width 40; with maxBucket=8 ALL their pairs must be
-    // dropped (each pair collides ONLY in oversized buckets), while the
-    // planted normal near-dup pair (1,101) keeps its width-2 buckets
+    // occupy has width 40; with maxBucket=8 their pairs degrade to the
+    // min-id star (1000, i) — 39 pairs, all verifying at J=1 — instead
+    // of either the full 780 or (the pre-r17 bug) zero, while the
+    // planted normal near-dup pairs keep their width-2 buckets
     val boiler = (1000L until 1040L).map(i =>
       i -> "identical boilerplate footer text repeated across every single page of the site")
     val mixed = (base ++ nearCopies ++ boiler).toDF("doc_id", "text")
+    val star = (1001L until 1040L).map(i => (1000L, i)).toSet
     val capped = MinHashLSH.nearDuplicates(mixed, "doc_id", "text",
       threshold = 0.5, maxBucket = 8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(capped == Set((1L, 101L), (2L, 102L)),
-      s"expected only the normal pairs, got ${capped.size}")
-    // candidate volume is bounded by the cap, not by the 40² mega-bucket
+    assert(capped == Set((1L, 101L), (2L, 102L)) ++ star,
+      s"expected normal pairs + the 39-star, got ${capped.size}")
+    // candidate volume is bounded by the cap (stars are linear in the
+    // bucket width), not by the 40² mega-bucket
     val cands = MinHashLSH.candidatePairs(mixed, "doc_id", "text", maxBucket = 8).count()
     assert(cands < 40L * 39 / 2, s"candidates=$cands include mega-bucket pairs")
+    // cluster-survivor semantics survive the degrade: the whole 40-copy
+    // cluster resolves to ONE component around its min id
+    val comp = DedupClusters.components(
+        MinHashLSH.nearDuplicates(mixed, "doc_id", "text",
+          threshold = 0.5, maxBucket = 8).select("id_a", "id_b"))
+      .filter($"component" === 1000L).count()
+    assert(comp == 40L, s"mega-bucket cluster fragmented: $comp of 40 members")
     // at the default cap the mega-bucket fits and all pairs return
     val full = MinHashLSH.nearDuplicates(mixed, "doc_id", "text", threshold = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

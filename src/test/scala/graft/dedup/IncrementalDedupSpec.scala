@@ -53,6 +53,28 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(!ids.exists(p => p._1 == 103L || p._2 == 103L))
   }
 
+  test("oversized corpus bucket degrades the cross probe to the cluster representative") {
+    // 20 identical corpus copies (ids 1000–1019) make every band bucket
+    // they occupy width 20; a batch copy of the same text probing with
+    // maxBucket=8 must pair with the cluster's min-id REPRESENTATIVE
+    // (1000) — not all 20 members, not zero — plus the normal cross
+    // pair (1, 101) from width-2 buckets
+    val boiler = (1000L until 1020L).map(i =>
+      i -> "identical boilerplate footer text repeated across every single page of the site")
+    val corpusDf = (corpus ++ boiler).toDF("doc_id", "text")
+    val batchDf = Seq(
+      101L -> "the quick brown fox jumps over the lazy dog near the river bank yesterday",
+      2000L -> "identical boilerplate footer text repeated across every single page of the site")
+      .toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("incr-megabucket").toString
+    MinHashLSH.buildIndex(corpusDf, "doc_id", "text", idx)
+    val ids = pairsOf(
+      MinHashLSH.nearDuplicatesAgainst(batchDf, "doc_id", "text", idx,
+        threshold = 0.5, maxBucket = 8)).map(p => (p._1, p._2))
+    assert(ids == Set((1L, 101L), (1000L, 2000L)),
+      s"expected the representative cross pair only, got $ids")
+  }
+
   test("appendToIndex(batch) leaves the same index as buildIndex(corpus ∪ batch)") {
     val corpusDf = corpus.toDF("doc_id", "text")
     val batchDf = batch.toDF("doc_id", "text")
