@@ -58,7 +58,7 @@ object RetrievalQueries {
       .collect()  // C rows (one per label) — the blessed tiny-centroid load
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
       .sortBy(_._1).toSeq
-    q82CapturedCents = Some(cents) // feeds the literal-injected oracle
+    q82CapturedCents.put(dir, cents) // feeds the literal-injected oracle
     val planted = vecs.select(col("vec_id"), col("embedding"))
       .union(vecs.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
     val assigned = IvfIndex(cents).assign(planted)  // (vec_id, cell_id, emb)
@@ -76,12 +76,18 @@ object RetrievalQueries {
       .orderBy(col("vec_id"))
   }
 
-  /** Centroids captured by the last [[q82SemanticDedup]] run in this
-    * process — the driver's Verify flow runs every query BEFORE dumping
-    * `oracle_sql.json`, so the dump sees them. Volatile write/read; one
-    * slot suffices because verification runs one corpus per process.
+  /** Centroids captured per corpus dir by [[q82SemanticDedup]] runs in
+    * this process — the driver's Verify flow runs every query BEFORE
+    * dumping `oracle_sql.json`, so the dump sees them. Keyed by dir
+    * (not one global slot) so two corpora verified concurrently or
+    * interleaved in one process can never splice each other's
+    * centroids into the oracle: [[q82Sql]] injects literals only when
+    * exactly ONE corpus has been captured, and otherwise falls back to
+    * the self-computing clause (correct, minus the boundary-tie
+    * immunity).
     */
-  @volatile private var q82CapturedCents: Option[Seq[(Int, Seq[Double])]] = None
+  private val q82CapturedCents =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Int, Seq[Double])]]()
 
   /** The cent CTE as literal rows carrying Spark's captured centroids.
     * Each component was produced by `round(avg, 6)`, so its exact
@@ -107,7 +113,10 @@ object RetrievalQueries {
       |    GROUP BY 1, 2) GROUP BY 1""".stripMargin
 
   def q82Sql: String = {
-    val cent = q82CapturedCents.map(centLiteralClause).getOrElse(centComputedClause)
+    val cent = q82CapturedCents.readOnlySnapshot().values.toSeq match {
+      case Seq(single) => centLiteralClause(single)
+      case _ => centComputedClause // zero or multiple corpora captured
+    }
     s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
       |cent AS ($cent),
       |allv AS (SELECT vec_id, e FROM v UNION ALL SELECT vec_id + 1000000, e FROM v),""".stripMargin +

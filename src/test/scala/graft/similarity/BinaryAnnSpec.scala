@@ -95,6 +95,24 @@ class BinaryAnnSpec extends SparkTestBase {
     assert(p.contains(idx), "stored code table not scanned")
   }
 
+  test("null hamming (null or length-mismatched embedding) drops out of the " +
+      "candidate cut instead of ranking first") {
+    // deliberate semantics pin (r16 advice): the topk_by Hamming cut
+    // SKIPS null distances, where the asc row_number window it replaced
+    // ranked nulls FIRST — a corrupt corpus row must not eat a
+    // candidate slot (or worse, rank as everyone's nearest neighbor)
+    val vecs = Seq(
+      (0L, Array(1.0f, -1.0f)),
+      (1L, Array(1.0f, -0.5f)),
+      (2L, Array(-1.0f, 1.0f)),
+      (9L, null.asInstanceOf[Array[Float]]) // null embedding → null bits → null hamming
+    ).toDF("vec_id", "embedding")
+    val out = BinaryAnn.hammingTopK(vecs, vecs.filter($"vec_id" === 0), k = 3, candidates = 3)
+      .select("query_id", "vec_id").as[(Long, Long)].collect().toSeq
+    assert(!out.exists(_._2 == 9L), s"null-embedding row ranked: $out")
+    assert(out.map(_._2).toSet == Set(1L, 2L))
+  }
+
   test("candidates < k is rejected") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
     intercept[IllegalArgumentException] {

@@ -51,6 +51,30 @@ class SimilaritySpec extends SparkTestBase {
     assert(top.map(_._2) == Seq(1L, 2L, 3L))
   }
 
+  test("null cosine (zero-norm embedding) is excluded from ranking, " +
+      "and an all-null query vanishes rather than emitting null-score rows") {
+    // deliberate semantics pin (r16 advice): the topk_by aggregate
+    // SKIPS null scores, where the row_number window it replaced would
+    // have ranked them — a zero-norm corpus vector must not occupy a
+    // rank slot, and a zero-norm QUERY (all its cosines null) must be
+    // absent from the output entirely, not present with null scores
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)),
+      (9L, Array(0.0f, 0.0f)) // zero norm → cosine null against everything
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(vecs, vecs, k = 3)
+      .select("query_id", "rank", "vec_id")
+      .as[(Long, Int, Long)].collect().toSeq
+    // 9 never appears as a neighbor...
+    assert(!out.exists(_._3 == 9L), s"zero-norm vector ranked: $out")
+    // ...nor as a query
+    assert(!out.exists(_._1 == 9L), s"all-null query emitted rows: $out")
+    // normal queries rank exactly the 2 non-null non-self neighbors
+    assert(out.count(_._1 == 0L) == 2)
+  }
+
   test("self-match excluded and ranks are dense per query") {
     val vecs = Tables.load(spark, sf, "embeddings")
     val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" < 5), k = 5)
