@@ -524,11 +524,16 @@ object CurationOpsQueries {
         max(when(col("canon"), 1).otherwise(0)).as("has_canon"))
       .filter(col("has_dup") === 1 && col("has_canon") === 0)
       .select(col("doc_id"), col("p"))
+    // explicit aliases: both sides descend from the same scan, and the
+    // lineage-ambiguous wordRows("doc_id") === cut("doc_id") spelling
+    // makes Spark log a spurious "trivially true equals predicate"
+    // warning on every run
     val wordRows = words
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+      .alias("wr")
     val rebuilt = wordRows
-      .join(cut,
-        wordRows("doc_id") === cut("doc_id") && wordRows("pos") === cut("p"),
+      .join(cut.alias("ct"),
+        col("wr.doc_id") === col("ct.doc_id") && col("wr.pos") === col("ct.p"),
         "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("words_kept"),
@@ -618,11 +623,16 @@ object CurationOpsQueries {
       .join(contamGrams, Seq("h"))
       .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(w - 1))).as("p"))
       .distinct()
+    // explicit aliases: both sides descend from the same scan, and the
+    // lineage-ambiguous wordRows("doc_id") === cut("doc_id") spelling
+    // makes Spark log a spurious "trivially true equals predicate"
+    // warning on every run
     val wordRows = words
       .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+      .alias("wr")
     val rebuilt = wordRows
-      .join(cut,
-        wordRows("doc_id") === cut("doc_id") && wordRows("pos") === cut("p"),
+      .join(cut.alias("ct"),
+        col("wr.doc_id") === col("ct.doc_id") && col("wr.pos") === col("ct.p"),
         "left_anti")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("words_kept"),
