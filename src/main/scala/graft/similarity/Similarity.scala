@@ -160,7 +160,12 @@ object Similarity {
     * duplicates (the guarantee the q32/q34 gates pin). The scale lever
     * here is `bits` ∝ log₂(N) (per-bucket occupancy ≈ N/2^bits keeps
     * the s² pair work bounded), plus more `tables` to restore recall —
-    * a cap is the wrong tool for this family.
+    * a cap is the wrong tool for this family. Gate-measured
+    * (BucketBoundSpec, N=400 + a 30-wide planted cluster, 2 tables):
+    * background candidate volume 46,070 → 3,883 → 489 pairs at
+    * bits 2 → 6 → 10 — geometric in bits, as the N²/2^bits model
+    * predicts — while the cluster's tables·m(m−1)/2 contribution and
+    * its full pair set survive at every setting.
     */
   def cosineNearDuplicates(
       vecs: DataFrame, lsh: RandomHyperplaneLsh, threshold: Double): DataFrame = {
