@@ -294,11 +294,115 @@ object RetrievalQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ===== q90 — product-quantization ANN (PQ codes + ADC scan + rerank) ====
+
+  /** PQ-ADC ANN over a Warehouse-persisted code index —
+    * [[graft.similarity.PqIndex]]; see its doc for the 32× compression
+    * and the codes-only-shuffle story. Same query set as q20/q85
+    * (vec_id < 50), k = 5 from C = 32 ADC survivors. Exactly oracled
+    * via the q82 literal-injection pattern: the fitted codebooks
+    * (rounded to 6 decimals at fit time) are captured and spliced into
+    * the oracle as literals, and the oracle re-runs the FULL pipeline —
+    * encode (argmin of the same reduced distance, same tie-break), the
+    * micro-quantized ADC sum, the (adc, vec_id) candidate cut, and the
+    * exact-cosine rerank — independently in DuckDB. C = 32 is the
+    * oracle-gate knob; production recall is measured (not assumed) in
+    * PqAnnSpec at C = 256.
+    */
+  def q90PqAnn(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    val idxDir = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "pq_index", s"$dir/embeddings.parquet",
+        params = "m=8,ksub=16,seed=42,maxIter=10")) { d =>
+      val cb = graft.similarity.PqIndex.fit(vecs, m = 8, ksub = 16)
+      graft.similarity.PqIndex.save(cb, cb.encode(vecs), d)
+    }
+    val (cb, codes) = graft.similarity.PqIndex.load(s, idxDir)
+    q90CapturedBooks.put(dir, cb) // feeds the literal-injected oracle
+    cb.adcTopK(vecs, codes, vecs.filter(col("vec_id") < 50), k = 5, candidates = 32)
+      .withColumn("cosine_r6", round(col("cosine"), 6))
+      .drop("cosine")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** Codebooks captured per corpus dir by [[q90PqAnn]] — the q82
+    * keying convention: literals are injected only when exactly one
+    * corpus has been captured. There is no self-computing fallback
+    * (k-means is not SQL-expressible), so an uncaptured render emits a
+    * valid empty-result query — it can only be dumped if q90 never ran
+    * in this process, in which case there is no result to compare
+    * either.
+    */
+  private val q90CapturedBooks =
+    new scala.collection.concurrent.TrieMap[String, graft.similarity.PqCodebooks]()
+
+  private def bookLiteralClause(cb: graft.similarity.PqCodebooks): String =
+    cb.books.zipWithIndex.flatMap { case (b, mi) =>
+      b.zipWithIndex.map { case (c, k) =>
+        val list = c.map(v => "%.6f".formatLocal(java.util.Locale.ROOT, v))
+          .mkString("[", ", ", "]")
+        s"SELECT $mi AS m, $k AS k, $list::DOUBLE[] AS c"
+      }
+    }.mkString(" UNION ALL ")
+
+  def q90Sql: String = q90CapturedBooks.readOnlySnapshot().values.toSeq match {
+    case Seq(cb) =>
+      val d = cb.dsub
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cb AS (${bookLiteralClause(cb)}),
+        |enc AS (
+        |  SELECT vec_id, m, k AS code FROM (
+        |    SELECT v.vec_id, cb.m, cb.k,
+        |      row_number() OVER (PARTITION BY v.vec_id, cb.m
+        |        ORDER BY list_dot_product(cb.c, cb.c)
+        |          - 2 * list_dot_product(v.e[(cb.m*$d+1):(cb.m*$d+$d)], cb.c) ASC,
+        |          cb.k ASC) AS rn
+        |    FROM v CROSS JOIN cb) WHERE rn = 1),
+        |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < 50),
+        |lut AS (
+        |  SELECT q.query_id, cb.m, cb.k,
+        |    CAST(floor((list_dot_product(cb.c, cb.c)
+        |      - 2 * list_dot_product(q.qe[(cb.m*$d+1):(cb.m*$d+$d)], cb.c))
+        |      * 1e6 + 0.5) AS BIGINT) AS micro
+        |  FROM q CROSS JOIN cb),
+        |adc AS (
+        |  -- CAST: DuckDB sums BIGINT into HUGEINT, which the driver's
+        |  -- pandas bridge renders as a float — the value is exact either
+        |  -- way, the cast keeps the compared dtype integral
+        |  SELECT l.query_id, e.vec_id, CAST(sum(l.micro) AS BIGINT) AS adc
+        |  FROM enc e JOIN lut l ON l.m = e.m AND l.k = e.code
+        |  WHERE e.vec_id <> l.query_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT query_id, vec_id, adc,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS crank
+        |  FROM adc),
+        |rer AS (
+        |  SELECT c.query_id, c.vec_id, c.adc,
+        |    list_dot_product(qv.e, vv.e)
+        |      / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(vv.e, vv.e))) AS cosine
+        |  FROM cand c
+        |  JOIN v qv ON qv.vec_id = c.query_id
+        |  JOIN v vv ON vv.vec_id = c.vec_id
+        |  WHERE c.crank <= 32),
+        |ranked AS (
+        |  SELECT query_id, vec_id, adc, cosine,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM rer)
+        |SELECT query_id, rank, vec_id, adc, round(cosine, 6) AS cosine_r6
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    case _ =>
+      """SELECT CAST(NULL AS BIGINT) AS query_id, CAST(NULL AS INTEGER) AS rank,
+        |  CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS adc,
+        |  CAST(NULL AS DOUBLE) AS cosine_r6 WHERE false""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q82_semantic_dedup" -> (q82SemanticDedup _),
     "q83_bm25" -> (q83Bm25 _),
     "q85_hamming_ann" -> (q85HammingAnn _),
-    "q88_hamming_ann_indexed" -> (q88HammingAnnIndexed _))
+    "q88_hamming_ann_indexed" -> (q88HammingAnnIndexed _),
+    "q90_pq_ann" -> (q90PqAnn _))
 
   /** def, not val: the q82 entry re-renders with the centroids captured
     * by the latest q82 run (Verify dumps oracle SQL after running the
@@ -310,5 +414,6 @@ object RetrievalQueries {
     "q85_hamming_ann" -> q85Sql,
     // identical pipeline semantics; the index is a deterministic
     // re-materialization, so the q85 recompute oracles q88 too
-    "q88_hamming_ann_indexed" -> q85Sql)
+    "q88_hamming_ann_indexed" -> q85Sql,
+    "q90_pq_ann" -> q90Sql)
 }

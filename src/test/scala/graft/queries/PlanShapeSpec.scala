@@ -311,4 +311,19 @@ class PlanShapeSpec extends SparkTestBase {
     assert(winIdx < 0 || winIdx < aggIdx,
       "a window ranks below the candidate cut (full-corpus input)")
   }
+
+  test("q90 PQ-ADC cut pre-aggregates per split; codes-only scan feeds the cut") {
+    // stage 1 (N×Q ADC scores) must be the bounded aggregate fed by the
+    // stored CODE table (no embedding payload in the scored stream);
+    // the only window allowed is the stage-2 rerank over C×Q candidates
+    val p = plan(RetrievalQueries.q90PqAnn(spark, sf))
+    assert(p.contains("partial_topk_by"),
+      "ADC cut must pre-aggregate per split:\n" + p.take(400))
+    val winIdx = p.indexOf("Window")
+    val aggIdx = p.indexOf("ObjectHashAggregate")
+    assert(aggIdx >= 0, "no ObjectHashAggregate for the candidate cut")
+    assert(winIdx < 0 || winIdx < aggIdx,
+      "a window ranks below the candidate cut (full-corpus input)")
+    assert(p.contains("pq_index"), "stored PQ code table not scanned")
+  }
 }
