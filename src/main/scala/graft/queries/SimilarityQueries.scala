@@ -432,6 +432,114 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ===== q91 — chunk-grain dedup composition (q73 × q21) =================
+
+  /** Corpora whose q91 chunk-grain precondition has been checked this
+    * process — same fast path as [[q33PreconditionOk]].
+    */
+  private val q91PreconditionOk =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  /** ORACLE PRECONDITION (gate validity): the chunk-grain md5 equality
+    * oracle is sound iff identical shingle sets imply identical raw
+    * chunk text on this corpus's chunking — the q33 check at chunk
+    * grain, Warehouse-memoized per corpus.
+    */
+  private def requireQ91ChunkPrecondition(chunks: DataFrame, dir: String): Unit =
+    if (!q91PreconditionOk.contains(dir)) {
+      val s = chunks.sparkSession
+      Warehouse.ensureBuilt(s,
+        Warehouse.derivedDir(s, "q91_precondition_ok", s"$dir/documents.parquet",
+          params = "n=3,size=500,step=400")) { _ =>
+        val collisions = MinHashLSH.shingleRows(chunks, "chunk_id", "chunk_text", n = 3)
+          .groupBy(col("sid"))
+          .agg(md5(concat_ws("\n", array_sort(collect_set(col("sh"))))).as("set_h"))
+          .join(chunks.select(col("chunk_id").as("sid"),
+            md5(col("chunk_text")).as("text_h")), "sid")
+          .groupBy(col("set_h"))
+          .agg(countDistinct(col("text_h")).as("n_texts"))
+          .filter(col("n_texts") > 1)
+          .count()
+        require(collisions == 0,
+          s"q91 oracle precondition violated on $dir: $collisions chunk shingle-set " +
+            "groups span distinct raw chunk texts — the md5 chunk-equality oracle " +
+            "does not hold; re-derive the oracle or demote q91 to rows-only")
+      }
+      q91PreconditionOk.add(dir)
+    }
+
+  /** Chunk-grain (paragraph) near-dup composition — the RefinedWeb/
+    * FineWeb shape: q73's overlapping chunker feeds q21's MinHash-LSH
+    * machinery at CHUNK grain (composite chunk_id = doc_id·10⁴ +
+    * chunk_idx), and surviving/duplicate chunks roll back up to their
+    * documents. θ = 1.0 over planted whole-doc copies (ids +4000000 —
+    * their chunks are exact copies of the originals') keeps the q74
+    * exactness argument: J = 1.0 survivors are provably chunk-text-
+    * equality pairs once the chunk-grain shingle-set precondition
+    * holds, so the full chunk→shingle→band→verify→rollup pipeline is
+    * end-to-end oracled by an independent md5 recompute.
+    *
+    * A chunk is a duplicate iff a SMALLER chunk_id with identical text
+    * exists anywhere (cluster-survivor, the q87 canonical rule) — i.e.
+    * iff it appears on the id_b side of any verified pair. That read
+    * is exact under full clique enumeration AND under the oversized-
+    * bucket star degrade (every non-min member pairs with the bucket
+    * min), so a corpus-frequent boilerplate chunk cannot overwhelm the
+    * self-join no matter how wide its cluster gets.
+    *
+    * Scale shape: chunking is a generate-only projection (q73); the
+    * dedup inherits q21's banded-join bounds at chunk grain — finer
+    * grain means MORE rows but SMALLER shingle sets per row, the
+    * trade every paragraph-dedup pipeline makes; the rollup is one
+    * doc-keyed hash aggregate.
+    */
+  def q91ChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.union(docs.filter(col("doc_id") < 10)
+      .select((col("doc_id") + 4000000).as("doc_id"), col("text")))
+    val step = 400
+    val chunks = planted
+      .withColumn("len", length(col("text")))
+      .withColumn("start",
+        explode(sequence(lit(0), greatest(col("len") - 1, lit(0)), lit(step))))
+      .select(col("doc_id"),
+        (col("start") / step).cast("int").as("chunk_idx"),
+        substring(col("text"), col("start") + 1, lit(500)).as("chunk_text"))
+      .withColumn("chunk_id", col("doc_id") * 10000 + col("chunk_idx"))
+    requireQ91ChunkPrecondition(chunks, dir)
+    val pairs = MinHashLSH.nearDuplicates(chunks, "chunk_id", "chunk_text",
+      threshold = 1.0)
+    val dupIds = pairs.select(col("id_b").as("chunk_id")).distinct()
+      .withColumn("is_dup", lit(1))
+    chunks.join(dupIds, Seq("chunk_id"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("chunks_total"),
+        sum(coalesce(col("is_dup"), lit(0))).cast("long").as("chunks_dup"))
+      .select(col("doc_id"), col("chunks_total"), col("chunks_dup"),
+        (col("chunks_total") - col("chunks_dup")).as("chunks_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q91Sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |ad AS (SELECT doc_id, text FROM d
+      |       UNION ALL SELECT doc_id + 4000000, text FROM d WHERE doc_id < 10),
+      |ch AS (
+      |  SELECT doc_id, doc_id * 10000 + start // 400 AS chunk_id,
+      |    md5(substr(text, start + 1, 500)) AS h
+      |  FROM (SELECT doc_id, text,
+      |          unnest(range(0, greatest(length(text), 1), 400)) AS start
+      |        FROM ad)),
+      |dup AS (
+      |  SELECT chunk_id FROM (
+      |    SELECT chunk_id, min(chunk_id) OVER (PARTITION BY h) AS mn FROM ch)
+      |  WHERE chunk_id > mn)
+      |SELECT c.doc_id, count(*) AS chunks_total,
+      |  CAST(count(u.chunk_id) AS BIGINT) AS chunks_dup,
+      |  CAST(count(*) - count(u.chunk_id) AS BIGINT) AS chunks_kept
+      |FROM ch c LEFT JOIN dup u USING (chunk_id)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_knn_bruteforce" -> (q20KnnBruteForce _),
     "q21_minhash_neardup" -> (q21MinhashNearDup _),
@@ -444,7 +552,8 @@ object SimilarityQueries {
     "q36_dedup_resolve" -> (q36DedupResolve _),
     "q40_simhash_incremental" -> (q40SimhashIncremental _),
     "q74_minhash_exact" -> (q74MinhashExact _),
-    "q75_ivf_full_probe" -> (q75IvfFullProbe _))
+    "q75_ivf_full_probe" -> (q75IvfFullProbe _),
+    "q91_chunk_dedup" -> (q91ChunkDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_knn_bruteforce" -> q20Sql,
@@ -454,5 +563,6 @@ object SimilarityQueries {
     "q36_dedup_resolve" -> q36Sql,
     "q74_minhash_exact" -> q74Sql,
     // full probe ≡ exact brute force (see q75's doc) — q20's SQL is sound
-    "q75_ivf_full_probe" -> q20Sql)
+    "q75_ivf_full_probe" -> q20Sql,
+    "q91_chunk_dedup" -> q91Sql)
 }
