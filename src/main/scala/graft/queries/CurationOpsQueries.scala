@@ -604,46 +604,16 @@ object CurationOpsQueries {
     * survivors.
     */
   def q89DecontaminateCut(s: SparkSession, dir: String): DataFrame = {
-    val w = 8
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
     val train = docs.filter(col("doc_id") >= 200)
       .union(docs.filter(col("doc_id") < 10)
         .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
-    val words = train.select(col("doc_id"), split(col("text"), " ").as("ws"))
-    def windows(df: DataFrame): DataFrame = df
-      .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      .filter(size(col("ws")) >= w)
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0), size(col("ws")) - w)).as("i"))
-      .select(col("doc_id"), col("i"),
-        md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " ")).as("h"))
-    val contamGrams = windows(docs.filter(col("doc_id") < 200))
-      .select(col("h")).distinct()
-    val cut = windows(train)
-      .join(contamGrams, Seq("h"))
-      .select(col("doc_id"), explode(sequence(col("i"), col("i") + lit(w - 1))).as("p"))
-      .distinct()
-    // explicit aliases: both sides descend from the same scan, and the
-    // lineage-ambiguous wordRows("doc_id") === cut("doc_id") spelling
-    // makes Spark log a spurious "trivially true equals predicate"
-    // warning on every run
-    val wordRows = words
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
-      .alias("wr")
-    val rebuilt = wordRows
-      .join(cut.alias("ct"),
-        col("wr.doc_id") === col("ct.doc_id") && col("wr.pos") === col("ct.p"),
-        "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("words_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("word")))),
-          _.getField("word")), " ").as("kept_text"))
-    words.select(col("doc_id"), size(col("ws")).cast("long").as("words_total"))
-      .join(rebuilt, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("words_total"),
-        (col("words_total") - coalesce(col("words_kept"), lit(0L))).as("words_cut"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+    // shared span-cut kernel ([[graft.dedup.Decontaminate]]) — the SAME
+    // code path DecontaminateStream runs per micro-batch, so the
+    // streaming spec's streamed ≡ batch claim is against this query
+    val contamGrams = graft.dedup.Decontaminate.evalGrams(
+      docs.filter(col("doc_id") < 200), "doc_id", "text")
+    graft.dedup.Decontaminate.cut(train, "doc_id", "text", contamGrams)
       .orderBy(col("doc_id"))
   }
 
