@@ -440,30 +440,35 @@ object SimilarityQueries {
   private val q91PreconditionOk =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** ORACLE PRECONDITION (gate validity): the chunk-grain md5 equality
-    * oracle is sound iff identical shingle sets imply identical raw
-    * chunk text on this corpus's chunking — the q33 check at chunk
-    * grain, Warehouse-memoized per corpus.
+  /** ORACLE PRECONDITION (gate validity): the chunk-grain equality
+    * oracle keys on the NORMALIZED chunk text (lower + whitespace
+    * collapse — exactly what the shingler sees), because 500-char
+    * substring chunks DO collide post-normalization on the real corpus
+    * (sf0.1 has raw-distinct chunks normalizing identically — J = 1.0
+    * pairs the raw-md5 key would miscount). What must hold is the
+    * remaining gap: identical shingle SETS imply identical normalized
+    * text. Warehouse-memoized per corpus, q33-style.
     */
   private def requireQ91ChunkPrecondition(chunks: DataFrame, dir: String): Unit =
     if (!q91PreconditionOk.contains(dir)) {
       val s = chunks.sparkSession
       Warehouse.ensureBuilt(s,
         Warehouse.derivedDir(s, "q91_precondition_ok", s"$dir/documents.parquet",
-          params = "n=3,size=500,step=400")) { _ =>
+          params = "n=3,size=500,step=400,key=norm")) { _ =>
         val collisions = MinHashLSH.shingleRows(chunks, "chunk_id", "chunk_text", n = 3)
           .groupBy(col("sid"))
           .agg(md5(concat_ws("\n", array_sort(collect_set(col("sh"))))).as("set_h"))
           .join(chunks.select(col("chunk_id").as("sid"),
-            md5(col("chunk_text")).as("text_h")), "sid")
+            md5(trim(regexp_replace(lower(col("chunk_text")), "\\s+", " ")))
+              .as("text_h")), "sid")
           .groupBy(col("set_h"))
           .agg(countDistinct(col("text_h")).as("n_texts"))
           .filter(col("n_texts") > 1)
           .count()
         require(collisions == 0,
           s"q91 oracle precondition violated on $dir: $collisions chunk shingle-set " +
-            "groups span distinct raw chunk texts — the md5 chunk-equality oracle " +
-            "does not hold; re-derive the oracle or demote q91 to rows-only")
+            "groups span distinct NORMALIZED chunk texts — the normalized-md5 " +
+            "chunk-equality oracle does not hold; re-derive or demote q91 to rows-only")
       }
       q91PreconditionOk.add(dir)
     }
@@ -477,7 +482,10 @@ object SimilarityQueries {
     * exactness argument: J = 1.0 survivors are provably chunk-text-
     * equality pairs once the chunk-grain shingle-set precondition
     * holds, so the full chunk→shingle→band→verify→rollup pipeline is
-    * end-to-end oracled by an independent md5 recompute.
+    * end-to-end oracled by an independent md5 recompute over the
+    * NORMALIZED chunk text (lower + whitespace collapse — the
+    * shingler's own equality; raw-md5 would miscount the raw-distinct
+    * chunks that normalize identically, which exist at sf0.1).
     *
     * A chunk is a duplicate iff a SMALLER chunk_id with identical text
     * exists anywhere (cluster-survivor, the q87 canonical rule) — i.e.
@@ -526,7 +534,8 @@ object SimilarityQueries {
       |       UNION ALL SELECT doc_id + 4000000, text FROM d WHERE doc_id < 10),
       |ch AS (
       |  SELECT doc_id, doc_id * 10000 + start // 400 AS chunk_id,
-      |    md5(substr(text, start + 1, 500)) AS h
+      |    md5(trim(regexp_replace(lower(substr(text, start + 1, 500)),
+      |      '\s+', ' ', 'g'))) AS h
       |  FROM (SELECT doc_id, text,
       |          unnest(range(0, greatest(length(text), 1), 400)) AS start
       |        FROM ad)),
