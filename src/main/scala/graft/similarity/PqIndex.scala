@@ -113,6 +113,45 @@ final case class PqCodebooks(dim: Int, m: Int, books: Seq[Seq[Seq[Double]]]) {
         element_at(col("codes"), mi + 1) + 1)
     }.reduce(_ + _)
 
+  /** IVF-PQ: the coarse quantizer prunes the scan to each query's
+    * `nprobe` nearest cells ([[IvfIndex.probes]]), and the PQ-ADC
+    * machinery scores only the members of probed cells — the classic
+    * two-level index (IVF for O(nprobe/C) scan pruning, PQ for 32×
+    * code compression on what IS scanned). `assignedCodes` is the
+    * corpus's (vec_id, cell_id, codes) table — [[IvfIndex.assign]]
+    * joined to [[encode]], both one-off build passes. At
+    * nprobe = |cells| this provably equals [[adcTopK]] (every cell is
+    * probed once, every vector lives in one cell — the q75 full-probe
+    * argument), which PqAnnSpec pins; partial-probe recall is
+    * measured there too.
+    */
+  def ivfAdcTopK(ivf: IvfIndex, assignedCodes: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int, candidates: Int, nprobe: Int): DataFrame = {
+    require(candidates >= k, s"candidates=$candidates must be >= k=$k")
+    val spark = corpus.sparkSession
+    VectorOps.register(spark)
+    graft.functions.TopKAgg.register(spark)
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("embedding").cast("array<double>").as("q_emb"))
+      .withColumn("lut", lutCol(col("q_emb")))
+    // one row per (query, probed cell), the query's LUT riding along —
+    // |Q|·nprobe rows, broadcast-small by the queries contract
+    val probeLut = ivf.probes(queries, nprobe)
+      .select(col("query_id"), col("cell_id"))
+      .join(q.select(col("query_id"), col("lut")), Seq("query_id"))
+    val cand = assignedCodes.select(col("vec_id"), col("cell_id"), col("codes"))
+      .join(broadcast(probeLut), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), adcExpr.as("adc"))
+      .groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topkBy(
+        col("adc").cast("double"), col("vec_id"), candidates, asc = true).as("tk"))
+      .select(col("query_id"), explode(col("tk")).as("e"))
+      .select(col("query_id"), col("e.id").as("vec_id"),
+        col("e.score").cast("long").as("adc"))
+    rerank(corpus, cand, q, k)
+  }
+
   /** Top-k neighbors by ADC-candidate + exact-cosine rerank. Output:
     * (query_id, rank, vec_id, adc, cosine) — rank is the rerank order
     * (cosine desc, vec_id tie-break), adc the integer score that
@@ -149,9 +188,16 @@ final case class PqCodebooks(dim: Int, m: Int, books: Seq[Seq[Seq[Double]]]) {
       .select(col("query_id"), explode(col("tk")).as("e"))
       .select(col("query_id"), col("e.id").as("vec_id"),
         col("e.score").cast("long").as("adc"))
+    rerank(corpus, cand, q, k)
+  }
 
-    // Stage 2: exact rerank — C×Q candidates broadcast against the
-    // corpus scan; the corpus never shuffles
+  /** Stage 2 (shared by the flat and IVF paths): exact rerank — the
+    * C×Q candidates broadcast against the corpus scan; the corpus
+    * never shuffles. The window ranks C×Q rows, never corpus-sized
+    * input.
+    */
+  private def rerank(corpus: DataFrame, cand: DataFrame, q: DataFrame,
+      k: Int): DataFrame = {
     val rw = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id"))
     corpus.select(col("vec_id"),

@@ -88,6 +88,33 @@ class PqAnnSpec extends SparkTestBase {
     assert(p.contains(idx), "stored code table not scanned")
   }
 
+  test("IVF-PQ at nprobe = |cells| equals the flat ADC scan; partial probe keeps recall") {
+    // the q75 full-probe argument at the PQ level: probing every cell
+    // makes the candidate set the whole corpus, so the two-level path
+    // must reproduce the flat scan bit-for-bit
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val queries = vecs.filter($"vec_id" < 50)
+    val cb = PqIndex.fit(vecs, m = 8, ksub = 16)
+    val ivf = IvfIndex.fit(vecs, c = 8, maxIter = 5)
+    val assignedCodes = ivf.assign(vecs).select($"vec_id", $"cell_id")
+      .join(cb.encode(vecs), Seq("vec_id"))
+    val flat = cb.adcTopK(vecs, cb.encode(vecs), queries, k = 5, candidates = 32)
+      .collect().map(_.toSeq).toSet
+    val full = cb.ivfAdcTopK(ivf, assignedCodes, vecs, queries,
+        k = 5, candidates = 32, nprobe = 8)
+      .collect().map(_.toSeq).toSet
+    assert(full == flat, "full probe diverges from the flat ADC scan")
+    // partial probe: recall vs the flat PQ answer stays usable — the
+    // IVF pruning trades recall for an ~nprobe/C scan cut
+    val partial = cb.ivfAdcTopK(ivf, assignedCodes, vecs, queries,
+        k = 5, candidates = 32, nprobe = 3)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val flatIds = flat.map(r => (r(0).asInstanceOf[Long], r(2).asInstanceOf[Long]))
+    val recall = (partial & flatIds).size.toDouble / flatIds.size
+    info(s"IVF-PQ recall vs flat PQ at nprobe=3/8: $recall")
+    assert(recall >= 0.5, s"partial-probe recall collapsed: $recall")
+  }
+
   test("candidates < k is rejected; ragged codebooks are rejected") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
     val cb = PqIndex.fit(vecs, m = 8, ksub = 16)
