@@ -274,6 +274,8 @@ object PqIndex {
     * re-encodes.
     */
   def load(spark: SparkSession, dir: String): (PqCodebooks, DataFrame) = {
+    // m × ksub rows (128 at the q90 knobs) — the blessed tiny-codebook
+    // load, like IvfIndex.load's centroid collect
     val rows = spark.read.parquet(s"$dir/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toSeq))
     val m = rows.map(_._1).max + 1
