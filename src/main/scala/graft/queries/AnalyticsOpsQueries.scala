@@ -460,6 +460,69 @@ object AnalyticsOpsQueries {
       |WHERE b.bucket / 256.0 < w.keep_rate
       |ORDER BY doc_id""".stripMargin
 
+  // ===== q92 — temperature EPOCH materialization ==========================
+
+  /** q72 generalized from keep/drop to fractional REPETITION — the
+    * upsampling half of temperature mixing (Raffel et al. 2020's
+    * T5-style α=0.5 rates, uncapped): rare languages get r > 1 and are
+    * repeated, common ones r < 1 and are subsampled, materialized as
+    * one output row per (doc, copy). copies = ⌊r⌋ + 1 extra iff the
+    * doc's content-keyed md5 bucket lands under frac(r)·256 — the
+    * SAME no-RNG bucket as q37/q55/q72, so reruns, engines, and
+    * duplicate content all agree, and expected per-lang volume is
+    * n_lang·r exactly. This is the step that turns mixture weights
+    * into an actual training set ("epochs" per source).
+    *
+    * Float caveat: shares q72's precondition argument — both engines
+    * derive r from the same integer aggregates with IEEE double math
+    * (z's sum order over the handful of per-lang sqrt terms included),
+    * and a doc flips only if bucket/256 lands within one ulp of
+    * frac(r), or ⌊r⌋ within one ulp of an integer — integer-count-
+    * derived rates are nowhere near either at gate scale.
+    *
+    * Scale shape: per-lang weights are a tiny broadcast; the copy
+    * decision is a map-side projection and the explode is linear in
+    * OUTPUT rows — the corpus never shuffles (the materialized epochs
+    * stream straight to the training-set writer).
+    */
+  def q92EpochMaterialize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_lang"))
+    val weights = counts
+      .crossJoin(broadcast(counts.agg(
+        sum(sqrt(col("n_lang"))).as("z"),
+        sum(col("n_lang")).as("n_total"))))
+      .withColumn("r",
+        col("n_total") * sqrt(col("n_lang")) / col("z") / col("n_lang"))
+    docs.select(col("doc_id"), col("lang"), PipelineQueries.md5Bucket.as("bucket"))
+      .join(broadcast(weights.select(col("lang"), col("r"))), "lang")
+      .withColumn("n_copies",
+        floor(col("r")).cast("long") +
+          when(col("bucket") / 256.0 < col("r") - floor(col("r")), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("lang"),
+        explode(sequence(lit(0L), col("n_copies") - 1)).as("copy_idx"))
+      .orderBy(col("doc_id"), col("copy_idx"))
+  }
+
+  val q92Sql: String =
+    """WITH n AS (SELECT lang, count(*) AS n_lang FROM documents GROUP BY 1),
+      |t AS (SELECT sum(sqrt(n_lang)) AS z, CAST(sum(n_lang) AS BIGINT) AS n_total FROM n),
+      |w AS (SELECT lang, n_total * sqrt(n_lang) / z / n_lang AS r FROM n, t),
+      |b AS (
+      |  SELECT doc_id, lang,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket
+      |  FROM documents),
+      |c AS (
+      |  SELECT b.doc_id, b.lang,
+      |    CAST(floor(r) AS BIGINT)
+      |      + CASE WHEN b.bucket / 256.0 < r - floor(r) THEN 1 ELSE 0 END AS n_copies
+      |  FROM b JOIN w USING (lang))
+      |SELECT doc_id, lang, CAST(u AS BIGINT) AS copy_idx
+      |FROM c, unnest(range(n_copies)) AS t(u)
+      |ORDER BY doc_id, copy_idx""".stripMargin
+
   // ===== q73 — overlapping document chunking ==============================
 
   /** Split every document into fixed-size character windows with
@@ -516,7 +579,8 @@ object AnalyticsOpsQueries {
     "q70_session_window" -> (q70SessionWindow _),
     "q71_json_extract" -> (q71JsonExtract _),
     "q72_temperature_mixture" -> (q72TemperatureMixture _),
-    "q73_doc_chunks" -> (q73DocChunks _))
+    "q73_doc_chunks" -> (q73DocChunks _),
+    "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
     "q60_rollup_scorecard" -> q60Sql,
@@ -529,5 +593,6 @@ object AnalyticsOpsQueries {
     "q70_session_window" -> q70Sql,
     "q71_json_extract" -> q71Sql,
     "q72_temperature_mixture" -> q72Sql,
-    "q73_doc_chunks" -> q73Sql)
+    "q73_doc_chunks" -> q73Sql,
+    "q92_epoch_materialize" -> q92Sql)
 }

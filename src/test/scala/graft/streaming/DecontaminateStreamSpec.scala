@@ -75,6 +75,21 @@ class DecontaminateStreamSpec extends SparkTestBase {
     assert(DecontaminateStream.readCurated(spark, out).columns.contains("batch_id"))
   }
 
+  test("the public start() entry point runs the loop end-to-end") {
+    val root = Files.createTempDirectory("decon-start").toString
+    val (in, idx, out, cp) = (s"$root/in", s"$root/index", s"$root/out", s"$root/cp")
+    DecontaminateStream.buildEvalIndex(
+      heldOut.toDF("doc_id", "text"), "doc_id", "text", idx)
+    Files.createDirectories(java.nio.file.Paths.get(in))
+    training.toDF("doc_id", "text").write.parquet(s"$in/f1")
+    DecontaminateStream.start(spark, s"$in/*", schema, idx, out, cp)
+      .awaitTermination()
+    assert(cutRows(DecontaminateStream.readCurated(spark, out)) ==
+      cutRows(Decontaminate.cut(
+        training.toDF("doc_id", "text"), "doc_id", "text",
+        Decontaminate.evalGrams(heldOut.toDF("doc_id", "text"), "doc_id", "text"))))
+  }
+
   test("crash replay of a micro-batch is a no-op") {
     val root = Files.createTempDirectory("decon-replay").toString
     val (idx, out) = (s"$root/index", s"$root/out")
