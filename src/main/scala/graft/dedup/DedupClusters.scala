@@ -85,4 +85,41 @@ object DedupClusters {
       .filter(col("__component").isNull || col("__component") === col(idCol))
       .drop("__component")
   }
+
+  /** [[deduplicate]] with a QUALITY-preferring survivor rule — what a
+    * real curation pipeline wants: within each duplicate cluster keep
+    * the member maximizing `preferCol` (highest quality score, longest
+    * text, freshest crawl …), with the lowest id breaking exact ties
+    * deterministically. Isolated docs always survive. Output = `docs`
+    * rows that survive, original schema.
+    *
+    * Scale shape: one extra id-keyed hash aggregate over the
+    * (component, preference) pairs beyond [[deduplicate]]'s join —
+    * `max_by` with map-side partial combine; nothing corpus-sized
+    * shuffles beyond what the component join already pays. NULL
+    * preferences rank below every non-null one (max_by skips them
+    * unless the whole cluster is null, when the min id survives).
+    */
+  def deduplicateBy(
+      docs: DataFrame, idCol: String, pairs: DataFrame,
+      preferCol: String): DataFrame = {
+    val comp = components(pairs)
+      .withColumnRenamed("id", idCol).withColumnRenamed("component", "__component")
+    val scored = docs.join(comp, Seq(idCol), "left")
+    // survivor per component: argmax(preference), min id on ties — the
+    // struct orders (pref, -id) lexicographically, so max picks the
+    // highest preference and then the LOWEST id; null prefs sort below
+    // non-null under max_by's null-skipping only if every entry is
+    // null, so wrap pref in a (isNotNull, pref) pair to force it
+    val survivor = scored.filter(col("__component").isNotNull)
+      .groupBy(col("__component"))
+      .agg(max(struct(
+        col(preferCol).isNotNull.as("has"),
+        col(preferCol).as("pref"),
+        (-col(idCol)).as("nid"))).as("best"))
+      .select(col("__component"), (-col("best.nid")).as("__survivor"))
+    scored.join(survivor, Seq("__component"), "left")
+      .filter(col("__component").isNull || col(idCol) === col("__survivor"))
+      .drop("__component", "__survivor")
+  }
 }

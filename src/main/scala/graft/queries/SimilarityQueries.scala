@@ -432,6 +432,50 @@ object SimilarityQueries {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  // ===== q93 — quality-preferring dedup survivor ==========================
+
+  /** Cluster dedup with a QUALITY-preferring survivor rule
+    * ([[graft.dedup.DedupClusters.deduplicateBy]]) — what a real
+    * curation pipeline keeps: within each duplicate cluster the member
+    * maximizing a preference column survives (lowest id on exact
+    * ties), not blindly the min id. Pairs come from the full
+    * MinHash-LSH path at θ = 1.0 over planted exact copies (ids
+    * +2000000 — the q74 argument: J = 1.0 clusters provably equal
+    * md5-text groups under the precondition), and the preference is a
+    * deliberately NON-content score (doc_id mod 7 — content-derived
+    * quality would tie across exact copies and make the rule vacuous),
+    * so original and copy genuinely compete and the oracle can
+    * recompute the argmax independently.
+    *
+    * Scale shape: q36's label propagation + one max_by hash aggregate
+    * per component ([[graft.dedup.DedupClusters.deduplicateBy]] doc);
+    * nothing corpus-sized shuffles beyond the component join.
+    */
+  def q93QualityDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    requireQ33OraclePreconditions(docs, dir)
+    val planted = docs.union(
+        docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+      .withColumn("quality", col("doc_id") % 7)
+    val pairs = MinHashLSH.nearDuplicates(planted, "doc_id", "text", threshold = 1.0)
+      .select("id_a", "id_b")
+    graft.dedup.DedupClusters.deduplicateBy(planted, "doc_id", pairs, "quality")
+      .select(col("doc_id"), col("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q93Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, md5(text) FROM documents),
+      |q AS (SELECT doc_id, h, doc_id % 7 AS quality FROM u),
+      |r AS (
+      |  SELECT doc_id, quality,
+      |    row_number() OVER (PARTITION BY h ORDER BY quality DESC, doc_id ASC) AS rn
+      |  FROM q)
+      |SELECT doc_id, quality FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   // ===== q91 — chunk-grain dedup composition (q73 × q21) =================
 
   /** Corpora whose q91 chunk-grain precondition has been checked this
@@ -562,7 +606,8 @@ object SimilarityQueries {
     "q40_simhash_incremental" -> (q40SimhashIncremental _),
     "q74_minhash_exact" -> (q74MinhashExact _),
     "q75_ivf_full_probe" -> (q75IvfFullProbe _),
-    "q91_chunk_dedup" -> (q91ChunkDedup _))
+    "q91_chunk_dedup" -> (q91ChunkDedup _),
+    "q93_quality_dedup" -> (q93QualityDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q20_knn_bruteforce" -> q20Sql,
@@ -573,5 +618,6 @@ object SimilarityQueries {
     "q74_minhash_exact" -> q74Sql,
     // full probe ≡ exact brute force (see q75's doc) — q20's SQL is sound
     "q75_ivf_full_probe" -> q20Sql,
-    "q91_chunk_dedup" -> q91Sql)
+    "q91_chunk_dedup" -> q91Sql,
+    "q93_quality_dedup" -> q93Sql)
 }

@@ -25,6 +25,26 @@ class DedupClustersSpec extends SparkTestBase {
     assert(kept.select("doc_id").as[Long].collect().toSet == Set(1L, 10L, 20L))
   }
 
+  test("deduplicateBy: highest preference survives, min id on ties, " +
+      "nulls lose, all-null clusters fall back to min id") {
+    val docs = Seq(
+      (1L, "a", Some(0.2)), (2L, "b", Some(0.9)), (3L, "c", Some(0.9)), // cluster {1,2,3}
+      (10L, "d", None), (11L, "e", Some(0.1)),                          // cluster {10,11}
+      (20L, "f", Some(0.5)),                                            // isolated
+      (30L, "g", None), (31L, "h", None))                               // all-null cluster
+      .map { case (i, t, q) => (i, t, q.map(Double.box).orNull) }
+      .toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (30L, 31L)).toDF("id_a", "id_b")
+    val kept = DedupClusters.deduplicateBy(docs, "doc_id", pairs, "quality")
+      .select("doc_id").as[Long].collect().toSet
+    // {1,2,3}: 2 and 3 tie at 0.9 → 2 (lower id); {10,11}: null loses
+    // to 0.1 → 11; 20 isolated; {30,31}: all null → min id 30
+    assert(kept == Set(2L, 11L, 20L, 30L), s"got $kept")
+    // schema preserved
+    assert(DedupClusters.deduplicateBy(docs, "doc_id", pairs, "quality")
+      .columns.toSeq == Seq("doc_id", "text", "quality"))
+  }
+
   test("a long chain converges (diameter-bound propagation)") {
     val pairs = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val comp = DedupClusters.components(pairs).as[(Long, Long)].collect()

@@ -215,6 +215,17 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p71.contains("partial_"), "no map-side combine under the JSON parse")
   }
 
+  test("q92 epoch materialization broadcasts rates; the corpus never shuffles") {
+    // the copy decision is a map-side projection + generate — any
+    // SortMergeJoin here means the corpus shuffled for a |langs|-row join
+    val p = plan(AnalyticsOpsQueries.q92EpochMaterialize(spark, sf))
+    assert(p.contains("BroadcastHashJoin"), "per-lang rates must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled for the rate join:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("Generate"), "copy explode missing from the plan")
+  }
+
   test("q76 cube plans ONE Expand — four grouping sets, one pass, one shuffle") {
     val p = plan(CurationOpsQueries.q76CubeScorecard(spark, sf))
     assert(p.contains("Expand"), "cube should plan an Expand")
