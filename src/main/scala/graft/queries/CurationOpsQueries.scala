@@ -502,9 +502,18 @@ object CurationOpsQueries {
     * row_number window partitions by window hash — bounded by that
     * hash's occurrence count, the same key q84 already shuffles on.
     */
-  def q87DedupCut(s: SparkSession, dir: String): DataFrame = {
+  def q87DedupCut(s: SparkSession, dir: String): DataFrame =
+    dedupCutOf(Tables.load(s, dir, "documents"))
+
+  /** q87's cut over an arbitrary (doc_id, text) relation — the same
+    * word-grain canonical-copy dedup applied to a corpus SLICE (q94
+    * runs it on the training side only: dedup scope is a pipeline
+    * choice, and eval text must not act as a canonical-copy donor for
+    * training text).
+    */
+  private def dedupCutOf(docsDf: DataFrame): DataFrame = {
     val w = 8
-    val words = Tables.load(s, dir, "documents")
+    val words = docsDf
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
     val wins = words.filter(size(col("ws")) >= w)
       .select(col("doc_id"), col("ws"),
@@ -649,8 +658,143 @@ object CurationOpsQueries {
       |  coalesce(kept_text, '') AS kept_text
       |FROM train t LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ===== q94 — composed curation CUT pipeline (q87 → q89) =================
+
+  /** The two-stage surgical curation pipeline a real corpus runs, as
+    * ONE composed query: stage 1 removes intra-corpus duplicated
+    * passages keeping a canonical copy (q87's word-grain Lee-et-al
+    * cut), stage 2 excises held-out eval spans from the SURVIVOR text
+    * (q89's decontamination cut via the shared
+    * [[graft.dedup.Decontaminate]] kernel) — order matters and is the
+    * production order: dedup first so decontamination scans (and
+    * rebuilds) the smaller post-dedup corpus. Same corpus split AND
+    * plants as q89 (docs < 200 held-out; training = the rest plus
+    * copies of the first 10 held-out docs at +3000000): stage 1 runs
+    * on the TRAINING side only — eval text must not act as a
+    * canonical-copy donor — so the plants sail through dedup (their
+    * text occurs once in training) and are excised by decon, proving
+    * BOTH stages fire on disjoint content.
+    *
+    * Output per training doc: words_total → words_dedup_cut →
+    * words_after_dedup → words_decon_cut → final_text — the
+    * per-document attrition ledger of both cuts.
+    *
+    * Stage 1 is evaluated once (localCheckpoint — it feeds stage 2's
+    * input AND the final ledger join; the q74/q33 eager convention).
+    * Docs fully consumed by dedup (kept_text = '') skip stage 2 and
+    * report zero decon attrition — '' would otherwise split to a
+    * phantom 1-word doc.
+    *
+    * Scale shape: strictly the sum of its parts — both stages are
+    * linear explodes + md5-uniform hash joins (q87/q89 docs); the
+    * composition adds one doc-keyed broadcast-size join for the
+    * ledger. At 100 TB the q65 bloom pre-prune slots between the
+    * stages unchanged.
+    */
+  def q94CurationCutPipeline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") >= 200)
+      .union(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+    val stage1 = dedupCutOf(train)
+      .select(col("doc_id"), col("words_total"),
+        col("words_cut").as("words_dedup_cut"), col("kept_text"))
+      .localCheckpoint(eager = true)
+    val grams = graft.dedup.Decontaminate.evalGrams(
+      docs.filter(col("doc_id") < 200), "doc_id", "text")
+    val stage2 = graft.dedup.Decontaminate.cut(
+        stage1.filter(col("kept_text") =!= "").select(col("doc_id"), col("kept_text")),
+        "doc_id", "kept_text", grams)
+      .select(col("doc_id"), col("words_total").as("words_after_dedup"),
+        col("words_cut").as("words_decon_cut"), col("kept_text").as("final_text"))
+    stage1.select(col("doc_id"), col("words_total"), col("words_dedup_cut"))
+      .join(stage2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("words_total"), col("words_dedup_cut"),
+        coalesce(col("words_after_dedup"), lit(0L)).as("words_after_dedup"),
+        coalesce(col("words_decon_cut"), lit(0L)).as("words_decon_cut"),
+        coalesce(col("final_text"), lit("")).as("final_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q87's CTE chain re-labeled as stage 1, then q89's cut CTEs run
+    * over the stage-1 survivor text — the oracle recomputes BOTH cuts
+    * and their composition independently.
+    */
+  val q94Sql: String =
+    """WITH d0 AS (SELECT doc_id, text FROM documents),
+      |tr0 AS (
+      |  SELECT doc_id, text FROM d0 WHERE doc_id >= 200
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text FROM d0 WHERE doc_id < 10),
+      |d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM tr0),
+      |wins AS (
+      |  SELECT doc_id, i, md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS h
+      |  FROM d, unnest(range(len(ws) - 8 + 1)) AS t(i)
+      |  WHERE len(ws) >= 8),
+      |fl AS (
+      |  SELECT doc_id, i,
+      |    count(*) OVER (PARTITION BY h) AS c,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+      |  FROM wins),
+      |cover AS (
+      |  SELECT doc_id, i + u AS p, rn = 1 AS canon
+      |  FROM (SELECT * FROM fl WHERE c > 1), unnest(range(8)) AS t(u)),
+      |cut AS (
+      |  SELECT doc_id, p FROM cover GROUP BY doc_id, p
+      |  HAVING max(CASE WHEN NOT canon THEN 1 ELSE 0 END) = 1
+      |     AND max(CASE WHEN canon THEN 1 ELSE 0 END) = 0),
+      |wordsx AS (
+      |  SELECT doc_id, u AS pos, ws[u + 1] AS word
+      |  FROM d, unnest(range(len(ws))) AS t(u)),
+      |reb AS (
+      |  SELECT w.doc_id, count(*) AS words_kept,
+      |    string_agg(w.word, ' ' ORDER BY w.pos) AS kept_text
+      |  FROM wordsx w
+      |  WHERE NOT EXISTS (SELECT 1 FROM cut c WHERE c.doc_id = w.doc_id AND c.p = w.pos)
+      |  GROUP BY w.doc_id),
+      |s1 AS (
+      |  SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS words_total,
+      |    CAST(len(d.ws) - coalesce(words_kept, 0) AS BIGINT) AS words_dedup_cut,
+      |    coalesce(kept_text, '') AS kept_text
+      |  FROM d LEFT JOIN reb USING (doc_id)),
+      |cg AS (
+      |  SELECT DISTINCT md5(array_to_string(ws2[(i+1):(i+8)], ' ')) AS h2
+      |  FROM (SELECT string_split(text, ' ') AS ws2 FROM documents WHERE doc_id < 200),
+      |       unnest(range(len(ws2) - 8 + 1)) AS t(i)
+      |  WHERE len(ws2) >= 8),
+      |tr AS (SELECT doc_id, string_split(kept_text, ' ') AS tws FROM s1
+      |       WHERE kept_text <> ''),
+      |tw AS (
+      |  SELECT doc_id, i, md5(array_to_string(tws[(i+1):(i+8)], ' ')) AS h2
+      |  FROM tr, unnest(range(len(tws) - 8 + 1)) AS t(i)
+      |  WHERE len(tws) >= 8),
+      |cut2 AS (
+      |  SELECT DISTINCT doc_id, i + u AS p
+      |  FROM tw JOIN cg USING (h2), unnest(range(8)) AS t(u)),
+      |wx2 AS (
+      |  SELECT doc_id, u AS pos, tws[u + 1] AS word
+      |  FROM tr, unnest(range(len(tws))) AS t(u)),
+      |reb2 AS (
+      |  SELECT w.doc_id, count(*) AS words_kept2,
+      |    string_agg(w.word, ' ' ORDER BY w.pos) AS final_text
+      |  FROM wx2 w
+      |  WHERE NOT EXISTS (SELECT 1 FROM cut2 c WHERE c.doc_id = w.doc_id AND c.p = w.pos)
+      |  GROUP BY w.doc_id),
+      |s2 AS (
+      |  SELECT t.doc_id, CAST(len(t.tws) AS BIGINT) AS words_after_dedup,
+      |    CAST(len(t.tws) - coalesce(words_kept2, 0) AS BIGINT) AS words_decon_cut,
+      |    coalesce(final_text, '') AS final_text
+      |  FROM tr t LEFT JOIN reb2 USING (doc_id))
+      |SELECT s1.doc_id, s1.words_total, s1.words_dedup_cut,
+      |  coalesce(s2.words_after_dedup, 0) AS words_after_dedup,
+      |  coalesce(s2.words_decon_cut, 0) AS words_decon_cut,
+      |  coalesce(s2.final_text, '') AS final_text
+      |FROM s1 LEFT JOIN s2 USING (doc_id)
+      |ORDER BY s1.doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q87_dedup_cut" -> (q87DedupCut _),
+    "q94_curation_cut_pipeline" -> (q94CurationCutPipeline _),
     "q89_decontaminate_cut" -> (q89DecontaminateCut _),
     "q76_cube_scorecard" -> (q76CubeScorecard _),
     "q77_unigram_surprisal" -> (q77UnigramSurprisal _),
@@ -663,6 +807,7 @@ object CurationOpsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q87_dedup_cut" -> q87Sql,
+    "q94_curation_cut_pipeline" -> q94Sql,
     "q89_decontaminate_cut" -> q89Sql,
     "q76_cube_scorecard" -> q76Sql,
     "q77_unigram_surprisal" -> q77Sql,
