@@ -297,9 +297,87 @@ object CorpusOpsQueries {
       |  FROM documents)
       |SELECT doc_id, source, rn FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin
 
+  // ===== q95 — sparse TF-IDF similarity join (inverted index) =============
+
+  /** Document-pair similarity over SPARSE term vectors — the
+    * embedding-free fuzzy-dedup / related-document primitive (the
+    * BM25-family answer to q32's dense cosine): each doc is truncated
+    * to its top-5 TF-IDF terms (q56's exact weight formula), and pairs
+    * sharing ≥ 4 of those 5 terms — near-identical keyword profiles,
+    * the strong-overlap fuzzy-dup signal — score the dot product of
+    * their truncated vectors (on this corpus's shared synthetic
+    * vocabulary the ≥ 2 threshold admits ~20% of ALL pairs, so the
+    * gate pins the strict profile-match semantics; the threshold is
+    * the output-volume knob, orthogonal to the join shape). Candidate generation is an INVERTED-INDEX
+    * join: pairs meet only inside a term's posting list — the
+    * lexical twin of the LSH band join, never all-pairs.
+    *
+    * Exactly oracled: weights are milli-quantized (×1e3, floor+0.5 →
+    * long) BEFORE pairing, so the pair dot is integer arithmetic —
+    * products ≤ ~1.6e13, sums far under 2^63 — and summation order
+    * cannot shift anything (the q83 technique one level up).
+    *
+    * Scale shape: two hash aggregates + the term join from q56, then
+    * the posting-list self-join. The top-m truncation is ALSO the
+    * skew guard: a term only enters a posting list when it is a
+    * doc's top-5 by tf·idf, and high-df terms have low idf, so wide
+    * posting lists are self-limiting (the same s² exposure as the
+    * LSH families — the MinHashLSH star-degrade pattern applies
+    * unchanged if a corpus defeats the idf argument). Σ s² over
+    * posting lists bounds the pair volume.
+    */
+  def q95SparseSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = tokenRows(docs)
+    val tf = toks.groupBy(col("sid").as("doc_id"), col("sh").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("sh").as("term"))
+      .agg(countDistinct(col("sid")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val byDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    val top = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("term"),
+        floor(col("score") * 1000 + lit(0.5)).cast("long").as("wm"))
+    top.alias("a")
+      .join(top.alias("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_terms"),
+        sum(col("a.wm") * col("b.wm")).as("dot_m2"))
+      .filter(col("shared_terms") >= 4)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q95Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      |  FROM documents),
+      |tok AS (SELECT doc_id, unnest(ts) AS term FROM toks WHERE ts <> ['']),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term, tf.tf * ln(CAST(n_docs AS DOUBLE) / df.df) AS score
+      |  FROM tf JOIN df USING (term), nd),
+      |top5 AS (
+      |  SELECT doc_id, term, CAST(floor(score * 1000 + 0.5) AS BIGINT) AS wm FROM (
+      |    SELECT doc_id, term, score,
+      |      ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+      |    FROM scored) WHERE rank <= 5)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  count(*) AS shared_terms, CAST(sum(a.wm * b.wm) AS BIGINT) AS dot_m2
+      |FROM top5 a JOIN top5 b ON a.term = b.term AND a.doc_id < b.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 4 ORDER BY 1, 2""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q95_sparse_similarity" -> (q95SparseSimilarity _),
     "q54_boilerplate_ngrams" -> (q54BoilerplateNgrams _),
     "q55_stratified_sample" -> (q55StratifiedSample _),
     "q56_tfidf_top_terms" -> (q56TfIdfTopTerms _),
@@ -308,6 +386,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q95_sparse_similarity" -> q95Sql,
     "q54_boilerplate_ngrams" -> q54Sql,
     "q55_stratified_sample" -> q55Sql,
     "q56_tfidf_top_terms" -> q56Sql,
