@@ -568,7 +568,74 @@ object AnalyticsOpsQueries {
 
   // ========================================================================
 
+  // ===== q97 — declarative data-integrity audit ===========================
+
+  /** The post-load validation gate ([[graft.quality.IntegrityChecks]]):
+    * FK-orphan, row-constraint, and key-uniqueness checks over the
+    * star schema, reduced to one `(check_name, n_violations,
+    * n_checked)` row each — the report a scheduler gates a promotion
+    * on. Every check is a single scan + hash aggregate (referential
+    * adds one equi-join against the distinct parent PK column), all
+    * same-table row constraints are FUSED into one scan
+    * ([[graft.quality.IntegrityChecks.predicates]]), and each scan
+    * reads only the checked columns (columnar pruning); the audit
+    * output is O(#checks) rows.
+    */
+  def q97IntegrityAudit(s: SparkSession, dir: String): DataFrame = {
+    import graft.quality.IntegrityChecks._
+    val li = Tables.load(s, dir, "lineitem")
+    val ord = Tables.load(s, dir, "orders")
+    val cust = Tables.load(s, dir, "customer")
+    val part = Tables.load(s, dir, "part")
+    audit(Seq(
+      referential(li, "l_orderkey", ord, "o_orderkey", "li_orphan_orderkey"),
+      referential(li, "l_partkey", part, "p_partkey", "li_orphan_partkey"),
+      referential(ord, "o_custkey", cust, "c_custkey", "ord_orphan_custkey"),
+      predicates(li, Seq(
+        "li_nonpositive_qty" -> (col("l_quantity") <= 0),
+        "li_discount_range" -> (col("l_discount") < 0 || col("l_discount") > 1))),
+      predicate(ord, col("o_totalprice") <= 0, "ord_nonpositive_total"),
+      uniqueKey(ord, "o_orderkey", "ord_unique_orderkey")))
+  }
+
+  val q97Sql: String =
+    """SELECT 'li_orphan_orderkey' AS check_name,
+      |  count(CASE WHEN p.__hit IS NULL THEN 1 END) AS n_violations,
+      |  count(*) AS n_checked
+      |FROM lineitem c LEFT JOIN
+      |  (SELECT DISTINCT o_orderkey AS __k, 1 AS __hit FROM orders) p
+      |  ON c.l_orderkey = p.__k
+      |UNION ALL
+      |SELECT 'li_orphan_partkey',
+      |  count(CASE WHEN p.__hit IS NULL THEN 1 END), count(*)
+      |FROM lineitem c LEFT JOIN
+      |  (SELECT DISTINCT p_partkey AS __k, 1 AS __hit FROM part) p
+      |  ON c.l_partkey = p.__k
+      |UNION ALL
+      |SELECT 'ord_orphan_custkey',
+      |  count(CASE WHEN p.__hit IS NULL THEN 1 END), count(*)
+      |FROM orders c LEFT JOIN
+      |  (SELECT DISTINCT c_custkey AS __k, 1 AS __hit FROM customer) p
+      |  ON c.o_custkey = p.__k
+      |UNION ALL
+      |SELECT 'li_nonpositive_qty',
+      |  count(CASE WHEN l_quantity <= 0 THEN 1 END), count(*) FROM lineitem
+      |UNION ALL
+      |SELECT 'li_discount_range',
+      |  count(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 END), count(*)
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 'ord_nonpositive_total',
+      |  count(CASE WHEN o_totalprice <= 0 THEN 1 END), count(*) FROM orders
+      |UNION ALL
+      |SELECT 'ord_unique_orderkey',
+      |  CAST(sum(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT),
+      |  CAST(sum(n) AS BIGINT)
+      |FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
+      |ORDER BY check_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q97_integrity_audit" -> (q97IntegrityAudit _),
     "q60_rollup_scorecard" -> (q60RollupScorecard _),
     "q61_pivot_length" -> (q61PivotLengthClasses _),
     "q62_event_deltas" -> (q62EventDeltas _),
@@ -583,6 +650,7 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q97_integrity_audit" -> q97Sql,
     "q60_rollup_scorecard" -> q60Sql,
     "q61_pivot_length" -> q61Sql,
     "q62_event_deltas" -> q62Sql,

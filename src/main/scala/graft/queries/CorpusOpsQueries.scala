@@ -125,6 +125,50 @@ object CorpusOpsQueries {
       |WHERE b.bucket * n.n_lang < 256 * m.min_n
       |ORDER BY doc_id""".stripMargin
 
+  // ===== q99 — per-stratum EXACT-k deterministic sample ===================
+
+  /** q55's threshold sampler draws a RATE; the other sampler every
+    * curation run needs is EXACT-k per stratum ("k docs from each
+    * source for the eval slice"; k = 10 here so the cut is live even
+    * at the sf0.01 gate's 25-doc strata), still with zero RNG: rank documents
+    * inside each source by a content-keyed uniform order — the first
+    * 13 hex digits of md5(text) as an integer (52 bits, exactly
+    * representable in the double the aggregate carries; DuckDB parses
+    * the same prefix via a hex cast) — and keep the k smallest,
+    * doc_id breaking exact ties.
+    *
+    * Scale shape: ranking rides the bounded per-split `topk_by`
+    * aggregate ([[graft.functions.TopKAgg]], the ANN ranking tail
+    * reused on a curation surface) — the exchange carries at most k
+    * entries per (split, stratum), where the window form shuffles
+    * EVERY row to its stratum's partition and one hot stratum becomes
+    * one hot partition at 100 TB. PlanShapeSpec locks the no-window
+    * shape.
+    */
+  def q99StratifiedExactK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(col("text")), 1, 13), 16, 10).cast("double").as("ord"))
+    docs.groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topkBy(col("ord"), col("doc_id"), 10, asc = true).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).as("rank"), col("e.id").as("doc_id"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  val q99Sql: String =
+    """WITH o AS (
+      |  SELECT source, doc_id,
+      |    ('0x' || substr(md5(text), 1, 13))::BIGINT AS ord
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY ord, doc_id) AS rank
+      |  FROM o)
+      |SELECT source, rank, doc_id FROM r WHERE rank <= 10
+      |ORDER BY source, rank""".stripMargin
+
   // ===== q56 — TF-IDF top terms per document ==============================
 
   /** Per-document top-3 TF-IDF terms — the keyword-extraction /
@@ -380,6 +424,7 @@ object CorpusOpsQueries {
     "q95_sparse_similarity" -> (q95SparseSimilarity _),
     "q54_boilerplate_ngrams" -> (q54BoilerplateNgrams _),
     "q55_stratified_sample" -> (q55StratifiedSample _),
+    "q99_stratified_exact_k" -> (q99StratifiedExactK _),
     "q56_tfidf_top_terms" -> (q56TfIdfTopTerms _),
     "q57_hopping_windows" -> (q57HoppingWindows _),
     "q58_source_scorecard" -> (q58SourceScorecard _),
@@ -389,6 +434,7 @@ object CorpusOpsQueries {
     "q95_sparse_similarity" -> q95Sql,
     "q54_boilerplate_ngrams" -> q54Sql,
     "q55_stratified_sample" -> q55Sql,
+    "q99_stratified_exact_k" -> q99Sql,
     "q56_tfidf_top_terms" -> q56Sql,
     "q57_hopping_windows" -> q57Sql,
     "q58_source_scorecard" -> q58Sql,

@@ -494,9 +494,85 @@ object PipelineQueries {
       |  UNION ALL SELECT 3, 'mixture', n_tokens FROM flags WHERE q AND d AND m)
       |GROUP BY 1, 2 ORDER BY stage_idx""".stripMargin
 
+  // ===== q96 — leakage-safe split: near-dup clusters are split-coherent ===
+
+  /** The q37 content-keyed split hardened against NEAR-duplicate
+    * leakage: a per-document split (random or content-keyed) still
+    * leaks when two near-identical documents hash apart — the test set
+    * then holds a lightly-perturbed copy of a training document,
+    * silently inflating eval. The standard fix: resolve near-dup
+    * clusters FIRST ([[graft.dedup.MinHashLSH.nearDuplicates]] →
+    * [[graft.dedup.DedupClusters.components]]), then key every
+    * member's split on the CLUSTER REPRESENTATIVE's content, so each
+    * duplicate cluster lands wholly in one split by construction.
+    *
+    * Oracle construction (the q74 argument made split-shaped): planted
+    * copies (doc_id + 2000000) carry the original text plus two
+    * trailing spaces — raw md5 differs, but the shingler normalizes
+    * ([[graft.dedup.MinHashLSH.shingleRows]] trims), so shingle sets
+    * are identical and the θ = 1.0 MinHash path must cluster copy with
+    * original; under the q33 precondition (shingle-set equality ⟺
+    * raw-text equality on this corpus) the clusters are exactly the
+    * md5 groups of the UNPADDED text the oracle plants itself. A
+    * copy's own padded md5 would often bucket elsewhere, so the
+    * copy-follows-representative assertion is non-vacuous per row.
+    *
+    * Scale shape: pair/cluster cost is exactly q21 + q36 (both
+    * audited); the split assignment adds one component-keyed equi-join
+    * carrying only (rep_id, bucket) — no new shuffle surface, and the
+    * representative's text never leaves its partition (only its
+    * 0..255 bucket rides the join).
+    */
+  def q96LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    SimilarityQueries.requireQ33OraclePreconditions(docs, dir)
+    val planted = docs.union(
+      docs.select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit("  ")).as("text")))
+    val pairs = graft.dedup.MinHashLSH
+      .nearDuplicates(planted, "doc_id", "text", threshold = 1.0)
+      .select("id_a", "id_b")
+    val comp = graft.dedup.DedupClusters.components(pairs)
+    val assigned = planted.select(col("doc_id"))
+      .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("rep_id"))
+    // bucket of every doc's OWN text; only representatives' rows join back
+    val repBucket = planted.select(col("doc_id").as("rep_id"), md5Bucket.as("bucket"))
+    assigned.join(repBucket, Seq("rep_id"))
+      .withColumn("split",
+        when(col("bucket") < 204, "train")
+          .when(col("bucket") < 230, "valid")
+          .otherwise("test"))
+      .select(col("doc_id"), col("rep_id"), col("bucket"), col("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Clusters = md5 groups of the unpadded text (see q96's doc for why
+    * that equals the MinHash components here); the representative is
+    * the min id, and every member takes the representative's bucket.
+    */
+  val q96Sql: String =
+    """WITH u AS (
+      |  SELECT doc_id, md5(text) AS h FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, md5(text) FROM documents),
+      |r AS (
+      |  SELECT h, min(doc_id) AS rep_id,
+      |    (strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) AS bucket
+      |  FROM u GROUP BY h)
+      |SELECT u.doc_id, r.rep_id, r.bucket,
+      |  CASE WHEN r.bucket < 204 THEN 'train'
+      |       WHEN r.bucket < 230 THEN 'valid'
+      |       ELSE 'test' END AS split
+      |FROM u JOIN r USING (h)
+      |ORDER BY doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q96_leakage_safe_split" -> (q96LeakageSafeSplit _),
     "q27_corpus_pipeline" -> (q27CorpusPipeline _),
     "q28_sessionize" -> (q28Sessionize _),
     "q30_percentiles" -> (q30Percentiles _),
@@ -510,6 +586,7 @@ object PipelineQueries {
     "q53_incr_cardinality" -> (q53IncrementalCardinality _))
 
   val oracleSql: Map[String, String] = Map(
+    "q96_leakage_safe_split" -> q96Sql,
     "q27_corpus_pipeline" -> q27Sql,
     "q28_sessionize" -> q28Sql,
     "q30_percentiles" -> q30Sql,

@@ -397,7 +397,102 @@ object RetrievalQueries {
         |  CAST(NULL AS DOUBLE) AS cosine_r6 WHERE false""".stripMargin
   }
 
+  // ===== q98 — k-means cluster profile (corpus cartography) ===============
+
+  /** Cluster cartography — the per-cell census a curation team reads
+    * before deciding what to up/down-sample (the SemDeDup/DoReMi-style
+    * "what lives where" map): for each k-means cell, how many vectors
+    * sit there and how tight they hug the centroid. Tightness is the
+    * SUM of micro-quantized cosines (floor(c·1e6 + 0.5), a BIGINT) —
+    * integer-exact across engines, where a float mean would reopen
+    * the cross-engine rounding window q82 closed.
+    *
+    * Quantizer = the q25/q75 Warehouse IVF fit with centroids ROUNDED
+    * to 6 decimals — rounding DEFINES this query's quantizer (the
+    * PqIndex.fit convention) so the captured literals round-trip
+    * bit-identically into DuckDB. K-means itself is not
+    * SQL-expressible, so the oracle takes the rounded centroids as
+    * pipeline INPUT (literal-injected, dir-keyed — the q82/q90
+    * pattern) and independently recomputes assignment (same score,
+    * same lowest-cell tie-break) and the census.
+    *
+    * Scale shape: the fit is Warehouse-amortized (shared with the q25
+    * family); assignment is one projection against centroid literals —
+    * no join, no shuffle ([[IvfIndex.assign]]); the tightness join is
+    * a broadcast of C centroid rows; the census is a C-row hash
+    * aggregate with map-side partial combine. Nothing corpus-sized
+    * shuffles at any scale.
+    */
+  def q98KmeansProfile(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.VectorOps.register(s) // cosine below rides dot64
+    val vecs = Tables.load(s, dir, "embeddings")
+    val idxDir = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "ivf_index", s"$dir/embeddings.parquet",
+        params = "c=16,seed=42,maxIter=5")) { d =>
+      val idx = IvfIndex.fit(vecs, c = 16, maxIter = 5)
+      IvfIndex.save(idx, idx.assign(vecs), d)
+    }
+    val (raw, _) = IvfIndex.load(s, idxDir)
+    val cents: Seq[(Int, Seq[Double])] = raw.centroids.map { case (id, c) =>
+      id -> c.map(v =>
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    q98CapturedCents.put(dir, cents) // feeds the literal-injected oracle
+    val assigned = IvfIndex(cents).assign(vecs.select(col("vec_id"), col("embedding")))
+    val centDf = cents.toDF("cell_id", "centroid")
+    assigned.join(broadcast(centDf), Seq("cell_id"))
+      .select(col("cell_id"),
+        floor(Similarity.cosine(col("emb"), col("centroid")) * lit(1e6) + lit(0.5))
+          .cast("bigint").as("q6"))
+      .groupBy(col("cell_id"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q6")).as("sum_cos_q6"))
+      .orderBy(col("cell_id"))
+  }
+
+  /** Rounded centroids captured per corpus dir by [[q98KmeansProfile]]
+    * — q90's keying + no-self-computing-fallback convention (k-means
+    * is not SQL-expressible; an uncaptured render can only be dumped
+    * if q98 never ran, when there is nothing to compare either).
+    */
+  private val q98CapturedCents =
+    new scala.collection.concurrent.TrieMap[String, Seq[(Int, Seq[Double])]]()
+
+  private def q98CentLiteralClause(cents: Seq[(Int, Seq[Double])]): String =
+    cents.map { case (cellId, c) =>
+      val list = c.map(v => "%.6f".formatLocal(java.util.Locale.ROOT, v))
+        .mkString("[", ", ", "]")
+      s"SELECT $cellId AS cell_id, $list::DOUBLE[] AS c"
+    }.mkString(" UNION ALL ")
+
+  def q98Sql: String = q98CapturedCents.readOnlySnapshot().values.toSeq match {
+    case Seq(cents) =>
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cent AS (${q98CentLiteralClause(cents)}),
+        |scored AS (
+        |  SELECT v.vec_id, v.e, cent.cell_id,
+        |    list_dot_product(v.e, cent.c) / sqrt(list_dot_product(cent.c, cent.c)) AS s
+        |  FROM v CROSS JOIN cent),
+        |asg AS (
+        |  SELECT vec_id, e, cell_id FROM (
+        |    SELECT vec_id, e, cell_id,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, cell_id ASC) AS rn
+        |    FROM scored) WHERE rn = 1),
+        |j AS (
+        |  SELECT a.cell_id,
+        |    CAST(floor(list_dot_product(a.e, c.c)
+        |      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(c.c, c.c)))
+        |      * 1e6 + 0.5) AS BIGINT) AS q6
+        |  FROM asg a JOIN cent c USING (cell_id))
+        |SELECT cell_id, count(*) AS n_vecs, CAST(sum(q6) AS BIGINT) AS sum_cos_q6
+        |FROM j GROUP BY cell_id ORDER BY cell_id""".stripMargin
+    case _ =>
+      """SELECT CAST(NULL AS INTEGER) AS cell_id, CAST(NULL AS BIGINT) AS n_vecs,
+        |  CAST(NULL AS BIGINT) AS sum_cos_q6 WHERE false""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q98_kmeans_profile" -> (q98KmeansProfile _),
     "q82_semantic_dedup" -> (q82SemanticDedup _),
     "q83_bm25" -> (q83Bm25 _),
     "q85_hamming_ann" -> (q85HammingAnn _),
@@ -409,6 +504,7 @@ object RetrievalQueries {
     * queries, so the driver's DuckDB sees the injected literals).
     */
   def oracleSql: Map[String, String] = Map(
+    "q98_kmeans_profile" -> q98Sql,
     "q82_semantic_dedup" -> q82Sql,
     "q83_bm25" -> q83Sql,
     "q85_hamming_ann" -> q85Sql,

@@ -186,7 +186,7 @@ object SimilarityQueries {
     * throws before any marker is written, so an unsound corpus is
     * re-flagged loudly on every attempt.
     */
-  private def requireQ33OraclePreconditions(docs: DataFrame, dir: String): Unit =
+  private[queries] def requireQ33OraclePreconditions(docs: DataFrame, dir: String): Unit =
     if (!q33PreconditionOk.contains(dir)) {
       val s = docs.sparkSession
       Warehouse.ensureBuilt(s,

@@ -109,6 +109,31 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(out.forall(_._3 <= 10))
   }
 
+  test("q99 exact-k sample ≡ the window form, exactly k per stratum") {
+    val dir = "/root/testdata/sf0.001"
+    val got = CorpusOpsQueries.q99StratifiedExactK(spark, dir)
+      .as[(String, Int, Long)].collect().toSeq
+    // per-stratum count = min(k, stratum size)
+    val sizes = spark.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source").count().as[(String, Long)].collect().toMap
+    val perSource = got.groupBy(_._1).view.mapValues(_.size).toMap
+    assert(perSource.keySet == sizes.keySet)
+    perSource.foreach { case (src, n) =>
+      assert(n == math.min(10L, sizes(src)), s"$src: $n of ${sizes(src)}")
+    }
+    // the bounded aggregate must agree with the window spelling per row
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(col("text")), 1, 13), 16, 10).cast("double").as("ord"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("ord"), col("doc_id"))
+    val expect = docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("source"), col("rank"), col("doc_id"))
+      .as[(String, Int, Long)].collect().toSeq
+    assert(got.sorted == expect.sorted)
+  }
+
   test("q57 hopping windows cover each event exactly twice, aligned") {
     val dir = "/root/testdata/sf0.001"
     val nEvents = graft.core.Tables.load(spark, dir, "events").count()

@@ -310,6 +310,18 @@ class PlanShapeSpec extends SparkTestBase {
         p.linesIterator.filter(_.contains("Window")).mkString("\n"))
   }
 
+  test("q99 exact-k sample is a bounded partial aggregate — no per-stratum window") {
+    // the scale killer: row_number over every doc shuffled to its
+    // stratum's partition (one hot stratum = one hot partition); the
+    // topk_by aggregate ships at most k entries per (split, stratum)
+    val p = plan(CorpusOpsQueries.q99StratifiedExactK(spark, sf))
+    assert(p.contains("partial_topk_by"),
+      "exact-k sample must pre-aggregate per split:\n" + p.take(400))
+    assert(!p.contains("Window"),
+      "no window may rank full strata:\n" +
+        p.linesIterator.filter(_.contains("Window")).mkString("\n"))
+  }
+
   test("q85 Hamming candidate cut pre-aggregates per split before any window") {
     // stage 1 (N×Q Hamming scores) must be the bounded aggregate; the
     // only window allowed is the stage-2 rerank over C×Q candidates

@@ -29,6 +29,46 @@ class SplitSpec extends SparkTestBase {
     assert(a.forall(r => r._2 >= 0 && r._2 < 256))
   }
 
+  test("q96: near-dup clusters land wholly in one split, keyed by the representative") {
+    val dir = java.nio.file.Files.createTempDirectory("q96-spec").toString
+    // raw-distinct, normalized-distinct texts (the q33 precondition must
+    // hold); exact-dup pair (1, 2) exercises a multi-doc cluster
+    val docs = Seq(
+      (1L, "the same exact document text"),
+      (2L, "the same exact document text"),
+      (3L, "a different document entirely"),
+      (4L, "yet another body of text here"),
+      (5L, "fifth distinct corpus document")).toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/documents.parquet")
+
+    val rows = PipelineQueries.q96LeakageSafeSplit(spark, dir)
+      .as[(Long, Long, Long, String)].collect()
+    val byId = rows.map(r => r._1 -> r).toMap
+    // every original and its padded +2000000 copy share rep and split
+    for (d <- Seq(1L, 2L, 3L, 4L, 5L)) {
+      val (orig, copy) = (byId(d), byId(d + 2000000))
+      assert(orig._2 == copy._2, s"doc $d: copy must share the representative")
+      assert(orig._4 == copy._4, s"doc $d: copy must share the split")
+    }
+    // the exact-dup cluster {1, 2, copies} collapses to rep 1, one split
+    assert(Seq(1L, 2L, 2000001L, 2000002L).map(byId(_)._2).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 2000001L, 2000002L).map(byId(_)._4).distinct.size == 1)
+    // representative is the min id, so originals represent themselves
+    assert(Seq(1L, 3L, 4L, 5L).forall(d => byId(d)._2 == d))
+    // non-vacuity: at least one copy's OWN padded-text bucket differs
+    // from the rep bucket it was assigned (split genuinely followed the
+    // cluster, not the copy's own content hash)
+    val ownBuckets = spark.read.parquet(s"$dir/documents.parquet")
+      .select((col("doc_id") + 2000000).as("doc_id"),
+        concat(col("text"), lit("  ")).as("text"))
+      .withColumn("own", expr(
+        "cast(((locate(substring(md5(text), 1, 1), '0123456789abcdef') - 1) * 16" +
+          " + (locate(substring(md5(text), 2, 1), '0123456789abcdef') - 1)) as bigint)"))
+      .select("doc_id", "own").as[(Long, Long)].collect().toMap
+    assert(ownBuckets.exists { case (d, own) => own != byId(d)._3 },
+      "planted copies' own buckets all equal their rep bucket — vacuous plant")
+  }
+
   test("split proportions approach 80/10/10 on the real corpus") {
     val counts = PipelineQueries.q37DeterministicSplit(spark, "/root/testdata/sf0.001")
       .groupBy("split").count()
