@@ -10,12 +10,14 @@ import graft.streaming.EventStream
 
 /** Corpus-analytics operators a large-scale training-data pipeline runs
   * between ingest and packing: boilerplate detection (corpus-frequent
-  * n-grams), balanced stratified sampling, TF-IDF term scoring, and
-  * hopping-window event rollups. All four are DuckDB-oracled — the
-  * n-gram/token extraction used here (lowercase, collapse whitespace,
-  * whitespace tokens) is restated in the oracle SQL via
-  * `string_split`+`unnest`, and every float is rounded to 6 decimals on
-  * both sides (the q20 convention).
+  * n-grams), balanced stratified sampling (rate q55 / exact-k q99),
+  * source capping (doc-count q59 / token-budget q08), TF-IDF term
+  * scoring and the sparse-similarity join over its inverted index,
+  * per-source scorecards, and hopping-window event rollups. All
+  * DuckDB-oracled — the n-gram/token extraction used here (lowercase,
+  * collapse whitespace, whitespace tokens) is restated in the oracle
+  * SQL via `string_split`+`unnest`, and every float is rounded to 6
+  * decimals on both sides (the q20 convention).
   *
   * Beyond-reference surface (no analogue in the reference's 25 files);
   * the closest reference shapes are the groupBy/agg reports of
@@ -341,6 +343,54 @@ object CorpusOpsQueries {
       |  FROM documents)
       |SELECT doc_id, source, rn FROM r WHERE rn <= 10 ORDER BY doc_id""".stripMargin
 
+  // ===== q08 — token-budget source cap ====================================
+
+  /** q59 caps each source at K DOCUMENTS; the unit a training pipeline
+    * actually budgets is TOKENS: admit documents per source in the
+    * deterministic content order (md5, doc_id — q59's order) while the
+    * running token total stays within budget B = 800 (chosen to bind
+    * at both gate scales), so every source contributes at most B
+    * tokens no matter how its document lengths skew. A doc is kept iff
+    * the running sum INCLUDING it is ≤ B — the first over-budget doc
+    * and everything after it in content order is cut. Integer token
+    * counts ([[graft.text.TextFunctions.tokenCount]]) keep the prefix
+    * sums engine-exact.
+    *
+    * Scale shape: one shuffle on source + the running-sum window —
+    * ordering is intrinsic to a prefix-sum cap (q59's shape); at
+    * 100 TB the swap is range-partitioning on (source, h) so each
+    * stratum's prefix sum runs in parallel ranges (the q63→q68
+    * argument applied per source).
+    */
+  def q08TokenBudgetCap(s: SparkSession, dir: String): DataFrame = {
+    val budget = 800L
+    val bySource = Window.partitionBy(col("source"))
+      .orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        md5(col("text")).as("h"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(bySource))
+      .filter(col("cum_tokens") <= budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q08Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id, source, md5(text) AS h,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens, CAST(cum AS BIGINT) AS cum_tokens
+      |FROM c WHERE cum <= 800 ORDER BY doc_id""".stripMargin
+
   // ===== q95 — sparse TF-IDF similarity join (inverted index) =============
 
   /** Document-pair similarity over SPARSE term vectors — the
@@ -425,6 +475,7 @@ object CorpusOpsQueries {
     "q54_boilerplate_ngrams" -> (q54BoilerplateNgrams _),
     "q55_stratified_sample" -> (q55StratifiedSample _),
     "q99_stratified_exact_k" -> (q99StratifiedExactK _),
+    "q08_token_budget_cap" -> (q08TokenBudgetCap _),
     "q56_tfidf_top_terms" -> (q56TfIdfTopTerms _),
     "q57_hopping_windows" -> (q57HoppingWindows _),
     "q58_source_scorecard" -> (q58SourceScorecard _),
@@ -435,6 +486,7 @@ object CorpusOpsQueries {
     "q54_boilerplate_ngrams" -> q54Sql,
     "q55_stratified_sample" -> q55Sql,
     "q99_stratified_exact_k" -> q99Sql,
+    "q08_token_budget_cap" -> q08Sql,
     "q56_tfidf_top_terms" -> q56Sql,
     "q57_hopping_windows" -> q57Sql,
     "q58_source_scorecard" -> q58Sql,

@@ -134,6 +134,38 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(got.sorted == expect.sorted)
   }
 
+  test("q08 token budget cap: prefix-maximal under B per source, rerun-stable") {
+    val dir = "/root/testdata/sf0.001"
+    val got = CorpusOpsQueries.q08TokenBudgetCap(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val got2 = CorpusOpsQueries.q08TokenBudgetCap(spark, dir)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == got2, "content-keyed cap must be rerun-stable")
+    assert(got.nonEmpty)
+    // every admitted prefix stays within budget
+    val bySource = got.groupBy(_._2)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_._3).sum <= 800L, s"$src exceeds budget")
+      assert(rows.map(_._3).sum == rows.map(_._4).max, s"$src cum mismatch")
+    }
+    // maximality: the next doc in content order would overflow the budget
+    val all = graft.core.Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("n"))
+      .as[(Long, String, String, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(r => (r._3, r._1))).toMap
+    all.foreach { case (src, ordered) =>
+      val kept = bySource.getOrElse(src, Seq.empty).map(_._1).toSet
+      val admitted = ordered.takeWhile(r => kept(r._1))
+      assert(admitted.map(_._1).toSet == kept,
+        s"$src: kept set must be a prefix of the content order")
+      ordered.drop(admitted.size).headOption.foreach { next =>
+        assert(admitted.map(_._4).sum + next._4 > 800L,
+          s"$src: first excluded doc would still fit the budget")
+      }
+    }
+  }
+
   test("q57 hopping windows cover each event exactly twice, aligned") {
     val dir = "/root/testdata/sf0.001"
     val nEvents = graft.core.Tables.load(spark, dir, "events").count()
