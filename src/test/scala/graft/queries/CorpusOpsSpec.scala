@@ -166,6 +166,42 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q95 signature candidate join ≡ the naive posting-list join") {
+    val dir = "/root/testdata/sf0.001"
+    val got = CorpusOpsQueries.q95SparseSimilarity(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.nonEmpty, "sf0.001 must produce ≥4-shared pairs")
+    // naive reference spelling: pairs meet on ANY shared term, then the
+    // ≥4 filter — the shape the signature join replaced; results must
+    // be identical pair-for-pair and weight-for-weight
+    val docs = graft.core.Tables.load(spark, dir, "documents")
+    val toks = graft.dedup.MinHashLSH.shingleRows(docs, "doc_id", "text", n = 1)
+      .filter(col("sh") =!= "")
+    val tf = toks.groupBy(col("sid").as("doc_id"), col("sh").as("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("sh").as("term"))
+      .agg(countDistinct(col("sid")).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val byDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("score").desc, col("term"))
+    val top = tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .withColumn("rank", row_number().over(byDoc))
+      .filter(col("rank") <= 5)
+      .select(col("doc_id"), col("term"),
+        floor(col("score") * 1000 + lit(0.5)).cast("long").as("wm"))
+    val naive = top.alias("a")
+      .join(top.alias("b"),
+        col("a.term") === col("b.term") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("shared_terms"), sum(col("a.wm") * col("b.wm")).as("dot_m2"))
+      .filter(col("shared_terms") >= 4)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got.sorted == naive.sorted,
+      s"signature join diverged: got ${got.size} vs naive ${naive.size}")
+  }
+
   test("q57 hopping windows cover each event exactly twice, aligned") {
     val dir = "/root/testdata/sf0.001"
     val nEvents = graft.core.Tables.load(spark, dir, "events").count()
