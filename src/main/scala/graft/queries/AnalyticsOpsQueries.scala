@@ -634,8 +634,73 @@ object AnalyticsOpsQueries {
       |FROM (SELECT count(*) AS n FROM orders GROUP BY o_orderkey)
       |ORDER BY check_name""".stripMargin
 
+  // ===== q101 — SCD2 dimension merge ======================================
+
+  /** Slowly-changing-dimension (type 2) MERGE without a table format:
+    * apply a change batch — deterministically derived from the
+    * snapshot so the gate needs no extra input: every key ≡ 0 (mod 10)
+    * re-segments (`CHG-` prefix), every key ≡ 7 (mod 25) arrives as a
+    * brand-new key — to the customer dimension, emitting versioned
+    * history rows. Unchanged keys stay open at version 1; changed keys
+    * close their v1 row (valid_to = 2) and open a v2 row; inserts open
+    * at v2; a no-op update (same value) is recognized and leaves the
+    * v1 row open — the full MERGE decomposition every table format
+    * runs under the hood, which the reference's overwrite-only flows
+    * cannot express.
+    *
+    * Scale shape: one full-outer equi-join on the key + a linear
+    *3-branch union; no windows, no skew surface beyond the key join.
+    */
+  def q101ScdMerge(s: SparkSession, dir: String): DataFrame = {
+    val cur = Tables.load(s, dir, "customer")
+      .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"))
+    val changes = cur.filter(col("key") % 10 === 0)
+      .select(col("key"), concat(lit("CHG-"), col("segment")).as("segment"))
+      .union(cur.filter(col("key") % 25 === 7)
+        .select((col("key") + 1000000).as("key"), lit("NEW").as("segment")))
+    val j = cur.select(col("key"), col("segment").as("old_seg"))
+      .join(changes.select(col("key"), col("segment").as("new_seg")),
+        Seq("key"), "full_outer")
+    val open = lit(null).cast("int").as("valid_to")
+    val unchanged = j
+      .filter(col("old_seg").isNotNull &&
+        (col("new_seg").isNull || col("new_seg") === col("old_seg")))
+      .select(col("key"), col("old_seg").as("segment"), lit(1).as("valid_from"), open)
+    val closed = j
+      .filter(col("old_seg").isNotNull && col("new_seg").isNotNull &&
+        col("new_seg") =!= col("old_seg"))
+      .select(col("key"), col("old_seg").as("segment"), lit(1).as("valid_from"),
+        lit(2).cast("int").as("valid_to"))
+    val opened = j
+      .filter(col("new_seg").isNotNull &&
+        (col("old_seg").isNull || col("new_seg") =!= col("old_seg")))
+      .select(col("key"), col("new_seg").as("segment"), lit(2).as("valid_from"), open)
+    unchanged.union(closed).union(opened)
+      .orderBy(col("key"), col("valid_from"))
+  }
+
+  val q101Sql: String =
+    """WITH cur AS (SELECT c_custkey AS key, c_mktsegment AS segment FROM customer),
+      |chg AS (
+      |  SELECT key, 'CHG-' || segment AS segment FROM cur WHERE key % 10 = 0
+      |  UNION ALL
+      |  SELECT key + 1000000, 'NEW' FROM cur WHERE key % 25 = 7),
+      |j AS (
+      |  SELECT coalesce(c.key, n.key) AS key, c.segment AS old_seg, n.segment AS new_seg
+      |  FROM cur c FULL OUTER JOIN chg n ON c.key = n.key)
+      |SELECT key, old_seg AS segment, 1 AS valid_from, CAST(NULL AS INTEGER) AS valid_to
+      |FROM j WHERE old_seg IS NOT NULL AND (new_seg IS NULL OR new_seg = old_seg)
+      |UNION ALL
+      |SELECT key, old_seg, 1, 2
+      |FROM j WHERE old_seg IS NOT NULL AND new_seg IS NOT NULL AND new_seg <> old_seg
+      |UNION ALL
+      |SELECT key, new_seg, 2, NULL
+      |FROM j WHERE new_seg IS NOT NULL AND (old_seg IS NULL OR new_seg <> old_seg)
+      |ORDER BY key, valid_from""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_integrity_audit" -> (q97IntegrityAudit _),
+    "q101_scd2_merge" -> (q101ScdMerge _),
     "q60_rollup_scorecard" -> (q60RollupScorecard _),
     "q61_pivot_length" -> (q61PivotLengthClasses _),
     "q62_event_deltas" -> (q62EventDeltas _),
@@ -651,6 +716,7 @@ object AnalyticsOpsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q97_integrity_audit" -> q97Sql,
+    "q101_scd2_merge" -> q101Sql,
     "q60_rollup_scorecard" -> q60Sql,
     "q61_pivot_length" -> q61Sql,
     "q62_event_deltas" -> q62Sql,

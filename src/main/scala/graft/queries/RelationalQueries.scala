@@ -73,6 +73,123 @@ object RelationalQueries {
       |FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
       |ORDER BY click_id""".stripMargin
 
+  // ===== q100 — gap-fill + forward-fill grid (as-of interpolation) ========
+
+  /** Regularized per-user time series: a 6-hour ALIGNED grid spanning
+    * each user's event range, every grid point carrying the latest
+    * event at-or-before it (forward fill) — the feature-engineering
+    * step that turns irregular event streams into fixed-cadence model
+    * inputs. Reuses [[AsofJoin]] (grid = left, events = right): ONE
+    * exchange on user_id + one sort. Grid boundaries are integer
+    * `div`-aligned so both engines compute identical µs points, and
+    * every grid point has a match by construction (the grid starts at
+    * or after the user's first event; (user_id, ts) is unique in
+    * events, q45's argument, so the match is deterministic).
+    *
+    * Scale shape: grid volume = Σ span/step rows (step is the knob);
+    * the as-of machinery is q45's audited one-exchange shape; nothing
+    * quadratic anywhere.
+    */
+  def q100GapFillGrid(s: SparkSession, dir: String): DataFrame = {
+    val step = 21600000000L // 6 h in µs
+    val ev = eventsUs(s, dir)
+    val grid = ev.groupBy(col("user_id"))
+      .agg(min(col("ts_us")).as("t0"), max(col("ts_us")).as("t1"))
+      .withColumn("start", expr(s"((t0 + ${step - 1}L) div ${step}L) * ${step}L"))
+      .filter(col("start") <= col("t1"))
+      .select(col("user_id"),
+        explode(sequence(col("start"), col("t1"), lit(step))).as("ts_us"))
+    val vals = ev.select(col("user_id"), col("ts_us"),
+      col("ts_us").as("event_ts_us"), col("value").as("last_value"))
+    AsofJoin.asofJoin(grid, vals, key = "user_id", ts = "ts_us",
+        payload = Seq("event_ts_us", "last_value"))
+      .orderBy(col("user_id"), col("ts_us"))
+  }
+
+  val q100Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, value FROM events),
+      |b AS (
+      |  SELECT user_id,
+      |    ((min(ts_us) + 21599999999) // 21600000000) * 21600000000 AS start,
+      |    max(ts_us) AS t1
+      |  FROM e GROUP BY 1),
+      |g AS (
+      |  SELECT user_id, unnest(range(start, t1 + 1, 21600000000)) AS ts_us
+      |  FROM b WHERE start <= t1),
+      |v AS (SELECT user_id, ts_us, ts_us AS event_ts_us, value AS last_value FROM e)
+      |SELECT g.user_id, g.ts_us, v.event_ts_us, v.last_value
+      |FROM g ASOF LEFT JOIN v ON g.user_id = v.user_id AND g.ts_us >= v.ts_us
+      |ORDER BY 1, 2""".stripMargin
+
+  // ===== q102 — ordered in-session funnel (view → click → purchase) =======
+
+  /** Conversion funnel with ORDER semantics inside q28 sessions: the
+    * first view, the first click AT-OR-AFTER that view, the first
+    * purchase at-or-after that click — "did the session progress
+    * view → click → purchase, and when". A click before any view does
+    * not count: the stage timestamps are NULL-chained conditional
+    * window minimums, and `stage` reports how deep the chain got.
+    *
+    * Scale shape: the sessionizer's one user_id exchange
+    * ([[sessionAssigned]]) is reused by all three window passes (same
+    * partitioning — no further shuffles); the rollup is one hash
+    * aggregate. No joins, no row explosion.
+    */
+  def q102SessionFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = sessionAssigned(eventsUs(s, dir))
+    val bySess = Window.partitionBy(col("user_id"), col("session_idx"))
+    ev.withColumn("t_view",
+        min(when(col("event_type") === "view", col("ts_us"))).over(bySess))
+      .withColumn("t_click",
+        min(when(col("event_type") === "click" && col("ts_us") >= col("t_view"),
+          col("ts_us"))).over(bySess))
+      .withColumn("t_purchase",
+        min(when(col("event_type") === "purchase" && col("ts_us") >= col("t_click"),
+          col("ts_us"))).over(bySess))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("t_view")).as("t_view"),
+        min(col("t_click")).as("t_click"),
+        min(col("t_purchase")).as("t_purchase"))
+      .withColumn("stage",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2)
+          .when(col("t_view").isNotNull, 1)
+          .otherwise(0))
+      .orderBy(col("user_id"), col("session_idx"))
+  }
+
+  val q102Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us, event_type,
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, ts_us, event_type,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged),
+      |s1 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+      |    OVER (PARTITION BY user_id, session_idx) AS t_view FROM sess),
+      |s2 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'click' AND ts_us >= t_view THEN ts_us END)
+      |    OVER (PARTITION BY user_id, session_idx) AS t_click FROM s1),
+      |s3 AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' AND ts_us >= t_click THEN ts_us END)
+      |    OVER (PARTITION BY user_id, session_idx) AS t_purchase FROM s2)
+      |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |  count(*) AS n_events,
+      |  min(t_view) AS t_view, min(t_click) AS t_click, min(t_purchase) AS t_purchase,
+      |  CASE WHEN min(t_purchase) IS NOT NULL THEN 3
+      |       WHEN min(t_click) IS NOT NULL THEN 2
+      |       WHEN min(t_view) IS NOT NULL THEN 1 ELSE 0 END AS stage
+      |FROM s3 GROUP BY 1, 2
+      |ORDER BY user_id, session_idx""".stripMargin
+
   // ===== q46 — range join: purchases inside error-burst windows ==========
 
   /** Which purchases landed within 5 minutes after ANY error event —
@@ -281,6 +398,8 @@ object RelationalQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q45_asof_join" -> (q45AsofJoin _),
+    "q100_gap_fill_grid" -> (q100GapFillGrid _),
+    "q102_session_funnel" -> (q102SessionFunnel _),
     "q46_range_join" -> (q46RangeJoin _),
     "q47_session_attribution" -> (q47SessionAttribution _),
     "q48_overlap_join" -> (q48OverlapJoin _),
@@ -289,6 +408,8 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q45_asof_join" -> q45Sql,
+    "q100_gap_fill_grid" -> q100Sql,
+    "q102_session_funnel" -> q102Sql,
     "q46_range_join" -> q46Sql,
     "q47_session_attribution" -> q47Sql,
     "q48_overlap_join" -> q48Sql,

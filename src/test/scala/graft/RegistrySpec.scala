@@ -10,7 +10,7 @@ class RegistrySpec extends AnyFunSuite {
 
   test("query keys are unique and well-formed") {
     assert(Registry.queries.nonEmpty)
-    assert(Registry.queries.keys.forall(_.matches("q[0-9]{2}_[a-z0-9_]+")))
+    assert(Registry.queries.keys.forall(_.matches("q[0-9]{2,3}_[a-z0-9_]+")))
   }
 
   test("every oracle key has a query") {
