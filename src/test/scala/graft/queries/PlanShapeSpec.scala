@@ -322,6 +322,24 @@ class PlanShapeSpec extends SparkTestBase {
         p.linesIterator.filter(_.contains("Window")).mkString("\n"))
   }
 
+  test("q102 funnel reuses ONE user exchange for sessionizer + all stage windows") {
+    // partitioning by user_id satisfies the (user_id, session_idx)
+    // clustering of the stage windows — a second exchange would mean
+    // the funnel re-shuffles per stage
+    val p = plan(RelationalQueries.q102SessionFunnel(spark, sf))
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(shuffles == 1, s"funnel must shuffle once on user_id, saw $shuffles:\n" +
+      p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q100 gap-fill plans the as-of shape: no join operator, no nested loop") {
+    val p = plan(RelationalQueries.q100GapFillGrid(spark, sf))
+    assert(!p.contains("NestedLoop"), "grid fill must never plan a nested loop")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "as-of carry-forward needs no join operator:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("q85 Hamming candidate cut pre-aggregates per split before any window") {
     // stage 1 (N×Q Hamming scores) must be the bounded aggregate; the
     // only window allowed is the stage-2 rerank over C×Q candidates
