@@ -698,9 +698,82 @@ object AnalyticsOpsQueries {
       |FROM j WHERE new_seg IS NOT NULL AND (old_seg IS NULL OR new_seg <> old_seg)
       |ORDER BY key, valid_from""".stripMargin
 
+  // ===== q103 — weekly retention cohorts ==================================
+
+  /** The retention triangle every product team reads: users cohorted
+    * by the epoch-week of their FIRST event, then for each (cohort,
+    * week-offset) the distinct users still active — plus cohort size
+    * and retention in integer basis points (`div`, no float rate to
+    * diverge between engines). Weeks are epoch-µs integer buckets, so
+    * both engines bucket identically.
+    *
+    * Scale shape: one distinct-(user, week) aggregate, one per-user
+    * min (both map-side partial first), one user-keyed equi-join, one
+    * (cohort, offset) count-distinct, and a broadcast-sized cohort
+    * join — nothing wider than the user key ever shuffles.
+    */
+  def q103RetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val week = 604800000000L // 7 days in µs
+    val wk = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr(s"(ts div 1000) div ${week}L").as("w"))
+      .distinct()
+    val cohort = wk.groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+    val sizes = cohort.groupBy(col("cw")).agg(count(lit(1)).as("cohort_size"))
+    wk.join(cohort, "user_id")
+      .groupBy(col("cw"), (col("w") - col("cw")).as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(broadcast(sizes), "cw")
+      .select(col("cw").as("cohort_week"), col("week_offset"), col("n_active"),
+        col("cohort_size"),
+        expr("(n_active * 10000) div cohort_size").as("retention_bps"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
+  val q103Sql: String =
+    """WITH wk AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events),
+      |c AS (SELECT user_id, min(w) AS cw FROM wk GROUP BY 1),
+      |sz AS (SELECT cw, count(*) AS cohort_size FROM c GROUP BY 1),
+      |a AS (
+      |  SELECT c.cw, wk.w - c.cw AS week_offset, count(DISTINCT wk.user_id) AS n_active
+      |  FROM wk JOIN c USING (user_id) GROUP BY 1, 2)
+      |SELECT a.cw AS cohort_week, a.week_offset, a.n_active, sz.cohort_size,
+      |  (a.n_active * 10000) // sz.cohort_size AS retention_bps
+      |FROM a JOIN sz USING (cw)
+      |ORDER BY cohort_week, week_offset""".stripMargin
+
+  // ===== q105 — salted two-phase rollup over hot keys =====================
+
+  /** The oracled call-site for [[graft.core.Skew.saltedSum]]: the
+    * events table has only 5 event types, so at 100 TB each group key
+    * is a hot key AQE cannot split (skew-join splitting does not apply
+    * to hash-agg groups). The salted two-phase shape aggregates on
+    * (key, salt) first — spreading each hot group over 16 reducers —
+    * then merges partials. Values are micro-quantized to integers
+    * BEFORE summing, so the result is bit-equal to the plain group-by
+    * for ANY salt assignment (the salt never leaks into the result —
+    * that is the property the oracle checks).
+    */
+  def q105SaltedRollup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("cast(floor(value * 1e6 + 0.5) as bigint)").as("vq6"))
+    graft.core.Skew.saltedSum(ev, "event_type", "vq6", salt = 16)
+      .select(col("event_type"), col("sum_vq6"), col("count").as("n_rows"))
+      .orderBy(col("event_type"))
+  }
+
+  val q105Sql: String =
+    """SELECT event_type,
+      |  CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS sum_vq6,
+      |  count(*) AS n_rows
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q97_integrity_audit" -> (q97IntegrityAudit _),
     "q101_scd2_merge" -> (q101ScdMerge _),
+    "q103_retention_cohorts" -> (q103RetentionCohorts _),
+    "q105_salted_rollup" -> (q105SaltedRollup _),
     "q60_rollup_scorecard" -> (q60RollupScorecard _),
     "q61_pivot_length" -> (q61PivotLengthClasses _),
     "q62_event_deltas" -> (q62EventDeltas _),
@@ -717,6 +790,8 @@ object AnalyticsOpsQueries {
   val oracleSql: Map[String, String] = Map(
     "q97_integrity_audit" -> q97Sql,
     "q101_scd2_merge" -> q101Sql,
+    "q103_retention_cohorts" -> q103Sql,
+    "q105_salted_rollup" -> q105Sql,
     "q60_rollup_scorecard" -> q60Sql,
     "q61_pivot_length" -> q61Sql,
     "q62_event_deltas" -> q62Sql,

@@ -190,6 +190,53 @@ object RelationalQueries {
       |FROM s3 GROUP BY 1, 2
       |ORDER BY user_id, session_idx""".stripMargin
 
+  // ===== q104 — in-session event-transition matrix ========================
+
+  /** The Markov transition counts behind "what do users do next":
+    * within each q28 session, count event_type → next-event_type
+    * transitions ([[Window]] `lead` over the session order); the last
+    * event of every session transitions to the `(end)` terminal so
+    * each row of the matrix sums to that type's occurrence count — a
+    * proper stochastic-matrix numerator. (user_id, ts) uniqueness
+    * makes the session order, and so the matrix, deterministic.
+    *
+    * Scale shape: the sessionizer's single user_id exchange also
+    * satisfies the lead window's (user, session) clustering (q102's
+    * argument); the rollup is one tiny hash aggregate (|types|² + end
+    * rows). No joins.
+    */
+  def q104EventTransitions(s: SparkSession, dir: String): DataFrame = {
+    val bySess = Window.partitionBy(col("user_id"), col("session_idx"))
+      .orderBy(col("ts_us"))
+    sessionAssigned(eventsUs(s, dir))
+      .withColumn("to_type",
+        coalesce(lead(col("event_type"), 1).over(bySess), lit("(end)")))
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  val q104Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts_us, event_type,
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, ts_us, event_type,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |  FROM flagged),
+      |t AS (
+      |  SELECT event_type AS from_type,
+      |    coalesce(lead(event_type, 1) OVER (PARTITION BY user_id, session_idx
+      |      ORDER BY ts_us), '(end)') AS to_type
+      |  FROM sess)
+      |SELECT from_type, to_type, count(*) AS n_transitions
+      |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ===== q46 — range join: purchases inside error-burst windows ==========
 
   /** Which purchases landed within 5 minutes after ANY error event —
@@ -400,6 +447,7 @@ object RelationalQueries {
     "q45_asof_join" -> (q45AsofJoin _),
     "q100_gap_fill_grid" -> (q100GapFillGrid _),
     "q102_session_funnel" -> (q102SessionFunnel _),
+    "q104_event_transitions" -> (q104EventTransitions _),
     "q46_range_join" -> (q46RangeJoin _),
     "q47_session_attribution" -> (q47SessionAttribution _),
     "q48_overlap_join" -> (q48OverlapJoin _),
@@ -410,6 +458,7 @@ object RelationalQueries {
     "q45_asof_join" -> q45Sql,
     "q100_gap_fill_grid" -> q100Sql,
     "q102_session_funnel" -> q102Sql,
+    "q104_event_transitions" -> q104Sql,
     "q46_range_join" -> q46Sql,
     "q47_session_attribution" -> q47Sql,
     "q48_overlap_join" -> q48Sql,

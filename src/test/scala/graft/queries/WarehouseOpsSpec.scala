@@ -61,6 +61,51 @@ class WarehouseOpsSpec extends SparkTestBase {
     assert(rows.filter(_._4.isEmpty).groupBy(_._1).forall(_._2.size == 1))
   }
 
+  test("q103 cohorts: offset-0 retention is 100%, bps bounded, users conserved") {
+    val rows = AnalyticsOpsQueries.q103RetentionCohorts(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.filter(_._2 == 0L).foreach { case (cw, _, active, size, bps) =>
+      assert(active == size && bps == 10000L, s"cohort $cw offset 0 must be full")
+    }
+    assert(rows.forall { case (_, off, active, size, bps) =>
+      off >= 0 && active <= size && bps == active * 10000 / size
+    })
+    val nUsers = graft.core.Tables.load(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(rows.filter(_._2 == 0L).map(_._4).sum == nUsers,
+      "cohort sizes must partition the user base")
+  }
+
+  test("q104 transition rows sum to per-type occurrences; (end) rows = sessions") {
+    val rows = RelationalQueries.q104EventTransitions(spark, sf)
+      .as[(String, String, Long)].collect().toSeq
+    val ev = graft.core.Tables.load(spark, sf, "events")
+    val typeCounts = ev.groupBy("event_type").count().as[(String, Long)].collect().toMap
+    // every event emits exactly one transition (to next or to (end))
+    rows.groupBy(_._1).foreach { case (from, ts) =>
+      assert(ts.map(_._3).sum == typeCounts(from), s"$from row sum")
+    }
+    assert(rows.map(_._3).sum == ev.count(), "one transition per event")
+    // (end) transitions count sessions (each session ends exactly once)
+    val nSessions = RelationalQueries.q102SessionFunnel(spark, sf).count()
+    assert(rows.filter(_._2 == "(end)").map(_._3).sum == nSessions)
+  }
+
+  test("q105 salted rollup ≡ plain group-by for any salt assignment") {
+    val got = AnalyticsOpsQueries.q105SaltedRollup(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    val got2 = AnalyticsOpsQueries.q105SaltedRollup(spark, sf)
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(got == got2, "salt assignment must never leak into the result")
+    val plain = graft.core.Tables.load(spark, sf, "events")
+      .groupBy(col("event_type"))
+      .agg(sum(expr("cast(floor(value * 1e6 + 0.5) as bigint)")).as("sum_vq6"),
+        count(lit(1)).as("n_rows"))
+      .as[(String, Long, Long)].collect().toSeq.sorted
+    assert(got == plain, "two-phase salted sum must equal the one-phase sum")
+  }
+
   test("q102 funnel stages are ordered, null-chained, and session-complete") {
     val rows = RelationalQueries.q102SessionFunnel(spark, sf)
       .select(col("user_id"), col("session_idx"), col("n_events"),
