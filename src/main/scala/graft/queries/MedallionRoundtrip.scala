@@ -86,9 +86,47 @@ object MedallionRoundtrip {
   val q15Sql: String =
     "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY 1"
 
+  // ===== q106 — JSONL format roundtrip ====================================
+
+  /** JSON-lines as a lake format surface (q15's losslessness argument
+    * at JSON grain): documents are written once as Spark JSONL
+    * ([[graft.core.Warehouse]]-placed, build-once) and read back with
+    * a DECLARED schema — no inference scan, the q61/S5 rule — and the
+    * DuckDB oracle is the UNTOUCHED parquet table, so any escaping or
+    * type loss anywhere in the write→read chain (newlines, quotes,
+    * non-ASCII, 64-bit ids) fails the gate. JSONL is the interchange
+    * format training-data pipelines actually emit; this pins the
+    * engine's reader+writer as a faithful carrier for it.
+    *
+    * Scale shape: the write is one pass (amortized to zero by the
+    * Warehouse marker); the read is a schema-declared scan — no
+    * inference pass, splittable per file.
+    */
+  def q106JsonlRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "documents_jsonl", s"$dir/documents.parquet",
+        params = "fmt=jsonl,v=1")) { d =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").json(d)
+    }
+    s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .json(s"$out/*.json")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q106Sql: String =
+    """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q15_medallion_roundtrip" -> (q15MedallionRoundtrip _))
+    "q15_medallion_roundtrip" -> (q15MedallionRoundtrip _),
+    "q106_jsonl_roundtrip" -> (q106JsonlRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
-    "q15_medallion_roundtrip" -> q15Sql)
+    "q15_medallion_roundtrip" -> q15Sql,
+    "q106_jsonl_roundtrip" -> q106Sql)
 }
