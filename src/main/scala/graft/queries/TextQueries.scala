@@ -81,6 +81,31 @@ object TextQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
+  // ===== q107 — language-ID confusion matrix ==============================
+
+  /** The language-ID EVALUATION report: declared `lang` × detected
+    * [[graft.text.TextFunctions.langId]] guess, with document counts —
+    * the confusion matrix a curation team reads before trusting a
+    * detector's threshold (which declared languages bleed into `und`,
+    * which pairs confuse). The oracle wraps q17's full detection SQL
+    * in a GROUP BY, so the matrix is exactly the aggregate of the
+    * row-level gate.
+    *
+    * Scale shape: one map-side detection projection + one tiny
+    * (|langs|²-bounded) hash aggregate — the corpus never shuffles
+    * anything wider than the two label columns.
+    */
+  def q107LangConfusion(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(col("lang"), langId(col("text")).as("lang_guess"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("lang"), col("lang_guess"))
+
+  def q107Sql: String =
+    s"""WITH q17 AS ($q17Sql)
+       |SELECT lang, lang_guess, count(*) AS n_docs
+       |FROM q17 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ===== q18 — composite quality score ====================================
 
   def q18QualityScore(s: SparkSession, dir: String): DataFrame =
@@ -327,11 +352,13 @@ object TextQueries {
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
     "q38_repetition_filter" -> (q38RepetitionFilter _),
     "q39_decontaminate" -> (q39Decontaminate _),
-    "q43_pii_redact" -> (q43PiiRedact _))
+    "q43_pii_redact" -> (q43PiiRedact _),
+    "q107_lang_confusion" -> (q107LangConfusion _))
 
   val oracleSql: Map[String, String] = Map(
     "q16_text_stats" -> q16Sql,
     "q17_lang_id" -> q17Sql,
+    "q107_lang_confusion" -> q107Sql,
     "q18_quality_score" -> q18Sql,
     "q19_dedup_exact_docs" -> q19Sql,
     "q26_ngram_jaccard" -> q26Sql,
