@@ -742,6 +742,46 @@ object AnalyticsOpsQueries {
       |FROM a JOIN sz USING (cw)
       |ORDER BY cohort_week, week_offset""".stripMargin
 
+  // ===== q108 — incremental retention from persisted HLL sketches =========
+
+  /** q103's retention triangle at the scale where exact count-distinct
+    * is unaffordable: per-(cohort, week, DAY) HyperLogLog sketches of
+    * the active-user set persist once under [[graft.core.Warehouse]]
+    * (a few KB per cell), and the weekly retention question MERGES the
+    * stored daily sketches (`hll_union_agg`) instead of rescanning
+    * events — the q53 daily-rollup pattern lifted to cohorts. HLL
+    * union is lossless over sketches, so merging the seven daily
+    * active-sets equals sketching the weekly set directly; at this
+    * corpus's per-cell cardinalities (≪ 2^12 registers) the estimate
+    * is EXACT, and WarehouseOpsSpec pins q108 ≡ q103 cell-for-cell
+    * plus the probe plan never touching the raw events table.
+    * Deterministic but engine-specific — rows-only at the gate (the
+    * q52/q53 argument; q103 is the exact oracled anchor).
+    */
+  def q108RetentionSketches(s: SparkSession, dir: String): DataFrame = {
+    val week = 604800000000L
+    val day = 86400000000L
+    val idx = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "retention_hll", s"$dir/events.parquet",
+        params = "lgk=12,grain=day,v=1")) { d =>
+      val ev = Tables.load(s, dir, "events")
+        .select(col("user_id"), expr("ts div 1000").as("ts_us"))
+      val cohort = ev.select(col("user_id"), expr(s"ts_us div ${week}L").as("w"))
+        .groupBy(col("user_id")).agg(min(col("w")).as("cw"))
+      ev.join(cohort, "user_id")
+        .groupBy(col("cw"), expr(s"ts_us div ${week}L").as("w"),
+          expr(s"ts_us div ${day}L").as("day"))
+        .agg(hll_sketch_agg(col("user_id"), lgConfigK = 12).as("sketch"))
+        .write.mode("overwrite").parquet(d)
+    }
+    s.read.parquet(idx)
+      .groupBy(col("cw").as("cohort_week"), (col("w") - col("cw")).as("week_offset"))
+      .agg(hll_sketch_estimate(
+        hll_union_agg(col("sketch"), allowDifferentLgConfigK = false))
+        .as("n_active_est"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+  }
+
   // ===== q105 — salted two-phase rollup over hot keys =====================
 
   /** The oracled call-site for [[graft.core.Skew.saltedSum]]: the
@@ -773,6 +813,7 @@ object AnalyticsOpsQueries {
     "q97_integrity_audit" -> (q97IntegrityAudit _),
     "q101_scd2_merge" -> (q101ScdMerge _),
     "q103_retention_cohorts" -> (q103RetentionCohorts _),
+    "q108_retention_sketches" -> (q108RetentionSketches _),
     "q105_salted_rollup" -> (q105SaltedRollup _),
     "q60_rollup_scorecard" -> (q60RollupScorecard _),
     "q61_pivot_length" -> (q61PivotLengthClasses _),

@@ -106,6 +106,21 @@ class WarehouseOpsSpec extends SparkTestBase {
     assert(got == plain, "two-phase salted sum must equal the one-phase sum")
   }
 
+  test("q108 sketch retention ≡ exact q103; the probe never rescans events") {
+    val sketched = AnalyticsOpsQueries.q108RetentionSketches(spark, sf)
+    // the probe plan reads only the stored sketch table
+    assert(!sketched.queryExecution.executedPlan.toString.contains("events.parquet"),
+      "probe must merge stored sketches, not rescan raw events")
+    val est = sketched.as[(Long, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // at this corpus's per-cell cardinalities (<< 2^12 registers) the
+    // HLL estimate is exact — cell-for-cell equal to the exact anchor
+    val exact = AnalyticsOpsQueries.q103RetentionCohorts(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(est == exact, s"sketch cells diverge from exact: ${est.size}/${exact.size}")
+  }
+
   test("q102 funnel stages are ordered, null-chained, and session-complete") {
     val rows = RelationalQueries.q102SessionFunnel(spark, sf)
       .select(col("user_id"), col("session_idx"), col("n_events"),
