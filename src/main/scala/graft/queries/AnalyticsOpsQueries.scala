@@ -809,7 +809,84 @@ object AnalyticsOpsQueries {
       |  count(*) AS n_rows
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q110 — correlation / regression profile (exact co-moments) =======
+
+  /** Per-returnflag correlation and least-squares fit of extendedprice
+    * against quantity — the "does this numeric pair carry signal"
+    * profile a feature-engineering pass runs before training. The
+    * distributed-exactness trick is the point: both columns are
+    * 2-decimal fixed-point, so they micro-quantize to EXACT integer
+    * cents and the five co-moment sums (Σx Σy Σx² Σy² Σxy) accumulate
+    * in decimal(38,0) — integer-exact, order-independent, map-side
+    * combinable. corr/slope/intercept/R² then derive from the five
+    * sums in closed form, so both engines compute identical doubles
+    * from identical exact integers — no streaming-variance formula,
+    * no accumulation-order drift, bit-stable at ANY partition count.
+    * That is also the honest 100 TB answer: a Welford/co-moment
+    * `corr()` over doubles is order-sensitive across 10⁵ partials;
+    * exact integer co-moments are not.
+    *
+    * Scale shape: one map-side quantize projection + one hash
+    * aggregate on a 3-value key; six numbers per group cross the wire.
+    */
+  def q110CorrProfile(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.load(s, dir, "lineitem").select(
+      col("l_returnflag"),
+      expr("cast(round(l_quantity * 100) as decimal(38,0))").as("xc"),
+      expr("cast(round(l_extendedprice * 100) as decimal(38,0))").as("yc"))
+    val m = cents.groupBy(col("l_returnflag")).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("xc")).as("sx"), sum(col("yc")).as("sy"),
+      sum(col("xc") * col("xc")).as("sxx"),
+      sum(col("yc") * col("yc")).as("syy"),
+      sum(col("xc") * col("yc")).as("sxy"))
+    val d = m.select(col("l_returnflag"), col("n_rows"),
+        col("sx").cast("double").as("sx"), col("sy").cast("double").as("sy"),
+        col("sxx").cast("double").as("sxx"), col("syy").cast("double").as("syy"),
+        col("sxy").cast("double").as("sxy"))
+      .withColumn("nd", col("n_rows").cast("double"))
+      .withColumn("covn", col("nd") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("varxn", col("nd") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("varyn", col("nd") * col("syy") - col("sy") * col("sy"))
+    d.select(col("l_returnflag"), col("n_rows"),
+        col("sx").as("sum_qty_cents"), col("sy").as("sum_price_cents"),
+        round(col("covn") / sqrt(col("varxn") * col("varyn")), 6).as("corr_qty_price"),
+        round(col("covn") / col("varxn"), 6).as("slope_cents"),
+        round((col("sy") - (col("covn") / col("varxn")) * col("sx")) / col("nd"), 6)
+          .as("intercept_cents"),
+        round((col("covn") * col("covn")) / (col("varxn") * col("varyn")), 6).as("r2"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val q110Sql: String =
+    """WITH c AS (
+      |  SELECT l_returnflag,
+      |    CAST(round(l_quantity * 100) AS DECIMAL(38,0)) AS xc,
+      |    CAST(round(l_extendedprice * 100) AS DECIMAL(38,0)) AS yc
+      |  FROM lineitem),
+      |m AS (
+      |  SELECT l_returnflag, count(*) AS n_rows,
+      |    CAST(sum(xc) AS DOUBLE) AS sx, CAST(sum(yc) AS DOUBLE) AS sy,
+      |    CAST(sum(xc * xc) AS DOUBLE) AS sxx,
+      |    CAST(sum(yc * yc) AS DOUBLE) AS syy,
+      |    CAST(sum(xc * yc) AS DOUBLE) AS sxy
+      |  FROM c GROUP BY 1),
+      |d AS (
+      |  SELECT *, CAST(n_rows AS DOUBLE) AS nd,
+      |    CAST(n_rows AS DOUBLE) * sxy - sx * sy AS covn,
+      |    CAST(n_rows AS DOUBLE) * sxx - sx * sx AS varxn,
+      |    CAST(n_rows AS DOUBLE) * syy - sy * sy AS varyn
+      |  FROM m)
+      |SELECT l_returnflag, n_rows,
+      |  sx AS sum_qty_cents, sy AS sum_price_cents,
+      |  round(covn / sqrt(varxn * varyn), 6) AS corr_qty_price,
+      |  round(covn / varxn, 6) AS slope_cents,
+      |  round((sy - (covn / varxn) * sx) / nd, 6) AS intercept_cents,
+      |  round((covn * covn) / (varxn * varyn), 6) AS r2
+      |FROM d ORDER BY l_returnflag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q110_corr_profile" -> (q110CorrProfile _),
     "q97_integrity_audit" -> (q97IntegrityAudit _),
     "q101_scd2_merge" -> (q101ScdMerge _),
     "q103_retention_cohorts" -> (q103RetentionCohorts _),
@@ -829,6 +906,7 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q110_corr_profile" -> q110Sql,
     "q97_integrity_audit" -> q97Sql,
     "q101_scd2_merge" -> q101Sql,
     "q103_retention_cohorts" -> q103Sql,

@@ -792,7 +792,128 @@ object CurationOpsQueries {
       |FROM s1 LEFT JOIN s2 USING (doc_id)
       |ORDER BY s1.doc_id""".stripMargin
 
+  // ===== q111 — blocked edit-distance (fuzzy) dedup =======================
+
+  /** Fuzzy dedup by EDIT DISTANCE — the dedup-family member that
+    * catches small in-place edits (typo fixes, injected words) that
+    * shingle-Jaccard under-weights on short texts: pairs of documents
+    * whose normalized texts are within levenshtein 12 on their leading
+    * 256 chars. Planted variants (every 7th doc gets 5 chars inserted
+    * at position 65) prove the detector fires.
+    *
+    * The scale shape is blocking, never all-pairs: candidates must
+    * share their normalized 64-char PREFIX (one equi-join key — an
+    * in-place edit past the prefix preserves it), then a length-delta
+    * prefilter (|Δlen| ≤ 12 is a lower bound on edit distance) guards
+    * the O(256²) DP so it runs only on survivors. Block widths are
+    * data-bounded like every LSH bucket here (4764 distinct prefixes /
+    * 5000 docs at sf0.1); at 100 TB the prefix length is the lever —
+    * longer prefix → narrower blocks, same plan. One shuffle on the
+    * block key; `levenshtein` is a codegen'd native expression on both
+    * engines.
+    */
+  def q111FuzzyDedup(s: SparkSession, dir: String): DataFrame = {
+    val norm = Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(lower(trim(col("text"))), "\\s+", " ").as("nt"))
+    val variants = norm.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 3000000).as("doc_id"),
+        concat(substring(col("nt"), 1, 64), lit(" zzyq"),
+          expr("substring(nt, 65)")).as("nt"))
+    val all = norm.union(variants)
+      .withColumn("bk", substring(col("nt"), 1, 64))
+      .withColumn("len", length(col("nt")))
+    val a = all.select(col("bk"), col("doc_id").as("a_id"),
+      col("nt").as("a_nt"), col("len").as("a_len"))
+    val b = all.select(col("bk"), col("doc_id").as("b_id"),
+      col("nt").as("b_nt"), col("len").as("b_len"))
+    a.join(b, Seq("bk"))
+      .filter(col("a_id") < col("b_id") &&
+        abs(col("a_len") - col("b_len")) <= 12)
+      .select(col("a_id"), col("b_id"),
+        levenshtein(substring(col("a_nt"), 1, 256),
+          substring(col("b_nt"), 1, 256)).as("edit_dist"))
+      .filter(col("edit_dist") <= 12)
+      .orderBy(col("a_id"), col("b_id"))
+  }
+
+  val q111Sql: String =
+    """WITH n AS (
+      |  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS nt
+      |  FROM documents),
+      |v AS (
+      |  SELECT doc_id + 3000000 AS doc_id,
+      |    substr(nt, 1, 64) || ' zzyq' || substr(nt, 65) AS nt
+      |  FROM n WHERE doc_id % 7 = 0),
+      |u AS (
+      |  SELECT doc_id, nt, substr(nt, 1, 64) AS bk, length(nt) AS len
+      |  FROM (SELECT * FROM n UNION ALL SELECT * FROM v))
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |  CAST(levenshtein(substr(a.nt, 1, 256), substr(b.nt, 1, 256)) AS INTEGER) AS edit_dist
+      |FROM u a JOIN u b ON a.bk = b.bk AND a.doc_id < b.doc_id
+      |WHERE abs(a.len - b.len) <= 12
+      |  AND levenshtein(substr(a.nt, 1, 256), substr(b.nt, 1, 256)) <= 12
+      |ORDER BY a_id, b_id""".stripMargin
+
+  // ===== q112 — robust outlier cut (median / MAD) =========================
+
+  /** Robust per-source length-outlier report: median and median
+    * absolute deviation of `n_chars`, and how many documents sit more
+    * than 3 MADs from their source's median — the outlier filter a
+    * curation pass prefers over mean/stddev because a handful of
+    * megadocuments can drag a mean past itself (the breakdown-point
+    * argument). Medians use the exact interpolated `percentile` /
+    * `quantile_cont` parity q30 established; deviations are dyadic
+    * (k or k + 0.5), so every comparison is FP-exact on both engines.
+    *
+    * Scale shape: two grouped percentile passes over a (source, long)
+    * projection with the tiny per-source stats BROADCAST back between
+    * them — no row-level shuffle at all beyond the two aggregates;
+    * at 100 TB swap `approx_percentile` into the same plan (the
+    * q30→q31 move) and nothing else changes.
+    */
+  def q112RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("source"), col("n_chars"))
+    val med = docs.groupBy(col("source"))
+      .agg(expr("percentile(n_chars, 0.5D)").as("med_chars"))
+    val withDev = docs.join(broadcast(med), Seq("source"))
+      .withColumn("dev", abs(col("n_chars") - col("med_chars")))
+    val mad = withDev.groupBy(col("source"))
+      .agg(expr("percentile(dev, 0.5D)").as("mad_chars"))
+    withDev.join(broadcast(mad), Seq("source"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("med_chars")).as("med_chars"),
+        max(col("mad_chars")).as("mad_chars"),
+        sum(when(col("dev") > lit(3.0) * col("mad_chars"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .withColumn("outlier_frac",
+        round(col("n_outliers").cast("double") / col("n_docs"), 6))
+      .orderBy(col("source"))
+  }
+
+  val q112Sql: String =
+    """WITH m AS (
+      |  SELECT source, quantile_cont(n_chars, 0.5) AS med_chars
+      |  FROM documents GROUP BY 1),
+      |d AS (
+      |  SELECT source, med_chars, abs(n_chars - med_chars) AS dev
+      |  FROM documents JOIN m USING (source)),
+      |md AS (
+      |  SELECT source, quantile_cont(dev, 0.5) AS mad_chars
+      |  FROM d GROUP BY 1)
+      |SELECT source, count(*) AS n_docs,
+      |  max(med_chars) AS med_chars, max(mad_chars) AS mad_chars,
+      |  CAST(sum(CASE WHEN dev > 3 * mad_chars THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |  round(CAST(sum(CASE WHEN dev > 3 * mad_chars THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / count(*), 6) AS outlier_frac
+      |FROM d JOIN md USING (source)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q112_robust_outliers" -> (q112RobustOutliers _),
+    "q111_fuzzy_dedup" -> (q111FuzzyDedup _),
     "q87_dedup_cut" -> (q87DedupCut _),
     "q94_curation_cut_pipeline" -> (q94CurationCutPipeline _),
     "q89_decontaminate_cut" -> (q89DecontaminateCut _),
@@ -806,6 +927,8 @@ object CurationOpsQueries {
     "q86_source_overlap" -> (q86SourceOverlap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q112_robust_outliers" -> q112Sql,
+    "q111_fuzzy_dedup" -> q111Sql,
     "q87_dedup_cut" -> q87Sql,
     "q94_curation_cut_pipeline" -> q94Sql,
     "q89_decontaminate_cut" -> q89Sql,

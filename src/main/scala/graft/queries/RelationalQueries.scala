@@ -441,9 +441,68 @@ object RelationalQueries {
       |FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND s.ts_us <= p.ts_us
       |ORDER BY signup_id""".stripMargin
 
+  // ===== q109 — peak trailing-window burst (RANGE frame) ==================
+
+  private val BurstUs = 10L * 60 * 1000 * 1000 // 10-minute trailing window
+
+  /** Per-user PEAK burst: the largest number of events any trailing
+    * 10-minute window ever held, when it peaked (earliest peak ts),
+    * and the value-sum inside that peak window (micro-quantized to
+    * integer 1e-6 units before the windowed sum, the q105 convention,
+    * so the frame sum is order-independent and FP-exact) — the
+    * rate-limiter / abuse-detection report. This is the time-RANGE window frame
+    * (`rangeBetween(-10 min, now)`), a frame family no other query
+    * exercises: the frame is defined by the ORDER-BY value, not by row
+    * counts, so sparse and dense users are measured on the same clock.
+    *
+    * Scale shape: ONE exchange on user_id feeds the two stacked
+    * windows (range-frame count/sum, then the per-user max) and the
+    * final aggregate — Catalyst reuses the partitioning across all
+    * three. Range-frame state is the in-frame row buffer, bounded by
+    * events-per-user-per-10-min, not by the partition; the peak argmin
+    * rides a struct `min`, so nothing but (user, ts, cnt, value) ever
+    * shuffles.
+    */
+  def q109PeakBurst(s: SparkSession, dir: String): DataFrame = {
+    val trailing = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+      .rangeBetween(-BurstUs, 0)
+    val byUser = Window.partitionBy(col("user_id"))
+    eventsUs(s, dir)
+      .withColumn("vq6", expr("cast(floor(value * 1e6 + 0.5) as bigint)"))
+      .withColumn("burst_cnt", count(lit(1)).over(trailing))
+      .withColumn("burst_value", sum(col("vq6")).over(trailing))
+      .withColumn("max_cnt", max(col("burst_cnt")).over(byUser))
+      .filter(col("burst_cnt") === col("max_cnt"))
+      .groupBy(col("user_id"))
+      .agg(max(col("burst_cnt")).as("peak_events"),
+        min(struct(col("ts_us"), col("burst_value"))).as("p"))
+      .select(col("user_id"), col("peak_events"),
+        col("p.ts_us").as("peak_at_us"), col("p.burst_value").as("peak_value_q6"))
+      .orderBy(col("user_id"))
+  }
+
+  val q109Sql: String =
+    """WITH r AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us,
+      |    count(*) OVER w AS burst_cnt,
+      |    CAST(sum(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER w AS BIGINT) AS burst_value
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |               RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)),
+      |m AS (
+      |  SELECT user_id, ts_us, burst_cnt, burst_value,
+      |    max(burst_cnt) OVER (PARTITION BY user_id) AS max_cnt
+      |  FROM r)
+      |SELECT user_id, CAST(max(burst_cnt) AS BIGINT) AS peak_events,
+      |  min(ts_us) AS peak_at_us,
+      |  CAST(arg_min(burst_value, ts_us) AS BIGINT) AS peak_value_q6
+      |FROM m WHERE burst_cnt = max_cnt
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q109_peak_burst" -> (q109PeakBurst _),
     "q45_asof_join" -> (q45AsofJoin _),
     "q100_gap_fill_grid" -> (q100GapFillGrid _),
     "q102_session_funnel" -> (q102SessionFunnel _),
@@ -455,6 +514,7 @@ object RelationalQueries {
     "q50_asof_forward" -> (q50AsofForward _))
 
   val oracleSql: Map[String, String] = Map(
+    "q109_peak_burst" -> q109Sql,
     "q45_asof_join" -> q45Sql,
     "q100_gap_fill_grid" -> q100Sql,
     "q102_session_funnel" -> q102Sql,
