@@ -646,36 +646,23 @@ object AnalyticsOpsQueries {
     * at v2; a no-op update (same value) is recognized and leaves the
     * v1 row open — the full MERGE decomposition every table format
     * runs under the hood, which the reference's overwrite-only flows
-    * cannot express.
+    * cannot express. This is the oracled call-site for
+    * [[graft.relational.Scd2.merge]]; [[graft.streaming.Scd2Stream]]
+    * runs the same operator per micro-batch.
     *
     * Scale shape: one full-outer equi-join on the key + a linear
-    *3-branch union; no windows, no skew surface beyond the key join.
+    * 3-branch union; no windows, no skew surface beyond the key join.
     */
   def q101ScdMerge(s: SparkSession, dir: String): DataFrame = {
+    import graft.relational.Scd2
     val cur = Tables.load(s, dir, "customer")
       .select(col("c_custkey").as("key"), col("c_mktsegment").as("segment"))
     val changes = cur.filter(col("key") % 10 === 0)
       .select(col("key"), concat(lit("CHG-"), col("segment")).as("segment"))
       .union(cur.filter(col("key") % 25 === 7)
         .select((col("key") + 1000000).as("key"), lit("NEW").as("segment")))
-    val j = cur.select(col("key"), col("segment").as("old_seg"))
-      .join(changes.select(col("key"), col("segment").as("new_seg")),
-        Seq("key"), "full_outer")
-    val open = lit(null).cast("int").as("valid_to")
-    val unchanged = j
-      .filter(col("old_seg").isNotNull &&
-        (col("new_seg").isNull || col("new_seg") === col("old_seg")))
-      .select(col("key"), col("old_seg").as("segment"), lit(1).as("valid_from"), open)
-    val closed = j
-      .filter(col("old_seg").isNotNull && col("new_seg").isNotNull &&
-        col("new_seg") =!= col("old_seg"))
-      .select(col("key"), col("old_seg").as("segment"), lit(1).as("valid_from"),
-        lit(2).cast("int").as("valid_to"))
-    val opened = j
-      .filter(col("new_seg").isNotNull &&
-        (col("old_seg").isNull || col("new_seg") =!= col("old_seg")))
-      .select(col("key"), col("new_seg").as("segment"), lit(2).as("valid_from"), open)
-    unchanged.union(closed).union(opened)
+    Scd2.merge(Scd2.init(cur, "key", "segment", version = 1),
+        changes, "key", "segment", version = 2)
       .orderBy(col("key"), col("valid_from"))
   }
 
