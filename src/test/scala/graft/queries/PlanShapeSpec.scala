@@ -367,4 +367,35 @@ class PlanShapeSpec extends SparkTestBase {
       "a window ranks below the candidate cut (full-corpus input)")
     assert(p.contains("pq_index"), "stored PQ code table not scanned")
   }
+
+  test("q109 reuses ONE user_id exchange across both windows and the peak agg") {
+    val p = plan(RelationalQueries.q109PeakBurst(spark, sf))
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"range-frame window, per-user max, and agg must co-partition, got $exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q110 co-moments combine map-side; one aggregate, no window") {
+    val p = plan(AnalyticsOpsQueries.q110CorrProfile(spark, sf))
+    assert(p.contains("partial_"), "co-moment sums must pre-aggregate map-side")
+    assert(!p.contains("Window"), "closed-form stats need no window")
+    assert(countScans(p, "lineitem") == 1, "profile must be one pass of the fact table")
+  }
+
+  test("q111 blocked fuzzy dedup joins on the prefix key — hash join, never nested loop") {
+    val p = plan(CurationOpsQueries.q111FuzzyDedup(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "blocking must plan an equi-join:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "no hash/merge join on the block key")
+  }
+
+  test("q112 broadcasts the per-source stats back — the corpus never shuffles for a join") {
+    val p = plan(CurationOpsQueries.q112RobustOutliers(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "per-source medians must come back by broadcast:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
 }
