@@ -499,10 +499,127 @@ object RelationalQueries {
       |FROM m WHERE burst_cnt = max_cnt
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q113 — session path mining (ordered aggregation) =================
+
+  /** Behavioral path mining: each gap-session's ordered event-type
+    * sequence collapsed to a path string ("view>click>purchase"), then
+    * the corpus-wide path frequency table, top 50 — how funnels are
+    * DISCOVERED before a funnel query like q102 hard-codes one. The
+    * new surface is ordered aggregation: Spark has no `string_agg
+    * (ORDER BY)`, so the path is `collect_list(struct(ts, id, type))`
+    * → `array_sort` → `transform` → `array_join` — the struct sort
+    * key makes the order total and engine-independent.
+    *
+    * Scale shape: per-session collect_list state is bounded by session
+    * length (gap-bounded, not history-bounded); one exchange on
+    * user_id covers sessionizer + path aggregate (session_idx is a
+    * user-local key), and the path frequency table aggregates tiny
+    * path strings. Top-50 plans TakeOrderedAndProject, never a global
+    * sort.
+    */
+  def q113SessionPaths(s: SparkSession, dir: String): DataFrame =
+    sessionAssigned(eventsUs(s, dir))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"),
+            col("event_type")))),
+          x => x.getField("event_type")), ">").as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(50)
+
+  val q113Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |g AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    CASE WHEN lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+      |           OR ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+      |              > 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e),
+      |sess AS (
+      |  SELECT user_id, event_id, event_type, ts_us,
+      |    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                      ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM g),
+      |p AS (
+      |  SELECT user_id, session_idx,
+      |    string_agg(event_type, '>' ORDER BY ts_us, event_id) AS path
+      |  FROM sess GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions
+      |FROM p GROUP BY 1
+      |ORDER BY n_sessions DESC, path LIMIT 50""".stripMargin
+
+  // ===== q114 — interval stitching (gaps and islands) =====================
+
+  private val HoldUs = 5L * 60 * 1000 * 1000 // each event holds 5 minutes
+
+  /** Coverage stitching: every event opens a 5-minute activity
+    * interval; overlapping intervals merge into islands, and each user
+    * reports island count, total covered time, and the longest island —
+    * the uptime/active-time report interval unions answer (and the
+    * same gaps-and-islands kernel SLA and sensor pipelines run). All
+    * arithmetic is integer µs, exact on both engines.
+    *
+    * Scale shape: one exchange on user_id serves the island-boundary
+    * window (running max of interval ends, O(1) state), the island-id
+    * running sum, and both aggregates — no join, no self-comparison;
+    * cost is linear in events.
+    */
+  def q114IntervalIslands(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val prev = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    val islands = eventsUs(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        (col("ts_us") + HoldUs).as("end_us"))
+      .withColumn("prev_max_end", max(col("end_us")).over(prev))
+      .withColumn("is_new",
+        when(col("prev_max_end").isNull || col("ts_us") > col("prev_max_end"), 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(byUser))
+      .groupBy(col("user_id"), col("island"))
+      .agg(min(col("ts_us")).as("start_us"), max(col("end_us")).as("stop_us"))
+    islands.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_islands"),
+        sum(col("stop_us") - col("start_us")).as("covered_us"),
+        max(col("stop_us") - col("start_us")).as("longest_us"))
+      .orderBy(col("user_id"))
+  }
+
+  val q114Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |    epoch_us(ts) + 300000000 AS end_us
+      |  FROM events),
+      |b AS (
+      |  SELECT user_id, event_id, ts_us, end_us,
+      |    max(end_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS prev_max_end
+      |  FROM e),
+      |i AS (
+      |  SELECT user_id, ts_us, end_us,
+      |    sum(CASE WHEN prev_max_end IS NULL OR ts_us > prev_max_end
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM b),
+      |s AS (
+      |  SELECT user_id, island, min(ts_us) AS start_us, max(end_us) AS stop_us
+      |  FROM i GROUP BY 1, 2)
+      |SELECT user_id, count(*) AS n_islands,
+      |  CAST(sum(stop_us - start_us) AS BIGINT) AS covered_us,
+      |  max(stop_us - start_us) AS longest_us
+      |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q109_peak_burst" -> (q109PeakBurst _),
+    "q113_session_paths" -> (q113SessionPaths _),
+    "q114_interval_islands" -> (q114IntervalIslands _),
     "q45_asof_join" -> (q45AsofJoin _),
     "q100_gap_fill_grid" -> (q100GapFillGrid _),
     "q102_session_funnel" -> (q102SessionFunnel _),
@@ -515,6 +632,8 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q109_peak_burst" -> q109Sql,
+    "q113_session_paths" -> q113Sql,
+    "q114_interval_islands" -> q114Sql,
     "q45_asof_join" -> q45Sql,
     "q100_gap_fill_grid" -> q100Sql,
     "q102_session_funnel" -> q102Sql,

@@ -392,6 +392,24 @@ class PlanShapeSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), "no hash/merge join on the block key")
   }
 
+  test("q113 top-50 paths plan TakeOrderedAndProject; one user_id exchange feeds sessionizer + path agg") {
+    val p = plan(RelationalQueries.q113SessionPaths(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "top-50 must not global-sort")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"sessionizer window and path aggregate must co-partition, got $exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
+  test("q114 island stitching is join-free on ONE user_id exchange") {
+    val p = plan(RelationalQueries.q114IntervalIslands(spark, sf))
+    assert(!p.contains("Join"), "interval union must not self-join")
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"boundary window, island sum, and aggregates must co-partition, got $exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+  }
+
   test("q112 broadcasts the per-source stats back — the corpus never shuffles for a join") {
     val p = plan(CurationOpsQueries.q112RobustOutliers(spark, sf))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
