@@ -593,7 +593,75 @@ object SimilarityQueries {
       |FROM ch c LEFT JOIN dup u USING (chunk_id)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q115 — embedding covariance / Gram matrix (exact, quantized) =====
+
+  /** The d×d Gram and covariance matrix of the embedding corpus
+    * (upper triangle, flat (i, j, gram, cov) rows) — the input to
+    * whitening, PCA, and the OPQ rotation that upgrades q90's product
+    * quantizer. Components micro-quantize to integer 1e-6 units first,
+    * so the Σxᵢxⱼ / Σxᵢ sums are integer-exact and order-independent
+    * (the q110 co-moment argument lifted from one column pair to all
+    * d² of them); covariance derives in closed form from exact sums,
+    * identical doubles on both engines.
+    *
+    * Scale shape: the double `posexplode` performs exactly the N·d²/2
+    * multiply-adds an exact Gram matrix requires — no waste, no
+    * shortcut — and partial aggregation collapses each task to ≤ d²/2
+    * partial rows map-side, so the SHUFFLE carries ~2 080 rows per
+    * task regardless of N. The per-dim mean vector (d rows) joins
+    * back by broadcast. Overflow headroom: |x| ≤ 10 quantized is 1e14
+    * per product, ~9e18/1e14 ≈ 9e4 rows per long partial — Spark's
+    * decimal(38,0) sum spelling keeps the partials exact far past any
+    * corpus size (DuckDB sums BIGINT into HUGEINT natively).
+    */
+  def q115EmbeddingCovariance(s: SparkSession, dir: String): DataFrame = {
+    val q = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> cast(floor(x * 1e6 + 0.5) as bigint))")
+          .as("qv"))
+    val x = q.select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "xi")))
+    val means = x.groupBy(col("i"))
+      .agg(sum(expr("cast(xi as decimal(38,0))")).cast("double").as("sx"))
+    val gram = q
+      .select(posexplode(col("qv")).as(Seq("i", "xi")), col("qv"))
+      .select(col("i"), col("xi"), posexplode(col("qv")).as(Seq("j", "xj")))
+      .filter(col("j") >= col("i"))
+      .groupBy(col("i"), col("j"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("cast(xi * xj as decimal(38,0))")).cast("double").as("sxy"))
+    gram
+      .join(broadcast(means.select(col("i"), col("sx").as("sx_i"))), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("sx").as("sx_j"))), Seq("j"))
+      .select(col("i"), col("j"), col("n_vecs"),
+        col("sxy").as("gram_q12"),
+        round((col("n_vecs") * col("sxy") - col("sx_i") * col("sx_j")) /
+          (col("n_vecs").cast("double") * col("n_vecs")), 6).as("cov_q12"))
+      .orderBy(col("i"), col("j"))
+  }
+
+  val q115Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(floor(x * 1e6 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, u AS i, qv[u + 1] AS xi
+      |  FROM q, unnest(range(len(qv))) AS t(u)),
+      |m AS (
+      |  SELECT i, CAST(sum(xi) AS DOUBLE) AS sx FROM x GROUP BY 1),
+      |g AS (
+      |  SELECT a.i AS i, b.i AS j, count(*) AS n_vecs,
+      |    CAST(sum(a.xi * b.xi) AS DOUBLE) AS sxy
+      |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND b.i >= a.i
+      |  GROUP BY 1, 2)
+      |SELECT g.i, g.j, g.n_vecs, sxy AS gram_q12,
+      |  round((g.n_vecs * sxy - mi.sx * mj.sx)
+      |    / (CAST(g.n_vecs AS DOUBLE) * g.n_vecs), 6) AS cov_q12
+      |FROM g JOIN m mi ON g.i = mi.i JOIN m mj ON g.j = mj.i
+      |ORDER BY g.i, g.j""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q115_embedding_covariance" -> (q115EmbeddingCovariance _),
     "q20_knn_bruteforce" -> (q20KnnBruteForce _),
     "q21_minhash_neardup" -> (q21MinhashNearDup _),
     "q22_simhash_neardup" -> (q22SimhashNearDup _),
@@ -610,6 +678,7 @@ object SimilarityQueries {
     "q93_quality_dedup" -> (q93QualityDedup _))
 
   val oracleSql: Map[String, String] = Map(
+    "q115_embedding_covariance" -> q115Sql,
     "q20_knn_bruteforce" -> q20Sql,
     "q32_embedding_neardup" -> q32Sql,
     "q33_incremental_neardup" -> q33Sql,

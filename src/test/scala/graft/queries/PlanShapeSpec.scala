@@ -410,6 +410,14 @@ class PlanShapeSpec extends SparkTestBase {
         p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
   }
 
+  test("q115 Gram partials combine map-side; mean vector joins by broadcast only") {
+    val p = plan(SimilarityQueries.q115EmbeddingCovariance(spark, sf))
+    assert(p.contains("partial_"), "Gram sums must pre-aggregate map-side")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the d-row mean vector must come back by broadcast:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("q112 broadcasts the per-source stats back — the corpus never shuffles for a join") {
     val p = plan(CurationOpsQueries.q112RobustOutliers(spark, sf))
     assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
