@@ -872,7 +872,147 @@ object AnalyticsOpsQueries {
       |  round((covn * covn) / (varxn * varyn), 6) AS r2
       |FROM d ORDER BY l_returnflag""".stripMargin
 
+  // ===== q118 — item co-engagement similarity (capped baskets) ============
+
+  /** Item-item collaborative similarity from the event stream: users'
+    * engaged item sets (props.k, the q71 extraction) projected onto
+    * item pairs, pair support counted, and cosine
+    * c_ab / √(c_a·c_b) micro-quantized — the recommender / related-items
+    * co-occurrence shape. Baskets are CAPPED at the 32 most-engaged
+    * items per user (engagement count desc, item asc — a strict total
+    * order) so the self-join's pair volume is bounded, and both
+    * per-item user counts and pair counts are computed over the SAME
+    * capped baskets (the similarity is internally consistent).
+    *
+    * Scale shape: the cap is the scale lever — without it one
+    * power-user with 10⁵ items yields 10¹⁰ pairs; with it every user
+    * contributes ≤ 32·31/2 pairs, so pair volume is linear in users.
+    * The cap itself rides the bounded `topk_by` aggregate (≤ 32
+    * entries per split per user — no per-user window sort); the pair
+    * count is one hash aggregate on (item_a, item_b); support ≥ 3
+    * prunes before the two item-count joins; top-100 is
+    * TakeOrderedAndProject.
+    */
+  def q118ItemCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    val engagement = Tables.load(s, dir, "events")
+      .withColumn("item", from_json(col("props"),
+        org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
+      .filter(col("item").isNotNull)
+      .groupBy(col("user_id"), col("item"))
+      .agg(count(lit(1)).as("cnt"))
+    val basket = engagement.groupBy(col("user_id"))
+      .agg(graft.functions.TopKAgg
+        .topkBy(col("cnt").cast("double"), col("item"), 32, asc = false).as("tk"))
+      .select(col("user_id"), explode(col("tk")).as("e"))
+      .select(col("user_id"), col("e.id").as("item"))
+    val itemCnt = basket.groupBy(col("item")).agg(count(lit(1)).as("c_i"))
+    basket.alias("a")
+      .join(basket.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= 3)
+      .join(itemCnt.select(col("item").as("item_a"), col("c_i").as("c_a")), "item_a")
+      .join(itemCnt.select(col("item").as("item_b"), col("c_i").as("c_b")), "item_b")
+      .withColumn("cosine_micro",
+        floor(col("c_ab") / sqrt((col("c_a") * col("c_b")).cast("double"))
+          * 1e6 + 0.5).cast("long"))
+      .select(col("item_a"), col("item_b"), col("c_ab"), col("c_a"), col("c_b"),
+        col("cosine_micro"))
+      .orderBy(col("cosine_micro").desc, col("item_a"), col("item_b"))
+      .limit(100)
+  }
+
+  /** Restates the cap via row_number over (cnt DESC, item) — the
+    * topk_by total order — and the same √-cosine micro-quantization.
+    * The JSON extraction reuses q71's null-safe TRY_CAST posture.
+    */
+  val q118Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k') IN ('BIGINT','UBIGINT')
+      |      THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS item
+      |  FROM events),
+      |eng AS (
+      |  SELECT user_id, item, count(*) AS cnt FROM e
+      |  WHERE item IS NOT NULL GROUP BY 1, 2),
+      |basket AS (
+      |  SELECT user_id, item FROM (
+      |    SELECT user_id, item,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item) AS rk
+      |    FROM eng) WHERE rk <= 32),
+      |ic AS (SELECT item, count(*) AS c_i FROM basket GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS c_ab
+      |  FROM basket a JOIN basket b
+      |    ON a.user_id = b.user_id AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 3)
+      |SELECT item_a, item_b, c_ab, ca.c_i AS c_a, cb.c_i AS c_b,
+      |  CAST(floor(c_ab / sqrt(CAST(ca.c_i * cb.c_i AS DOUBLE)) * 1000000 + 0.5)
+      |    AS BIGINT) AS cosine_micro
+      |FROM pairs JOIN ic ca ON pairs.item_a = ca.item
+      |           JOIN ic cb ON pairs.item_b = cb.item
+      |ORDER BY cosine_micro DESC, item_a, item_b LIMIT 100""".stripMargin
+
+  // ===== q119 — sliding 7-day active users (exact, fanout-on-day-grain) ===
+
+  /** Per-day 1-day and trailing-7-day distinct active users — the DAU /
+    * WAU overlap every engagement dashboard needs, computed EXACTLY.
+    * Sliding distinct does not decompose into per-day distincts (users
+    * active on several days must not double-count), so each deduped
+    * (user, day) pair is fanned onto the ≤ 7 window-end days it
+    * contributes to and distinct-counted per window end; window ends
+    * are anchored to days observed in the data.
+    *
+    * Scale shape: the raw event volume collapses FIRST (one hash agg
+    * to day grain — at 100 TB this is the 10⁶× reducer); the ×7
+    * fanout and the per-window distinct count run on the deduped
+    * grain. The observed-day anchor is a tiny broadcast join. The
+    * sketch-based alternative (mergeable HLL per day, q108) trades
+    * exactness for a fanout-free merge; this is its exact anchor.
+    */
+  def q119SlidingActiveUsers(s: SparkSession, dir: String): DataFrame = {
+    // epoch-day grain from the exact-nanos ts (the q103 integer-day
+    // idiom — Spark reads the nanos column as LONG, DuckDB as
+    // TIMESTAMP, so both sides restate "day" as epoch-µs div 86400e6)
+    val ud = Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        expr("(ts div 1000) div 86400000000L").as("day")).distinct()
+    val present = ud.select(col("day").as("win_end")).distinct()
+    val a7 = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("win_end"))
+      .join(broadcast(present), "win_end")
+      .groupBy(col("win_end"))
+      .agg(countDistinct(col("user_id")).as("active_7d"))
+    val a1 = ud.groupBy(col("day").as("win_end"))
+      .agg(countDistinct(col("user_id")).as("active_1d"))
+    a7.join(a1, "win_end")
+      .select(date_add(to_date(lit("1970-01-01")), col("win_end").cast("int"))
+          .as("win_end"),
+        col("active_1d"), col("active_7d"))
+      .orderBy(col("win_end"))
+  }
+
+  val q119Sql: String =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |days AS (SELECT DISTINCT day FROM ud),
+      |w AS (
+      |  SELECT user_id, day + g.s AS win_end
+      |  FROM ud, (SELECT unnest(generate_series(0, 6)) AS s) g),
+      |a7 AS (
+      |  SELECT win_end, count(DISTINCT user_id) AS active_7d
+      |  FROM w JOIN days ON w.win_end = days.day GROUP BY 1),
+      |a1 AS (SELECT day AS win_end, count(DISTINCT user_id) AS active_1d FROM ud GROUP BY 1)
+      |SELECT DATE '1970-01-01' + CAST(win_end AS INTEGER) AS win_end,
+      |  active_1d, active_7d
+      |FROM a7 JOIN a1 USING (win_end) ORDER BY win_end""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q118_item_cooccurrence" -> (q118ItemCooccurrence _),
+    "q119_sliding_active_users" -> (q119SlidingActiveUsers _),
     "q110_corr_profile" -> (q110CorrProfile _),
     "q97_integrity_audit" -> (q97IntegrityAudit _),
     "q101_scd2_merge" -> (q101ScdMerge _),
@@ -893,6 +1033,8 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q118_item_cooccurrence" -> q118Sql,
+    "q119_sliding_active_users" -> q119Sql,
     "q110_corr_profile" -> q110Sql,
     "q97_integrity_audit" -> q97Sql,
     "q101_scd2_merge" -> q101Sql,

@@ -498,9 +498,119 @@ object CorpusOpsQueries {
       |FROM top5 a JOIN top5 b ON a.term = b.term AND a.doc_id < b.doc_id
       |GROUP BY 1, 2 HAVING count(*) >= 4 ORDER BY 1, 2""".stripMargin
 
+  // ===== q116 — weighted sample without replacement (Efraimidis–Spirakis) =
+
+  /** Token-budget-proportional sampling: draw 100 documents WITHOUT
+    * replacement with inclusion probability proportional to length
+    * (n_chars) — the draw every mixture builder needs when "sample k
+    * docs" really means "sample k docs the way token-weighted epoch
+    * construction would". Efraimidis–Spirakis A-ES: rank every doc by
+    * key = −ln(u)/w and keep the k smallest, with u a content-keyed
+    * uniform (the q99 md5 52-bit prefix mapped into (0,1] — zero RNG,
+    * rerun/engine stable) and w = n_chars. u is an exact dyadic
+    * rational (52-bit integer / 2⁵²), so both engines feed ln the
+    * SAME double and divide by the same exact weight — bit-identical
+    * keys (the q77 ln precedent).
+    *
+    * Scale shape: the ranking rides the bounded `topk_by` aggregate
+    * ([[graft.functions.TopKAgg]]) — one map-side pass computes keys,
+    * each split contributes ≤ k entries, no global sort and no window;
+    * the corpus never shuffles.
+    */
+  def q116WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    val keyed = Tables.load(s, dir, "documents")
+      .filter(col("n_chars") > 0)
+      .select(col("doc_id"),
+        (-log((conv(substring(md5(col("text")), 1, 13), 16, 10).cast("double") + 1)
+          / lit(4503599627370496.0)) / col("n_chars").cast("double")).as("key"))
+    keyed
+      .agg(graft.functions.TopKAgg.topkBy(col("key"), col("doc_id"), 100, asc = true).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).as("rank"), col("e.id").as("doc_id"),
+        round(col("e.score"), 6).as("key_r6"))
+      .orderBy(col("rank"))
+  }
+
+  val q116Sql: String =
+    """WITH o AS (
+      |  SELECT doc_id,
+      |    -ln((('0x' || substr(md5(text), 1, 13))::BIGINT + 1) / 4503599627370496.0)
+      |      / CAST(n_chars AS DOUBLE) AS key
+      |  FROM documents WHERE n_chars > 0),
+      |r AS (
+      |  SELECT doc_id, key,
+      |    row_number() OVER (ORDER BY key, doc_id) AS rank
+      |  FROM o)
+      |SELECT rank, doc_id, round(key, 6) AS key_r6
+      |FROM r WHERE rank <= 100 ORDER BY rank""".stripMargin
+
+  // ===== q117 — PMI collocations (top bigrams by pointwise MI) ============
+
+  /** The collocation detector: adjacent-word bigrams scored by
+    * pointwise mutual information ln(c_xy·N / (c_x·c_y)), min support
+    * 5, top-100 — the standard "is this two-word phrase a unit"
+    * statistic (tokenizer vocab curation, boilerplate phrase mining).
+    * PMI's argument is a ratio of exact int64 products, so both
+    * engines feed ln the same double; the score is micro-quantized to
+    * a long (the q77 spelling) before the ordering cut, with the
+    * bigram string as the total-order tiebreak.
+    *
+    * Scale shape: two hash aggregates (bigram counts via the n=2
+    * shingler, unigram counts via the n=1 shingler — both map-side
+    * partial first); the support filter c_xy ≥ 5 drops the singleton
+    * tail BEFORE the two vocabulary joins (joined on the token, not
+    * broadcast — a 100 TB vocabulary doesn't fit an executor; the q56
+    * argument); N is a 1-row broadcast; top-100 is
+    * TakeOrderedAndProject, never a global sort.
+    */
+  def q117PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val toks = tokenRows(docs)
+    val uni = toks.groupBy(col("sh").as("tok")).agg(count(lit(1)).as("c"))
+    val nTok = toks.agg(count(lit(1)).as("n_tokens"))
+    val bi = MinHashLSH.shingleRows(docs, "doc_id", "text", n = 2)
+      .select(split(col("sh"), " ").as("parts"))
+      .filter(size(col("parts")) === 2) // drops the <2-token whole-text fallback
+      .select(col("parts").getItem(0).as("w1"), col("parts").getItem(1).as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
+      .filter(col("c_xy") >= 5)
+    bi
+      .join(uni.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("c").as("c_y")), "w2")
+      .crossJoin(broadcast(nTok))
+      .withColumn("pmi_micro",
+        floor(log((col("c_xy") * col("n_tokens")).cast("double")
+          / (col("c_x") * col("c_y")).cast("double")) * 1e6 + 0.5).cast("long"))
+      .select(col("w1"), col("w2"), col("c_xy"), col("c_x"), col("c_y"), col("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(100)
+  }
+
+  val q117Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ts
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS i, len(ts) AS n
+      |  FROM toks WHERE ts <> ['']),
+      |uni AS (SELECT tok, count(*) AS c FROM tok GROUP BY 1),
+      |nt AS (SELECT count(*) AS n_tokens FROM tok),
+      |bi AS (
+      |  SELECT tok AS w1, lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY i) AS w2
+      |  FROM tok QUALIFY i + 1 <= n),
+      |bc AS (SELECT w1, w2, count(*) AS c_xy FROM bi GROUP BY 1, 2 HAVING count(*) >= 5)
+      |SELECT bc.w1, bc.w2, bc.c_xy, ux.c AS c_x, uy.c AS c_y,
+      |  CAST(floor(ln(CAST(bc.c_xy * n_tokens AS DOUBLE)
+      |    / CAST(ux.c * uy.c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+      |FROM bc JOIN uni ux ON bc.w1 = ux.tok JOIN uni uy ON bc.w2 = uy.tok, nt
+      |ORDER BY pmi_micro DESC, w1, w2 LIMIT 100""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q116_weighted_sample" -> (q116WeightedSample _),
+    "q117_pmi_collocations" -> (q117PmiCollocations _),
     "q95_sparse_similarity" -> (q95SparseSimilarity _),
     "q54_boilerplate_ngrams" -> (q54BoilerplateNgrams _),
     "q55_stratified_sample" -> (q55StratifiedSample _),
@@ -512,6 +622,8 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q116_weighted_sample" -> q116Sql,
+    "q117_pmi_collocations" -> q117Sql,
     "q95_sparse_similarity" -> q95Sql,
     "q54_boilerplate_ngrams" -> q54Sql,
     "q55_stratified_sample" -> q55Sql,

@@ -216,4 +216,58 @@ class AnalyticsOpsSpec extends SparkTestBase {
       .as[(Long, String)].collect().toSeq.map(_._1)
     assert(out2 == Seq(10L), s"re-crawled copy (id 9) must be excluded: $out2")
   }
+
+  test("q118 co-engagement: perfect overlap scores 1.0, the basket cap binds") {
+    var eid = 0L
+    def ev(user: Long, item: Long): (Long, Long, Long, String, Double, String) = {
+      eid += 1; (eid, eid * 1000000000L, user, "view", 0.0, s"""{"k": $item}""")
+    }
+    def write(rows: Seq[(Long, Long, Long, String, Double, String)]): String = {
+      val dir = java.nio.file.Files.createTempDirectory("analytics-spec").toString
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      dir
+    }
+    // users 1..6 all engage items 1 and 2 -> pair (1,2) cosine exactly 1;
+    // users 1..3 also engage item 3 -> (1,3)/(2,3) cosine 3/sqrt(18)
+    val dir1 = write((1L to 6L).flatMap(u => Seq(ev(u, 1L), ev(u, 2L))) ++
+      (1L to 3L).map(u => ev(u, 3L)))
+    val out = AnalyticsOpsQueries.q118ItemCooccurrence(spark, dir1)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.head == (1L, 2L, 6L, 6L, 6L, 1000000L),
+      s"perfect-overlap pair must lead with cosine 1.0: ${out.head}")
+    val p13 = out.find(r => r._1 == 1L && r._2 == 3L).get
+    assert(p13._3 == 3L && p13._6 == math.floor(3.0 / math.sqrt(18.0) * 1e6 + 0.5).toLong)
+    // users 7..9 each engage 40 items (200..239) once: the 32-item cap
+    // (count ties -> item asc) keeps 200..231, so no pair touches >=232
+    val dir2 = write((7L to 9L).flatMap(u => (200L to 239L).map(i => ev(u, i))))
+    val out2 = AnalyticsOpsQueries.q118ItemCooccurrence(spark, dir2)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out2.size == 100, "496 capped 1.0-pairs cut to the top-100")
+    val items2 = out2.flatMap(r => Seq(r._1, r._2))
+    assert(items2.max <= 231L,
+      s"cap must exclude items beyond rank 32: max=${items2.max}")
+    assert(out2.forall(r => r._3 == 3L && r._6 == 1000000L),
+      "every surviving pair has full 3-user support and cosine 1.0")
+  }
+
+  test("q119 sliding 7-day distinct: no double count, windows anchor on observed days") {
+    val dir = java.nio.file.Files.createTempDirectory("analytics-spec").toString
+    val day = 86400L * 1000000000L // nanos
+    Seq(
+      (1L, 0L, 1L, "view", 0.0, ""),            // user 1, day 0
+      (2L, 3 * day, 1L, "view", 0.0, ""),       // user 1 again, day 3
+      (3L, 3 * day + 5L, 2L, "view", 0.0, ""),  // user 2, day 3
+      (4L, 9 * day, 3L, "view", 0.0, ""))       // user 3, day 9 (outside 7d of day 3)
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = AnalyticsOpsQueries.q119SlidingActiveUsers(spark, dir)
+      .as[(java.sql.Date, Long, Long)].collect().toSeq
+      .map(r => (r._1.toString, r._2, r._3))
+    assert(out == Seq(
+      ("1970-01-01", 1L, 1L),  // only user 1 so far
+      ("1970-01-04", 2L, 2L),  // users {1,2}; user 1 active twice, counted ONCE
+      ("1970-01-10", 1L, 3L)), // trailing [day 3, day 9] holds users {1,2,3}
+      s"got $out")
+  }
 }

@@ -215,4 +215,57 @@ class CorpusOpsSpec extends SparkTestBase {
     // (window, type) keys are unique
     assert(rows.map(r => (r._1, r._3)).distinct.size == rows.size)
   }
+
+  test("q116 weighted sample matches an independently computed A-ES ranking") {
+    val dir = java.nio.file.Files.createTempDirectory("corpusops-spec").toString
+    val docs = (1L to 40L).map { i =>
+      (i, s"document number $i with body ${"x " * i.toInt}", "en", "web",
+        i * 10L) // weight grows with id
+    } :+ ((41L, "zero weight doc", "en", "web", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q116WeightedSample(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq
+    // k=100 > 40 weighted docs: all appear, zero-weight doc excluded
+    assert(out.size == 40 && !out.exists(_._2 == 41L))
+    assert(out.map(_._1) == (1L to 40L), "ranks must be contiguous 1..n")
+    // recompute the Efraimidis–Spirakis keys outside Spark entirely
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(text: String, w: Long): Double = {
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370496.0
+      -math.log(u) / w.toDouble
+    }
+    val expected = docs.filter(_._5 > 0)
+      .map(d => (key(d._2, d._5), d._1)).sorted.map(_._2)
+    assert(out.map(_._2) == expected,
+      s"A-ES order diverged: got ${out.map(_._2)} vs $expected")
+  }
+
+  test("q117 PMI ranks an always-together pair above a frequent independent one") {
+    val dir = java.nio.file.Files.createTempDirectory("corpusops-spec").toString
+    // "hong kong" only ever co-occur (6x); "the" pairs with everything
+    val docs = (1L to 6L).map { i =>
+      (i, s"the report from hong kong arrived the day $i", "en", "web", 40L)
+    } ++ (7L to 12L).map { i =>
+      (i, s"the weather was fine on day $i", "en", "web", 30L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q117PmiCollocations(spark, dir)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    val hk = out.find(r => r._1 == "hong" && r._2 == "kong")
+      .getOrElse(fail(s"hong kong pair missing: $out"))
+    assert(hk._3 == 6L && hk._4 == 6L && hk._5 == 6L,
+      s"support and unigram counts must be exact: $hk")
+    assert(hk._6 > 0, "always-together pair must have positive PMI")
+    // other perfectly-dependent pairs ("fine on") tie at the same PMI;
+    // hong/kong must sit in that top tie class
+    assert(hk._6 == out.head._6,
+      s"perfectly dependent pair must be in the top tie class, got ${out.head} vs $hk")
+    out.filter(r => r._1 == "the" || r._2 == "the").foreach { r =>
+      assert(r._6 < hk._6, s"independent 'the' pair outranked hong/kong: $r")
+    }
+  }
 }

@@ -310,6 +310,29 @@ class PlanShapeSpec extends SparkTestBase {
         p.linesIterator.filter(_.contains("Window")).mkString("\n"))
   }
 
+  test("q116 weighted sample is a bounded partial aggregate — no window, no global sort of the corpus") {
+    // same scale argument as q99: the A-ES ranking must ride topk_by
+    // (≤ k entries per split), never a window/sort over every doc
+    val p = plan(CorpusOpsQueries.q116WeightedSample(spark, sf))
+    assert(p.contains("partial_topk_by"),
+      "weighted sample must pre-aggregate per split:\n" + p.take(400))
+    assert(!p.contains("Window"), "no window may rank the corpus")
+  }
+
+  test("q117 PMI top-100 is TakeOrderedAndProject; N broadcast; vocabulary joined not broadcast") {
+    val p = plan(CorpusOpsQueries.q117PmiCollocations(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must not globally sort")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the 1-row token total must broadcast")
+  }
+
+  test("q118 basket cap is a bounded partial aggregate — no per-user window") {
+    val p = plan(AnalyticsOpsQueries.q118ItemCooccurrence(spark, sf))
+    assert(p.contains("partial_topk_by"),
+      "the 32-item cap must pre-aggregate per split:\n" + p.take(400))
+    assert(!p.contains("Window"), "no window may rank per-user items")
+  }
+
   test("q99 exact-k sample is a bounded partial aggregate — no per-stratum window") {
     // the scale killer: row_number over every doc shuffled to its
     // stratum's partition (one hot stratum = one hot partition); the
