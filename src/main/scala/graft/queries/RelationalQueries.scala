@@ -616,7 +616,68 @@ object RelationalQueries {
 
   // ========================================================================
 
+  // ===== q123 — nearest as-of: click → closest purchase either side =======
+
+  /** For every click, the same user's temporally NEAREST purchase in
+    * either direction (|Δt| minimized; exact ties prefer the earlier,
+    * backward match) — the sensor-alignment flavor of as-of that
+    * completes the family (q45 backward / q50 forward / q49
+    * tolerance): composed as one [[AsofJoin.Backward]] pass and one
+    * [[AsofJoin.Forward]] pass with the matched purchase ts riding the
+    * payload, then a per-row argmin. Nothing new shuffles for the
+    * choice — it is a pure projection over the two matches.
+    *
+    * Scale shape: exactly two q45-shaped passes (one exchange + one
+    * running window each, O(1) window state); the second pass rides
+    * the first's user_id partitioning.
+    */
+  def q123AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = eventsUs(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts_us"))
+    def purchases(sfx: String): DataFrame =
+      ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_us"),
+          col("event_id").as(s"pid_$sfx"), col("value").as(s"pval_$sfx"),
+          col("ts_us").as(s"pts_$sfx"))
+    val back = AsofJoin.asofJoin(clicks, purchases("b"), key = "user_id",
+      ts = "ts_us", payload = Seq("pid_b", "pval_b", "pts_b"))
+    val both = AsofJoin.asofJoin(back, purchases("f"), key = "user_id",
+      ts = "ts_us", payload = Seq("pid_f", "pval_f", "pts_f"),
+      direction = AsofJoin.Forward)
+    val db = col("ts_us") - col("pts_b")
+    val df = col("pts_f") - col("ts_us")
+    val useBack = col("pts_f").isNull || (col("pts_b").isNotNull && db <= df)
+    both.select(col("click_id"), col("user_id"), col("ts_us"),
+        when(useBack, col("pid_b")).otherwise(col("pid_f")).as("purchase_id"),
+        when(useBack, col("pval_b")).otherwise(col("pval_f")).as("purchase_value"),
+        when(useBack, db).otherwise(df).as("delta_us"))
+      .orderBy(col("click_id"))
+  }
+
+  val q123Sql: String =
+    """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value FROM events),
+      |c AS (SELECT event_id AS click_id, user_id, ts_us FROM e WHERE event_type = 'click'),
+      |p AS (SELECT user_id, ts_us, event_id AS pid, value AS pval
+      |      FROM e WHERE event_type = 'purchase'),
+      |b AS (
+      |  SELECT c.click_id, c.user_id, c.ts_us,
+      |    p.pid AS pid_b, p.pval AS pval_b, p.ts_us AS pts_b
+      |  FROM c ASOF LEFT JOIN p ON c.user_id = p.user_id AND c.ts_us >= p.ts_us),
+      |f AS (
+      |  SELECT b.*, p.pid AS pid_f, p.pval AS pval_f, p.ts_us AS pts_f
+      |  FROM b ASOF LEFT JOIN p ON b.user_id = p.user_id AND b.ts_us <= p.ts_us)
+      |SELECT click_id, user_id, ts_us,
+      |  CASE WHEN pts_f IS NULL OR (pts_b IS NOT NULL AND ts_us - pts_b <= pts_f - ts_us)
+      |       THEN pid_b ELSE pid_f END AS purchase_id,
+      |  CASE WHEN pts_f IS NULL OR (pts_b IS NOT NULL AND ts_us - pts_b <= pts_f - ts_us)
+      |       THEN pval_b ELSE pval_f END AS purchase_value,
+      |  CASE WHEN pts_f IS NULL OR (pts_b IS NOT NULL AND ts_us - pts_b <= pts_f - ts_us)
+      |       THEN ts_us - pts_b ELSE pts_f - ts_us END AS delta_us
+      |FROM f ORDER BY click_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q123_asof_nearest" -> (q123AsofNearest _),
     "q109_peak_burst" -> (q109PeakBurst _),
     "q113_session_paths" -> (q113SessionPaths _),
     "q114_interval_islands" -> (q114IntervalIslands _),
@@ -631,6 +692,7 @@ object RelationalQueries {
     "q50_asof_forward" -> (q50AsofForward _))
 
   val oracleSql: Map[String, String] = Map(
+    "q123_asof_nearest" -> q123Sql,
     "q109_peak_burst" -> q109Sql,
     "q113_session_paths" -> q113Sql,
     "q114_interval_islands" -> q114Sql,

@@ -243,12 +243,52 @@ object ScaleOpsQueries {
 
   // ========================================================================
 
+  // ===== q121 — join-size / skew profile (pre-flight cardinality audit) ===
+
+  /** The pre-flight audit a planner (or an engineer staring at a hung
+    * stage) runs BEFORE a self-join on user_id: exact output
+    * cardinality Σ c_u² and the top-10 key contributions, computed
+    * from per-key counts WITHOUT materializing the join. share_ppm is
+    * pure integer arithmetic (c²·10⁶ div total) — no float to
+    * diverge. One hot key owning most of the ppm share is the signal
+    * to salt (q105's operator) or skew-hint the join.
+    *
+    * Scale shape: one hash aggregate to key grain (the 10⁶× reducer at
+    * 100 TB), a 1-row broadcast total, top-10 via
+    * TakeOrderedAndProject. The join being audited never runs — that
+    * is the point.
+    */
+  def q121JoinSizeProfile(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.load(s, dir, "events")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+    val tot = counts.agg(sum(col("n_events") * col("n_events")).as("total_pairs"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("pairs_contrib", col("n_events") * col("n_events"))
+      .withColumn("share_ppm",
+        expr("pairs_contrib * 1000000L div total_pairs"))
+      .select(col("user_id"), col("n_events"), col("pairs_contrib"),
+        col("total_pairs"), col("share_ppm"))
+      .orderBy(col("pairs_contrib").desc, col("user_id"))
+      .limit(10)
+  }
+
+  val q121Sql: String =
+    """WITH c AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_events * n_events) AS BIGINT) AS total_pairs FROM c)
+      |SELECT user_id, n_events, n_events * n_events AS pairs_contrib,
+      |  total_pairs,
+      |  CAST((n_events * n_events * 1000000) // total_pairs AS BIGINT) AS share_ppm
+      |FROM c, t
+      |ORDER BY pairs_contrib DESC, user_id LIMIT 10""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q121_join_size_profile" -> (q121JoinSizeProfile _),
     "q65_bloom_decontaminate" -> (q65BloomDecontaminate _),
     "q66_heavy_hitters_cms" -> (q66HeavyHittersCms _),
     "q67_zorder_scan" -> (q67ZorderScan _))
 
   val oracleSql: Map[String, String] = Map(
+    "q121_join_size_profile" -> q121Sql,
     "q65_bloom_decontaminate" -> q65Sql,
     "q67_zorder_scan" -> q67Sql)
 }

@@ -342,9 +342,61 @@ object TextQueries {
       |    'https?://[^\s]+', '<URL>', 'g') AS clean_text
       |FROM d ORDER BY doc_id""".stripMargin
 
+  // ===== q122 — character-distribution entropy (quality signal) ===========
+
+  /** Per-document Shannon entropy of the character distribution —
+    * the compression-proxy quality signal (near-zero entropy = filler
+    * repetition like "aaaa…", high entropy near log|alphabet| = dense
+    * mixed text; both tails are what Gopher-style quality rules cut).
+    * Each distinct character's −p·ln p term is micro-quantized to a
+    * long BEFORE the per-doc sum (the q77 discipline: the sum of
+    * integers is order-independent across partitions and engines,
+    * where a raw double sum would drift in the last ulps), with
+    * p = c/L a ratio of exact int64 counts so both engines feed ln
+    * identical doubles.
+    *
+    * Scale shape: char explosion is map-side (one row per character,
+    * the corpus's 100 TB worst case — but each row is (doc_id, 1
+    * char) and aggregates immediately); two hash aggregates, both on
+    * doc_id-keyed grains with map-side partial combine; no joins.
+    */
+  def q122CharEntropy(s: SparkSession, dir: String): DataFrame = {
+    // L = length(text) rides the explode as a per-doc constant, so no
+    // second pass / window / join is ever needed to normalize p = c/L
+    val chars = Tables.load(s, dir, "documents")
+      .filter(length(col("text")) > 0)
+      .select(col("doc_id"), length(col("text")).as("l"),
+        explode(split(col("text"), "")).as("ch"))
+      .filter(col("ch") =!= "") // Spark's limit=-1 split keeps a trailing ""
+    chars.groupBy(col("doc_id"), col("l"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("term_micro",
+        floor(-(col("c").cast("double") / col("l").cast("double"))
+          * log(col("c").cast("double") / col("l").cast("double"))
+          * 1e6 + 0.5).cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("l")).cast("long").as("n_chars_text"),
+        count(lit(1)).as("n_distinct_chars"),
+        sum(col("term_micro")).as("entropy_micro"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q122Sql: String =
+    """WITH ch AS (
+      |  SELECT doc_id, length(text) AS l, unnest(string_split(text, '')) AS ch
+      |  FROM documents WHERE length(text) > 0),
+      |cnt AS (SELECT doc_id, l, ch, count(*) AS c FROM ch GROUP BY 1, 2, 3)
+      |SELECT doc_id, CAST(max(l) AS BIGINT) AS n_chars_text,
+      |  count(*) AS n_distinct_chars,
+      |  CAST(sum(CAST(floor(-(CAST(c AS DOUBLE) / CAST(l AS DOUBLE))
+      |    * ln(CAST(c AS DOUBLE) / CAST(l AS DOUBLE)) * 1000000 + 0.5) AS BIGINT))
+      |    AS BIGINT) AS entropy_micro
+      |FROM cnt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q122_char_entropy" -> (q122CharEntropy _),
     "q16_text_stats" -> (q16TextStats _),
     "q17_lang_id" -> (q17LangId _),
     "q18_quality_score" -> (q18QualityScore _),
@@ -356,6 +408,7 @@ object TextQueries {
     "q107_lang_confusion" -> (q107LangConfusion _))
 
   val oracleSql: Map[String, String] = Map(
+    "q122_char_entropy" -> q122Sql,
     "q16_text_stats" -> q16Sql,
     "q17_lang_id" -> q17Sql,
     "q107_lang_confusion" -> q107Sql,

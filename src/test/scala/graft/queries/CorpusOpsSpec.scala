@@ -268,4 +268,19 @@ class CorpusOpsSpec extends SparkTestBase {
       assert(r._6 < hk._6, s"independent 'the' pair outranked hong/kong: $r")
     }
   }
+
+  test("q122 char entropy: zero for repetition, ln 2 for a two-char alternation") {
+    val dir = writeDocs(Seq(
+      (1L, "aaaaaaaa", "en"),   // single symbol -> entropy exactly 0
+      (2L, "abababab", "en"),   // p=0.5 each -> H = ln 2 = 0.693147...
+      (3L, "abcd", "en")))      // uniform over 4 -> H = ln 4
+    val out = graft.queries.TextQueries.q122CharEntropy(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // per-term micro: floor(0.5*ln2*1e6 + 0.5) = 346574, summed per symbol
+    assert(out == Seq(
+      (1L, 8L, 1L, 0L),
+      (2L, 8L, 2L, 2 * 346574L),
+      (3L, 4L, 4L, 4 * math.floor(0.25 * math.log(4.0) * 1e6 + 0.5).toLong)),
+      s"got $out")
+  }
 }

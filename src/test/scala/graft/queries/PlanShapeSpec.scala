@@ -333,6 +333,24 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window"), "no window may rank per-user items")
   }
 
+  test("q121 join-size profile audits the join without running one — key-grain agg + 1-row broadcast") {
+    val p = plan(ScaleOpsQueries.q121JoinSizeProfile(spark, sf))
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not globally sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "the audited self-join must never execute:\n" + p.take(400))
+  }
+
+  test("q123 nearest as-of composes two no-join as-of passes") {
+    // both directions ride the q45 union+window shape; a real join
+    // operator appearing here means the as-of machinery regressed
+    val p = plan(RelationalQueries.q123AsofNearest(spark, sf))
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin")
+      && !p.contains("NestedLoop"),
+      "nearest as-of must not plan a join operator:\n" + p.take(400))
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "expected the as-of running windows")
+  }
+
   test("q99 exact-k sample is a bounded partial aggregate — no per-stratum window") {
     // the scale killer: row_number over every doc shuffled to its
     // stratum's partition (one hot stratum = one hot partition); the

@@ -74,4 +74,22 @@ class ScaleOpsSpec extends SparkTestBase {
     assert(out.find(_.getString(0) == "click").exists(r =>
       r.getLong(1) == 2 && r.getLong(2) >= 2), s"$out")
   }
+
+  test("q121 join-size profile: exact pair total and integer ppm shares on a planted skew") {
+    val dir = java.nio.file.Files.createTempDirectory("q121-skew").toString
+    var eid = 0L
+    def evs(user: Long, n: Int) = Seq.fill(n) {
+      eid += 1; (eid, eid * 1000L, user, "view", 0.0, "")
+    }
+    // c = (100, 10, 1) -> total pairs 10101; hot key owns 990001 ppm
+    (evs(1L, 100) ++ evs(2L, 10) ++ evs(3L, 1))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = ScaleOpsQueries.q121JoinSizeProfile(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 100L, 10000L, 10101L, 10000L * 1000000L / 10101L),
+      (2L, 10L, 100L, 10101L, 100L * 1000000L / 10101L),
+      (3L, 1L, 1L, 10101L, 1000000L / 10101L)), s"got $out")
+  }
 }

@@ -362,4 +362,32 @@ class RelationalSpec extends SparkTestBase {
       RangeJoin.pointInInterval(points, "pt", iv, "s", "e", 0L)
     }
   }
+
+  test("q123 nearest as-of picks the closer side; exact ties prefer backward") {
+    val dir = java.nio.file.Files.createTempDirectory("q123-nearest").toString
+    val us = 1000L // events ts is nanos; queries work at µs grain
+    Seq(
+      // purchases for user 7 at t=10µs and t=100µs
+      (1L, 10L * us, 7L, "purchase", 1.0, ""),
+      (2L, 100L * us, 7L, "purchase", 2.0, ""),
+      // clicks: 12 (back, Δ2), 90 (forward, Δ10 < back Δ80),
+      // 55 (EXACT tie Δ45 both ways -> backward), 5 (only forward exists)
+      (3L, 12L * us, 7L, "click", 0.0, ""),
+      (4L, 90L * us, 7L, "click", 0.0, ""),
+      (5L, 55L * us, 7L, "click", 0.0, ""),
+      (6L, 5L * us, 7L, "click", 0.0, ""),
+      // user 8: click with NO purchases at all -> all-null match
+      (7L, 50L * us, 8L, "click", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = graft.queries.RelationalQueries.q123AsofNearest(spark, dir)
+      .as[(Long, Long, Long, Option[Long], Option[Double], Option[Long])]
+      .collect().toSeq
+    assert(out == Seq(
+      (3L, 7L, 12L, Some(1L), Some(1.0), Some(2L)),
+      (4L, 7L, 90L, Some(2L), Some(2.0), Some(10L)),
+      (5L, 7L, 55L, Some(1L), Some(1.0), Some(45L)),
+      (6L, 7L, 5L, Some(1L), Some(1.0), Some(5L)),
+      (7L, 8L, 50L, None, None, None)), s"got $out")
+  }
 }
