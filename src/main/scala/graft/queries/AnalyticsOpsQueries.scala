@@ -1010,7 +1010,45 @@ object AnalyticsOpsQueries {
       |  active_1d, active_7d
       |FROM a7 JOIN a1 USING (win_end) ORDER BY win_end""".stripMargin
 
+  // ===== q125 — per-source percentile curve (cume_dist / percent_rank) ====
+
+  /** Every document's position in its source's size distribution —
+    * cume_dist (fraction of the stratum at-or-below this length) and
+    * percent_rank ((rank−1)/(n−1)) — the calibration curve mixture
+    * reweighting and "is this doc an outlier FOR ITS SOURCE" checks
+    * read. Both statistics are ratios of exact integer rank counts,
+    * micro-quantized — ties (equal n_chars) share a value by
+    * definition on both engines, so the output is total-order
+    * deterministic including duplicates.
+    *
+    * Scale shape: one exchange on source + one in-partition sort —
+    * the ranking window family's honest cost. At 100 TB a hot source
+    * becomes a hot partition; the declared swap is q68's shape
+    * (broadcast quantile cut points then a map-side bucket lookup),
+    * which trades exact per-row ranks for bucket-grain ones.
+    */
+  def q125PercentileCurve(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("pct_micro",
+        floor(cume_dist().over(bySrc) * 1e6 + 0.5).cast("long"))
+      .withColumn("prk_micro",
+        floor(percent_rank().over(bySrc) * 1e6 + 0.5).cast("long"))
+      .orderBy(col("source"), col("n_chars"), col("doc_id"))
+  }
+
+  val q125Sql: String =
+    """SELECT source, doc_id, n_chars,
+      |  CAST(floor(cume_dist() OVER (PARTITION BY source ORDER BY n_chars)
+      |    * 1000000 + 0.5) AS BIGINT) AS pct_micro,
+      |  CAST(floor(percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+      |    * 1000000 + 0.5) AS BIGINT) AS prk_micro
+      |FROM documents
+      |ORDER BY source, n_chars, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_percentile_curve" -> (q125PercentileCurve _),
     "q118_item_cooccurrence" -> (q118ItemCooccurrence _),
     "q119_sliding_active_users" -> (q119SlidingActiveUsers _),
     "q110_corr_profile" -> (q110CorrProfile _),
@@ -1033,6 +1071,7 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q125_percentile_curve" -> q125Sql,
     "q118_item_cooccurrence" -> q118Sql,
     "q119_sliding_active_users" -> q119Sql,
     "q110_corr_profile" -> q110Sql,

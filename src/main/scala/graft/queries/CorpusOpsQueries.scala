@@ -606,9 +606,68 @@ object CorpusOpsQueries {
       |FROM bc JOIN uni ux ON bc.w1 = ux.tok JOIN uni uy ON bc.w2 = uy.tok, nt
       |ORDER BY pmi_micro DESC, w1, w2 LIMIT 100""".stripMargin
 
+  // ===== q124 — per-source KL divergence from the corpus distribution =====
+
+  /** Distribution-shift profile: for each source, the KL divergence of
+    * its unigram distribution from the whole-corpus distribution —
+    * KL(P_s ‖ Q) = Σ_w (c_sw/n_s)·ln(c_sw·N / (n_s·c_w)) — the drift
+    * detector that flags a source whose language stopped looking like
+    * the corpus (scraper breakage, template flood, language shift).
+    * Every ratio is exact int64 counts, each token's term is
+    * micro-quantized to a long before the per-source sum (the q77
+    * discipline; terms can be negative, floor(x+0.5) is the same
+    * deterministic round-half-up both engines), and only observed
+    * (source, w) pairs contribute — exactly the support of P_s.
+    *
+    * Scale shape: one (source, w) hash aggregate feeds everything;
+    * corpus token totals join on the token (vocabulary-sized — the
+    * q56 no-broadcast argument), source totals and N ride in as
+    * broadcasts; final rollup is |sources| rows.
+    */
+  def q124KlDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val sw = MinHashLSH.shingleRows(docs, "source", "text", n = 1)
+      .filter(col("sh") =!= "")
+      .groupBy(col("sid").as("source"), col("sh").as("w"))
+      .agg(count(lit(1)).as("c_sw"))
+    val srcTot = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
+    val wTot = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
+    val n = srcTot.agg(sum(col("n_s")).as("n_total"))
+    sw.join(wTot, Seq("w"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(n))
+      .withColumn("term_micro",
+        floor((col("c_sw").cast("double") / col("n_s").cast("double"))
+          * log((col("c_sw") * col("n_total")).cast("double")
+            / (col("n_s") * col("c_w")).cast("double"))
+          * 1e6 + 0.5).cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_tokens"),
+        sum(col("term_micro")).as("kl_micro"))
+      .orderBy(col("source"))
+  }
+
+  val q124Sql: String =
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |sw AS (SELECT source, w, count(*) AS c_sw FROM toks WHERE w <> '' GROUP BY 1, 2),
+      |st AS (SELECT source, sum(c_sw) AS n_s FROM sw GROUP BY 1),
+      |wt AS (SELECT w, sum(c_sw) AS c_w FROM sw GROUP BY 1),
+      |n AS (SELECT sum(n_s) AS n_total FROM st)
+      |SELECT sw.source, CAST(max(st.n_s) AS BIGINT) AS n_tokens,
+      |  count(*) AS n_distinct_tokens,
+      |  CAST(sum(CAST(floor((CAST(c_sw AS DOUBLE) / CAST(n_s AS DOUBLE))
+      |    * ln(CAST(c_sw * n_total AS DOUBLE) / CAST(n_s * c_w AS DOUBLE))
+      |    * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS kl_micro
+      |FROM sw JOIN wt USING (w) JOIN st USING (source), n
+      |GROUP BY sw.source ORDER BY sw.source""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_kl_drift" -> (q124KlDrift _),
     "q116_weighted_sample" -> (q116WeightedSample _),
     "q117_pmi_collocations" -> (q117PmiCollocations _),
     "q95_sparse_similarity" -> (q95SparseSimilarity _),
@@ -622,6 +681,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q124_kl_drift" -> q124Sql,
     "q116_weighted_sample" -> q116Sql,
     "q117_pmi_collocations" -> q117Sql,
     "q95_sparse_similarity" -> q95Sql,

@@ -491,7 +491,91 @@ object RetrievalQueries {
         |  CAST(NULL AS BIGINT) AS sum_cos_q6 WHERE false""".stripMargin
   }
 
+  // ===== q126 — hybrid retrieval: reciprocal-rank fusion ==================
+
+  /** Hybrid search: the q83 BM25 text ranking and a q20-shaped dense
+    * cosine ranking (query = vector 0's embedding) fused by
+    * reciprocal-rank fusion — score(d) = Σ 1/(60+rank_d) over the
+    * rankings that contain d (Cormack et al. 2009, k=60). RRF only
+    * consumes RANKS, so the fusion layer is pure integer arithmetic
+    * (⌊10⁶/(60+rank)⌋ via integer division — nothing to drift), and
+    * the doubles stay inside each ranking where both engines compute
+    * identical values. Vector 0 itself appears only in the text
+    * ranking (the dense ranking excludes self, the q20 convention).
+    *
+    * Scale shape: each ranking is cut to its top-100 by the bounded
+    * `topk_by` aggregate (≤100 entries per split — no global sort of
+    * either score space); the fusion joins two 100-row lists and
+    * TakeOrdereds the top-50. At 100 TB the dense side swaps
+    * brute-force for the IVF/PQ/Hamming index probes (q25/q88/q90) —
+    * the fusion layer is unchanged, which is the point of fusing on
+    * ranks.
+    */
+  def q126HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    val vecs = Tables.load(s, dir, "embeddings")
+    val vrank = Similarity
+      .bruteForceTopK(vecs, vecs.filter(col("vec_id") === 0), k = 100)
+      .select(col("vec_id").as("doc_id"), col("rank").as("rank_vec"))
+    val trank = q83Bm25(s, dir)
+      .agg(graft.functions.TopKAgg
+        .topkBy(col("score_r6"), col("doc_id"), 100, asc = false).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("e.id").as("doc_id"), (col("pos") + 1).as("rank_text"))
+    vrank.join(trank, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_micro",
+        coalesce(expr("1000000L div (60 + rank_vec)"), lit(0L))
+          + coalesce(expr("1000000L div (60 + rank_text)"), lit(0L)))
+      .select(col("doc_id"), col("rank_text"), col("rank_vec"), col("rrf_micro"))
+      .orderBy(col("rrf_micro").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  val q126Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |tok AS (SELECT * FROM toks WHERE w <> ''),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, sum(dl) AS tot_dl FROM dl),
+      |tf AS (SELECT doc_id, w, count(*) AS tf FROM tok
+      |       WHERE w IN ('merge', 'stream', 'window') GROUP BY 1, 2),
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |ts AS (
+      |  SELECT t.doc_id,
+      |    CAST(floor(ln((s.n_docs - f.df + 0.5) / (f.df + 0.5) + 1.0)
+      |      * (t.tf * ${K1 + 1.0}) / (t.tf + $K1 * (${1.0 - B} + $B * d.dl
+      |        / (CAST(s.tot_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE)))) * 1e6 + 0.5) AS BIGINT) AS micro
+      |  FROM tf t JOIN dl d USING (doc_id) JOIN df f USING (w) CROSS JOIN stats s),
+      |tscore AS (
+      |  SELECT doc_id, CAST(sum(micro) AS DOUBLE) / 1e6 AS score_r6
+      |  FROM ts GROUP BY doc_id),
+      |trank AS (
+      |  SELECT doc_id, rank_text FROM (
+      |    SELECT doc_id,
+      |      row_number() OVER (ORDER BY score_r6 DESC, doc_id) AS rank_text
+      |    FROM tscore) WHERE rank_text <= 100),
+      |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id = 0),
+      |scored AS (
+      |  SELECT v.vec_id,
+      |    list_dot_product(q.qe, v.e)
+      |      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e))) AS cosine
+      |  FROM q, v WHERE v.vec_id <> q.query_id),
+      |vrank AS (
+      |  SELECT vec_id AS doc_id, rank_vec FROM (
+      |    SELECT vec_id,
+      |      row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank_vec
+      |    FROM scored) WHERE rank_vec <= 100)
+      |SELECT COALESCE(t.doc_id, vr.doc_id) AS doc_id, t.rank_text, vr.rank_vec,
+      |  COALESCE(CAST(1000000 // (60 + vr.rank_vec) AS BIGINT), 0)
+      |    + COALESCE(CAST(1000000 // (60 + t.rank_text) AS BIGINT), 0) AS rrf_micro
+      |FROM trank t FULL OUTER JOIN vrank vr ON t.doc_id = vr.doc_id
+      |ORDER BY rrf_micro DESC, doc_id LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q126_hybrid_rrf" -> (q126HybridRrf _),
     "q98_kmeans_profile" -> (q98KmeansProfile _),
     "q82_semantic_dedup" -> (q82SemanticDedup _),
     "q83_bm25" -> (q83Bm25 _),
@@ -504,6 +588,7 @@ object RetrievalQueries {
     * queries, so the driver's DuckDB sees the injected literals).
     */
   def oracleSql: Map[String, String] = Map(
+    "q126_hybrid_rrf" -> q126Sql,
     "q98_kmeans_profile" -> q98Sql,
     "q82_semantic_dedup" -> q82Sql,
     "q83_bm25" -> q83Sql,

@@ -251,6 +251,24 @@ class AnalyticsOpsSpec extends SparkTestBase {
       "every surviving pair has full 3-user support and cosine 1.0")
   }
 
+  test("q125 percentile curve: exact rank ratios, ties share both statistics") {
+    val dir = writeDocs(Seq(
+      (1L, "a", "en", "web", 10L),
+      (2L, "b", "en", "web", 20L),
+      (3L, "c", "en", "web", 20L),   // tie with doc 2
+      (4L, "d", "en", "web", 40L),
+      (5L, "e", "en", "books", 7L))) // singleton stratum
+    val out = AnalyticsOpsQueries.q125PercentileCurve(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      // books: single row -> cume_dist 1, percent_rank 0 (n-1 = 0 case)
+      ("books", 5L, 7L, 1000000L, 0L),
+      ("web", 1L, 10L, 250000L, 0L),
+      ("web", 2L, 20L, 750000L, 333333L),  // ties share 3/4 and 1/3
+      ("web", 3L, 20L, 750000L, 333333L),
+      ("web", 4L, 40L, 1000000L, 1000000L)), s"got $out")
+  }
+
   test("q119 sliding 7-day distinct: no double count, windows anchor on observed days") {
     val dir = java.nio.file.Files.createTempDirectory("analytics-spec").toString
     val day = 86400L * 1000000000L // nanos

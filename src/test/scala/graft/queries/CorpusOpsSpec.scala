@@ -269,6 +269,35 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q124 KL drift: zero for a source matching the corpus, positive for a skewed one") {
+    val dir = java.nio.file.Files.createTempDirectory("corpusops-spec").toString
+    // sources A and B share the corpus distribution exactly (every
+    // term ln(1) = 0); source C is all-"zzz" — maximally drifted
+    val docs = Seq(
+      (1L, "alpha beta alpha beta", "en", "A", 21L),
+      (2L, "alpha beta alpha beta", "en", "B", 21L),
+      (3L, "zzz zzz zzz zzz", "en", "C", 15L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q124KlDrift(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val m = out.map(r => r._1 -> r).toMap
+    // A and B: P_s(alpha)=P_s(beta)=0.5 but Q has zzz mass -> both
+    // drift EQUALLY and positively; C drifts more (its token is 1/3
+    // of the corpus, concentrated)
+    assert(m("A")._4 == m("B")._4, "identical sources must score identically")
+    assert(m("A")._4 > 0 && m("C")._4 > m("A")._4,
+      s"concentrated source must drift hardest: $out")
+    assert(m("C")._2 == 4L && m("C")._3 == 1L, "exact token accounting")
+    // single-source corpus: P_s == Q exactly -> KL exactly 0
+    val dir2 = java.nio.file.Files.createTempDirectory("corpusops-spec").toString
+    docs.take(1).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir2/documents.parquet")
+    val solo = CorpusOpsQueries.q124KlDrift(spark, dir2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(solo == Seq(("A", 4L, 2L, 0L)), s"got $solo")
+  }
+
   test("q122 char entropy: zero for repetition, ln 2 for a two-char alternation") {
     val dir = writeDocs(Seq(
       (1L, "aaaaaaaa", "en"),   // single symbol -> entropy exactly 0

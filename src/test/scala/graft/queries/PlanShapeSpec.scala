@@ -333,6 +333,13 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Window"), "no window may rank per-user items")
   }
 
+  test("q126 RRF ranks ride bounded aggregates — no window ranks either score space") {
+    val p = plan(RetrievalQueries.q126HybridRrf(spark, sf))
+    assert(p.contains("partial_topk_by"),
+      "both rankings must pre-aggregate per split:\n" + p.take(400))
+    assert(!p.contains("Window"), "no window may rank a score space")
+  }
+
   test("q121 join-size profile audits the join without running one — key-grain agg + 1-row broadcast") {
     val p = plan(ScaleOpsQueries.q121JoinSizeProfile(spark, sf))
     assert(p.contains("TakeOrderedAndProject"), "top-10 must not globally sort")
