@@ -664,9 +664,90 @@ object CorpusOpsQueries {
       |FROM sw JOIN wt USING (w) JOIN st USING (source), n
       |GROUP BY sw.source ORDER BY sw.source""".stripMargin
 
+  // ===== q130 — Zipf-law fit over the token frequency spectrum ============
+
+  /** Closed-form least-squares fit of ln(freq) against ln(rank) over
+    * the top-1000 corpus tokens — the Zipf exponent every tokenizer /
+    * vocabulary-size decision starts from, plus R² as the "is this
+    * corpus natural language or template spam" diagnostic (natural text
+    * fits ln-ln near-linearly with slope ≈ −1; machine-generated
+    * boilerplate bends the curve). One row out.
+    *
+    * Determinism: x = ln(rank), y = ln(freq) are per-row SCALARS
+    * micro-quantized to longs BEFORE any aggregation (the q77
+    * discipline); the five regression sums are then exact integer
+    * aggregates, and slope/intercept/R² derive from those longs with
+    * the identical double expression on both engines (casts applied
+    * before the products that would overflow int64).
+    *
+    * Scale shape: one vocabulary hash-aggregate; the top-1000 cut is
+    * the bounded `topk_by`-equivalent TakeOrderedAndProject (never a
+    * global sort); the regression is a 1000-row single-partition
+    * aggregate — driver-free, broadcast-free, one row out.
+    */
+  def q130ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val top = tokenRows(docs)
+      .groupBy(col("sh").as("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(1000)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("c").desc, col("w"))))
+      .select(
+        floor(log(col("rank").cast("double")) * lit(1e6) + lit(0.5)).cast("long").as("x"),
+        floor(log(col("c").cast("double")) * lit(1e6) + lit(0.5)).cast("long").as("y"))
+    top.agg(
+        count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("n").as("n_terms"),
+        (col("n").cast("double") * col("sxy") - col("sx").cast("double") * col("sy"))
+          .as("num"),
+        (col("n").cast("double") * col("sxx") - col("sx").cast("double") * col("sx"))
+          .as("den"),
+        (col("n").cast("double") * col("syy") - col("sy").cast("double") * col("sy"))
+          .as("deny"),
+        col("sx"), col("sy"), col("n"))
+      .select(col("n_terms"),
+        (floor(col("num") / col("den") * lit(1e6) + lit(0.5)) / lit(1e6)).as("slope_r6"),
+        (floor((col("sy") - col("num") / col("den") * col("sx")) / col("n") + lit(0.5))
+          / lit(1e6)).as("intercept_r6"),
+        (floor(col("num") * col("num") / (col("den") * col("deny")) * lit(1e6) + lit(0.5))
+          / lit(1e6)).as("r2_r6"))
+  }
+
+  val q130Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |cnt AS (SELECT w, count(*) AS c FROM toks WHERE w <> '' GROUP BY 1),
+      |top AS (SELECT w, c FROM cnt ORDER BY c DESC, w LIMIT 1000),
+      |xy AS (
+      |  SELECT
+      |    CAST(floor(ln(CAST(row_number() OVER (ORDER BY c DESC, w) AS DOUBLE))
+      |      * 1000000 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000 + 0.5) AS BIGINT) AS y
+      |  FROM top),
+      |s AS (
+      |  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+      |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+      |  FROM xy),
+      |d AS (
+      |  SELECT n AS n_terms,
+      |    CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy AS num,
+      |    CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx AS den,
+      |    CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy AS deny,
+      |    sx, sy, n
+      |  FROM s)
+      |SELECT n_terms,
+      |  floor(num / den * 1000000 + 0.5) / 1000000 AS slope_r6,
+      |  floor((sy - num / den * sx) / n + 0.5) / 1000000 AS intercept_r6,
+      |  floor(num * num / (den * deny) * 1000000 + 0.5) / 1000000 AS r2_r6
+      |FROM d""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_zipf_fit" -> (q130ZipfFit _),
     "q124_kl_drift" -> (q124KlDrift _),
     "q116_weighted_sample" -> (q116WeightedSample _),
     "q117_pmi_collocations" -> (q117PmiCollocations _),
@@ -681,6 +762,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q130_zipf_fit" -> q130Sql,
     "q124_kl_drift" -> q124Sql,
     "q116_weighted_sample" -> q116Sql,
     "q117_pmi_collocations" -> q117Sql,

@@ -911,7 +911,146 @@ object CurationOpsQueries {
       |FROM d JOIN md USING (source)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q127 — bigram-LM surprisal score per document ====================
+
+  /** Per-document average bigram surprisal −ln p(w₂|w₁) under the
+    * corpus's own maximum-likelihood bigram model — the next rung above
+    * q77's unigram signal and the closest SQL-expressible analogue of
+    * the KenLM perplexity filter (CCNet, Wenzek et al. 2020): text
+    * whose word ORDER is typical of the corpus scores low even when its
+    * vocabulary is exotic, and shuffled/boilerplate-spliced text scores
+    * high even when every word is common. p(w₂|w₁) = c(w₁w₂)/c(w₁·),
+    * with c(w₁·) counted over bigram-first positions so the
+    * conditional sums to exactly 1.
+    *
+    * Determinism: the q77 discipline — each bigram's −ln is a scalar
+    * micro-quantized to a long BEFORE the per-doc mean, so the sum is
+    * exact and AQE-order-independent.
+    *
+    * Scale shape: bigrams are generated map-side (split + sequence +
+    * element_at — zero shuffles, the q78 tiling pattern); then two hash
+    * aggregates (bigram counts, first-word counts) and two joins on
+    * token keys. Both count sides are vocabulary-sized — joined, NOT
+    * broadcast (the q56/q77 rule: a 100 TB corpus's bigram table does
+    * not fit an executor); shuffle keys are single tokens/pairs with
+    * near-Zipf skew absorbed by map-side partial aggregation.
+    */
+  def q127BigramSurprisal(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val bi = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), split(norm, " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), size(col("ws")) - 2)).as("i"))
+      .select(col("doc_id"),
+        element_at(col("ws"), col("i") + 1).as("w1"),
+        element_at(col("ws"), col("i") + 2).as("w2"))
+    val c2 = bi.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = bi.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    bi.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .withColumn("micro",
+        floor(-log(col("c2").cast("double") / col("c1")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(col("micro")).cast("double") / count(lit(1)) + lit(0.5)) / lit(1e6))
+          .as("surprisal2_r6"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q127Sql: String =
+    """WITH w AS (
+      |  SELECT doc_id,
+      |    string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS ws
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, ws[i+1] AS w1, ws[i+2] AS w2
+      |  FROM w, unnest(range(CAST(len(ws) - 1 AS BIGINT))) AS t(i)
+      |  WHERE len(ws) >= 2),
+      |c2 AS (SELECT w1, w2, count(*) AS c2 FROM b GROUP BY 1, 2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM b GROUP BY 1),
+      |scored AS (
+      |  SELECT doc_id,
+      |    CAST(floor(-ln(CAST(c2 AS DOUBLE) / c1) * 1000000 + 0.5) AS BIGINT) AS micro
+      |  FROM b JOIN c2 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, count(*) AS n_bigrams,
+      |  floor(CAST(sum(micro) AS DOUBLE) / count(*) + 0.5) / 1000000 AS surprisal2_r6
+      |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ===== q129 — intra-document repetition cut =============================
+
+  /** Intra-document dedup CUT at tile grain: within each document,
+    * every repeated 8-word tile after its first occurrence is removed —
+    * the RefinedWeb/FineWeb intra-doc repetition scrub that q38 only
+    * FLAGS and q87 only applies ACROSS documents. Self-appended docs
+    * are planted (doc_id + 1000000, text twice, the q21/q74
+    * convention) so the cut has a known nontrivial answer: a planted
+    * doc keeps exactly its first half's tiles. Output carries an md5
+    * fingerprint of the kept tile sequence IN ORDER, so the oracle
+    * certifies the surviving content and its order, not just counts.
+    *
+    * Scale shape: tiling is map-side (q78 pattern); first-occurrence
+    * detection is one window keyed (doc_id, tile-hash) — intra-doc
+    * state only, so the partition key is as fine as the corpus is wide
+    * and no global structure exists; the ordered fingerprint is the
+    * q113 collect_list + array_sort idiom with per-doc bounded state.
+    * One exchange on doc_id covers both the window and the final
+    * aggregate.
+    */
+  def q129IntraDocDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.union(
+      docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" "), col("text")).as("text")))
+    val tiles = planted
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("nt", floor(size(col("ws")) / w).cast("int"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), col("nt") - 1)).as("i"))
+      .select(col("doc_id"), col("i"),
+        md5(array_join(slice(col("ws"), col("i") * w + 1, lit(w)), " ")).as("h"))
+    tiles
+      .withColumn("first_i",
+        min(col("i")).over(Window.partitionBy(col("doc_id"), col("h"))))
+      .withColumn("kept", (col("i") === col("first_i")).cast("int"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(col("kept")).as("kept_tiles"),
+        (count(lit(1)) - sum(col("kept"))).as("cut_tiles"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(when(col("kept") === 1,
+              struct(col("i"), col("h"))))),
+            x => x.getField("h")), " ")).as("kept_fp"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q129Sql: String =
+    """WITH src AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' ' || text FROM documents),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM src),
+      |tiles AS (
+      |  SELECT doc_id, i,
+      |    md5(array_to_string(ws[(i*8+1):(i*8+8)], ' ')) AS h
+      |  FROM w, unnest(range(CAST(floor(len(ws)/8) AS BIGINT))) AS t(i)
+      |  WHERE floor(len(ws)/8) > 0),
+      |f AS (
+      |  SELECT doc_id, i, h,
+      |    CASE WHEN i = min(i) OVER (PARTITION BY doc_id, h) THEN 1 ELSE 0 END AS kept
+      |  FROM tiles)
+      |SELECT doc_id, count(*) AS n_tiles,
+      |  CAST(sum(kept) AS BIGINT) AS kept_tiles,
+      |  CAST(count(*) - sum(kept) AS BIGINT) AS cut_tiles,
+      |  md5(string_agg(CASE WHEN kept = 1 THEN h END, ' ' ORDER BY i)) AS kept_fp
+      |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q127_bigram_surprisal" -> (q127BigramSurprisal _),
+    "q129_intra_doc_dedup" -> (q129IntraDocDedup _),
     "q112_robust_outliers" -> (q112RobustOutliers _),
     "q111_fuzzy_dedup" -> (q111FuzzyDedup _),
     "q87_dedup_cut" -> (q87DedupCut _),
@@ -927,6 +1066,8 @@ object CurationOpsQueries {
     "q86_source_overlap" -> (q86SourceOverlap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q127_bigram_surprisal" -> q127Sql,
+    "q129_intra_doc_dedup" -> q129Sql,
     "q112_robust_outliers" -> q112Sql,
     "q111_fuzzy_dedup" -> q111Sql,
     "q87_dedup_cut" -> q87Sql,

@@ -574,7 +574,61 @@ object RetrievalQueries {
       |FROM trank t FULL OUTER JOIN vrank vr ON t.doc_id = vr.doc_id
       |ORDER BY rrf_micro DESC, doc_id LIMIT 50""".stripMargin
 
+  // ===== q128 — semantic decontamination cut (embedding grain) ============
+
+  /** Embedding-space decontamination: every training vector whose
+    * cosine against ANY held-out eval vector reaches 0.30 is cut — the
+    * semantic complement of the n-gram cuts (q39/q65/q89), catching
+    * paraphrased eval leakage that exact n-gram matching misses
+    * (the GPT-3/Llama "fuzzy dedup against benchmarks" step). Eval =
+    * vec_id < 50 (the q20 query-set convention), training = the rest.
+    * Per-pair cosines are micro-quantized BEFORE the per-vector max —
+    * floor is monotone, so max-of-micro ≡ micro-of-max, and the
+    * aggregate is exact integer arithmetic on both engines.
+    *
+    * Scale shape: an eval benchmark is always tiny relative to a
+    * 100 TB corpus — the eval side rides a broadcast, the corpus side
+    * is one map pass, and the per-vector max partial-aggregates
+    * map-side, so the only exchange carries ONE row per training
+    * vector. No window, no self-join; contamination thresholds tune
+    * without replanning. At extreme eval sizes the broadcast swaps for
+    * the q85/q88 Hamming prefilter — the cut layer is unchanged.
+    */
+  def q128SemanticDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val vecs = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val eval = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("eval_id"), col("emb").as("eval_emb"))
+    vecs.filter(col("vec_id") >= 50)
+      .crossJoin(broadcast(eval))
+      .withColumn("micro",
+        floor(Similarity.cosine(col("emb"), col("eval_emb")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("micro")).as("max_eval_cos_micro"),
+        sum(when(col("micro") >= 300000, 1L).otherwise(0L)).as("n_eval_hits"))
+      .withColumn("kept", (col("max_eval_cos_micro") < 300000).cast("int"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q128Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |ev AS (SELECT vec_id AS eval_id, e AS ee FROM v WHERE vec_id < 50),
+      |tr AS (SELECT vec_id, e FROM v WHERE vec_id >= 50),
+      |p AS (
+      |  SELECT tr.vec_id,
+      |    CAST(floor(list_dot_product(tr.e, ev.ee)
+      |      / (sqrt(list_dot_product(tr.e, tr.e)) * sqrt(list_dot_product(ev.ee, ev.ee)))
+      |      * 1000000 + 0.5) AS BIGINT) AS micro
+      |  FROM tr, ev)
+      |SELECT vec_id, max(micro) AS max_eval_cos_micro,
+      |  CAST(sum(CASE WHEN micro >= 300000 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_hits,
+      |  CAST(CASE WHEN max(micro) < 300000 THEN 1 ELSE 0 END AS INTEGER) AS kept
+      |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_semantic_decontaminate" -> (q128SemanticDecontaminate _),
     "q126_hybrid_rrf" -> (q126HybridRrf _),
     "q98_kmeans_profile" -> (q98KmeansProfile _),
     "q82_semantic_dedup" -> (q82SemanticDedup _),
@@ -588,6 +642,7 @@ object RetrievalQueries {
     * queries, so the driver's DuckDB sees the injected literals).
     */
   def oracleSql: Map[String, String] = Map(
+    "q128_semantic_decontaminate" -> q128Sql,
     "q126_hybrid_rrf" -> q126Sql,
     "q98_kmeans_profile" -> q98Sql,
     "q82_semantic_dedup" -> q82Sql,

@@ -312,4 +312,27 @@ class CorpusOpsSpec extends SparkTestBase {
       (3L, 4L, 4L, 4 * math.floor(0.25 * math.log(4.0) * 1e6 + 0.5).toLong)),
       s"got $out")
   }
+
+  test("q130 zipf fit: an exact C/rank spectrum fits slope -1 with R^2 = 1") {
+    // freqs 12/6/4/3 = 12/rank for ranks 1..4 → ln f = ln 12 − ln r:
+    // a perfect log-log line (up to the ±0.5e-6 micro-quantization)
+    val dir = writeDocs(Seq(
+      (1L, (Seq.fill(12)("aa") ++ Seq.fill(6)("bb") ++ Seq.fill(4)("cc")
+        ++ Seq.fill(3)("dd")).mkString(" "), "en")))
+    val Seq((n, slope, intercept, r2)) = CorpusOpsQueries.q130ZipfFit(spark, dir)
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(n == 4L)
+    assert(math.abs(slope + 1.0) < 5e-6, s"slope $slope")
+    assert(math.abs(intercept - math.log(12.0)) < 5e-6, s"intercept $intercept")
+    assert(r2 > 0.9999989, s"r2 $r2")
+  }
+
+  test("q130 on real testdata: negative slope, valid R^2, top-1000 cut") {
+    val Seq((n, slope, _, r2)) = CorpusOpsQueries
+      .q130ZipfFit(spark, "/root/testdata/sf0.001")
+      .as[(Long, Double, Double, Double)].collect().toSeq
+    assert(n <= 1000L && n > 10L)
+    assert(slope < 0, s"natural-language spectrum must fall with rank: $slope")
+    assert(r2 >= 0 && r2 <= 1)
+  }
 }

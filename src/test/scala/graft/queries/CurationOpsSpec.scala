@@ -242,4 +242,40 @@ class CurationOpsSpec extends SparkTestBase {
     val anom = CurationOpsQueries.q79EventAnomalies(spark, dir)
     assert(anom.filter(abs(col("z_r6")) <= 2).isEmpty)
   }
+
+  test("q127 bigram surprisal: exact hand values; reordered text scores higher") {
+    // corpus bigrams — doc1 "a b a b a": (a,b)(b,a)(a,b)(b,a);
+    // doc2 "a b a c a": (a,b)(b,a)(a,c)(c,a)
+    // c2: ab=3 ba=3 ac=1 ca=1; c1(first-position): a=4 b=3 c=1
+    val dir = writeDocs(Seq(
+      (1L, "a b a b a", "en", "w", 9L),
+      (2L, "a b a c a", "en", "w", 9L)))
+    val out = CurationOpsQueries.q127BigramSurprisal(spark, dir)
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out.map(r => (r._1, r._2)) == Seq((1L, 4L), (2L, 4L)))
+    def micro(p: Double) = math.floor(-math.log(p) * 1e6 + 0.5).toLong
+    def avg4(ms: Seq[Long]) = math.floor(ms.sum.toDouble / 4 + 0.5) / 1e6
+    val exp1 = avg4(Seq(micro(3.0 / 4), micro(3.0 / 3), micro(3.0 / 4), micro(3.0 / 3)))
+    val exp2 = avg4(Seq(micro(3.0 / 4), micro(3.0 / 3), micro(1.0 / 4), micro(1.0 / 1)))
+    assert(out.map(_._3) == Seq(exp1, exp2), s"got $out")
+    assert(exp2 > exp1, "the rarer continuation (a→c) must raise the score")
+  }
+
+  test("q129 intra-doc cut: repeated tile removed, planted double halves, fp tracks kept order") {
+    val t1 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val dir = writeDocs(Seq(
+      (1L, t1, "en", "w", t1.length.toLong),               // 1 tile, nothing to cut
+      (2L, s"$t1 $t1", "en", "w", (2 * t1.length + 1).toLong))) // 2 identical tiles
+    val out = CurationOpsQueries.q129IntraDocDedup(spark, dir)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    // originals
+    assert(out(1L)._2 == 1L && out(1L)._3 == 1L && out(1L)._4 == 0L)
+    assert(out(2L)._2 == 2L && out(2L)._3 == 1L && out(2L)._4 == 1L)
+    // planted self-appended copies: doc1+planted = 2 tiles keep 1;
+    // doc2+planted = 4 tiles keep 1
+    assert(out(1000001L)._2 == 2L && out(1000001L)._3 == 1L && out(1000001L)._4 == 1L)
+    assert(out(1000002L)._2 == 4L && out(1000002L)._3 == 1L && out(1000002L)._4 == 3L)
+    // every variant keeps exactly the same single tile → same fingerprint
+    assert(Set(out(1L)._5, out(2L)._5, out(1000001L)._5, out(1000002L)._5).size == 1)
+  }
 }
