@@ -893,19 +893,28 @@ object AnalyticsOpsQueries {
     * prunes before the two item-count joins; top-100 is
     * TakeOrderedAndProject.
     */
-  def q118ItemCooccurrence(s: SparkSession, dir: String): DataFrame = {
+  /** (user_id, item) rows of the 32-most-engaged items per user — the
+    * capped-basket projection shared by q118 (co-occurrence cosine) and
+    * q131 (PageRank). props.k via the q71 extraction; the cap rides the
+    * bounded `topk_by` aggregate (cnt desc, item asc total order).
+    */
+  private def itemBaskets(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TopKAgg.register(s)
-    val engagement = Tables.load(s, dir, "events")
+    Tables.load(s, dir, "events")
       .withColumn("item", from_json(col("props"),
         org.apache.spark.sql.types.StructType.fromDDL("k LONG")).getField("k"))
       .filter(col("item").isNotNull)
       .groupBy(col("user_id"), col("item"))
       .agg(count(lit(1)).as("cnt"))
-    val basket = engagement.groupBy(col("user_id"))
+      .groupBy(col("user_id"))
       .agg(graft.functions.TopKAgg
         .topkBy(col("cnt").cast("double"), col("item"), 32, asc = false).as("tk"))
       .select(col("user_id"), explode(col("tk")).as("e"))
       .select(col("user_id"), col("e.id").as("item"))
+  }
+
+  def q118ItemCooccurrence(s: SparkSession, dir: String): DataFrame = {
+    val basket = itemBaskets(s, dir)
     val itemCnt = basket.groupBy(col("item")).agg(count(lit(1)).as("c_i"))
     basket.alias("a")
       .join(basket.alias("b"),
@@ -1010,6 +1019,119 @@ object AnalyticsOpsQueries {
       |  active_1d, active_7d
       |FROM a7 JOIN a1 USING (win_end) ORDER BY win_end""".stripMargin
 
+  // ===== q131 — item PageRank over the co-engagement graph ================
+
+  /** Damped PageRank (d = 0.85, 3 fixed iterations) over the weighted
+    * item-item co-engagement graph — q118 scores EDGES (pair cosine),
+    * this scores NODES: the centrality ranking a recommender or
+    * curriculum seeds from. Edges are q118's capped-basket pairs
+    * (support ≥ 3) made symmetric; rank mass is integer NANO units
+    * end-to-end — every per-edge contribution floors
+    * 0.85 · (w/outw) · pr to a long BEFORE the per-node sum (the q77
+    * discipline lifted to an iterative fixpoint), so all three
+    * iterations are exact integer aggregations and the unrolled oracle
+    * reproduces them bit-for-bit.
+    *
+    * Scale shape: each iteration is one join of the edge list with the
+    * ≤-node-sized rank relation plus one hash aggregate on dst — the
+    * standard Pregel-on-relations shape, linear per iteration. The
+    * edge relation (with out-weights) is localCheckpointed ONCE so the
+    * basket self-join isn't recomputed per iteration, and each
+    * iteration's rank relation is checkpointed to keep lineage flat
+    * (the DedupClusters discipline). Per-user pair volume is bounded
+    * by the basket cap (≤ 32·31/2), so edge count is linear in users.
+    */
+  def q131ItemPagerank(s: SparkSession, dir: String): DataFrame = {
+    val basket = itemBaskets(s, dir)
+    val pairs = basket.alias("a")
+      .join(basket.alias("b"),
+        col("a.user_id") === col("b.user_id") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 3)
+    val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"), col("w"))
+      .union(pairs.select(col("item_b").as("src"), col("item_a").as("dst"), col("w")))
+    val withOut = edges
+      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src")
+      .localCheckpoint(true)
+    val nodes = withOut.select(col("src").as("item")).distinct()
+    var pr = nodes
+      .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
+      .select(col("item"),
+        floor(lit(1e9) / col("n") + lit(0.5)).cast("long").as("prn"), col("n"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      pr = withOut
+        .join(pr.select(col("item").as("src"), col("prn"), col("n")), "src")
+        .select(col("dst"), col("n"),
+          floor(lit(0.85) * (col("w").cast("double") / col("outw")) * col("prn")
+            + lit(0.5)).cast("long").as("c"))
+        .groupBy(col("dst"), col("n"))
+        .agg(sum(col("c")).as("sc"))
+        .select(col("dst").as("item"),
+          (floor(lit(1.5e8) / col("n") + lit(0.5)).cast("long") + col("sc")).as("prn"),
+          col("n"))
+        .localCheckpoint(true)
+    }
+    pr.select(col("item"), col("prn").as("pr_nano"))
+      .orderBy(col("pr_nano").desc, col("item"))
+      .limit(50)
+  }
+
+  /** The same three iterations unrolled as CTEs; integer nano units
+    * make each stage's floor reproduce Spark's exactly.
+    */
+  val q131Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    CASE WHEN json_type(TRY_CAST(props AS JSON), '$.k') IN ('BIGINT','UBIGINT')
+      |      THEN TRY_CAST(json_extract(props, '$.k') AS BIGINT) END AS item
+      |  FROM events),
+      |eng AS (
+      |  SELECT user_id, item, count(*) AS cnt FROM e
+      |  WHERE item IS NOT NULL GROUP BY 1, 2),
+      |basket AS (
+      |  SELECT user_id, item FROM (
+      |    SELECT user_id, item,
+      |      row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, item) AS rk
+      |    FROM eng) WHERE rk <= 32),
+      |pairs AS (
+      |  SELECT a.item AS item_a, b.item AS item_b, count(*) AS w
+      |  FROM basket a JOIN basket b
+      |    ON a.user_id = b.user_id AND a.item < b.item
+      |  GROUP BY 1, 2 HAVING count(*) >= 3),
+      |edges AS (
+      |  SELECT item_a AS src, item_b AS dst, w FROM pairs
+      |  UNION ALL
+      |  SELECT item_b AS src, item_a AS dst, w FROM pairs),
+      |ow AS (SELECT src, sum(w) AS outw FROM edges GROUP BY 1),
+      |eo AS (SELECT e.src, e.dst, e.w, ow.outw FROM edges e JOIN ow USING (src)),
+      |nn AS (SELECT count(DISTINCT src) AS n FROM eo),
+      |pr0 AS (
+      |  SELECT DISTINCT src AS item,
+      |    CAST(floor(CAST(1000000000 AS DOUBLE) / n + 0.5) AS BIGINT) AS prn
+      |  FROM eo, nn),
+      |pr1 AS (
+      |  SELECT eo.dst AS item,
+      |    CAST(floor(CAST(150000000 AS DOUBLE) / n + 0.5) AS BIGINT)
+      |      + sum(CAST(floor(0.85 * (CAST(eo.w AS DOUBLE) / eo.outw) * p.prn + 0.5)
+      |          AS BIGINT)) AS prn
+      |  FROM eo JOIN pr0 p ON eo.src = p.item, nn GROUP BY 1, n),
+      |pr2 AS (
+      |  SELECT eo.dst AS item,
+      |    CAST(floor(CAST(150000000 AS DOUBLE) / n + 0.5) AS BIGINT)
+      |      + sum(CAST(floor(0.85 * (CAST(eo.w AS DOUBLE) / eo.outw) * p.prn + 0.5)
+      |          AS BIGINT)) AS prn
+      |  FROM eo JOIN pr1 p ON eo.src = p.item, nn GROUP BY 1, n),
+      |pr3 AS (
+      |  SELECT eo.dst AS item,
+      |    CAST(floor(CAST(150000000 AS DOUBLE) / n + 0.5) AS BIGINT)
+      |      + sum(CAST(floor(0.85 * (CAST(eo.w AS DOUBLE) / eo.outw) * p.prn + 0.5)
+      |          AS BIGINT)) AS prn
+      |  FROM eo JOIN pr2 p ON eo.src = p.item, nn GROUP BY 1, n)
+      |SELECT item, CAST(prn AS BIGINT) AS pr_nano FROM pr3
+      |ORDER BY pr_nano DESC, item LIMIT 50""".stripMargin
+
   // ===== q125 — per-source percentile curve (cume_dist / percent_rank) ====
 
   /** Every document's position in its source's size distribution —
@@ -1048,6 +1170,7 @@ object AnalyticsOpsQueries {
       |ORDER BY source, n_chars, doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_item_pagerank" -> (q131ItemPagerank _),
     "q125_percentile_curve" -> (q125PercentileCurve _),
     "q118_item_cooccurrence" -> (q118ItemCooccurrence _),
     "q119_sliding_active_users" -> (q119SlidingActiveUsers _),
@@ -1071,6 +1194,7 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q131_item_pagerank" -> q131Sql,
     "q125_percentile_curve" -> q125Sql,
     "q118_item_cooccurrence" -> q118Sql,
     "q119_sliding_active_users" -> q119Sql,

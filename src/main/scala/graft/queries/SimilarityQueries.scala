@@ -660,7 +660,92 @@ object SimilarityQueries {
       |FROM g JOIN m mi ON g.i = mi.i JOIN m mj ON g.j = mj.i
       |ORDER BY g.i, g.j""".stripMargin
 
+  // ===== q132 — PCA top-component projection (power iteration) ============
+
+  /** Every embedding's coordinate along the corpus's top principal
+    * component — the 1-D shadow used for curriculum ordering, outlier
+    * triage, and as the first OPQ rotation axis. The eigenvector comes
+    * from 100 driver-side power iterations on q115's EXACT quantized
+    * covariance (a d×d = 64×64 matrix — the IvfIndex-class bounded
+    * collect), sign-fixed (largest-|component| positive) and rounded to
+    * 6 decimals; the per-dim mean vector is captured the same way (the
+    * q82 rounding convention). Both ride into the plan — and into the
+    * oracle — as LITERALS, so the projection is a single
+    * codegen'd dot-product pass with zero joins, and the oracle
+    * recomputes it from bit-identical constants (the q82/q98
+    * literal-injection pattern: the quantities under test are the
+    * N per-row projections, not the 64-entry eigenvector input).
+    * Centering uses Σx·e − Σμ·e, computed as two dot products so both
+    * engines sum in the same order.
+    *
+    * Scale shape: the covariance input is q115's bounded-shuffle
+    * aggregate; the projection itself is map-only over the corpus
+    * (literals, no broadcast, no shuffle) + the verification sort. At
+    * 100 TB the power iteration cost is unchanged (d×d stays 64×64)
+    * and the scan parallelizes embarrassingly.
+    */
+  def q132PcaProject(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val vecs = Tables.load(s, dir, "embeddings")
+    def r6(v: Double): Double = {
+      val r = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_EVEN).toDouble
+      if (r == 0.0) 0.0 else r // normalize -0.0: its SQL rendering must re-parse to the same bits
+    }
+    val means: Seq[Double] = vecs
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(round(avg(col("x")), 6).as("m"))
+      .orderBy(col("i")).collect().map(_.getDouble(1)).toSeq
+    val d = means.length
+    val cov = Array.ofDim[Double](d, d)
+    q115EmbeddingCovariance(s, dir)
+      .select(col("i"), col("j"), col("cov_q12")).collect()
+      .foreach { r =>
+        val (i, j, c) = (r.getInt(0), r.getInt(1), r.getDouble(2))
+        cov(i)(j) = c; cov(j)(i) = c
+      }
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to 100) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => cov(i)(j) * v(j)).sum)
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / nrm)
+    }
+    val anchor = v.indices.maxBy(i => (math.abs(v(i)), -i))
+    val pc: Seq[Double] = (if (v(anchor) < 0) v.map(x => -x) else v).map(r6).toSeq
+    q132Captured.put(dir, (means, pc))
+    val pcLit = typedLit(pc)
+    val muLit = typedLit(means)
+    vecs.select(col("vec_id"),
+      floor((graft.functions.VectorOps.dot64(col("embedding").cast("array<double>"), pcLit)
+        - graft.functions.VectorOps.dot64(muLit, pcLit)) * lit(1e6) + lit(0.5))
+        .cast("long").as("pc1_micro"))
+      .orderBy(col("vec_id"))
+  }
+
+  /** (means, pc) captured per corpus dir by [[q132PcaProject]] — the
+    * q82 capture discipline: literals injected only when exactly one
+    * corpus has been captured in this process.
+    */
+  private val q132Captured =
+    new scala.collection.concurrent.TrieMap[String, (Seq[Double], Seq[Double])]()
+
+  private def q132Render(xs: Seq[Double]): String =
+    xs.map(v => "%.6f".formatLocal(java.util.Locale.ROOT, v))
+      .mkString("[", ", ", "]") + "::DOUBLE[]"
+
+  def q132Sql: String = q132Captured.readOnlySnapshot().values.toSeq match {
+    case Seq((mu, pc)) =>
+      s"""SELECT vec_id,
+        |  CAST(floor((list_dot_product(CAST(embedding AS DOUBLE[]), ${q132Render(pc)})
+        |    - list_dot_product(${q132Render(mu)}, ${q132Render(pc)}))
+        |    * 1000000 + 0.5) AS BIGINT) AS pc1_micro
+        |FROM embeddings ORDER BY vec_id""".stripMargin
+    case _ => // not captured (or ambiguous): schema-matching empty relation
+      """SELECT CAST(NULL AS BIGINT) AS vec_id, CAST(NULL AS BIGINT) AS pc1_micro
+        |WHERE false""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_pca_project" -> (q132PcaProject _),
     "q115_embedding_covariance" -> (q115EmbeddingCovariance _),
     "q20_knn_bruteforce" -> (q20KnnBruteForce _),
     "q21_minhash_neardup" -> (q21MinhashNearDup _),
@@ -677,7 +762,12 @@ object SimilarityQueries {
     "q91_chunk_dedup" -> (q91ChunkDedup _),
     "q93_quality_dedup" -> (q93QualityDedup _))
 
-  val oracleSql: Map[String, String] = Map(
+  /** def, not val: q132's entry re-renders with the eigenvector/mean
+    * captured by the latest q132 run (Verify dumps oracle SQL after
+    * running the queries — the q82 discipline).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q132_pca_project" -> q132Sql,
     "q115_embedding_covariance" -> q115Sql,
     "q20_knn_bruteforce" -> q20Sql,
     "q32_embedding_neardup" -> q32Sql,

@@ -1,0 +1,71 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.core.Tables
+
+/** q131 PageRank and q132 PCA projection: a hand-computed quantized
+  * fixpoint on a planted graph, and spectral-dominance + plan checks
+  * on real testdata.
+  */
+class GraphPcaSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q131 pagerank: hub outranks leaves; exact quantized fixpoint values") {
+    var eid = 0L
+    def ev(user: Long, item: Long): (Long, Long, Long, String, Double, String) = {
+      eid += 1; (eid, eid * 1000000000L, user, "view", 0.0, s"""{"k": $item}""")
+    }
+    // users 1-3 engage {1,2}, users 4-6 engage {1,3}: star 2—1—3 with
+    // both pair supports = 3 (the q118 threshold)
+    val dir = java.nio.file.Files.createTempDirectory("graphpca-spec").toString
+    ((1L to 3L).flatMap(u => Seq(ev(u, 1L), ev(u, 2L)))
+      ++ (4L to 6L).flatMap(u => Seq(ev(u, 1L), ev(u, 3L))))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+
+    // reference implementation of the same nano-quantized iteration
+    val edges = Seq( // (src, dst, w, outw)
+      (1L, 2L, 3L, 6L), (1L, 3L, 3L, 6L), (2L, 1L, 3L, 3L), (3L, 1L, 3L, 3L))
+    val teleport = math.floor(1.5e8 / 3 + 0.5).toLong
+    def step(pr: Map[Long, Long]): Map[Long, Long] =
+      edges.groupBy(_._2).map { case (dst, in) =>
+        dst -> (teleport + in.map { case (src, _, w, ow) =>
+          math.floor(0.85 * (w.toDouble / ow) * pr(src) + 0.5).toLong
+        }.sum)
+      }
+    var pr = Seq(1L, 2L, 3L).map(_ -> math.floor(1e9 / 3 + 0.5).toLong).toMap
+    for (_ <- 1 to 3) pr = step(pr)
+
+    val out = AnalyticsOpsQueries.q131ItemPagerank(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(out.toMap == pr, s"got $out expected $pr")
+    assert(out.head._1 == 1L, "the hub must rank first")
+    assert(out.head._2 > out(1)._2, "strictly above the leaves")
+    assert(out(1)._2 == out(2)._2, "symmetric leaves tie exactly")
+  }
+
+  test("q132 pca: top-component variance dominates every single axis; map-only plan") {
+    val dir = "/root/testdata/sf0.001"
+    val out = SimilarityQueries.q132PcaProject(spark, dir)
+    val proj = out.as[(Long, Long)].collect().map(_._2.toDouble / 1e6)
+    val n = proj.length.toDouble
+    val mean = proj.sum / n
+    val varPc = proj.map(x => (x - mean) * (x - mean)).sum / n
+    // per-axis variances straight from the embeddings
+    val maxAxisVar = Tables.load(spark, dir, "embeddings")
+      .select(posexplode(col("embedding").cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(var_pop(col("x")).as("v"))
+      .agg(max(col("v"))).as[Double].collect().head
+    assert(varPc >= maxAxisVar * 0.999,
+      s"top eigenvalue must dominate the diagonal: $varPc vs $maxAxisVar")
+    // rerun is bit-identical (fixed iterations, driver-deterministic math)
+    val again = SimilarityQueries.q132PcaProject(spark, dir).as[(Long, Long)].collect()
+    assert(again.toSeq == out.as[(Long, Long)].collect().toSeq)
+    // projection is literal-driven: no join anywhere in the plan
+    val plan = SimilarityQueries.q132PcaProject(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"projection must be map-only:\n$plan")
+  }
+}
