@@ -685,6 +685,54 @@ object AnalyticsOpsQueries {
       |FROM j WHERE new_seg IS NOT NULL AND (old_seg IS NULL OR new_seg <> old_seg)
       |ORDER BY key, valid_from""".stripMargin
 
+  // ===== q133 — SCD2 point-in-time lookup (time travel) ===================
+
+  /** Time-travel read over the q101 SCD2 history: the full table state
+    * AS OF version 1 and AS OF version 2, reconstructed from the
+    * versioned interval rows — the query surface a real table format
+    * serves with snapshots, expressed against the engine's own history
+    * rows (the declared Iceberg-gap fallback, SURVEY §2.1). A history
+    * row is visible at `as_of` iff valid_from ≤ as_of < valid_to
+    * (open rows: valid_to NULL).
+    *
+    * Scale shape: ONE pass over the history — the as-of axis explodes
+    * from a 2-element literal array (×2 fanout, no join, no window),
+    * then the interval predicate filters map-side. K snapshots cost K×
+    * fanout of one scan, never K scans; the final sort is the
+    * verification-output convention.
+    */
+  def q133TimeTravelLookup(s: SparkSession, dir: String): DataFrame =
+    q101ScdMerge(s, dir)
+      .select(col("key"), col("segment"), col("valid_from"), col("valid_to"),
+        explode(array(lit(1), lit(2))).as("as_of"))
+      .filter(col("valid_from") <= col("as_of")
+        && (col("valid_to").isNull || col("valid_to") > col("as_of")))
+      .select(col("as_of"), col("key"), col("segment"))
+      .orderBy(col("as_of"), col("key"))
+
+  val q133Sql: String =
+    """WITH cur AS (SELECT c_custkey AS key, c_mktsegment AS segment FROM customer),
+      |chg AS (
+      |  SELECT key, 'CHG-' || segment AS segment FROM cur WHERE key % 10 = 0
+      |  UNION ALL
+      |  SELECT key + 1000000, 'NEW' FROM cur WHERE key % 25 = 7),
+      |j AS (
+      |  SELECT coalesce(c.key, n.key) AS key, c.segment AS old_seg, n.segment AS new_seg
+      |  FROM cur c FULL OUTER JOIN chg n ON c.key = n.key),
+      |h AS (
+      |  SELECT key, old_seg AS segment, 1 AS valid_from, CAST(NULL AS INTEGER) AS valid_to
+      |  FROM j WHERE old_seg IS NOT NULL AND (new_seg IS NULL OR new_seg = old_seg)
+      |  UNION ALL
+      |  SELECT key, old_seg, 1, 2
+      |  FROM j WHERE old_seg IS NOT NULL AND new_seg IS NOT NULL AND new_seg <> old_seg
+      |  UNION ALL
+      |  SELECT key, new_seg, 2, NULL
+      |  FROM j WHERE new_seg IS NOT NULL AND (old_seg IS NULL OR new_seg <> old_seg))
+      |SELECT t.as_of, key, segment
+      |FROM h, (VALUES (1), (2)) AS t(as_of)
+      |WHERE valid_from <= t.as_of AND (valid_to IS NULL OR valid_to > t.as_of)
+      |ORDER BY t.as_of, key""".stripMargin
+
   // ===== q103 — weekly retention cohorts ==================================
 
   /** The retention triangle every product team reads: users cohorted
@@ -1170,6 +1218,7 @@ object AnalyticsOpsQueries {
       |ORDER BY source, n_chars, doc_id""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q133_time_travel_lookup" -> (q133TimeTravelLookup _),
     "q131_item_pagerank" -> (q131ItemPagerank _),
     "q125_percentile_curve" -> (q125PercentileCurve _),
     "q118_item_cooccurrence" -> (q118ItemCooccurrence _),
@@ -1194,6 +1243,7 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q133_time_travel_lookup" -> q133Sql,
     "q131_item_pagerank" -> q131Sql,
     "q125_percentile_curve" -> q125Sql,
     "q118_item_cooccurrence" -> q118Sql,

@@ -1048,7 +1048,85 @@ object CurationOpsQueries {
       |  md5(string_agg(CASE WHEN kept = 1 THEN h END, ' ' ORDER BY i)) AS kept_fp
       |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ===== q135 — asymmetric containment detection (tile grain) =============
+
+  /** Directed containment C(A→B) = |tiles(A) ∩ tiles(B)| / |tiles(A)|
+    * at distinct-8-word-tile grain, reported for every ordered pair
+    * with C ≥ 0.5 — Broder's containment, the signal symmetric Jaccard
+    * (q21/q26) structurally MISSES: a short excerpt inside a long
+    * document has tiny Jaccard but containment 1. Planted excerpts
+    * (doc_id + 1000000 = each doc's first-half words) have containment
+    * exactly 1 in their source — a prefix's non-overlapping tiles are
+    * a prefix of the full document's tiles.
+    *
+    * Scale shape: the pair generation is one equi-join on the tile
+    * hash (md5-uniform shuffle keys, the q78/q84/q87 family) — pair
+    * work is confined to tile-collision buckets, never all-pairs, and
+    * only (id, hash) rows shuffle. A corpus-frequent boilerplate tile
+    * widens its bucket; the documented lever is the q54 boilerplate
+    * list as a stop-tile filter (and q81's heavy-hitter sketch at
+    * stream time) — dropping tiles shared by > T docs bounds the
+    * bucket width with negligible effect on ≥ 0.5 containment.
+    */
+  def q135Containment(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val planted = docs.union(
+      docs.select((col("doc_id") + 1000000).as("doc_id"),
+        array_join(slice(split(col("text"), " "), lit(1),
+          floor(size(split(col("text"), " ")) / 2).cast("int")), " ").as("text")))
+    val tiles = planted
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("nt", floor(size(col("ws")) / w).cast("int"))
+      .filter(col("nt") > 0)
+      .select(col("doc_id"), col("ws"),
+        explode(sequence(lit(0), col("nt") - 1)).as("i"))
+      .select(col("doc_id"),
+        md5(array_join(slice(col("ws"), col("i") * w + 1, lit(w)), " ")).as("h"))
+      .distinct()
+    val na = tiles.groupBy(col("doc_id").as("id_a")).agg(count(lit(1)).as("n_a"))
+    tiles.select(col("doc_id").as("id_a"), col("h"))
+      .join(tiles.select(col("doc_id").as("id_b"), col("h")), "h")
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(na, "id_a")
+      .withColumn("containment_micro",
+        floor(col("n_shared").cast("double") / col("n_a") * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .filter(col("containment_micro") >= 500000)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("n_a"),
+        col("containment_micro"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val q135Sql: String =
+    """WITH src AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000,
+      |    array_to_string(ws[1:CAST(floor(len(ws)/2) AS BIGINT)], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)),
+      |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM src),
+      |tiles AS (
+      |  SELECT DISTINCT doc_id, md5(array_to_string(ws[(i*8+1):(i*8+8)], ' ')) AS h
+      |  FROM w, unnest(range(CAST(floor(len(ws)/8) AS BIGINT))) AS t(i)
+      |  WHERE floor(len(ws)/8) > 0),
+      |na AS (SELECT doc_id AS id_a, count(*) AS n_a FROM tiles GROUP BY 1),
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+      |  FROM tiles a JOIN tiles b ON a.h = b.h AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_shared, n_a,
+      |  CAST(floor(CAST(n_shared AS DOUBLE) / n_a * 1000000 + 0.5) AS BIGINT)
+      |    AS containment_micro
+      |FROM p JOIN na USING (id_a)
+      |WHERE CAST(floor(CAST(n_shared AS DOUBLE) / n_a * 1000000 + 0.5) AS BIGINT)
+      |  >= 500000
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_containment" -> (q135Containment _),
     "q127_bigram_surprisal" -> (q127BigramSurprisal _),
     "q129_intra_doc_dedup" -> (q129IntraDocDedup _),
     "q112_robust_outliers" -> (q112RobustOutliers _),
@@ -1066,6 +1144,7 @@ object CurationOpsQueries {
     "q86_source_overlap" -> (q86SourceOverlap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q135_containment" -> q135Sql,
     "q127_bigram_surprisal" -> q127Sql,
     "q129_intra_doc_dedup" -> q129Sql,
     "q112_robust_outliers" -> q112Sql,

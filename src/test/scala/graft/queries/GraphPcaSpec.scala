@@ -46,6 +46,40 @@ class GraphPcaSpec extends SparkTestBase {
     assert(out(1)._2 == out(2)._2, "symmetric leaves tie exactly")
   }
 
+  test("q133 time travel: v1 sees the old world, v2 sees updates and inserts") {
+    val dir = java.nio.file.Files.createTempDirectory("graphpca-spec").toString
+    Seq((3L, "AUTO"), (7L, "HOUSE"), (10L, "BUILD"))
+      .toDF("c_custkey", "c_mktsegment")
+      .write.parquet(s"$dir/customer.parquet")
+    val out = AnalyticsOpsQueries.q133TimeTravelLookup(spark, dir)
+      .as[(Int, Long, String)].collect().toSeq
+    val v1 = out.filter(_._1 == 1).map(r => r._2 -> r._3).toMap
+    val v2 = out.filter(_._1 == 2).map(r => r._2 -> r._3).toMap
+    assert(v1 == Map(3L -> "AUTO", 7L -> "HOUSE", 10L -> "BUILD"),
+      s"as-of v1 must predate the merge: $v1")
+    assert(v2 == Map(3L -> "AUTO", 7L -> "HOUSE", 10L -> "CHG-BUILD",
+      1000007L -> "NEW"), s"as-of v2 must see update + insert: $v2")
+  }
+
+  test("q135 containment: excerpt→source scores 1.0, source→excerpt 0.5; short docs absent") {
+    val dir = java.nio.file.Files.createTempDirectory("graphpca-spec").toString
+    val words16 = (1 to 16).map(i => s"tok$i").mkString(" ")
+    Seq(
+      (1L, words16, "en", "w", 100L),          // 2 tiles; planted excerpt = tile 1
+      (2L, "short doc only", "en", "w", 14L))  // < 8 words: no tiles anywhere
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CurationOpsQueries.q135Containment(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(out((1000001L, 1L)) == ((1L, 1L, 1000000L)),
+      "the excerpt is fully contained in its source")
+    assert(out((1L, 1000001L)) == ((1L, 2L, 500000L)),
+      "the source shares half its tiles with the excerpt — exactly at the cut")
+    assert(out.keySet == Set((1000001L, 1L), (1L, 1000001L)),
+      s"the short doc must not appear: ${out.keySet}")
+  }
+
   test("q132 pca: top-component variance dominates every single axis; map-only plan") {
     val dir = "/root/testdata/sf0.001"
     val out = SimilarityQueries.q132PcaProject(spark, dir)
