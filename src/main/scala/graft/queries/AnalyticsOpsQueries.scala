@@ -733,6 +733,59 @@ object AnalyticsOpsQueries {
       |WHERE valid_from <= t.as_of AND (valid_to IS NULL OR valid_to > t.as_of)
       |ORDER BY t.as_of, key""".stripMargin
 
+  // ===== q134 — snapshot CDC: insert/update/delete classification =========
+
+  /** Change-data-capture between two document snapshots: the delta
+    * stream a downstream incremental consumer replays. Snapshot B is
+    * derived deterministically from A (doc_id ≡ 0 mod 7 deleted,
+    * ≡ 0 mod 5 text-rewritten, fresh ids appended at +1000000), and
+    * the query emits one (op, doc_id, fp) row per CHANGED key —
+    * op ∈ {D, I, U} — with unchanged keys suppressed. Content equality
+    * is by md5 fingerprint, so only (id, 32-byte fp) pairs ever
+    * shuffle, never document bodies (the q64 discipline); this is the
+    * MERGE-source shape q101's SCD2 and q133's time travel consume.
+    *
+    * Scale shape: one full-outer equi-join on doc_id + a map-side
+    * 3-way CASE — no windows, no skew surface beyond the uniform key.
+    */
+  def q134SnapshotCdc(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), md5(col("text")).as("fp_a"))
+    val docs = Tables.load(s, dir, "documents")
+    val b = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        md5(when(col("doc_id") % 5 === 0, concat(lit("rev2 "), col("text")))
+          .otherwise(col("text"))).as("fp_b"))
+      .union(docs.select((col("doc_id") + 1000000).as("doc_id"),
+        md5(concat(lit("new "), col("text"))).as("fp_b")))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .filter(col("fp_a").isNull || col("fp_b").isNull || col("fp_a") =!= col("fp_b"))
+      .select(
+        when(col("fp_b").isNull, lit("D"))
+          .when(col("fp_a").isNull, lit("I"))
+          .otherwise(lit("U")).as("op"),
+        col("doc_id"), coalesce(col("fp_b"), col("fp_a")).as("fp"))
+      .orderBy(col("op"), col("doc_id"))
+  }
+
+  val q134Sql: String =
+    """WITH a AS (SELECT doc_id, md5(text) AS fp_a FROM documents),
+      |b AS (
+      |  SELECT doc_id,
+      |    md5(CASE WHEN doc_id % 5 = 0 THEN 'rev2 ' || text ELSE text END) AS fp_b
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, md5('new ' || text) FROM documents),
+      |j AS (
+      |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id, fp_a, fp_b
+      |  FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id)
+      |SELECT CASE WHEN fp_b IS NULL THEN 'D'
+      |            WHEN fp_a IS NULL THEN 'I' ELSE 'U' END AS op,
+      |  doc_id, coalesce(fp_b, fp_a) AS fp
+      |FROM j
+      |WHERE fp_a IS NULL OR fp_b IS NULL OR fp_a <> fp_b
+      |ORDER BY op, doc_id""".stripMargin
+
   // ===== q103 — weekly retention cohorts ==================================
 
   /** The retention triangle every product team reads: users cohorted
@@ -1219,6 +1272,7 @@ object AnalyticsOpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_time_travel_lookup" -> (q133TimeTravelLookup _),
+    "q134_snapshot_cdc" -> (q134SnapshotCdc _),
     "q131_item_pagerank" -> (q131ItemPagerank _),
     "q125_percentile_curve" -> (q125PercentileCurve _),
     "q118_item_cooccurrence" -> (q118ItemCooccurrence _),
@@ -1244,6 +1298,7 @@ object AnalyticsOpsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q133_time_travel_lookup" -> q133Sql,
+    "q134_snapshot_cdc" -> q134Sql,
     "q131_item_pagerank" -> q131Sql,
     "q125_percentile_curve" -> q125Sql,
     "q118_item_cooccurrence" -> q118Sql,

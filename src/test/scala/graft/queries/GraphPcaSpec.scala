@@ -61,6 +61,21 @@ class GraphPcaSpec extends SparkTestBase {
       1000007L -> "NEW"), s"as-of v2 must see update + insert: $v2")
   }
 
+  test("q134 cdc: deletes, updates, inserts classified; unchanged suppressed") {
+    val dir = java.nio.file.Files.createTempDirectory("graphpca-spec").toString
+    Seq((5L, "five", "en", "w", 4L), (7L, "seven", "en", "w", 5L),
+      (11L, "stable", "en", "w", 6L), (35L, "both", "en", "w", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = AnalyticsOpsQueries.q134SnapshotCdc(spark, dir)
+      .as[(String, Long, String)].collect().map(r => r._2 -> r._1).toMap
+    assert(out(7L) == "D", "mod-7 keys are deleted")
+    assert(out(35L) == "D", "delete wins over rewrite when both rules match")
+    assert(out(5L) == "U", "mod-5 keys are rewritten")
+    assert(!out.contains(11L), "unchanged keys emit no CDC row")
+    assert(Seq(1000005L, 1000007L, 1000011L, 1000035L).forall(out(_) == "I"))
+  }
+
   test("q135 containment: excerpt→source scores 1.0, source→excerpt 0.5; short docs absent") {
     val dir = java.nio.file.Files.createTempDirectory("graphpca-spec").toString
     val words16 = (1 to 16).map(i => s"tok$i").mkString(" ")
