@@ -744,9 +744,60 @@ object CorpusOpsQueries {
       |  floor(num * num / (den * deny) * 1000000 + 0.5) / 1000000 AS r2_r6
       |FROM d""".stripMargin
 
+  // ===== q136 — interleaved epoch schedule (low-discrepancy mixture) ======
+
+  /** The global training-order schedule a data loader consumes: every
+    * document gets an integer position key that spreads each source's
+    * docs UNIFORMLY across the epoch — the k-th of a source's n_s docs
+    * lands at fraction (2k−1)/(2n_s) of the corpus — so a consumer
+    * reading in key order sees every source at its corpus proportion
+    * in every window (the Pile/FineWeb shard-interleave shape), not
+    * source-by-source. Within a source, order is content-keyed
+    * (md5(text), doc_id — the q55/q59 mixture discipline: rerun-stable,
+    * no RNG). The key is exact integer arithmetic:
+    * pos = ((2·rk − 1) · N · 10⁶) div (2·n_s).
+    *
+    * Scale shape: ONE exchange on source covers both the in-source
+    * rank and the per-source count (two window functions, same
+    * partitioning); N is a broadcast 1-row aggregate. No global
+    * sequence is materialized — the position KEY is the product, and
+    * the epoch order is "range-partition by pos" at read time, so
+    * nothing global ever sorts in the pipeline itself (the final
+    * orderBy is the verification-output convention). At 100 TB the
+    * ×10⁶ headroom bounds N·rk·10⁶ ≈ 2⁶³ around N ≈ 3·10⁹ docs per
+    * schedule — beyond that, schedule per shard-group or drop to 10³
+    * units (documented lever, not a cliff).
+    */
+  def q136EpochSchedule(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Window.partitionBy(col("source"))
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), md5(col("text")).as("ck"))
+    docs
+      .withColumn("rk", row_number().over(bySrc.orderBy(col("ck"), col("doc_id"))))
+      .withColumn("n_s", count(lit(1)).over(bySrc))
+      .crossJoin(broadcast(docs.select(count(lit(1)).as("n_total"))))
+      .select(col("source"), col("doc_id"), col("rk"),
+        expr("((2*rk - 1) * n_total * 1000000L) div (2 * n_s)").as("pos_micro"))
+      .orderBy(col("pos_micro"), col("source"), col("doc_id"))
+  }
+
+  val q136Sql: String =
+    """WITH d AS (SELECT source, doc_id, md5(text) AS ck FROM documents),
+      |r AS (
+      |  SELECT source, doc_id,
+      |    row_number() OVER (PARTITION BY source ORDER BY ck, doc_id) AS rk,
+      |    count(*) OVER (PARTITION BY source) AS n_s
+      |  FROM d),
+      |n AS (SELECT count(*) AS n_total FROM d)
+      |SELECT source, doc_id, CAST(rk AS INTEGER) AS rk,
+      |  ((2*rk - 1) * n_total * 1000000) // (2 * n_s) AS pos_micro
+      |FROM r, n
+      |ORDER BY pos_micro, source, doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q136_epoch_schedule" -> (q136EpochSchedule _),
     "q130_zipf_fit" -> (q130ZipfFit _),
     "q124_kl_drift" -> (q124KlDrift _),
     "q116_weighted_sample" -> (q116WeightedSample _),
@@ -762,6 +813,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q136_epoch_schedule" -> q136Sql,
     "q130_zipf_fit" -> q130Sql,
     "q124_kl_drift" -> q124Sql,
     "q116_weighted_sample" -> q116Sql,

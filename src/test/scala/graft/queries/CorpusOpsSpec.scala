@@ -335,4 +335,22 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(slope < 0, s"natural-language spectrum must fall with rank: $slope")
     assert(r2 >= 0 && r2 <= 1)
   }
+
+  test("q136 epoch schedule: exact stratified positions, sources interleave") {
+    val dir = java.nio.file.Files.createTempDirectory("corpusops-spec").toString
+    ((1L to 4L).map(i => (i, s"a doc $i", "en", "A"))
+      ++ (5L to 6L).map(i => (i, s"b doc $i", "en", "B")))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q136EpochSchedule(spark, dir)
+      .as[(String, Long, Int, Long)].collect().toSeq
+    // positions: source A (n_s=4, N=6): (2k-1)*6e6/8; B (n_s=2): (2k-1)*6e6/4
+    assert(out.filter(_._1 == "A").map(_._4) == Seq(750000L, 2250000L, 3750000L, 5250000L))
+    assert(out.filter(_._1 == "B").map(_._4) == Seq(1500000L, 4500000L))
+    // reading in key order alternates at corpus proportion: A B A A B A
+    assert(out.map(_._1) == Seq("A", "B", "A", "A", "B", "A"),
+      s"interleave broken: ${out.map(_._1)}")
+    // rk is the content-keyed in-source rank: a permutation of 1..n_s
+    assert(out.filter(_._1 == "A").map(_._3).sorted == Seq(1, 2, 3, 4))
+  }
 }
