@@ -234,6 +234,79 @@ object PipelineQueries {
       .orderBy(col("event_type"))
   }
 
+  // ===== q137 — incremental percentiles over persisted exact histograms ===
+
+  /** The day-2 shape of q30/q31 for QUANTILES: per-(event_type, day)
+    * exact value histograms at cent grain — counts per
+    * floor(value·100 + 0.5) bucket — persist once under
+    * [[graft.core.Warehouse]], and every subsequent percentile
+    * question merges STORED histograms instead of rescanning raw
+    * events. Unlike q53's HLL (lossy, rows-only), an integer
+    * histogram's merge is EXACT — sum of counts — so
+    * quantile(merge(daily)) ≡ quantile(histogram(all raw)) identically
+    * and the whole incremental path is DuckDB-oracled end to end: the
+    * oracle recomputes from raw events, proving the daily decomposition
+    * loses nothing. p-th percentile = smallest bucket whose cumulative
+    * count reaches ⌈p·n⌉ (lower-value convention on the quantized
+    * grain).
+    *
+    * Scale shape: the one-off build is a hash aggregate to (type, day,
+    * cent) grain — the 10⁶× reducer at 100 TB; the probe reads
+    * kilobyte histograms, merges with one tiny aggregate, and the
+    * cumulative window runs over bucket-count rows (bounded by the
+    * value range at cent grain), never over events. New days append
+    * new histogram partitions; old days never rescan.
+    */
+  def q137IncrPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val idx = Warehouse.ensureBuilt(s,
+      Warehouse.derivedDir(s, "hist_daily", s"$dir/events.parquet",
+        params = "grain=cent")) { d =>
+      Tables.load(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("(ts div 1000) div 86400000000L").as("day"),
+          expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+        .groupBy(col("event_type"), col("day"), col("vc"))
+        .agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(d)
+    }
+    val hist = s.read.parquet(idx)
+      .groupBy(col("event_type"), col("vc")).agg(sum(col("c")).as("c"))
+    val tot = hist.groupBy(col("event_type")).agg(sum(col("c")).as("n"))
+    hist
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("event_type")).orderBy(col("vc"))))
+      .join(broadcast(tot), "event_type")
+      .groupBy(col("event_type"))
+      .agg(
+        min(when(col("cum") >= expr("cast(ceil(0.50 * n) as bigint)"), col("vc")))
+          .as("p50_cents"),
+        min(when(col("cum") >= expr("cast(ceil(0.90 * n) as bigint)"), col("vc")))
+          .as("p90_cents"),
+        min(when(col("cum") >= expr("cast(ceil(0.99 * n) as bigint)"), col("vc")))
+          .as("p99_cents"),
+        max(col("n")).as("n_events"))
+      .orderBy(col("event_type"))
+  }
+
+  val q137Sql: String =
+    """WITH v AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+      |  FROM events WHERE value IS NOT NULL),
+      |h AS (SELECT event_type, vc, count(*) AS c FROM v GROUP BY 1, 2),
+      |t AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+      |cumh AS (
+      |  SELECT event_type, vc,
+      |    CAST(sum(c) OVER (PARTITION BY event_type ORDER BY vc) AS BIGINT) AS cum
+      |  FROM h)
+      |SELECT event_type,
+      |  min(CASE WHEN cum >= CAST(ceil(0.50 * n) AS BIGINT) THEN vc END) AS p50_cents,
+      |  min(CASE WHEN cum >= CAST(ceil(0.90 * n) AS BIGINT) THEN vc END) AS p90_cents,
+      |  min(CASE WHEN cum >= CAST(ceil(0.99 * n) AS BIGINT) THEN vc END) AS p99_cents,
+      |  max(n) AS n_events
+      |FROM cumh JOIN t USING (event_type)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===== q37 — deterministic content-keyed train/valid/test split =========
 
   /** Reproducible dataset splitting, content-keyed: each document's
@@ -583,7 +656,8 @@ object PipelineQueries {
     "q44_curation_funnel" -> (q44CurationFunnel _),
     "q51_cardinality" -> (q51Cardinality _),
     "q52_cardinality_approx" -> (q52CardinalityApprox _),
-    "q53_incr_cardinality" -> (q53IncrementalCardinality _))
+    "q53_incr_cardinality" -> (q53IncrementalCardinality _),
+    "q137_incr_percentiles" -> (q137IncrPercentiles _))
 
   val oracleSql: Map[String, String] = Map(
     "q96_leakage_safe_split" -> q96Sql,
@@ -594,5 +668,6 @@ object PipelineQueries {
     "q41_sequence_pack" -> q41Sql,
     "q42_data_mixture" -> q42Sql,
     "q44_curation_funnel" -> q44Sql,
-    "q51_cardinality" -> q51Sql)
+    "q51_cardinality" -> q51Sql,
+    "q137_incr_percentiles" -> q137Sql)
 }

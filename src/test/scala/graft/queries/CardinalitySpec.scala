@@ -38,6 +38,29 @@ class CardinalitySpec extends SparkTestBase {
     assert(!scans.contains("events.parquet"), "probe must not rescan raw events")
   }
 
+  test("q137 merged daily histograms ≡ direct quantile over raw; probe never rescans events") {
+    import org.apache.spark.sql.functions._
+    // direct recompute from raw at the same cent grain and rank rule
+    val raw = graft.core.Tables.load(spark, sf, "events")
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("vc"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val expected = raw.groupBy(_._1).map { case (tpe, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def q(p: Double) = sorted(math.ceil(p * sorted.size).toInt - 1)
+      tpe -> ((q(0.50), q(0.90), q(0.99), sorted.size.toLong))
+    }
+    val probe = PipelineQueries.q137IncrPercentiles(spark, sf)
+    val got = probe.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got == expected, s"histogram-merge quantiles diverged: $got vs $expected")
+    val plan = probe.queryExecution.executedPlan.toString
+    assert(plan.contains("hist_daily"), "probe should scan the warehouse histograms")
+    assert(!plan.contains("events.parquet"), "probe must not rescan raw events")
+  }
+
   test("q52 approx cardinality tracks q51 exact within the rsd bound") {
     val exact = byType(PipelineQueries.q51Cardinality(spark, sf))
     val approx = byType(PipelineQueries.q52CardinalityApprox(spark, sf))
