@@ -744,7 +744,73 @@ object SimilarityQueries {
         |WHERE false""".stripMargin
   }
 
+  // ===== q139 — embedding outlier triage (per-dim z-scores) ===============
+
+  /** Per-vector outlier report from per-DIMENSION z-scores: the
+    * max |z| over all 64 dims and the count of dims beyond 3σ — the
+    * triage that catches corrupted embeddings (a stuck dimension, an
+    * unnormalized batch, an encoder version mix) before they poison
+    * ANN recall or PCA axes. μ_k and σ_k derive from q115-style EXACT
+    * integer micro-sums (Σx, Σx² per dim), so both engines compute
+    * bit-identical doubles; each dim's |z| micro-quantizes BEFORE the
+    * per-vector max/count, keeping the aggregation integer-exact.
+    * Zero-variance dims are excluded (no z is defined there).
+    *
+    * Scale shape: the stats side is a d-row aggregate (map-side
+    * partials, broadcast back); the per-vector pass shuffles (vec, dim)
+    * int rows once into the per-vec aggregate. At 100 TB the broadcast
+    * is still 64 rows — the plan never changes shape.
+    */
+  def q139EmbeddingOutliers(s: SparkSession, dir: String): DataFrame = {
+    val x = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"),
+        posexplode(expr(
+          "transform(cast(embedding as array<double>), v -> cast(floor(v * 1e6 + 0.5) as bigint))"))
+          .as(Seq("i", "xq")))
+    val stats = x.groupBy(col("i"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(xq as decimal(38,0))")).cast("double").as("sx"),
+        sum(expr("cast(xq * xq as decimal(38,0))")).cast("double").as("sxx"))
+      .select(col("i"), (col("sx") / col("n")).as("mu"),
+        (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) / col("n")).as("sigma"))
+    x.join(broadcast(stats), "i")
+      .select(col("vec_id"),
+        when(col("sigma") > 0,
+          floor(abs((col("xq").cast("double") - col("mu")) / col("sigma")) * lit(1e6)
+            + lit(0.5)).cast("long")).as("zmicro"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("zmicro")).as("max_absz_micro"),
+        sum(when(col("zmicro") > 3000000L, 1L).otherwise(0L)).as("n_dims_gt3"))
+      .orderBy(col("vec_id"))
+  }
+
+  val q139Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |      v -> CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |x AS (
+      |  SELECT vec_id, u - 1 AS i, qv[u] AS xq
+      |  FROM q, unnest(range(1, len(qv) + 1)) AS t(u)),
+      |st AS (
+      |  SELECT i, count(*) AS n,
+      |    CAST(sum(xq) AS DOUBLE) AS sx, CAST(sum(xq * xq) AS DOUBLE) AS sxx
+      |  FROM x GROUP BY 1),
+      |sm AS (
+      |  SELECT i, sx / n AS mu, sqrt(n * sxx - sx * sx) / n AS sigma FROM st),
+      |z AS (
+      |  SELECT vec_id,
+      |    CASE WHEN sigma > 0 THEN
+      |      CAST(floor(abs((CAST(xq AS DOUBLE) - mu) / sigma) * 1e6 + 0.5) AS BIGINT)
+      |    END AS zmicro
+      |  FROM x JOIN sm USING (i))
+      |SELECT vec_id, max(zmicro) AS max_absz_micro,
+      |  CAST(sum(CASE WHEN zmicro > 3000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dims_gt3
+      |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_embedding_outliers" -> (q139EmbeddingOutliers _),
     "q132_pca_project" -> (q132PcaProject _),
     "q115_embedding_covariance" -> (q115EmbeddingCovariance _),
     "q20_knn_bruteforce" -> (q20KnnBruteForce _),
@@ -767,6 +833,7 @@ object SimilarityQueries {
     * running the queries — the q82 discipline).
     */
   def oracleSql: Map[String, String] = Map(
+    "q139_embedding_outliers" -> q139Sql,
     "q132_pca_project" -> q132Sql,
     "q115_embedding_covariance" -> q115Sql,
     "q20_knn_bruteforce" -> q20Sql,

@@ -395,7 +395,54 @@ object TextQueries {
 
   // ========================================================================
 
+  // ===== q138 — sentence-grain statistics =================================
+
+  /** Per-document sentence segmentation statistics — sentence count,
+    * mean sentence length in words, and the longest sentence — the
+    * readability / degenerate-text signal at the grain BETWEEN q16's
+    * token stats and q73's fixed-char chunks: wall-of-text documents
+    * (one enormous "sentence") and chopped spam (hundreds of 2-word
+    * ones) both sit far from natural prose on these axes. Sentences
+    * split on terminal punctuation followed by whitespace
+    * (`[.!?]+\s+` — identical regex semantics on both engines); the
+    * mean micro-quantizes from the exact integer (word-sum, sentence
+    * count) pair, so aggregation is order-free.
+    *
+    * Scale shape: split + explode + one doc-keyed hash aggregate —
+    * map-side generation, one shuffle keyed by doc_id, per-doc state
+    * is three counters. The sentence grain also feeds q73-style
+    * sentence-bounded chunking at 100 TB (split on sentences, pack to
+    * budget) without replanning.
+    */
+  def q138SentenceStats(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"),
+        explode(split(trim(col("text")), "[.!?]+\\s+")).as("sent"))
+      .filter(col("sent") =!= "")
+      .select(col("doc_id"),
+        size(split(trim(col("sent")), "\\s+")).as("nw"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sentences"),
+        (floor(sum(col("nw")).cast("double") * lit(1e6) / count(lit(1)) + lit(0.5))
+          / lit(1e6)).as("avg_sentence_words_r6"),
+        max(col("nw")).as("max_sentence_words"))
+      .orderBy(col("doc_id"))
+
+  val q138Sql: String =
+    """WITH sents AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '[.!?]+\s+')) AS sent
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, len(regexp_split_to_array(trim(sent), '\s+')) AS nw
+      |  FROM sents WHERE sent <> '')
+      |SELECT doc_id, count(*) AS n_sentences,
+      |  floor(CAST(sum(nw) AS DOUBLE) * 1000000 / count(*) + 0.5) / 1000000
+      |    AS avg_sentence_words_r6,
+      |  CAST(max(nw) AS INTEGER) AS max_sentence_words
+      |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q138_sentence_stats" -> (q138SentenceStats _),
     "q122_char_entropy" -> (q122CharEntropy _),
     "q16_text_stats" -> (q16TextStats _),
     "q17_lang_id" -> (q17LangId _),
@@ -408,6 +455,7 @@ object TextQueries {
     "q107_lang_confusion" -> (q107LangConfusion _))
 
   val oracleSql: Map[String, String] = Map(
+    "q138_sentence_stats" -> q138Sql,
     "q122_char_entropy" -> q122Sql,
     "q16_text_stats" -> q16Sql,
     "q17_lang_id" -> q17Sql,

@@ -1,0 +1,40 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** q138 sentence stats and q139 embedding outlier triage: hand-exact
+  * planted cases for segmentation boundaries and z-score arithmetic.
+  */
+class TextGrainSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q138 sentence stats: punctuation split, attached terminal, no-punct doc") {
+    val dir = java.nio.file.Files.createTempDirectory("textgrain-spec").toString
+    Seq(
+      (1L, "One two three. Four five! Six?", "en", "w", 30L),
+      (2L, "just words here", "en", "w", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q138SentenceStats(spark, dir)
+      .as[(Long, Long, Double, Int)].collect().map(r => r._1 -> r).toMap
+    // "Six?" keeps its terminal (no trailing whitespace) and counts 1 word
+    assert(out(1L) == ((1L, 3L, 2.0, 3)), s"got ${out(1L)}")
+    assert(out(2L) == ((2L, 1L, 3.0, 3)), s"got ${out(2L)}")
+  }
+
+  test("q139 z-scores: exact hand case, zero-variance dim excluded, no NaN") {
+    val dir = java.nio.file.Files.createTempDirectory("textgrain-spec").toString
+    // dim0 values (0,0,0,0,4): mu=0.8 sigma=1.6 -> z(4)=2.0, z(0)=0.5;
+    // dim1 constant -> sigma 0 -> excluded entirely
+    Seq(
+      10L -> Seq(0f, 7f), 11L -> Seq(0f, 7f), 12L -> Seq(0f, 7f),
+      13L -> Seq(0f, 7f), 14L -> Seq(4f, 7f))
+      .toDF("vec_id", "embedding")
+      .withColumn("label", org.apache.spark.sql.functions.lit(0))
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityQueries.q139EmbeddingOutliers(spark, dir)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(14L) == ((2000000L, 0L)), s"outlier z: ${out(14L)}")
+    (10L to 13L).foreach(id => assert(out(id) == ((500000L, 0L)), s"$id: ${out(id)}"))
+  }
+}
