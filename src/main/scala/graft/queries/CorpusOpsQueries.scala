@@ -794,9 +794,82 @@ object CorpusOpsQueries {
       |FROM r, n
       |ORDER BY pos_micro, source, doc_id""".stripMargin
 
+  // ===== q141 — length-matched sampling across sources ====================
+
+  /** Distribution-matched subcorpus: downsample every source so that
+    * all sources share an IDENTICAL length-decile histogram — the
+    * matched-control construction an ablation needs when comparing
+    * sources ("is source X worse, or just longer?"). Buckets are the
+    * corpus deciles (q68's broadcast cut points, map-side bucket);
+    * per decile the cap is the minimum source count — a source ABSENT
+    * from a bucket zeroes that bucket for everyone (the grid join
+    * below; without it distributions silently diverge) — and each
+    * source keeps its cap-many content-ordered docs (md5, doc_id — the
+    * q55/q59 discipline, no RNG).
+    *
+    * Scale shape: cut points and the caps grid are tiny broadcast
+    * aggregates (|sources|×10 rows); bucketing is map-side; the only
+    * data-sized exchange keys (source, decile) for the in-bucket rank
+    * — |sources|×10 partitions, no global sort. At extreme per-bucket
+    * counts the rank swaps to `topk_by` with the bucket's cap joined
+    * in (the q99 shape).
+    */
+  def q141MatchedSample(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val cuts = docs.agg(expr(
+      "percentile(n_chars, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+      .as("qs"))
+    val bucketed = docs.crossJoin(broadcast(cuts))
+      .withColumn("decile", expr("1 + size(filter(qs, c -> n_chars > c))"))
+      .select(col("source"), col("doc_id"), col("n_chars"), col("decile"),
+        md5(col("text")).as("ck"))
+    val counts = bucketed.groupBy(col("source"), col("decile"))
+      .agg(count(lit(1)).as("n"))
+    val grid = docs.select(col("source")).distinct()
+      .crossJoin(s.range(1, 11).select(col("id").cast("int").as("decile")))
+    val caps = grid.join(counts, Seq("source", "decile"), "left")
+      .select(col("decile"), coalesce(col("n"), lit(0L)).as("n"))
+      .groupBy(col("decile")).agg(min(col("n")).as("cap"))
+    bucketed
+      .withColumn("rk", row_number().over(Window
+        .partitionBy(col("source"), col("decile"))
+        .orderBy(col("ck"), col("doc_id"))))
+      .join(broadcast(caps), "decile")
+      .filter(col("rk") <= col("cap"))
+      .select(col("source"), col("decile"), col("doc_id"), col("n_chars"))
+      .orderBy(col("source"), col("decile"), col("doc_id"))
+  }
+
+  val q141Sql: String =
+    """WITH c AS (
+      |  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      |  FROM documents),
+      |b AS (
+      |  SELECT d.source, d.doc_id, d.n_chars,
+      |    CAST(1 + len(list_filter(c.qs, q -> d.n_chars > q)) AS INTEGER) AS decile,
+      |    md5(d.text) AS ck
+      |  FROM documents d, c),
+      |cnt AS (SELECT source, decile, count(*) AS n FROM b GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, d.decile FROM (SELECT DISTINCT source FROM documents) s,
+      |    (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS decile) d),
+      |caps AS (
+      |  SELECT g.decile, min(coalesce(cnt.n, 0)) AS cap
+      |  FROM grid g LEFT JOIN cnt ON g.source = cnt.source AND g.decile = cnt.decile
+      |  GROUP BY 1),
+      |r AS (
+      |  SELECT source, decile, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source, decile ORDER BY ck, doc_id) AS rk
+      |  FROM b)
+      |SELECT r.source, r.decile, r.doc_id, r.n_chars
+      |FROM r JOIN caps USING (decile)
+      |WHERE rk <= cap
+      |ORDER BY source, decile, doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_matched_sample" -> (q141MatchedSample _),
     "q136_epoch_schedule" -> (q136EpochSchedule _),
     "q130_zipf_fit" -> (q130ZipfFit _),
     "q124_kl_drift" -> (q124KlDrift _),
@@ -813,6 +886,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q141_matched_sample" -> q141Sql,
     "q136_epoch_schedule" -> q136Sql,
     "q130_zipf_fit" -> q130Sql,
     "q124_kl_drift" -> q124Sql,

@@ -676,7 +676,81 @@ object RelationalQueries {
       |       THEN ts_us - pts_b ELSE pts_f - ts_us END AS delta_us
       |FROM f ORDER BY click_id""".stripMargin
 
+  // ===== q140 — sliding-window event dedup (at-least-once repair) =========
+
+  /** Delivery-duplicate repair: an event is a REDELIVERY — and is
+    * dropped — when the same (user_id, event_type, value) identity
+    * occurred within the preceding 10 minutes; the first occurrence
+    * (and any re-occurrence after the window) survives. This is the
+    * batch spelling of `dropDuplicatesWithinWatermark`: at-least-once
+    * transports (Kinesis/Kafka re-polls, client retries) duplicate
+    * FACTS, not rows — exact-row dedup (q09) misses them when retry
+    * timestamps differ, and global identity dedup would merge
+    * legitimate repeat behavior; the time bound is what makes it
+    * delivery-semantics repair. Output: per event, kept flag + the
+    * gap to the previous identical event.
+    *
+    * Chain semantics, pinned in the spec: the window EXTENDS — a
+    * duplicate within 10 min of the PREVIOUS occurrence (kept or
+    * dropped) is dropped, so a redelivery storm at 6-min spacing maps
+    * to ONE kept head even though it outlasts 10 min end to end (the
+    * q28 session-island rule at identity grain; also how state-TTL
+    * dedup with sliding expiry behaves). `dup_lag_us` measures back to
+    * the chain's kept head, not to the immediate predecessor.
+    *
+    * Scale shape: one exchange keyed by the identity triple (uniform;
+    * value diversifies hot users), one in-partition sort shared by
+    * the lag and the running island sum; per-key state is O(1). The
+    * streaming twin is `dropDuplicatesWithinWatermark` with the same
+    * key and a 10-min watermark.
+    */
+  def q140EventDedupWindow(s: SparkSession, dir: String): DataFrame = {
+    val winUs = 10L * 60 * 1000 * 1000
+    val byId = Window.partitionBy(col("user_id"), col("event_type"), col("value"))
+      .orderBy(col("ts_us"), col("event_id"))
+    eventsUs(s, dir)
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(byId))
+      // new island (= kept occurrence) when no predecessor within the
+      // window OF THE ISLAND START; islands restart the clock, so a
+      // chain of sub-window duplicates maps to ONE kept head
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > winUs, 1L)
+          .otherwise(0L))
+      .withColumn("island", sum(col("is_new")).over(byId))
+      .withColumn("island_start",
+        min(col("ts_us")).over(Window
+          .partitionBy(col("user_id"), col("event_type"), col("value"), col("island"))))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        (col("ts_us") === col("island_start")).cast("int").as("kept"),
+        when(col("ts_us") =!= col("island_start"),
+          col("ts_us") - col("island_start")).as("dup_lag_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val q140Sql: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+      |g AS (
+      |  SELECT *,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w > 600000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id, event_type, value
+      |                      ORDER BY ts_us, event_id)),
+      |isl AS (
+      |  SELECT *, sum(is_new) OVER (PARTITION BY user_id, event_type, value
+      |    ORDER BY ts_us, event_id ROWS UNBOUNDED PRECEDING) AS island
+      |  FROM g),
+      |st AS (
+      |  SELECT *, min(ts_us) OVER (PARTITION BY user_id, event_type, value, island)
+      |    AS island_start
+      |  FROM isl)
+      |SELECT event_id, user_id, event_type,
+      |  CAST(CASE WHEN ts_us = island_start THEN 1 ELSE 0 END AS INTEGER) AS kept,
+      |  CASE WHEN ts_us <> island_start THEN ts_us - island_start END AS dup_lag_us
+      |FROM st ORDER BY event_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q140_event_dedup_window" -> (q140EventDedupWindow _),
     "q123_asof_nearest" -> (q123AsofNearest _),
     "q109_peak_burst" -> (q109PeakBurst _),
     "q113_session_paths" -> (q113SessionPaths _),
@@ -692,6 +766,7 @@ object RelationalQueries {
     "q50_asof_forward" -> (q50AsofForward _))
 
   val oracleSql: Map[String, String] = Map(
+    "q140_event_dedup_window" -> q140Sql,
     "q123_asof_nearest" -> q123Sql,
     "q109_peak_burst" -> q109Sql,
     "q113_session_paths" -> q113Sql,
