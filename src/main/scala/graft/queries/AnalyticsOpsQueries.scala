@@ -786,6 +786,81 @@ object AnalyticsOpsQueries {
       |WHERE fp_a IS NULL OR fp_b IS NULL OR fp_a <> fp_b
       |ORDER BY op, doc_id""".stripMargin
 
+  // ===== q143 — weekly growth accounting ==================================
+
+  /** The growth-accounting identity every product review reads:
+    * per epoch-week, active users decomposed into NEW (first week),
+    * RETAINED (also active the previous week) and RESURRECTED (active
+    * before, skipped last week), plus CHURNED (active last week, gone
+    * this week) — by construction n_active = new + retained +
+    * resurrected, and week-over-week deltas reconcile through churn.
+    * q103 answers "how do cohorts decay", this answers "where did this
+    * week's actives come from"; both share the epoch-week integer
+    * bucket so no calendar/timezone drift can split them.
+    *
+    * Scale shape: the raw stream collapses FIRST to distinct
+    * (user, week) — the 10⁶× reducer — then everything is user-keyed
+    * equi-joins on that deduped grain (first-week, previous-week
+    * shift, churn anti-join) and one week-keyed count; nothing wider
+    * than the user id ever shuffles.
+    */
+  def q143GrowthAccounting(s: SparkSession, dir: String): DataFrame = {
+    val week = 604800000000L // 7 days in µs
+    val wk = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr(s"(ts div 1000) div ${week}L").as("w"))
+      .distinct()
+    val first = wk.groupBy(col("user_id")).agg(min(col("w")).as("fw"))
+    val prev = wk.select(col("user_id"), (col("w") + 1).as("w"), lit(1).as("prev"))
+    val classified = wk.join(first, "user_id").join(prev, Seq("user_id", "w"), "left")
+      .select(col("w"),
+        when(col("w") === col("fw"), "new")
+          .when(col("prev").isNotNull, "retained")
+          .otherwise("resurrected").as("cls"))
+    val act = classified.groupBy(col("w"))
+      .agg(count(lit(1)).as("n_active"),
+        sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+        sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    val churn = prev.select(col("user_id"), col("w"))
+      .join(wk, Seq("user_id", "w"), "left_anti")
+      .join(wk.select(col("w")).distinct(), Seq("w"), "left_semi")
+      .groupBy(col("w")).agg(count(lit(1)).as("n_churned"))
+    act.join(churn, Seq("w"), "left")
+      .select(col("w").as("week"), col("n_active"), col("n_new"),
+        col("n_retained"), col("n_resurrected"),
+        coalesce(col("n_churned"), lit(0L)).as("n_churned"))
+      .orderBy(col("week"))
+  }
+
+  val q143Sql: String =
+    """WITH wk AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w FROM events),
+      |f AS (SELECT user_id, min(w) AS fw FROM wk GROUP BY 1),
+      |p AS (SELECT user_id, w + 1 AS w, 1 AS prev FROM wk),
+      |cls AS (
+      |  SELECT wk.w,
+      |    CASE WHEN wk.w = f.fw THEN 'new'
+      |         WHEN p.prev IS NOT NULL THEN 'retained'
+      |         ELSE 'resurrected' END AS cls
+      |  FROM wk JOIN f USING (user_id)
+      |  LEFT JOIN p ON wk.user_id = p.user_id AND wk.w = p.w),
+      |act AS (
+      |  SELECT w, count(*) AS n_active,
+      |    CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+      |    CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+      |    CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected
+      |  FROM cls GROUP BY 1),
+      |ch AS (
+      |  SELECT p.w, count(*) AS n_churned
+      |  FROM p
+      |  WHERE NOT EXISTS (SELECT 1 FROM wk WHERE wk.user_id = p.user_id AND wk.w = p.w)
+      |    AND EXISTS (SELECT 1 FROM wk w2 WHERE w2.w = p.w)
+      |  GROUP BY 1)
+      |SELECT act.w AS week, n_active, n_new, n_retained, n_resurrected,
+      |  coalesce(ch.n_churned, 0) AS n_churned
+      |FROM act LEFT JOIN ch ON act.w = ch.w
+      |ORDER BY week""".stripMargin
+
   // ===== q103 — weekly retention cohorts ==================================
 
   /** The retention triangle every product team reads: users cohorted
@@ -1272,6 +1347,7 @@ object AnalyticsOpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_time_travel_lookup" -> (q133TimeTravelLookup _),
+    "q143_growth_accounting" -> (q143GrowthAccounting _),
     "q134_snapshot_cdc" -> (q134SnapshotCdc _),
     "q131_item_pagerank" -> (q131ItemPagerank _),
     "q125_percentile_curve" -> (q125PercentileCurve _),
@@ -1298,6 +1374,7 @@ object AnalyticsOpsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q133_time_travel_lookup" -> q133Sql,
+    "q143_growth_accounting" -> q143Sql,
     "q134_snapshot_cdc" -> q134Sql,
     "q131_item_pagerank" -> q131Sql,
     "q125_percentile_curve" -> q125Sql,

@@ -866,9 +866,84 @@ object CorpusOpsQueries {
       |WHERE rk <= cap
       |ORDER BY source, decile, doc_id""".stripMargin
 
+  // ===== q142 — vocabulary coverage curve =================================
+
+  /** How many vocabulary entries cover 50% / 90% / 99% of corpus token
+    * OCCURRENCES — the first number every tokenizer/vocab-size decision
+    * reads off the frequency spectrum. Computed WITHOUT ranking the
+    * vocabulary: tokens collapse to frequency-value blocks (c,
+    * n_tokens) — thousands of rows however large the vocabulary — and
+    * the cumulative walk runs at block grain; within a block all
+    * tokens tie at c occurrences, so the smallest rank reaching target
+    * T is exactly tokens_before + ⌈(T − occ_before)/c⌉ (pure integer
+    * arithmetic, no approximation).
+    *
+    * Scale shape: one vocabulary hash-aggregate, one tiny
+    * (distinct-frequency-sized) aggregate, a window over THAT block
+    * relation only — the vocab itself is never globally sorted (the
+    * q56 rule; a rank-window form would single-partition 10⁸ vocab
+    * rows at 100 TB).
+    */
+  def q142VocabCoverage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val blocks = tokenRows(docs)
+      .groupBy(col("sh").as("w")).agg(count(lit(1)).as("c"))
+      .groupBy(col("c")).agg(count(lit(1)).as("n_tokens"))
+      .withColumn("cum_occ", sum(col("c") * col("n_tokens"))
+        .over(Window.orderBy(col("c").desc)))
+      .withColumn("cum_tok", sum(col("n_tokens"))
+        .over(Window.orderBy(col("c").desc)))
+      .select(col("c"), col("n_tokens"),
+        (col("cum_occ") - col("c") * col("n_tokens")).as("occ_before"),
+        (col("cum_tok") - col("n_tokens")).as("tok_before"), col("cum_occ"))
+    val targets = s.range(0, 3).select(
+      element_at(array(lit(5000), lit(9000), lit(9900)), col("id").cast("int") + 1)
+        .as("p_bps"))
+    val total = blocks.agg(max(col("cum_occ")).as("total_occ"))
+    val cand = blocks.crossJoin(broadcast(targets)).crossJoin(broadcast(total))
+      .withColumn("t_occ", expr("cast(ceil(p_bps * total_occ / 10000.0) as bigint)"))
+      .filter(col("cum_occ") >= col("t_occ"))
+    cand.groupBy(col("p_bps").as("pb")).agg(min(col("cum_occ")).as("pick"))
+      .join(cand, col("pick") === col("cum_occ") && col("pb") === col("p_bps"))
+      .select(col("p_bps"),
+        expr("tok_before + (t_occ - occ_before + c - 1) div c").as("vocab_size"),
+        col("t_occ"), col("total_occ"))
+      .orderBy(col("p_bps"))
+  }
+
+  val q142Sql: String =
+    """WITH cnt AS (
+      |  SELECT w, count(*) AS c FROM (
+      |    SELECT unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |    FROM documents) WHERE w <> '' GROUP BY 1),
+      |blk AS (SELECT c, count(*) AS n_tokens FROM cnt GROUP BY 1),
+      |cum AS (
+      |  SELECT c, n_tokens,
+      |    CAST(sum(c * n_tokens) OVER (ORDER BY c DESC) AS BIGINT) AS cum_occ,
+      |    CAST(sum(n_tokens) OVER (ORDER BY c DESC) AS BIGINT) AS cum_tok
+      |  FROM blk),
+      |b AS (
+      |  SELECT c, n_tokens, cum_occ - c * n_tokens AS occ_before,
+      |    cum_tok - n_tokens AS tok_before, cum_occ
+      |  FROM cum),
+      |tot AS (SELECT max(cum_occ) AS total_occ FROM b),
+      |tg AS (SELECT unnest([5000, 9000, 9900]) AS p_bps),
+      |cand AS (
+      |  SELECT b.*, tg.p_bps,
+      |    CAST(ceil(tg.p_bps * tot.total_occ / 10000.0) AS BIGINT) AS t_occ,
+      |    tot.total_occ
+      |  FROM b, tg, tot WHERE b.cum_occ >= CAST(ceil(tg.p_bps * tot.total_occ / 10000.0) AS BIGINT)),
+      |pick AS (SELECT p_bps, min(cum_occ) AS pick FROM cand GROUP BY 1)
+      |SELECT c2.p_bps,
+      |  c2.tok_before + (c2.t_occ - c2.occ_before + c2.c - 1) // c2.c AS vocab_size,
+      |  c2.t_occ, c2.total_occ
+      |FROM pick JOIN cand c2 ON pick.p_bps = c2.p_bps AND pick.pick = c2.cum_occ
+      |ORDER BY c2.p_bps""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_vocab_coverage" -> (q142VocabCoverage _),
     "q141_matched_sample" -> (q141MatchedSample _),
     "q136_epoch_schedule" -> (q136EpochSchedule _),
     "q130_zipf_fit" -> (q130ZipfFit _),
@@ -887,6 +962,7 @@ object CorpusOpsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q141_matched_sample" -> q141Sql,
+    "q142_vocab_coverage" -> q142Sql,
     "q136_epoch_schedule" -> q136Sql,
     "q130_zipf_fit" -> q130Sql,
     "q124_kl_drift" -> q124Sql,
