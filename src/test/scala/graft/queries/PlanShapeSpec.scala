@@ -472,4 +472,39 @@ class PlanShapeSpec extends SparkTestBase {
       "per-source medians must come back by broadcast:\n" +
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
+
+  test("q136 schedule reuses ONE source exchange for rank + count; total by broadcast") {
+    val p = plan(CorpusOpsQueries.q136EpochSchedule(spark, sf))
+    val exchanges = "Exchange hashpartitioning\\(source".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"in-source rank and per-source count must co-partition, got $exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "N must ride a broadcast, never shuffle the corpus:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
+  test("q140 dedup reuses ONE identity exchange across lag, island sum, and island min") {
+    val p = plan(RelationalQueries.q140EventDedupWindow(spark, sf))
+    val exchanges = "Exchange hashpartitioning\\(user_id".r.findAllIn(p).size
+    assert(exchanges == 1,
+      s"all three windows share the identity partitioning (subset rule), got $exchanges:\n" +
+        p.linesIterator.filter(_.contains("Exchange")).mkString("\n"))
+    assert(!p.contains("Join"), "delivery dedup is window-only, no self-join")
+  }
+
+  test("q142 coverage never sorts the vocabulary — window runs at frequency-block grain") {
+    val df = CorpusOpsQueries.q142VocabCoverage(spark, sf)
+    val p = plan(df)
+    // the only Sort feeding a Window must sit ABOVE the block aggregate
+    // (grouping by c), i.e. the vocab-sized (w, c) relation is never
+    // range-partitioned: no Exchange rangepartitioning below the first
+    // hash aggregate on w
+    val rangeIdx = p.indexOf("rangepartitioning")
+    val wAggIdx = p.indexOf("Exchange hashpartitioning(sh")
+    assert(wAggIdx >= 0, s"vocabulary aggregate missing:\n$p")
+    assert(rangeIdx < 0 || rangeIdx < wAggIdx,
+      "a range partitioning below the vocab aggregate means the vocabulary was sorted:\n" +
+        p.linesIterator.filter(l => l.contains("Exchange")).mkString("\n"))
+  }
 }
