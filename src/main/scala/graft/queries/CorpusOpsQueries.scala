@@ -940,9 +940,160 @@ object CorpusOpsQueries {
       |FROM pick JOIN cand c2 ON pick.p_bps = c2.p_bps AND pick.pick = c2.cum_occ
       |ORDER BY c2.p_bps""".stripMargin
 
+  // ===== q144 — exact two-sample KS drift between sources =================
+
+  /** Pairwise Kolmogorov–Smirnov statistic over the document-length
+    * distributions of every source pair — the distribution-drift
+    * detector that needs NO binning choice (unlike PSI/KL): D = max
+    * over observed values v of |cdf_a(v) − cdf_b(v)|. Computed
+    * EXACTLY in integers: D·n_a·n_b = max |cum_a·n_b − cum_b·n_a|,
+    * divided once at the end and micro-quantized — no float ever
+    * enters the max, so the statistic is bit-stable on both engines.
+    * The q124 KL and q86 overlap views say WHAT differs; KS says the
+    * two samples' distributions differ and by how much, scale-free.
+    *
+    * Scale shape: the corpus collapses FIRST to (source, value)
+    * histogram grain — the 10⁶× reducer; the dense source×value cdf
+    * grid (|S|·|V| rows — both bounded: sources are curated, values
+    * are char-grain lengths) takes one source-keyed window; pairs then
+    * join per value with |S|²·|V| worst-case volume, all integer
+    * counts. Nothing document-sized ever shuffles.
+    */
+  def q144KsDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val h = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val grid = h.select(col("source")).distinct()
+      .crossJoin(h.select(col("v")).distinct())
+    val cum = grid.join(h, Seq("source", "v"), "left")
+      .select(col("source"), col("v"), coalesce(col("c"), lit(0L)).as("c"))
+      .withColumn("cum", sum(col("c"))
+        .over(Window.partitionBy(col("source")).orderBy(col("v"))))
+    val tot = h.groupBy(col("source")).agg(sum(col("c")).as("n"))
+    val a = cum.join(tot, "source")
+      .select(col("source").as("source_a"), col("v"),
+        col("cum").as("cum_a"), col("n").as("n_a"))
+    val b = cum.join(tot, "source")
+      .select(col("source").as("source_b"), col("v"),
+        col("cum").as("cum_b"), col("n").as("n_b"))
+    a.join(b, Seq("v"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+        .as("dmax"))
+      .select(col("source_a"), col("source_b"), col("n_a"), col("n_b"),
+        floor(col("dmax").cast("double") * lit(1e6)
+          / (col("n_a").cast("double") * col("n_b")) + lit(0.5)).cast("long")
+          .as("ks_micro"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  val q144Sql: String =
+    """WITH h AS (
+      |  SELECT source, n_chars AS v, count(*) AS c FROM documents GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, vv.v
+      |  FROM (SELECT DISTINCT source FROM h) s, (SELECT DISTINCT v FROM h) vv),
+      |cum AS (
+      |  SELECT g.source, g.v,
+      |    CAST(sum(coalesce(h.c, 0)) OVER (PARTITION BY g.source ORDER BY g.v)
+      |      AS BIGINT) AS cum
+      |  FROM grid g LEFT JOIN h ON g.source = h.source AND g.v = h.v),
+      |tot AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+      |p AS (
+      |  SELECT a.source AS source_a, b.source AS source_b,
+      |    ta.n AS n_a, tb.n AS n_b,
+      |    max(abs(a.cum * tb.n - b.cum * ta.n)) AS dmax
+      |  FROM cum a JOIN cum b ON a.v = b.v AND a.source < b.source
+      |  JOIN tot ta ON ta.source = a.source
+      |  JOIN tot tb ON tb.source = b.source
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT source_a, source_b, n_a, n_b,
+      |  CAST(floor(CAST(dmax AS DOUBLE) * 1000000
+      |    / (CAST(n_a AS DOUBLE) * n_b) + 0.5) AS BIGINT) AS ks_micro
+      |FROM p ORDER BY source_a, source_b""".stripMargin
+
+  // ===== q145 — PSI drift per source vs corpus ============================
+
+  /** Population Stability Index of each source's length distribution
+    * against the whole corpus over the 10 corpus deciles (q68's cut
+    * points): PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with the standard
+    * +0.5-per-bucket smoothing so empty buckets stay finite — the
+    * monitoring-industry drift score (rule of thumb: > 0.2 = major
+    * shift) complementing q144's binning-free KS: PSI localizes WHICH
+    * buckets moved; KS certifies the move. Each bucket's term is a
+    * scalar of exact integer counts micro-quantized BEFORE the
+    * per-source sum (the q77 discipline).
+    *
+    * Scale shape: cut points are one tiny aggregate broadcast back;
+    * bucketing is map-side; then one (source, bucket) hash aggregate
+    * and |S|·10-row arithmetic. One pass of the corpus.
+    */
+  def q145PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val cuts = docs.agg(expr(
+      "percentile(n_chars, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+      .as("qs"))
+    val bucketed = docs.crossJoin(broadcast(cuts))
+      .withColumn("decile", expr("1 + size(filter(qs, c -> n_chars > c))"))
+      .select(col("source"), col("decile"))
+    val sb = bucketed.groupBy(col("source"), col("decile")).agg(count(lit(1)).as("c_sb"))
+    val grid = sb.select(col("source")).distinct()
+      .crossJoin(s.range(1, 11).select(col("id").cast("int").as("decile")))
+    val dense = grid.join(sb, Seq("source", "decile"), "left")
+      .select(col("source"), col("decile"), coalesce(col("c_sb"), lit(0L)).as("c_sb"))
+    val cb = dense.groupBy(col("decile")).agg(sum(col("c_sb")).as("c_b"))
+    val ns = dense.groupBy(col("source")).agg(sum(col("c_sb")).as("n_s"))
+    val n = docs.agg(count(lit(1)).as("n_total"))
+    dense.join(broadcast(cb), "decile").join(broadcast(ns), "source")
+      .crossJoin(broadcast(n))
+      // smoothed shares: p = (c_sb + 0.5)/(n_s + 5), q = (c_b + 0.5)/(n_total + 5)
+      .withColumn("p", (col("c_sb") + lit(0.5)) / (col("n_s") + lit(5.0)))
+      .withColumn("q", (col("c_b") + lit(0.5)) / (col("n_total") + lit(5.0)))
+      .withColumn("term_micro",
+        floor((col("p") - col("q")) * log(col("p") / col("q")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_docs"), sum(col("term_micro")).as("psi_micro"))
+      .orderBy(col("source"))
+  }
+
+  val q145Sql: String =
+    """WITH c AS (
+      |  SELECT quantile_cont(n_chars, [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS qs
+      |  FROM documents),
+      |b AS (
+      |  SELECT d.source,
+      |    CAST(1 + len(list_filter(c.qs, q -> d.n_chars > q)) AS INTEGER) AS decile
+      |  FROM documents d, c),
+      |sb AS (SELECT source, decile, count(*) AS c_sb FROM b GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT s.source, dd.decile
+      |  FROM (SELECT DISTINCT source FROM sb) s,
+      |       (SELECT CAST(unnest(range(1, 11)) AS INTEGER) AS decile) dd),
+      |dense AS (
+      |  SELECT g.source, g.decile, coalesce(sb.c_sb, 0) AS c_sb
+      |  FROM grid g LEFT JOIN sb ON g.source = sb.source AND g.decile = sb.decile),
+      |cb AS (SELECT decile, CAST(sum(c_sb) AS BIGINT) AS c_b FROM dense GROUP BY 1),
+      |ns AS (SELECT source, CAST(sum(c_sb) AS BIGINT) AS n_s FROM dense GROUP BY 1),
+      |nt AS (SELECT count(*) AS n_total FROM documents),
+      |t AS (
+      |  SELECT d.source, ns.n_s,
+      |    CAST(floor((((CAST(d.c_sb AS DOUBLE) + 0.5) / (CAST(ns.n_s AS DOUBLE) + 5.0))
+      |        - ((CAST(cb.c_b AS DOUBLE) + 0.5) / (CAST(nt.n_total AS DOUBLE) + 5.0)))
+      |      * ln(((CAST(d.c_sb AS DOUBLE) + 0.5) / (CAST(ns.n_s AS DOUBLE) + 5.0))
+      |        / ((CAST(cb.c_b AS DOUBLE) + 0.5) / (CAST(nt.n_total AS DOUBLE) + 5.0)))
+      |      * 1000000 + 0.5) AS BIGINT) AS term_micro
+      |  FROM dense d JOIN cb USING (decile) JOIN ns ON d.source = ns.source, nt)
+      |SELECT source, max(n_s) AS n_docs,
+      |  CAST(sum(term_micro) AS BIGINT) AS psi_micro
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q145_psi_drift" -> (q145PsiDrift _),
+    "q144_ks_drift" -> (q144KsDrift _),
     "q142_vocab_coverage" -> (q142VocabCoverage _),
     "q141_matched_sample" -> (q141MatchedSample _),
     "q136_epoch_schedule" -> (q136EpochSchedule _),
@@ -961,6 +1112,8 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q145_psi_drift" -> q145Sql,
+    "q144_ks_drift" -> q144Sql,
     "q141_matched_sample" -> q141Sql,
     "q142_vocab_coverage" -> q142Sql,
     "q136_epoch_schedule" -> q136Sql,

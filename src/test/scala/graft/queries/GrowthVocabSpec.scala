@@ -23,6 +23,44 @@ class GrowthVocabSpec extends SparkTestBase {
       (9900, 4L, 25L, 25L)), s"got $out")
   }
 
+  test("q144 KS: disjoint supports score exactly 1.0; identical distributions 0") {
+    val dir = java.nio.file.Files.createTempDirectory("growthvocab-spec").toString
+    // A: lengths {10, 20}; B: lengths {30, 40} (disjoint → D = 1);
+    // C: same lengths as A (identical → D = 0)
+    val rows = Seq(
+      (1L, "a", "en", "A", 10L), (2L, "b", "en", "A", 20L),
+      (3L, "c", "en", "B", 30L), (4L, "d", "en", "B", 40L),
+      (5L, "e", "en", "C", 10L), (6L, "f", "en", "C", 20L))
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q144KsDrift(spark, dir)
+      .as[(String, String, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._5).toMap
+    assert(out(("A", "B")) == 1000000L, s"disjoint: ${out(("A", "B"))}")
+    assert(out(("A", "C")) == 0L, s"identical: ${out(("A", "C"))}")
+    assert(out(("B", "C")) == 1000000L)
+  }
+
+  test("q145 PSI: nonnegative everywhere; a skewed source scores above a matching one") {
+    val out = CorpusOpsQueries.q145PsiDrift(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach(r => assert(r._3 >= 0L, s"PSI must be nonnegative: $r"))
+    // planted check: a source living in one decile vs one spread like the
+    // corpus — with a broad BASE source dominating the corpus so the
+    // baseline itself is uniform
+    val dir = java.nio.file.Files.createTempDirectory("growthvocab-spec").toString
+    val base = (1 to 100).map(i => (1000L + i, "b", "en", "BASE", i.toLong))
+    val spread = (1 to 10).map(i => (i.toLong, "x", "en", "SPREAD", i * 10L - 5L))
+    val peaked = (1 to 10).map(i => (100L + i, "y", "en", "PEAK", 55L))
+    (base ++ spread ++ peaked).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val p = CorpusOpsQueries.q145PsiDrift(spark, dir)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    assert(p("PEAK") > p("SPREAD"),
+      s"single-decile source must drift harder than the corpus-shaped one: $p")
+  }
+
   test("q143: new/retained/resurrected/churned reconcile on a planted timeline") {
     val wkUs = 604800000000L
     val dir = java.nio.file.Files.createTempDirectory("growthvocab-spec").toString
