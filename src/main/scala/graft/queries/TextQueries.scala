@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
@@ -441,7 +442,121 @@ object TextQueries {
       |  CAST(max(nw) AS INTEGER) AS max_sentence_words
       |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  // ===== q146 — quality-curriculum epoch schedule =========================
+
+  /** q136's low-discrepancy interleave with CURRICULUM order inside
+    * each source: documents rank by quality (q18's score,
+    * micro-quantized; ties md5 then doc_id) instead of content hash,
+    * so a loader reading in key order sees every source at corpus
+    * proportion AND each source's cleanest documents first — the
+    * curriculum-learning schedule (easy/clean → hard/noisy) with the
+    * mixture guarantee intact. Position key is the same exact integer
+    * arithmetic: pos = ((2·rk − 1) · N · 10⁶) div (2·n_s).
+    *
+    * Scale shape: identical to q136 — one source-keyed exchange for
+    * rank + count, N by broadcast, no global sequence. The quality
+    * score is a map-side codegen'd expression.
+    */
+  def q146CurriculumSchedule(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = Window.partitionBy(col("source"))
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), md5(col("text")).as("ck"),
+        floor(qualityScore(col("text")) * lit(1e6) + lit(0.5)).cast("long")
+          .as("q_micro"))
+    docs
+      .withColumn("rk", row_number().over(
+        bySrc.orderBy(col("q_micro").desc, col("ck"), col("doc_id"))))
+      .withColumn("n_s", count(lit(1)).over(bySrc))
+      .crossJoin(broadcast(docs.select(count(lit(1)).as("n_total"))))
+      .select(col("source"), col("doc_id"), col("q_micro"), col("rk"),
+        expr("((2*rk - 1) * n_total * 1000000L) div (2 * n_s)").as("pos_micro"))
+      .orderBy(col("pos_micro"), col("source"), col("doc_id"))
+  }
+
+  val q146Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, md5(text) AS ck,
+       |    CAST(floor((least(1.0, CAST($SqlTokenCount AS DOUBLE) / 50.0) * 0.4
+       |      + (1.0 - least(1.0, ($SqlPunctRatio) * 10.0)) * 0.3
+       |      + least(1.0, ($SqlStopRatio) * 5.0) * 0.3) * 1000000 + 0.5) AS BIGINT)
+       |      AS q_micro
+       |  FROM documents),
+       |r AS (
+       |  SELECT source, doc_id, q_micro,
+       |    row_number() OVER (PARTITION BY source
+       |      ORDER BY q_micro DESC, ck, doc_id) AS rk,
+       |    count(*) OVER (PARTITION BY source) AS n_s
+       |  FROM d),
+       |n AS (SELECT count(*) AS n_total FROM d)
+       |SELECT source, doc_id, q_micro, CAST(rk AS INTEGER) AS rk,
+       |  ((2*rk - 1) * n_total * 1000000) // (2 * n_s) AS pos_micro
+       |FROM r, n
+       |ORDER BY pos_micro, source, doc_id""".stripMargin
+
+  // ===== q147 — per-source curation attrition matrix ======================
+
+  /** WHERE each source loses documents: per source, the document count
+    * after each curation stage — language allowlist, quality cut
+    * (q18's score ≥ 0.5), exact-dedup survivorship (corpus-wide
+    * min-id per fingerprint, computed over the quality survivors so
+    * stages compose in pipeline order) — plus end-to-end retention in
+    * integer basis points. q44 reports the global funnel; this is the
+    * per-source accountability matrix a mixture owner reads before
+    * reweighting (a source dying at the quality stage needs different
+    * action than one dying to cross-source duplication).
+    *
+    * Scale shape: quality and language are map-side; survivorship is
+    * ONE fingerprint-keyed hash aggregate joined back (min-id rule,
+    * the q19 shape); the final matrix is one (source) aggregate.
+    * Retention is `div` arithmetic — no float rate to diverge.
+    */
+  def q147SourceAttrition(s: SparkSession, dir: String): DataFrame = {
+    val langs = Seq("en", "de", "es", "fr", "pt")
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("lang"),
+        qualityScore(col("text")).as("q"), fingerprint(col("text")).as("fp"))
+      .withColumn("lang_ok", col("lang").isin(langs.map(x => x: Any): _*))
+      .withColumn("quality_ok", col("lang_ok") && col("q") >= 0.5)
+    val reps = docs.filter(col("quality_ok"))
+      .groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
+    docs.join(reps, Seq("fp"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("lang_ok"), 1L).otherwise(0L)).as("n_lang_ok"),
+        sum(when(col("quality_ok"), 1L).otherwise(0L)).as("n_quality_ok"),
+        sum(when(col("quality_ok") && col("doc_id") === col("rep_id"), 1L)
+          .otherwise(0L)).as("n_survivors"))
+      .withColumn("retention_bps", expr("(n_survivors * 10000) div n_total"))
+      .orderBy(col("source"))
+  }
+
+  val q147Sql: String =
+    s"""WITH d AS (
+       |  SELECT source, doc_id, lang,
+       |    (least(1.0, CAST($SqlTokenCount AS DOUBLE) / 50.0) * 0.4
+       |      + (1.0 - least(1.0, ($SqlPunctRatio) * 10.0)) * 0.3
+       |      + least(1.0, ($SqlStopRatio) * 5.0) * 0.3) AS q,
+       |    $SqlFingerprint AS fp
+       |  FROM documents),
+       |f AS (
+       |  SELECT *, lang IN ('en','de','es','fr','pt') AS lang_ok,
+       |    (lang IN ('en','de','es','fr','pt')) AND q >= 0.5 AS quality_ok
+       |  FROM d),
+       |reps AS (
+       |  SELECT fp, min(doc_id) AS rep_id FROM f WHERE quality_ok GROUP BY 1)
+       |SELECT source, count(*) AS n_total,
+       |  CAST(sum(CASE WHEN lang_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_lang_ok,
+       |  CAST(sum(CASE WHEN quality_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
+       |  CAST(sum(CASE WHEN quality_ok AND doc_id = rep_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_survivors,
+       |  (CAST(sum(CASE WHEN quality_ok AND doc_id = rep_id THEN 1 ELSE 0 END)
+       |    AS BIGINT) * 10000) // count(*) AS retention_bps
+       |FROM f LEFT JOIN reps USING (fp)
+       |GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q147_source_attrition" -> (q147SourceAttrition _),
+    "q146_curriculum_schedule" -> (q146CurriculumSchedule _),
     "q138_sentence_stats" -> (q138SentenceStats _),
     "q122_char_entropy" -> (q122CharEntropy _),
     "q16_text_stats" -> (q16TextStats _),
@@ -455,6 +570,8 @@ object TextQueries {
     "q107_lang_confusion" -> (q107LangConfusion _))
 
   val oracleSql: Map[String, String] = Map(
+    "q146_curriculum_schedule" -> q146Sql,
+    "q147_source_attrition" -> q147Sql,
     "q138_sentence_stats" -> q138Sql,
     "q122_char_entropy" -> q122Sql,
     "q16_text_stats" -> q16Sql,

@@ -22,6 +22,44 @@ class TextGrainSpec extends SparkTestBase {
     assert(out(2L) == ((2L, 1L, 3.0, 3)), s"got ${out(2L)}")
   }
 
+  test("q146 curriculum: cleanest first inside each source, q136 position formula holds") {
+    val dir = java.nio.file.Files.createTempDirectory("textgrain-spec").toString
+    val clean = Seq.fill(5)("the a of and to in is it that the").mkString(" ") // 50 stopwords → q = 1
+    Seq(
+      (1L, "zz@@!!##", "en", "A", 8L),   // junk → low q
+      (2L, clean, "en", "A", 100L),      // clean → rk 1 in A
+      (3L, clean, "en", "B", 100L),
+      (4L, "qq%%^^&&", "en", "B", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q146CurriculumSchedule(spark, dir)
+      .as[(String, Long, Long, Int, Long)].collect().toSeq
+    val rkOf = out.map(r => r._2 -> r._4).toMap
+    assert(rkOf(2L) == 1 && rkOf(3L) == 1, s"clean docs must lead their source: $out")
+    assert(rkOf(1L) == 2 && rkOf(4L) == 2)
+    // exact q136 position arithmetic: n_s = 2, N = 4
+    out.foreach { r =>
+      assert(r._5 == (2L * r._4 - 1) * 4 * 1000000L / 4, s"pos formula: $r")
+    }
+  }
+
+  test("q147 attrition: lang cut, duplicate collapse, and bps retention per source") {
+    val dir = java.nio.file.Files.createTempDirectory("textgrain-spec").toString
+    val clean = Seq.fill(5)("the a of and to in is it that the").mkString(" ")
+    Seq(
+      (1L, clean, "en", "A", 100L),        // survivor (min-id of the dup pair)
+      (2L, clean, "en", "A", 100L),        // exact duplicate → cut
+      (3L, clean, "xx", "A", 100L),        // language cut
+      (4L, clean, "en", "B", 100L))        // B's copy shares A's fingerprint — rep is doc 1
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q147SourceAttrition(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("A") == (("A", 3L, 2L, 2L, 1L, 3333L)), s"got ${out("A")}")
+    assert(out("B") == (("B", 1L, 1L, 1L, 0L, 0L)),
+      s"cross-source duplicate must lose to A's min-id: ${out("B")}")
+  }
+
   test("q139 z-scores: exact hand case, zero-variance dim excluded, no NaN") {
     val dir = java.nio.file.Files.createTempDirectory("textgrain-spec").toString
     // dim0 values (0,0,0,0,4): mu=0.8 sigma=1.6 -> z(4)=2.0, z(0)=0.5;
