@@ -299,6 +299,59 @@ object TextQueries {
       |FROM (SELECT doc_id FROM g WHERE doc_id >= 10) d
       |LEFT JOIN ov USING (doc_id) ORDER BY doc_id""".stripMargin
 
+  // ===== q148 — contamination multiplicity histogram ======================
+
+  /** HOW DEEP the eval leak runs: for every held-out 8-gram (q39's
+    * grain and eval/train split, planted copies included), the number
+    * of distinct training documents containing it — histogrammed as
+    * (multiplicity → n_grams), multiplicity 0 = never leaked. q39
+    * flags documents and q89 cuts them; this is the severity report
+    * that decides which treatment ("one doc quotes the benchmark" vs
+    * "the benchmark is boilerplate across the corpus" demand different
+    * responses — the second also poisons the q54 boilerplate list).
+    *
+    * Scale shape: eval grams ride a broadcast (benchmarks are tiny —
+    * the q39/q65 argument); training grams join it map-side-pruned;
+    * the two aggregates are gram-keyed then multiplicity-keyed, each
+    * with map-side partials. Nothing document-sized shuffles.
+    */
+  def q148ContaminationDepth(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.MinHashLSH.shingleRows
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val evalSet = docs.filter(col("doc_id") < 10)
+    val train = docs.filter(col("doc_id") >= 10)
+      .union(evalSet.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    val evalGrams = shingleRows(evalSet, "doc_id", "text", n = 8)
+      .select(col("sh")).distinct()
+    val trainGrams = shingleRows(train, "doc_id", "text", n = 8).distinct()
+    evalGrams.join(trainGrams, Seq("sh"), "left")
+      .groupBy(col("sh")).agg(count(col("sid")).as("multiplicity"))
+      .groupBy(col("multiplicity")).agg(count(lit(1)).as("n_grams"))
+      .orderBy(col("multiplicity"))
+  }
+
+  val q148Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS tk
+      |  FROM (SELECT doc_id, text FROM documents
+      |        UNION ALL
+      |        SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 10)),
+      |g AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(tk) < 8 THEN [array_to_string(tk, ' ')]
+      |         ELSE list_distinct(list_transform(range(1, len(tk) - 6),
+      |                i -> concat(tk[i], ' ', tk[i+1], ' ', tk[i+2], ' ', tk[i+3], ' ',
+      |                            tk[i+4], ' ', tk[i+5], ' ', tk[i+6], ' ', tk[i+7]))) END AS gs
+      |  FROM t),
+      |eg AS (SELECT DISTINCT unnest(gs) AS sh FROM g WHERE doc_id < 10),
+      |dg AS (SELECT DISTINCT doc_id, unnest(gs) AS sh FROM g WHERE doc_id >= 10),
+      |m AS (
+      |  SELECT eg.sh, CAST(count(dg.doc_id) AS BIGINT) AS multiplicity
+      |  FROM eg LEFT JOIN dg USING (sh) GROUP BY 1)
+      |SELECT multiplicity, count(*) AS n_grams
+      |FROM m GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===== q43 — PII / URL redaction ========================================
 
   private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
@@ -556,6 +609,7 @@ object TextQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q147_source_attrition" -> (q147SourceAttrition _),
+    "q148_contamination_depth" -> (q148ContaminationDepth _),
     "q146_curriculum_schedule" -> (q146CurriculumSchedule _),
     "q138_sentence_stats" -> (q138SentenceStats _),
     "q122_char_entropy" -> (q122CharEntropy _),
@@ -572,6 +626,7 @@ object TextQueries {
   val oracleSql: Map[String, String] = Map(
     "q146_curriculum_schedule" -> q146Sql,
     "q147_source_attrition" -> q147Sql,
+    "q148_contamination_depth" -> q148Sql,
     "q138_sentence_stats" -> q138Sql,
     "q122_char_entropy" -> q122Sql,
     "q16_text_stats" -> q16Sql,

@@ -60,6 +60,25 @@ class TextGrainSpec extends SparkTestBase {
       s"cross-source duplicate must lose to A's min-id: ${out("B")}")
   }
 
+  test("q148 depth: planted-copy floor of 1, train copies raise multiplicity") {
+    val dir = java.nio.file.Files.createTempDirectory("textgrain-spec").toString
+    val leak = "w1 w2 w3 w4 w5 w6 w7 w8"
+    val uniq = "u1 u2 u3 u4 u5 u6 u7 u8"
+    Seq(
+      (1L, leak, "en", "w", 20L),    // eval gram, leaked below
+      (2L, uniq, "en", "w", 20L),    // eval gram, only its own planted copy
+      (10L, leak, "en", "w", 20L),   // train copy 1
+      (11L, leak, "en", "w", 20L),   // train copy 2
+      (12L, "x1 x2 x3 x4 x5 x6 x7 x8", "en", "w", 20L)) // unrelated train
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q148ContaminationDepth(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    // leak gram: 2 train copies + its planted eval copy = 3;
+    // uniq gram: planted copy only = 1 — the planted floor means 0 never occurs
+    assert(out == Map(3L -> 1L, 1L -> 1L), s"got $out")
+  }
+
   test("q139 z-scores: exact hand case, zero-variance dim excluded, no NaN") {
     val dir = java.nio.file.Files.createTempDirectory("textgrain-spec").toString
     // dim0 values (0,0,0,0,4): mu=0.8 sigma=1.6 -> z(4)=2.0, z(0)=0.5;
