@@ -627,7 +627,89 @@ object RetrievalQueries {
       |  CAST(CASE WHEN max(micro) < 300000 THEN 1 ELSE 0 END AS INTEGER) AS kept
       |FROM p GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ===== q149 — cluster cohesion / separation report ======================
+
+  /** Embedding-space label quality: per label, the mean cosine of its
+    * vectors to their OWN centroid vs to the nearest OTHER centroid —
+    * the silhouette-style compactness/separation readout that says
+    * whether labels are usable as IVF cells (q25/q82's premise) before
+    * anything trusts them. Centroids are q82's per-label rounded means,
+    * CAPTURED and literal-injected into the oracle (the q82 discipline
+    * — the quantities under test are the N·C cosines, not the
+    * centroid build). Per-pair cosines micro-quantize before any
+    * aggregation; per-label means derive from exact long sums.
+    *
+    * Scale shape: the centroid table is C rows — broadcast; scoring is
+    * one map pass over the corpus (×C fanout inside the row, no
+    * shuffle), then a vec-keyed and a label-keyed hash aggregate. At
+    * 100 TB this is the cheapest whole-corpus embedding audit that
+    * exists: strictly one scan.
+    */
+  def q149ClusterCohesion(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorOps.register(s)
+    val vecs = Tables.load(s, dir, "embeddings")
+    val cents: Seq[(Int, Seq[Double])] = vecs
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("v")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("c")))),
+        _.getField("c")).as("cent"))
+      .collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toSeq)
+      .sortBy(_._1).toSeq
+    q82CapturedCents.put(dir, cents)
+    val centDf = s.createDataFrame(cents.map { case (l, c) => (l, c) })
+      .toDF("c_label", "cent")
+    val perVec = vecs
+      .select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("emb"))
+      .crossJoin(broadcast(centDf))
+      .withColumn("micro",
+        floor(Similarity.cosine(col("emb"), col("cent")) * lit(1e6) + lit(0.5))
+          .cast("long"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(when(col("c_label") === col("label"), col("micro"))).as("own"),
+        max(when(col("c_label") =!= col("label"), col("micro"))).as("other"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        floor(sum(col("own")).cast("double") / count(lit(1)) + lit(0.5)).cast("long")
+          .as("mean_own_micro"),
+        floor(sum(col("other")).cast("double") / count(lit(1)) + lit(0.5)).cast("long")
+          .as("mean_other_micro"))
+      .withColumn("separation_micro", col("mean_own_micro") - col("mean_other_micro"))
+      .orderBy(col("label"))
+  }
+
+  def q149Sql: String = {
+    val cent = q82CapturedCents.readOnlySnapshot().values.toSeq match {
+      case Seq(single) => centLiteralClause(single)
+      case _ => centComputedClause
+    }
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+      |cent AS ($cent),
+      |p AS (
+      |  SELECT v.vec_id, v.label, cent.label AS c_label,
+      |    CAST(floor(list_dot_product(v.e, cent.c)
+      |      / (sqrt(list_dot_product(v.e, v.e)) * sqrt(list_dot_product(cent.c, cent.c)))
+      |      * 1000000 + 0.5) AS BIGINT) AS micro
+      |  FROM v, cent),
+      |pv AS (
+      |  SELECT vec_id, label,
+      |    max(CASE WHEN c_label = label THEN micro END) AS own,
+      |    max(CASE WHEN c_label <> label THEN micro END) AS other
+      |  FROM p GROUP BY 1, 2)
+      |SELECT label, count(*) AS n_vecs,
+      |  CAST(floor(CAST(sum(own) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_own_micro,
+      |  CAST(floor(CAST(sum(other) AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_other_micro,
+      |  CAST(floor(CAST(sum(own) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+      |    - CAST(floor(CAST(sum(other) AS DOUBLE) / count(*) + 0.5) AS BIGINT)
+      |    AS separation_micro
+      |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q149_cluster_cohesion" -> (q149ClusterCohesion _),
     "q128_semantic_decontaminate" -> (q128SemanticDecontaminate _),
     "q126_hybrid_rrf" -> (q126HybridRrf _),
     "q98_kmeans_profile" -> (q98KmeansProfile _),
@@ -643,6 +725,7 @@ object RetrievalQueries {
     */
   def oracleSql: Map[String, String] = Map(
     "q128_semantic_decontaminate" -> q128Sql,
+    "q149_cluster_cohesion" -> q149Sql,
     "q126_hybrid_rrf" -> q126Sql,
     "q98_kmeans_profile" -> q98Sql,
     "q82_semantic_dedup" -> q82Sql,

@@ -95,6 +95,24 @@ class GraphPcaSpec extends SparkTestBase {
       s"the short doc must not appear: ${out.keySet}")
   }
 
+  test("q149 cohesion: tight planted clusters separate; orthogonal labels score near zero") {
+    val dir = java.nio.file.Files.createTempDirectory("graphpca-spec").toString
+    Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(1f, 0.1f), 0),
+      (2L, Seq(0f, 1f), 1), (3L, Seq(0.1f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = RetrievalQueries.q149ClusterCohesion(spark, dir)
+      .as[(Int, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out.keySet == Set(0, 1))
+    out.values.foreach { r =>
+      assert(r._2 == 2L)
+      assert(r._3 > 990000L, s"own-centroid cosine must be ~1: $r")
+      assert(r._4 < 200000L, s"orthogonal other-centroid cosine must be ~0: $r")
+      assert(r._5 == r._3 - r._4)
+    }
+  }
+
   test("q132 pca: top-component variance dominates every single axis; map-only plan") {
     val dir = "/root/testdata/sf0.001"
     val out = SimilarityQueries.q132PcaProject(spark, dir)
