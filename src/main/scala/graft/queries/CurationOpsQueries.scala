@@ -792,6 +792,207 @@ object CurationOpsQueries {
       |FROM s1 LEFT JOIN s2 USING (doc_id)
       |ORDER BY s1.doc_id""".stripMargin
 
+  // ===== q150 — full curation cut pipeline (intra → dedup → decon) ========
+
+  /** The complete three-stage surgical curation pass in ONE ledgered
+    * query — q129's intra-document repetition cut (rebuilt to text),
+    * then q87's cross-document canonical-copy cut, then q89's
+    * span-grain decontamination — the RefinedWeb/FineWeb order
+    * (scrub self-repetition first so it can't masquerade as
+    * corpus-level duplication, dedup second, eval excision last so
+    * nothing downstream re-introduces leaked text). Plants exercise
+    * every stage: +4000000 self-appended docs fire the intra cut,
+    * +3000000 eval copies sail through dedup and die to decon (the
+    * q94 argument). Per-document attrition ledger:
+    * words_total0 → intra_cut → after_intra → dedup_cut →
+    * after_dedup → decon_cut → final_text.
+    *
+    * Scale shape: stage 0 is the q129 shape (map-side tiling, one
+    * doc-keyed exchange for window + ordered rebuild); stages 1–2 are
+    * q87/q89's audited kernels over progressively SMALLER text (each
+    * stage feeds the next's survivors only); stage boundaries are
+    * eagerly checkpointed so no stage's lineage replays another's
+    * shuffles.
+    */
+  def q150FullCuration(s: SparkSession, dir: String): DataFrame = {
+    val w = 8
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val train = docs.filter(col("doc_id") >= 200)
+      .union(docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + 3000000).as("doc_id"), col("text")))
+      .union(docs.filter(col("doc_id").between(200, 204))
+        .select(col("doc_id"), split(col("text"), " ").as("pws"))
+        .withColumn("pnt", floor(size(col("pws")) / w).cast("int"))
+        .filter(col("pnt") > 0)
+        // double a TILE-ALIGNED prefix — the non-overlapping tile grid is
+        // alignment-sensitive, so an arbitrary-length doubling would miss it
+        .select((col("doc_id") + 4000000).as("doc_id"),
+          concat(array_join(slice(col("pws"), lit(1), col("pnt") * w), " "),
+            lit(" "),
+            array_join(slice(col("pws"), lit(1), col("pnt") * w), " ")).as("text")))
+    val words = train.select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .withColumn("n", size(col("ws")))
+      .withColumn("nt", floor(col("n") / w).cast("int"))
+    val tiled = words.filter(col("nt") > 0)
+      .select(col("doc_id"), col("ws"), col("n"), col("nt"),
+        explode(sequence(lit(0), col("nt") - 1)).as("i"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("ws"), col("i") * w + 1, lit(w)), " ").as("tile"))
+      .withColumn("h", md5(col("tile")))
+      .withColumn("first_i",
+        min(col("i")).over(Window.partitionBy(col("doc_id"), col("h"))))
+      .withColumn("kept", col("i") === col("first_i"))
+    val agg0 = tiled.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tiles"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_tiles"),
+        array_join(transform(
+          array_sort(collect_list(when(col("kept"), struct(col("i"), col("tile"))))),
+          x => x.getField("tile")), " ").as("ktext"))
+    val tailCol = array_join(
+      slice(col("ws"), col("nt") * w + 1, col("n") - col("nt") * w), " ")
+    val stage0 = words.join(agg0, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").cast("long").as("words_total0"),
+        coalesce(lit(w.toLong) * (col("n_tiles") - col("kept_tiles")), lit(0L))
+          .as("words_intra_cut"),
+        when(col("n_tiles").isNull, array_join(col("ws"), " "))
+          .otherwise(concat_ws(" ",
+            when(col("ktext") =!= "", col("ktext")),
+            when(tailCol =!= "", tailCol))).as("text0"))
+      .localCheckpoint(true)
+    val stage1 = dedupCutOf(stage0.select(col("doc_id"), col("text0").as("text")))
+      .select(col("doc_id"), col("words_total").as("words_after_intra"),
+        col("words_cut").as("words_dedup_cut"), col("kept_text"))
+      .localCheckpoint(true)
+    val grams = graft.dedup.Decontaminate.evalGrams(
+      docs.filter(col("doc_id") < 200), "doc_id", "text")
+    val stage2 = graft.dedup.Decontaminate.cut(
+        stage1.filter(col("kept_text") =!= "").select(col("doc_id"), col("kept_text")),
+        "doc_id", "kept_text", grams)
+      .select(col("doc_id"), col("words_total").as("words_after_dedup"),
+        col("words_cut").as("words_decon_cut"), col("kept_text").as("final_text"))
+    stage0.select(col("doc_id"), col("words_total0"), col("words_intra_cut"))
+      .join(stage1.select(col("doc_id"), col("words_after_intra"),
+        col("words_dedup_cut")), Seq("doc_id"), "left")
+      .join(stage2, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("words_total0"), col("words_intra_cut"),
+        coalesce(col("words_after_intra"), lit(0L)).as("words_after_intra"),
+        coalesce(col("words_dedup_cut"), lit(0L)).as("words_dedup_cut"),
+        coalesce(col("words_after_dedup"), lit(0L)).as("words_after_dedup"),
+        coalesce(col("words_decon_cut"), lit(0L)).as("words_decon_cut"),
+        coalesce(col("final_text"), lit("")).as("final_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q94's two-stage CTE chain with q129's intra-doc cut prepended as
+    * stage 0 (s0 rebuilds text from kept tiles + ragged tail); the
+    * oracle recomputes all three cuts and their composition.
+    */
+  val q150Sql: String =
+    """WITH d0 AS (SELECT doc_id, text FROM documents),
+      |tr0 AS (
+      |  SELECT doc_id, text FROM d0 WHERE doc_id >= 200
+      |  UNION ALL
+      |  SELECT doc_id + 3000000, text FROM d0 WHERE doc_id < 10
+      |  UNION ALL
+      |  SELECT doc_id + 4000000,
+      |    array_to_string(pws[1:(CAST(floor(len(pws)/8) AS BIGINT)*8)], ' ')
+      |      || ' ' ||
+      |    array_to_string(pws[1:(CAST(floor(len(pws)/8) AS BIGINT)*8)], ' ')
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS pws FROM d0
+      |        WHERE doc_id BETWEEN 200 AND 204)
+      |  WHERE floor(len(pws)/8) > 0),
+      |w0 AS (SELECT doc_id, string_split(text, ' ') AS ws FROM tr0),
+      |t0 AS (
+      |  SELECT doc_id, i, array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS tile,
+      |    md5(array_to_string(ws[(i*8+1):(i*8+8)], ' ')) AS h
+      |  FROM w0, unnest(range(CAST(floor(len(ws)/8) AS BIGINT))) AS t(i)
+      |  WHERE floor(len(ws)/8) > 0),
+      |k0 AS (
+      |  SELECT doc_id, i, tile,
+      |    CASE WHEN i = min(i) OVER (PARTITION BY doc_id, h) THEN 1 ELSE 0 END AS kept
+      |  FROM t0),
+      |agg0 AS (
+      |  SELECT doc_id,
+      |    string_agg(CASE WHEN kept = 1 THEN tile END, ' ' ORDER BY i) AS ktext,
+      |    count(*) AS n_tiles, CAST(sum(kept) AS BIGINT) AS kept_tiles
+      |  FROM k0 GROUP BY 1),
+      |s0 AS (
+      |  SELECT w0.doc_id, CAST(len(w0.ws) AS BIGINT) AS words_total0,
+      |    coalesce(8 * (agg0.n_tiles - agg0.kept_tiles), 0) AS words_intra_cut,
+      |    CASE WHEN agg0.doc_id IS NULL THEN array_to_string(w0.ws, ' ')
+      |         ELSE concat_ws(' ', nullif(agg0.ktext, ''),
+      |           nullif(array_to_string(
+      |             w0.ws[(CAST(floor(len(w0.ws)/8) AS BIGINT)*8+1):(len(w0.ws))], ' '),
+      |             '')) END AS text0
+      |  FROM w0 LEFT JOIN agg0 ON w0.doc_id = agg0.doc_id),
+      |d AS (SELECT doc_id, string_split(text0, ' ') AS ws FROM s0),
+      |wins AS (
+      |  SELECT doc_id, i, md5(array_to_string(ws[(i+1):(i+8)], ' ')) AS h
+      |  FROM d, unnest(range(len(ws) - 8 + 1)) AS t(i)
+      |  WHERE len(ws) >= 8),
+      |fl AS (
+      |  SELECT doc_id, i,
+      |    count(*) OVER (PARTITION BY h) AS c,
+      |    row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+      |  FROM wins),
+      |cover AS (
+      |  SELECT doc_id, i + u AS p, rn = 1 AS canon
+      |  FROM (SELECT * FROM fl WHERE c > 1), unnest(range(8)) AS t(u)),
+      |cut AS (
+      |  SELECT doc_id, p FROM cover GROUP BY doc_id, p
+      |  HAVING max(CASE WHEN NOT canon THEN 1 ELSE 0 END) = 1
+      |     AND max(CASE WHEN canon THEN 1 ELSE 0 END) = 0),
+      |wordsx AS (
+      |  SELECT doc_id, u AS pos, ws[u + 1] AS word
+      |  FROM d, unnest(range(len(ws))) AS t(u)),
+      |reb AS (
+      |  SELECT w.doc_id, count(*) AS words_kept,
+      |    string_agg(w.word, ' ' ORDER BY w.pos) AS kept_text
+      |  FROM wordsx w
+      |  WHERE NOT EXISTS (SELECT 1 FROM cut c WHERE c.doc_id = w.doc_id AND c.p = w.pos)
+      |  GROUP BY w.doc_id),
+      |s1 AS (
+      |  SELECT d.doc_id, CAST(len(d.ws) AS BIGINT) AS words_after_intra,
+      |    CAST(len(d.ws) - coalesce(words_kept, 0) AS BIGINT) AS words_dedup_cut,
+      |    coalesce(kept_text, '') AS kept_text
+      |  FROM d LEFT JOIN reb USING (doc_id)),
+      |cg AS (
+      |  SELECT DISTINCT md5(array_to_string(ws2[(i+1):(i+8)], ' ')) AS h2
+      |  FROM (SELECT string_split(text, ' ') AS ws2 FROM documents WHERE doc_id < 200),
+      |       unnest(range(len(ws2) - 8 + 1)) AS t(i)
+      |  WHERE len(ws2) >= 8),
+      |tr AS (SELECT doc_id, string_split(kept_text, ' ') AS tws FROM s1
+      |       WHERE kept_text <> ''),
+      |tw AS (
+      |  SELECT doc_id, i, md5(array_to_string(tws[(i+1):(i+8)], ' ')) AS h2
+      |  FROM tr, unnest(range(len(tws) - 8 + 1)) AS t(i)
+      |  WHERE len(tws) >= 8),
+      |cut2 AS (
+      |  SELECT DISTINCT doc_id, i + u AS p
+      |  FROM tw JOIN cg USING (h2), unnest(range(8)) AS t(u)),
+      |wx2 AS (
+      |  SELECT doc_id, u AS pos, tws[u + 1] AS word
+      |  FROM tr, unnest(range(len(tws))) AS t(u)),
+      |reb2 AS (
+      |  SELECT w.doc_id, count(*) AS words_kept2,
+      |    string_agg(w.word, ' ' ORDER BY w.pos) AS final_text
+      |  FROM wx2 w
+      |  WHERE NOT EXISTS (SELECT 1 FROM cut2 c WHERE c.doc_id = w.doc_id AND c.p = w.pos)
+      |  GROUP BY w.doc_id),
+      |s2 AS (
+      |  SELECT t.doc_id, CAST(len(t.tws) AS BIGINT) AS words_after_dedup,
+      |    CAST(len(t.tws) - coalesce(words_kept2, 0) AS BIGINT) AS words_decon_cut,
+      |    coalesce(final_text, '') AS final_text
+      |  FROM tr t LEFT JOIN reb2 USING (doc_id))
+      |SELECT s0.doc_id, s0.words_total0, s0.words_intra_cut,
+      |  coalesce(s1.words_after_intra, 0) AS words_after_intra,
+      |  coalesce(s1.words_dedup_cut, 0) AS words_dedup_cut,
+      |  coalesce(s2.words_after_dedup, 0) AS words_after_dedup,
+      |  coalesce(s2.words_decon_cut, 0) AS words_decon_cut,
+      |  coalesce(s2.final_text, '') AS final_text
+      |FROM s0 LEFT JOIN s1 USING (doc_id) LEFT JOIN s2 USING (doc_id)
+      |ORDER BY s0.doc_id""".stripMargin
+
   // ===== q111 — blocked edit-distance (fuzzy) dedup =======================
 
   /** Fuzzy dedup by EDIT DISTANCE — the dedup-family member that
@@ -1127,6 +1328,7 @@ object CurationOpsQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_containment" -> (q135Containment _),
+    "q150_full_curation" -> (q150FullCuration _),
     "q127_bigram_surprisal" -> (q127BigramSurprisal _),
     "q129_intra_doc_dedup" -> (q129IntraDocDedup _),
     "q112_robust_outliers" -> (q112RobustOutliers _),
@@ -1145,6 +1347,7 @@ object CurationOpsQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q135_containment" -> q135Sql,
+    "q150_full_curation" -> q150Sql,
     "q127_bigram_surprisal" -> q127Sql,
     "q129_intra_doc_dedup" -> q129Sql,
     "q112_robust_outliers" -> q112Sql,

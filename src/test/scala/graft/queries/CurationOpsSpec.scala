@@ -261,6 +261,32 @@ class CurationOpsSpec extends SparkTestBase {
     assert(exp2 > exp1, "the rarer continuation (a→c) must raise the score")
   }
 
+  test("q150 pipeline: every stage fires on its plants and the ledger reconciles") {
+    val out = CurationOpsQueries.q150FullCuration(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long, String)].collect()
+    val byId = out.map(r => r._1 -> r).toMap
+    // +4000000 self-appended plants lose (at least) their second half to stage 0
+    val intra = out.filter(r => r._1 >= 4000000L && r._1 < 5000000L)
+    assert(intra.nonEmpty && intra.forall(_._3 > 0),
+      s"intra plants must be cut at stage 0: ${intra.take(3).toSeq}")
+    // +3000000 eval copies must not survive at leak grain: whichever stage
+    // kills them (decon usually; dedup when the eval text also duplicates
+    // corpus text), no ≥ 8-word window of eval text may remain
+    val evalPlants = out.filter(r => r._1 >= 3000000L && r._1 < 4000000L)
+    assert(evalPlants.nonEmpty
+      && evalPlants.forall(r => r._8 == "" || r._8.split(" ").length < 8),
+      s"eval plants must not leak an 8-gram: ${evalPlants.filter(_._8.split(" ").length >= 8).take(3).toSeq}")
+    assert(evalPlants.exists(_._7 > 0), "at least one plant must die to decon specifically")
+    // ledger identities on every row
+    out.foreach { r =>
+      assert(r._4 == r._2 - r._3, s"after_intra = total0 - intra_cut: $r")
+      if (r._6 > 0 || r._7 > 0)
+        assert(r._6 == r._4 - r._5, s"after_dedup = after_intra - dedup_cut: $r")
+    }
+    // and an untouched ordinary doc flows through unchanged
+    assert(out.exists(r => r._3 == 0 && r._5 == 0 && r._7 == 0 && r._8.nonEmpty))
+  }
+
   test("q129 intra-doc cut: repeated tile removed, planted double halves, fp tracks kept order") {
     val t1 = "w1 w2 w3 w4 w5 w6 w7 w8"
     val dir = writeDocs(Seq(
