@@ -786,6 +786,91 @@ object AnalyticsOpsQueries {
       |WHERE fp_a IS NULL OR fp_b IS NULL OR fp_a <> fp_b
       |ORDER BY op, doc_id""".stripMargin
 
+  // ===== q151 — unpivot/melt: wide measures to long (key, value) rows =====
+
+  /** The inverse of q61's pivot: `unpivot` (Spark's melt) turns the
+    * per-returnflag wide measure row (sum_qty, sum_price, n_rows) into
+    * long (measure, value) rows — the reshape every metrics store and
+    * plotting layer wants, covered here as a first-class API surface
+    * with a DuckDB UNPIVOT oracle. Measures are exact integer cents
+    * (the q110 discipline) so the reshape carries no float.
+    *
+    * Scale shape: the wide input is group-count-sized (one row per
+    * returnflag); unpivot is a zero-shuffle row-local Expand — the
+    * fact table is aggregated BEFORE reshaping, never melted raw
+    * (melting 100 TB of raw rows triples the volume for nothing).
+    */
+  def q151UnpivotMeasures(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(expr("cast(floor(l_quantity * 100 + 0.5) as bigint)")).as("sum_qty_cents"),
+        sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+          .as("sum_price_cents"),
+        count(lit(1)).as("n_rows"))
+      .unpivot(
+        ids = Array(col("l_returnflag")),
+        values = Array(col("sum_qty_cents"), col("sum_price_cents"), col("n_rows")),
+        variableColumnName = "measure",
+        valueColumnName = "value")
+      .orderBy(col("l_returnflag"), col("measure"))
+
+  val q151Sql: String =
+    """WITH w AS (
+      |  SELECT l_returnflag,
+      |    CAST(sum(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS sum_qty_cents,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS sum_price_cents,
+      |    count(*) AS n_rows
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, measure, value
+      |FROM w UNPIVOT (value FOR measure IN (sum_qty_cents, sum_price_cents, n_rows))
+      |ORDER BY l_returnflag, measure""".stripMargin
+
+  // ===== q152 — set operations: snapshot content algebra ==================
+
+  /** Distinct set algebra over content fingerprints — `intersect` and
+    * `except` as first-class surfaces (q64's anti-join diff answers
+    * "what's new"; these answer "what's SHARED" and "what VANISHED"
+    * with set semantics, dedup included). Snapshots are q64's: A =
+    * first 80% of doc ids, B = last 80%. One summary row: |A|, |B|,
+    * |A∩B|, |A\B|, |B\A| — and the inclusion–exclusion identity
+    * |A| = |A∩B| + |A\B| holds exactly by construction, which the
+    * spec pins.
+    *
+    * Scale shape: INTERSECT/EXCEPT plan as left-semi/anti hash joins
+    * on the fingerprint after per-side distincts — hash-partitioned,
+    * no sort; only 32-byte hashes ever shuffle.
+    */
+  def q152SetOps(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val n = docs.agg(max(col("doc_id"))).head().getLong(0)
+    val a = docs.filter(col("doc_id") <= n * 8 / 10).select(md5(col("text")).as("fp")).distinct()
+    val b = docs.filter(col("doc_id") > n * 2 / 10).select(md5(col("text")).as("fp")).distinct()
+    val counts = Seq(
+      ("n_a", a), ("n_b", b),
+      ("n_shared", a.intersect(b)),
+      ("n_only_a", a.except(b)),
+      ("n_only_b", b.except(a)))
+    counts.map { case (name, df) =>
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("set_name"), col("n"))
+      }
+      .reduce(_.union(_))
+      .orderBy(col("set_name"))
+  }
+
+  val q152Sql: String =
+    """WITH n AS (SELECT max(doc_id) AS m FROM documents),
+      |a AS (SELECT DISTINCT md5(text) AS fp FROM documents, n WHERE doc_id <= m * 8 // 10),
+      |b AS (SELECT DISTINCT md5(text) AS fp FROM documents, n WHERE doc_id > m * 2 // 10)
+      |SELECT 'n_a' AS set_name, count(*) AS n FROM a
+      |UNION ALL SELECT 'n_b', count(*) FROM b
+      |UNION ALL SELECT 'n_shared', count(*) FROM (SELECT fp FROM a INTERSECT SELECT fp FROM b)
+      |UNION ALL SELECT 'n_only_a', count(*) FROM (SELECT fp FROM a EXCEPT SELECT fp FROM b)
+      |UNION ALL SELECT 'n_only_b', count(*) FROM (SELECT fp FROM b EXCEPT SELECT fp FROM a)
+      |ORDER BY set_name""".stripMargin
+
   // ===== q143 — weekly growth accounting ==================================
 
   /** The growth-accounting identity every product review reads:
@@ -1348,6 +1433,8 @@ object AnalyticsOpsQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q133_time_travel_lookup" -> (q133TimeTravelLookup _),
     "q143_growth_accounting" -> (q143GrowthAccounting _),
+    "q151_unpivot_measures" -> (q151UnpivotMeasures _),
+    "q152_set_ops" -> (q152SetOps _),
     "q134_snapshot_cdc" -> (q134SnapshotCdc _),
     "q131_item_pagerank" -> (q131ItemPagerank _),
     "q125_percentile_curve" -> (q125PercentileCurve _),
@@ -1375,6 +1462,8 @@ object AnalyticsOpsQueries {
   val oracleSql: Map[String, String] = Map(
     "q133_time_travel_lookup" -> q133Sql,
     "q143_growth_accounting" -> q143Sql,
+    "q151_unpivot_measures" -> q151Sql,
+    "q152_set_ops" -> q152Sql,
     "q134_snapshot_cdc" -> q134Sql,
     "q131_item_pagerank" -> q131Sql,
     "q125_percentile_curve" -> q125Sql,

@@ -61,6 +61,29 @@ class GrowthVocabSpec extends SparkTestBase {
       s"single-decile source must drift harder than the corpus-shaped one: $p")
   }
 
+  test("q151 unpivot: every (flag, measure) appears once and round-trips the wide row") {
+    val out = AnalyticsOpsQueries
+      .q151UnpivotMeasures(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long)].collect().toSeq
+    val flags = out.map(_._1).distinct
+    assert(flags.nonEmpty)
+    // exactly 3 measures per flag, no nulls, n_rows positive
+    flags.foreach { f =>
+      val ms = out.filter(_._1 == f).map(_._2).sorted
+      assert(ms == Seq("n_rows", "sum_price_cents", "sum_qty_cents"), s"$f: $ms")
+    }
+    assert(out.filter(_._2 == "n_rows").forall(_._3 > 0))
+  }
+
+  test("q152 set ops: inclusion-exclusion identities hold exactly") {
+    val m = AnalyticsOpsQueries.q152SetOps(spark, "/root/testdata/sf0.001")
+      .as[(String, Long)].collect().toMap
+    assert(m("n_a") == m("n_shared") + m("n_only_a"), s"$m")
+    assert(m("n_b") == m("n_shared") + m("n_only_b"), s"$m")
+    assert(m("n_shared") > 0, "the 60% id overlap must share content")
+    assert(m("n_only_a") > 0 && m("n_only_b") > 0)
+  }
+
   test("q143: new/retained/resurrected/churned reconcile on a planted timeline") {
     val wkUs = 604800000000L
     val dir = java.nio.file.Files.createTempDirectory("growthvocab-spec").toString
