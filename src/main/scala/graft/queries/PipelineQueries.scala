@@ -307,6 +307,133 @@ object PipelineQueries {
       |FROM cumh JOIN t USING (event_type)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q153 — split leakage audit ========================================
+
+  /** How much a split ACTUALLY leaks: over the q37 content-keyed split
+    * applied to a corpus with planted duplicates (doc_id + 1000000
+    * copies, the q19 convention), count fingerprint groups spanning
+    * each split pair and the documents involved. The content-keyed
+    * split sends byte-identical copies to the SAME split by
+    * construction, so the exact-duplicate leak count is provably zero
+    * — which this audit certifies (against a random split it would
+    * light up; q96 extends the guarantee to NEAR-duplicate clusters).
+    * Output: one row per (split_a < split_b) pair with shared
+    * fingerprint groups and document counts, plus per-split totals.
+    *
+    * Scale shape: one fingerprint hash-aggregate collecting the
+    * distinct splits per group (≤ 3-element sets), then a tiny
+    * aggregate — the corpus shuffles 32-byte hashes once.
+    */
+  def q153SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val doubled = docs.union(docs.select(col("doc_id") + 1000000, col("text")))
+    val assigned = doubled
+      .withColumn("bucket", md5Bucket)
+      .withColumn("split",
+        when(col("bucket") < 204, "train")
+          .when(col("bucket") < 230, "valid")
+          .otherwise("test"))
+    val groups = assigned
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(sort_array(collect_set(col("split"))).as("splits"),
+        count(lit(1)).as("n_docs"))
+    groups
+      .select(explode(when(size(col("splits")) === 1,
+          array(struct(col("splits").getItem(0).as("split_a"),
+            col("splits").getItem(0).as("split_b"))))
+        .otherwise(expr(
+          "flatten(transform(splits, (a, i) -> transform(slice(splits, i + 2, size(splits)), b -> struct(a as split_a, b as split_b))))")))
+        .as("p"), col("n_docs"))
+      .groupBy(col("p.split_a").as("split_a"), col("p.split_b").as("split_b"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("n_docs")).as("n_docs"))
+      .orderBy(col("split_a"), col("split_b"))
+  }
+
+  val q153Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+      |a AS (
+      |  SELECT doc_id, text,
+      |    CASE WHEN b < 204 THEN 'train' WHEN b < 230 THEN 'valid' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, text,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS b FROM d)),
+      |g AS (
+      |  SELECT md5(text) AS fp, list_sort(list_distinct(list(split))) AS splits,
+      |    count(*) AS n_docs
+      |  FROM a GROUP BY 1),
+      |pairs AS (
+      |  SELECT fp, n_docs,
+      |    CASE WHEN len(splits) = 1
+      |      THEN [{'split_a': splits[1], 'split_b': splits[1]}]
+      |      ELSE flatten(list_transform(range(1, len(splits) + 1),
+      |        i -> list_transform(splits[(i+1):len(splits)],
+      |          b -> {'split_a': splits[i], 'split_b': b}))) END AS ps
+      |  FROM g)
+      |SELECT p.split_a, p.split_b, count(*) AS n_groups,
+      |  CAST(sum(n_docs) AS BIGINT) AS n_docs
+      |FROM pairs, unnest(ps) AS t(p)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ===== q154 — dataset card: one-row corpus datasheet =====================
+
+  /** The "datasheet for datasets" summary row every corpus release
+    * ships: document and token counts, language/source cardinalities,
+    * exact-duplicate ratio, and mean quality/length — each value an
+    * exact integer or a micro-quantized mean over exact sums, so the
+    * card is bit-reproducible. One row out; numbers cross-check the
+    * per-source views (q58/q76/q147).
+    *
+    * Scale shape: ONE pass — a single aggregate computes everything
+    * except the duplicate count, which needs the fingerprint grain
+    * first (one hash-agg then count-distinct rolled into the same
+    * summary via a second tiny aggregate, joined by a 1-row cross).
+    */
+  def q154DatasetCard(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      sum(col("n_chars")).as("total_chars"),
+      sum(graft.text.TextFunctions.tokenCount(col("text")).cast("long"))
+        .as("total_tokens"),
+      floor(sum(floor(graft.text.TextFunctions.qualityScore(col("text")) * lit(1e6)
+          + lit(0.5)).cast("long")).cast("double") / count(lit(1)) + lit(0.5))
+        .cast("long").as("mean_quality_micro"))
+    val dups = docs.groupBy(md5(col("text")).as("fp")).agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_distinct_texts"),
+        sum(col("c") - 1).as("n_exact_dup_docs"))
+    base.crossJoin(broadcast(dups))
+      .select(col("n_docs"), col("n_langs"), col("n_sources"),
+        col("total_chars"), col("total_tokens"), col("mean_quality_micro"),
+        col("n_distinct_texts"), col("n_exact_dup_docs"),
+        expr("(n_exact_dup_docs * 10000) div n_docs").as("dup_bps"))
+  }
+
+  private val SqlTokenCountP =
+    "len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> ''))"
+
+  val q154Sql: String =
+    s"""WITH base AS (
+       |  SELECT count(*) AS n_docs,
+       |    count(DISTINCT lang) AS n_langs,
+       |    count(DISTINCT source) AS n_sources,
+       |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |    CAST(sum($SqlTokenCountP) AS BIGINT) AS total_tokens,
+       |    CAST(floor(CAST(sum(CAST(floor(($SqlQuality) * 1000000 + 0.5) AS BIGINT))
+       |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_quality_micro
+       |  FROM documents),
+       |d AS (
+       |  SELECT count(*) AS n_distinct_texts,
+       |    CAST(sum(c - 1) AS BIGINT) AS n_exact_dup_docs
+       |  FROM (SELECT md5(text) AS fp, count(*) AS c FROM documents GROUP BY 1))
+       |SELECT n_docs, n_langs, n_sources, total_chars, total_tokens,
+       |  mean_quality_micro, n_distinct_texts, n_exact_dup_docs,
+       |  (n_exact_dup_docs * 10000) // n_docs AS dup_bps
+       |FROM base, d""".stripMargin
+
   // ===== q37 — deterministic content-keyed train/valid/test split =========
 
   /** Reproducible dataset splitting, content-keyed: each document's
@@ -657,7 +784,9 @@ object PipelineQueries {
     "q51_cardinality" -> (q51Cardinality _),
     "q52_cardinality_approx" -> (q52CardinalityApprox _),
     "q53_incr_cardinality" -> (q53IncrementalCardinality _),
-    "q137_incr_percentiles" -> (q137IncrPercentiles _))
+    "q137_incr_percentiles" -> (q137IncrPercentiles _),
+    "q153_split_leakage" -> (q153SplitLeakage _),
+    "q154_dataset_card" -> (q154DatasetCard _))
 
   val oracleSql: Map[String, String] = Map(
     "q96_leakage_safe_split" -> q96Sql,
@@ -669,5 +798,7 @@ object PipelineQueries {
     "q42_data_mixture" -> q42Sql,
     "q44_curation_funnel" -> q44Sql,
     "q51_cardinality" -> q51Sql,
-    "q137_incr_percentiles" -> q137Sql)
+    "q137_incr_percentiles" -> q137Sql,
+    "q153_split_leakage" -> q153Sql,
+    "q154_dataset_card" -> q154Sql)
 }

@@ -84,6 +84,28 @@ class GrowthVocabSpec extends SparkTestBase {
     assert(m("n_only_a") > 0 && m("n_only_b") > 0)
   }
 
+  test("q153 split leakage: content-keyed split leaks ZERO exact-dup groups across splits") {
+    val out = PipelineQueries.q153SplitLeakage(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, groups, _) =>
+      if (a != b) assert(groups == 0L,
+        s"content-keyed split must never separate identical texts: ($a,$b,$groups)")
+    }
+    assert(out.filter { case (a, b, _, _) => a == b }.map(_._3).sum > 0,
+      "same-split duplicate groups must be visible (the planted copies)")
+  }
+
+  test("q154 dataset card: identities reconcile") {
+    val Seq(r) = PipelineQueries.q154DatasetCard(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val (nDocs, nLangs, nSources, chars, tokens, meanQ, nDistinct, nDup, dupBps) = r
+    assert(nDocs == nDistinct + nDup, s"docs = distinct + dup copies: $r")
+    assert(dupBps == nDup * 10000 / nDocs)
+    assert(nLangs > 0 && nSources > 0 && chars > 0 && tokens > 0)
+    assert(meanQ > 0 && meanQ <= 1000000L)
+  }
+
   test("q143: new/retained/resurrected/churned reconcile on a planted timeline") {
     val wkUs = 604800000000L
     val dir = java.nio.file.Files.createTempDirectory("growthvocab-spec").toString
