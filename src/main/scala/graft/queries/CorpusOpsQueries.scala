@@ -1089,9 +1089,86 @@ object CorpusOpsQueries {
       |  CAST(sum(term_micro) AS BIGINT) AS psi_micro
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q155 — token-budget waterfilling across sources ==================
+
+  /** The mixture-planning allocator: split a total token budget
+    * (half the corpus here) across sources by WATERFILLING — every
+    * source gets an equal share except those whose capacity is below
+    * it, which are taken whole and their leftover redistributed — the
+    * max-min-fair allocation (the standard answer to "cap the big
+    * crawls without starving the small curated sets"). Entirely exact
+    * integer arithmetic: sources rank by (capacity, name); a source is
+    * fully-satisfiable iff cap·(remaining sources) + prefix ≤ B
+    * (monotone in rank, so the satisfied set is a prefix); the rest
+    * share level = (B − P_j) div (S − j) with the mod-remainder going
+    * to the first `rem` unsatisfied sources. Σ alloc ≡ min(B, Σ cap)
+    * by construction, and alloc ≤ cap per source (integer argument in
+    * the Scaladoc of the spec).
+    *
+    * Scale shape: capacities are one map-side token-count aggregate
+    * (the 10⁶× reducer); everything after runs on the |S|-row source
+    * relation (windows over a bounded tiny relation — the q142-block
+    * argument). One pass of the corpus.
+    */
+  def q155BudgetWaterfill(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val caps = docs.groupBy(col("source"))
+      .agg(sum(graft.text.TextFunctions.tokenCount(col("text")).cast("long"))
+        .as("cap"))
+    val byCap = Window.orderBy(col("cap"), col("source"))
+    val ranked = caps
+      .crossJoin(broadcast(caps.agg(sum(col("cap")).as("tot"),
+        count(lit(1)).as("ns"))))
+      .withColumn("b", expr("tot div 2"))
+      .withColumn("k", row_number().over(byCap))
+      .withColumn("pk", sum(col("cap")).over(byCap))
+      .withColumn("sat",
+        col("cap") * (col("ns") - col("k") + 1) + (col("pk") - col("cap"))
+          <= col("b"))
+    val j = ranked.agg(
+      coalesce(max(when(col("sat"), col("k"))), lit(0L)).as("j"),
+      coalesce(max(when(col("sat"), col("pk"))), lit(0L)).as("pj"))
+    ranked.crossJoin(broadcast(j))
+      .withColumn("lvl", expr("(b - pj) div (ns - j)"))
+      .withColumn("rem", expr("(b - pj) % (ns - j)"))
+      .select(col("source"), col("cap").as("cap_tokens"), col("b").as("budget"),
+        when(col("k") <= col("j"), col("cap"))
+          .otherwise(col("lvl")
+            + when(col("k") - col("j") <= col("rem"), 1L).otherwise(0L))
+          .as("alloc_tokens"))
+      .orderBy(col("source"))
+  }
+
+  val q155Sql: String =
+    """WITH caps AS (
+      |  SELECT source,
+      |    CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      t -> t <> ''))) AS BIGINT) AS cap
+      |  FROM documents GROUP BY 1),
+      |t AS (SELECT CAST(sum(cap) AS BIGINT) AS tot, count(*) AS ns FROM caps),
+      |r AS (
+      |  SELECT source, cap, tot // 2 AS b, ns,
+      |    row_number() OVER (ORDER BY cap, source) AS k,
+      |    CAST(sum(cap) OVER (ORDER BY cap, source ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS pk
+      |  FROM caps, t),
+      |rs AS (
+      |  SELECT *, cap * (ns - k + 1) + (pk - cap) <= b AS sat FROM r),
+      |j AS (
+      |  SELECT coalesce(max(CASE WHEN sat THEN k END), 0) AS j,
+      |    coalesce(max(CASE WHEN sat THEN pk END), 0) AS pj
+      |  FROM rs)
+      |SELECT source, cap AS cap_tokens, b AS budget,
+      |  CASE WHEN k <= j.j THEN cap
+      |       ELSE (b - j.pj) // (ns - j.j)
+      |         + CASE WHEN k - j.j <= (b - j.pj) % (ns - j.j) THEN 1 ELSE 0 END
+      |  END AS alloc_tokens
+      |FROM rs, j ORDER BY source""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q155_budget_waterfill" -> (q155BudgetWaterfill _),
     "q145_psi_drift" -> (q145PsiDrift _),
     "q144_ks_drift" -> (q144KsDrift _),
     "q142_vocab_coverage" -> (q142VocabCoverage _),
@@ -1112,6 +1189,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q155_budget_waterfill" -> q155Sql,
     "q145_psi_drift" -> q145Sql,
     "q144_ks_drift" -> q144Sql,
     "q141_matched_sample" -> q141Sql,

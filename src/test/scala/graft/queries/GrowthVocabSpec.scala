@@ -106,6 +106,32 @@ class GrowthVocabSpec extends SparkTestBase {
     assert(meanQ > 0 && meanQ <= 1000000L)
   }
 
+  test("q155 waterfill: small sources taken whole, big ones leveled, budget exactly spent") {
+    val dir = java.nio.file.Files.createTempDirectory("growthvocab-spec").toString
+    // capacities: tiny=2, small=4, big=20, huge=30 tokens; total 56 → B = 28.
+    // Waterfill: tiny(2), small(4) fully satisfied; remaining 22 over 2
+    // sources → level 11 each. Σ = 2+4+11+11 = 28.
+    def toks(n: Int) = (1 to n).map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, toks(2), "en", "tiny", 10L), (2L, toks(4), "en", "small", 10L),
+      (3L, toks(20), "en", "big", 10L), (4L, toks(30), "en", "huge", 10L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q155BudgetWaterfill(spark, dir)
+      .as[(String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("tiny")._4 == 2L && out("small")._4 == 4L, s"$out")
+    assert(out("big")._4 == 11L && out("huge")._4 == 11L, s"$out")
+    assert(out.values.map(_._4).sum == 28L, "budget must be spent exactly")
+    out.values.foreach(r => assert(r._4 <= r._2, s"alloc may never exceed capacity: $r"))
+    // real testdata: same invariants at corpus scale
+    val real = CorpusOpsQueries
+      .q155BudgetWaterfill(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Long, Long)].collect()
+    val b = real.head._3
+    assert(real.map(_._4).sum == math.min(b, real.map(_._2).sum))
+    real.foreach(r => assert(r._4 <= r._2))
+  }
+
   test("q143: new/retained/resurrected/churned reconcile on a planted timeline") {
     val wkUs = 604800000000L
     val dir = java.nio.file.Files.createTempDirectory("growthvocab-spec").toString
