@@ -749,7 +749,75 @@ object RelationalQueries {
       |  CASE WHEN ts_us <> island_start THEN ts_us - island_start END AS dup_lag_us
       |FROM st ORDER BY event_id""".stripMargin
 
+  // ===== q156 — funnel timing: time-to-convert quantiles ==================
+
+  /** The funnel's TIME dimension: median and p90 latency of each stage
+    * transition (view→click, click→purchase) over q102's sessions —
+    * "how long does conversion take" next to q102's "how many
+    * convert". Deltas are exact integer µs; the quantiles are the
+    * q30 interpolated-percentile surface (round 6 absorbs engine
+    * arithmetic-order ulps), wrapped over the funnel CTE exactly as
+    * q107 wraps q17.
+    *
+    * Scale shape: q102's single user exchange does all the work; the
+    * timing layer is two 1-row aggregates over the session relation.
+    * The exact `percentile` buffers per-group values — two groups
+    * here; at 100 TB swap `approx_percentile` (the q30→q31 ladder).
+    */
+  def q156FunnelTiming(s: SparkSession, dir: String): DataFrame = {
+    val f = q102SessionFunnel(s, dir)
+    // the q137 discrete-quantile convention: smallest delta whose
+    // cumulative count reaches ⌈p·n⌉ — pure integer µs, no
+    // interpolation to drift between engines (an interpolated
+    // percentile at 1e9-µs magnitude can't even round-trip a 6-dp
+    // round). The cum window runs over the delta HISTOGRAM (bounded
+    // by distinct deltas; the 100 TB lever is ms-grain quantization).
+    def leg(name: String, d: org.apache.spark.sql.Column,
+        filter: org.apache.spark.sql.Column) = {
+      val h = f.filter(filter).select(d.as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("c"))
+      h.withColumn("cum", sum(col("c")).over(Window.orderBy(col("d"))))
+        .crossJoin(broadcast(h.agg(sum(col("c")).as("n"))))
+        .agg(max(col("n")).as("n_raw"),
+          min(when(col("cum") >= expr("cast(ceil(0.5 * n) as bigint)"), col("d")))
+            .as("p50_us"),
+          min(when(col("cum") >= expr("cast(ceil(0.9 * n) as bigint)"), col("d")))
+            .as("p90_us"))
+        .select(lit(name).as("transition"),
+          coalesce(col("n_raw"), lit(0L)).as("n_sessions"),
+          col("p50_us"), col("p90_us"))
+    }
+    leg("click_to_purchase", col("t_purchase") - col("t_click"),
+        col("t_purchase").isNotNull)
+      .union(leg("view_to_click", col("t_click") - col("t_view"),
+        col("t_click").isNotNull))
+      .orderBy(col("transition"))
+  }
+
+  def q156Sql: String =
+    s"""WITH f AS ($q102Sql),
+      |l1 AS (SELECT t_purchase - t_click AS d FROM f WHERE t_purchase IS NOT NULL),
+      |h1 AS (SELECT d, count(*) AS c FROM l1 GROUP BY 1),
+      |t1 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h1),
+      |c1 AS (SELECT d, CAST(sum(c) OVER (ORDER BY d) AS BIGINT) AS cum FROM h1),
+      |l2 AS (SELECT t_click - t_view AS d FROM f WHERE t_click IS NOT NULL),
+      |h2 AS (SELECT d, count(*) AS c FROM l2 GROUP BY 1),
+      |t2 AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h2),
+      |c2 AS (SELECT d, CAST(sum(c) OVER (ORDER BY d) AS BIGINT) AS cum FROM h2)
+      |SELECT 'click_to_purchase' AS transition,
+      |  coalesce(max(n), 0) AS n_sessions,
+      |  min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN d END) AS p50_us,
+      |  min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN d END) AS p90_us
+      |FROM c1, t1
+      |UNION ALL
+      |SELECT 'view_to_click', coalesce(max(n), 0),
+      |  min(CASE WHEN cum >= CAST(ceil(0.5 * n) AS BIGINT) THEN d END),
+      |  min(CASE WHEN cum >= CAST(ceil(0.9 * n) AS BIGINT) THEN d END)
+      |FROM c2, t2
+      |ORDER BY transition""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q156_funnel_timing" -> (q156FunnelTiming _),
     "q140_event_dedup_window" -> (q140EventDedupWindow _),
     "q123_asof_nearest" -> (q123AsofNearest _),
     "q109_peak_burst" -> (q109PeakBurst _),
@@ -767,6 +835,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q140_event_dedup_window" -> q140Sql,
+    "q156_funnel_timing" -> q156Sql,
     "q123_asof_nearest" -> q123Sql,
     "q109_peak_burst" -> q109Sql,
     "q113_session_paths" -> q113Sql,

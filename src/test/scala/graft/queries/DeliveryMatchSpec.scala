@@ -32,6 +32,30 @@ class DeliveryMatchSpec extends SparkTestBase {
     assert(out(5L) == ((1, None)), "different value = different identity")
   }
 
+  test("q156 funnel timing: hand-exact discrete quantiles; empty leg reports 0 sessions") {
+    val dir = java.nio.file.Files.createTempDirectory("delivery-spec").toString
+    val m = 60L * 1000000000L
+    // one user, one session: view at 0, clicks at 1m and 3m (first counts),
+    // no purchase anywhere; a second user converts view→click in 5m
+    Seq(
+      (1L, 0L * m, 1L, "view", 0.0, "{}"),
+      (2L, 1L * m, 1L, "click", 0.0, "{}"),
+      (3L, 3L * m, 1L, "click", 0.0, "{}"),
+      (4L, 0L * m, 2L, "view", 0.0, "{}"),
+      (5L, 5L * m, 2L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = RelationalQueries.q156FunnelTiming(spark, dir)
+      .as[(String, Long, Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("click_to_purchase") == (("click_to_purchase", 0L, None, None)))
+    // deltas: 1m (user 1, first click), 5m (user 2); n=2 → p50 = 1st (ceil 1),
+    // p90 = 2nd (ceil 1.8 → 2)
+    assert(out("view_to_click") ==
+      (("view_to_click", 2L, Some(1L * 60 * 1000000), Some(5L * 60 * 1000000))),
+      s"got ${out("view_to_click")}")
+  }
+
   test("q141: per-decile histograms equalize across sources; absent buckets zero everyone") {
     val dir = java.nio.file.Files.createTempDirectory("delivery-spec").toString
     // source A: lengths 1..10 (one per corpus decile);
