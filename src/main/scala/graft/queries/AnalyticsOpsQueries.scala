@@ -871,6 +871,81 @@ object AnalyticsOpsQueries {
       |UNION ALL SELECT 'n_only_b', count(*) FROM (SELECT fp FROM b EXCEPT SELECT fp FROM a)
       |ORDER BY set_name""".stripMargin
 
+  // ===== q157 — centered moving average (smoothing window) ================
+
+  /** Daily event-count series smoothed with a CENTERED ±3-day moving
+    * average — the `ROWS BETWEEN k PRECEDING AND k FOLLOWING` frame
+    * the window family still lacked (q109 trails, q119 slides by
+    * fanout; smoothing looks both ways). The mean is
+    * micro-quantized from exact integer (sum, count) frame aggregates,
+    * and the true window width rides along so edges are honest (a
+    * series edge averages fewer days — visible, not hidden).
+    *
+    * Scale shape: the raw stream collapses to day grain first (the
+    * q119 reducer); the centered frame then runs over the tiny daily
+    * relation. Single exchange, bounded frame state.
+    */
+  def q157MovingAverage(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(expr("(ts div 1000) div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val frame = Window.orderBy(col("day")).rowsBetween(-3, 3)
+    daily
+      .withColumn("w_sum", sum(col("n_events")).over(frame))
+      .withColumn("w_n", count(lit(1)).over(frame))
+      .select(col("day"), col("n_events"), col("w_n"),
+        (floor(col("w_sum").cast("double") * lit(1e6) / col("w_n") + lit(0.5))
+          / lit(1e6)).as("ma7_r6"))
+      .orderBy(col("day"))
+  }
+
+  val q157Sql: String =
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1)
+      |SELECT day, n_events,
+      |  count(*) OVER w AS w_n,
+      |  floor(CAST(sum(n_events) OVER w AS DOUBLE) * 1000000
+      |    / count(*) OVER w + 0.5) / 1000000 AS ma7_r6
+      |FROM d
+      |WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+      |ORDER BY day""".stripMargin
+
+  // ===== q158 — tokenizer fertility report ================================
+
+  /** Per-language tokenizer fertility: BPE-estimate tokens divided by
+    * whitespace words (micro), over exact integer sums — the number a
+    * tokenizer choice is judged by (fertility ≫ 1 for a language means
+    * its text costs that many times more sequence length). Uses q16's
+    * two token counters at corpus grain.
+    *
+    * Scale shape: both counters are map-side codegen'd regex counts;
+    * one |langs|-sized hash aggregate. One pass.
+    */
+  def q158TokenizerFertility(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(graft.text.TextFunctions.tokenCount(col("text")).cast("long"))
+          .as("ws_tokens"),
+        sum(graft.text.TextFunctions.bpeTokenEstimate(col("text")).cast("long"))
+          .as("bpe_tokens"))
+      .withColumn("fertility_micro",
+        expr("(bpe_tokens * 1000000) div ws_tokens"))
+      .orderBy(col("lang"))
+
+  val q158Sql: String =
+    """SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |    t -> t <> ''))) AS BIGINT) AS ws_tokens,
+      |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+      |    AS BIGINT) AS bpe_tokens,
+      |  (CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')))
+      |    AS BIGINT) * 1000000)
+      |    // CAST(sum(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      t -> t <> ''))) AS BIGINT) AS fertility_micro
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===== q143 — weekly growth accounting ==================================
 
   /** The growth-accounting identity every product review reads:
@@ -1434,6 +1509,8 @@ object AnalyticsOpsQueries {
     "q133_time_travel_lookup" -> (q133TimeTravelLookup _),
     "q143_growth_accounting" -> (q143GrowthAccounting _),
     "q151_unpivot_measures" -> (q151UnpivotMeasures _),
+    "q157_moving_average" -> (q157MovingAverage _),
+    "q158_tokenizer_fertility" -> (q158TokenizerFertility _),
     "q152_set_ops" -> (q152SetOps _),
     "q134_snapshot_cdc" -> (q134SnapshotCdc _),
     "q131_item_pagerank" -> (q131ItemPagerank _),
@@ -1463,6 +1540,8 @@ object AnalyticsOpsQueries {
     "q133_time_travel_lookup" -> q133Sql,
     "q143_growth_accounting" -> q143Sql,
     "q151_unpivot_measures" -> q151Sql,
+    "q157_moving_average" -> q157Sql,
+    "q158_tokenizer_fertility" -> q158Sql,
     "q152_set_ops" -> q152Sql,
     "q134_snapshot_cdc" -> q134Sql,
     "q131_item_pagerank" -> q131Sql,

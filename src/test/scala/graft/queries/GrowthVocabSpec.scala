@@ -132,6 +132,36 @@ class GrowthVocabSpec extends SparkTestBase {
     real.foreach(r => assert(r._4 <= r._2))
   }
 
+  test("q157 moving average: centered frame, honest edges, exact means") {
+    val dayUs = 86400000000L
+    val dir = java.nio.file.Files.createTempDirectory("growthvocab-spec").toString
+    // 10 days, day d has d+1 events → interior means are exact integers
+    val rows = (0 until 10).flatMap(d => (0 to d).map(i =>
+      ((d * 100 + i).toLong, (d * dayUs + i + 1) * 1000L, 1L, "view", 0.0, "{}")))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = AnalyticsOpsQueries.q157MovingAverage(spark, dir)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(out(0L)._3 == 4L && out(0L)._4 == (1 + 2 + 3 + 4) / 4.0,
+      s"left edge averages 4 days: ${out(0L)}")
+    assert(out(5L)._3 == 7L && out(5L)._4 == (3 + 4 + 5 + 6 + 7 + 8 + 9) / 7.0,
+      s"interior averages the full ±3 frame: ${out(5L)}")
+    assert(out(9L)._3 == 4L && out(9L)._4 == (7 + 8 + 9 + 10) / 4.0)
+  }
+
+  test("q158 fertility: punctuation-heavy text inflates BPE count over whitespace words") {
+    val dir = java.nio.file.Files.createTempDirectory("growthvocab-spec").toString
+    Seq(
+      (1L, "plain words only here", "en", "w", 20L),          // 4 ws, 4 bpe → 1.0
+      (2L, "a.b,c;d e.f,g;h i.j,k;l", "xx", "w", 23L))        // 3 ws, 21 bpe → 7.0
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = AnalyticsOpsQueries.q158TokenizerFertility(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out("en") == (("en", 1L, 4L, 4L, 1000000L)), s"got ${out("en")}")
+    assert(out("xx")._5 == 7000000L, s"got ${out("xx")}")
+  }
+
   test("q143: new/retained/resurrected/churned reconcile on a planted timeline") {
     val wkUs = 604800000000L
     val dir = java.nio.file.Files.createTempDirectory("growthvocab-spec").toString
