@@ -27,7 +27,8 @@ object Registry {
       (graft.queries.AnalyticsOpsQueries.queries, graft.queries.AnalyticsOpsQueries.oracleSql),
       (graft.queries.ScaleOpsQueries.queries, graft.queries.ScaleOpsQueries.oracleSql),
       (graft.queries.CurationOpsQueries.queries, graft.queries.CurationOpsQueries.oracleSql),
-      (graft.queries.RetrievalQueries.queries, graft.queries.RetrievalQueries.oracleSql)
+      (graft.queries.RetrievalQueries.queries, graft.queries.RetrievalQueries.oracleSql),
+      (graft.queries.GovernanceQueries.queries, graft.queries.GovernanceQueries.oracleSql)
     )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = {
