@@ -1165,9 +1165,65 @@ object CorpusOpsQueries {
       |  END AS alloc_tokens
       |FROM rs, j ORDER BY source""".stripMargin
 
+  // ===== q163 — cross-source quantile normalization ========================
+
+  /** Quantile-normalize document lengths across sources: each document's
+    * length is replaced by the GLOBAL length at its within-source rank
+    * position (index ceil(r·N/n_s) of the globally sorted lengths) — the
+    * standard trick for making per-source score distributions comparable
+    * before a shared threshold is applied (batch-effect removal,
+    * microarray-style). Everything is rank arithmetic on exact integers:
+    * row_number ranks with doc_id tiebreak, integer-ceiling index map,
+    * one equi-join to look up the target value. Bit-reproducible.
+    *
+    * Scale shape: the per-source rank window shuffles once on source;
+    * the global rank is a single-partition sort — the honest cost of
+    * EXACT quantile mapping, accepted here like q63's ntile; the
+    * declared 100-TB swap is q68's shape (broadcast approx cut points,
+    * map-side bucket lookup, bucket-grain normalization). The lookup
+    * join keys on the dense integer index — uniform, skew-free.
+    */
+  def q163QuantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val total = docs.agg(count(lit(1)).as("n_total"))
+    val bySrc = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs
+      .withColumn("r", row_number().over(bySrc).cast("long"))
+      .withColumn("n_s",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .crossJoin(broadcast(total))
+      .withColumn("g_idx", expr("(r * n_total + n_s - 1) div n_s"))
+    val global = docs
+      .select(col("n_chars").as("norm_chars"),
+        row_number().over(Window.orderBy(col("n_chars"), col("doc_id")))
+          .cast("long").as("g_idx"))
+    ranked.join(global, Seq("g_idx"))
+      .select(col("doc_id"), col("source"), col("n_chars"), col("norm_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q163Sql: String =
+    """WITH t AS (SELECT count(*) AS n_total FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS r,
+      |    count(*) OVER (PARTITION BY source) AS n_s
+      |  FROM documents),
+      |g AS (
+      |  SELECT n_chars AS norm_chars,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS g_idx
+      |  FROM documents)
+      |SELECT doc_id, source, ranked.n_chars, norm_chars
+      |FROM ranked, t
+      |JOIN g ON g.g_idx = (r * n_total + n_s - 1) // n_s
+      |ORDER BY doc_id""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_quantile_normalize" -> (q163QuantileNormalize _),
     "q155_budget_waterfill" -> (q155BudgetWaterfill _),
     "q145_psi_drift" -> (q145PsiDrift _),
     "q144_ks_drift" -> (q144KsDrift _),
@@ -1189,6 +1245,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q163_quantile_normalize" -> q163Sql,
     "q155_budget_waterfill" -> q155Sql,
     "q145_psi_drift" -> q145Sql,
     "q144_ks_drift" -> q144Sql,

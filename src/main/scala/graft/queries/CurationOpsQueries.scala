@@ -55,6 +55,54 @@ object CurationOpsQueries {
       |GROUP BY CUBE(source, lang)
       |ORDER BY g_source, g_lang, 1, 2""".stripMargin
 
+  // ===== q164 — arbitrary grouping sets (beyond rollup/cube) ==============
+
+  /** The grouping-set shapes rollup (q60) and cube (q76) CANNOT
+    * express: exactly the two pair marginals (source, lang) and
+    * (source, length_class), nothing else. cube over the three
+    * dimensions would expand every row into 8 grouping sets to serve 2;
+    * explicit `groupingSets` plans the same single Expand with exactly
+    * the requested 2 — at 100 TB that is a 4× cut of the shuffled
+    * volume for this dashboard. GROUPING() markers disambiguate which
+    * set a row belongs to, same discipline as q76.
+    *
+    * Scale shape: one scan, one Expand (×2), one hash aggregate with
+    * map-side partials. Strictly cheaper than the cube plan it
+    * replaces.
+    */
+  def q164GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .withColumn("length_class",
+        when(col("n_chars") < 100, "short")
+          .when(col("n_chars") < 200, "medium")
+          .otherwise("long"))
+    docs.groupingSets(
+        Seq(Seq(col("source"), col("lang")),
+          Seq(col("source"), col("length_class"))),
+        col("source"), col("lang"), col("length_class"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"),
+        grouping(col("lang")).as("g_lang"),
+        grouping(col("length_class")).as("g_len"))
+      .select(col("source"), coalesce(col("lang"), lit(AllSentinel)).as("lang"),
+        coalesce(col("length_class"), lit(AllSentinel)).as("length_class"),
+        col("g_lang"), col("g_len"), col("n_docs"), col("total_chars"))
+      .orderBy(col("source"), col("g_lang"), col("lang"), col("length_class"))
+  }
+
+  val q164Sql: String =
+    """SELECT source, coalesce(lang, '(all)') AS lang,
+      |  coalesce(length_class, '(all)') AS length_class,
+      |  CAST(GROUPING(lang) AS TINYINT) AS g_lang,
+      |  CAST(GROUPING(length_class) AS TINYINT) AS g_len,
+      |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |FROM (
+      |  SELECT source, lang, n_chars,
+      |    CASE WHEN n_chars < 100 THEN 'short'
+      |      WHEN n_chars < 200 THEN 'medium' ELSE 'long' END AS length_class
+      |  FROM documents)
+      |GROUP BY GROUPING SETS ((source, lang), (source, length_class))
+      |ORDER BY source, g_lang, lang, length_class""".stripMargin
+
   // ===== q77 — unigram-LM surprisal score per document ====================
 
   /** Per-document average unigram surprisal −ln p(w) — the simplest
@@ -1337,6 +1385,7 @@ object CurationOpsQueries {
     "q94_curation_cut_pipeline" -> (q94CurationCutPipeline _),
     "q89_decontaminate_cut" -> (q89DecontaminateCut _),
     "q76_cube_scorecard" -> (q76CubeScorecard _),
+    "q164_grouping_sets" -> (q164GroupingSets _),
     "q77_unigram_surprisal" -> (q77UnigramSurprisal _),
     "q78_passage_dup_fraction" -> (q78PassageDupFraction _),
     "q79_event_anomalies" -> (q79EventAnomalies _),
@@ -1356,6 +1405,7 @@ object CurationOpsQueries {
     "q94_curation_cut_pipeline" -> q94Sql,
     "q89_decontaminate_cut" -> q89Sql,
     "q76_cube_scorecard" -> q76Sql,
+    "q164_grouping_sets" -> q164Sql,
     "q77_unigram_surprisal" -> q77Sql,
     "q78_passage_dup_fraction" -> q78Sql,
     "q79_event_anomalies" -> q79Sql,

@@ -771,6 +771,85 @@ object PipelineQueries {
 
   // ========================================================================
 
+  // ===== q162 — purged temporal split with embargo =========================
+
+  /** Time-series-safe train/valid/test split: train on the first 70% of
+    * the event timeline, validate from 85%, test after that — with
+    * two-day EMBARGO buckets excised at each boundary so
+    * leakage-by-adjacency (a label window straddling the cut) cannot
+    * happen. q37's content-keyed split answers "same document on both
+    * sides"; this is the temporal version every forecasting/eval
+    * pipeline needs. Output: one row per bucket
+    * (train/embargo/valid/embargo/test) with exact event and user
+    * counts, day bounds, and the user-overlap-with-train count —
+    * temporal splits DO share users, and the audit reports that
+    * honestly instead of hiding it.
+    *
+    * Scale shape: day bounds come from one tiny min/max aggregate
+    * (broadcast 1-row cross); assignment is a map-side CASE on the
+    * scan; the per-bucket aggregate shuffles 5 keys. The user-overlap
+    * semi-join runs at distinct-(split, user) grain — already reduced
+    * far below event grain before it shuffles; no broadcast assumed,
+    * AQE may still pick one when the train-user set is small.
+    */
+  def q162PurgedTimeSplit(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000L").as("day"))
+    val bounds = ev.agg(min(col("day")).as("min_d"), max(col("day")).as("max_d"))
+    val assigned = ev.crossJoin(broadcast(bounds))
+      .withColumn("split",
+        when(col("day") < expr("min_d + ((max_d - min_d) * 70) div 100"),
+          "1_train")
+          .when(col("day") < expr("min_d + ((max_d - min_d) * 70) div 100 + 2"),
+            "2_embargo")
+          .when(col("day") < expr("min_d + ((max_d - min_d) * 85) div 100"),
+            "3_valid")
+          .when(col("day") < expr("min_d + ((max_d - min_d) * 85) div 100 + 2"),
+            "4_embargo")
+          .otherwise("5_test"))
+      .select(col("split"), col("user_id"), col("day"))
+    val perSplit = assigned.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("day")).as("min_day"), max(col("day")).as("max_day"))
+    val splitUsers = assigned.select(col("split"), col("user_id")).distinct()
+    val trainUsers = splitUsers.filter(col("split") === "1_train")
+      .select(col("user_id"))
+    val overlap = splitUsers
+      .join(trainUsers, Seq("user_id"), "left_semi")
+      .groupBy(col("split")).agg(count(lit(1)).as("n_users_in_train"))
+    perSplit.join(overlap, Seq("split"), "left")
+      .select(col("split"), col("n_events"), col("n_users"), col("min_day"),
+        col("max_day"),
+        coalesce(col("n_users_in_train"), lit(0L)).as("n_users_in_train"))
+      .orderBy(col("split"))
+  }
+
+  val q162Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+      |b AS (SELECT min(day) AS min_d, max(day) AS max_d FROM e),
+      |a AS (
+      |  SELECT user_id, day,
+      |    CASE WHEN day < min_d + ((max_d - min_d) * 70) // 100 THEN '1_train'
+      |      WHEN day < min_d + ((max_d - min_d) * 70) // 100 + 2 THEN '2_embargo'
+      |      WHEN day < min_d + ((max_d - min_d) * 85) // 100 THEN '3_valid'
+      |      WHEN day < min_d + ((max_d - min_d) * 85) // 100 + 2 THEN '4_embargo'
+      |      ELSE '5_test' END AS split
+      |  FROM e, b),
+      |p AS (
+      |  SELECT split, count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      |    min(day) AS min_day, max(day) AS max_day
+      |  FROM a GROUP BY 1),
+      |su AS (SELECT DISTINCT split, user_id FROM a),
+      |o AS (
+      |  SELECT split, count(*) AS n_users_in_train FROM su
+      |  WHERE user_id IN (SELECT user_id FROM su WHERE split = '1_train')
+      |  GROUP BY 1)
+      |SELECT p.split, n_events, n_users, min_day, max_day,
+      |  coalesce(n_users_in_train, 0) AS n_users_in_train
+      |FROM p LEFT JOIN o ON p.split = o.split
+      |ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q96_leakage_safe_split" -> (q96LeakageSafeSplit _),
     "q27_corpus_pipeline" -> (q27CorpusPipeline _),
@@ -786,7 +865,8 @@ object PipelineQueries {
     "q53_incr_cardinality" -> (q53IncrementalCardinality _),
     "q137_incr_percentiles" -> (q137IncrPercentiles _),
     "q153_split_leakage" -> (q153SplitLeakage _),
-    "q154_dataset_card" -> (q154DatasetCard _))
+    "q154_dataset_card" -> (q154DatasetCard _),
+    "q162_purged_time_split" -> (q162PurgedTimeSplit _))
 
   val oracleSql: Map[String, String] = Map(
     "q96_leakage_safe_split" -> q96Sql,
@@ -800,5 +880,6 @@ object PipelineQueries {
     "q51_cardinality" -> q51Sql,
     "q137_incr_percentiles" -> q137Sql,
     "q153_split_leakage" -> q153Sql,
-    "q154_dataset_card" -> q154Sql)
+    "q154_dataset_card" -> q154Sql,
+    "q162_purged_time_split" -> q162Sql)
 }

@@ -353,4 +353,22 @@ class CorpusOpsSpec extends SparkTestBase {
     // rk is the content-keyed in-source rank: a permutation of 1..n_s
     assert(out.filter(_._1 == "A").map(_._3).sorted == Seq(1, 2, 3, 4))
   }
+
+  test("q163: rank-to-global index map is the exact ceiling formula") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q163-spec").toString
+    // A: lengths 10, 20 (n_s = 2); B: 30, 40, 50, 60 (n_s = 4); N = 6.
+    // global sorted: 10 20 30 40 50 60. A maps ranks 1,2 -> idx 3,6
+    // (30, 60); B maps ranks 1..4 -> idx 2,3,5,6 (20, 30, 50, 60).
+    Seq((1L, "a", "en", "A", 10L), (2L, "b", "en", "A", 20L),
+      (3L, "c", "en", "B", 30L), (4L, "d", "en", "B", 40L),
+      (5L, "e", "en", "B", 50L), (6L, "f", "en", "B", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q163QuantileNormalize(spark, dir)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out == Map(1L -> 30L, 2L -> 60L, 3L -> 20L, 4L -> 30L,
+      5L -> 50L, 6L -> 60L), s"got $out")
+  }
 }

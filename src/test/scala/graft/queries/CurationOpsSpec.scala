@@ -304,4 +304,24 @@ class CurationOpsSpec extends SparkTestBase {
     // every variant keeps exactly the same single tile → same fingerprint
     assert(Set(out(1L)._5, out(2L)._5, out(1000001L)._5, out(1000002L)._5).size == 1)
   }
+
+  test("q164: only the two requested grouping sets materialize, and each partitions the corpus") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q164-spec").toString
+    Seq((1L, "a", "en", "A", 50L), (2L, "b", "en", "A", 150L),
+      (3L, "c", "fr", "A", 250L), (4L, "d", "fr", "B", 50L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CurationOpsQueries.q164GroupingSets(spark, dir)
+      .as[(String, String, String, Byte, Byte, Long, Long)].collect().toSeq
+    // exactly two marker patterns: (0,1) = by-lang set, (1,0) = by-length set
+    assert(out.map(r => (r._4, r._5)).toSet == Set((0: Byte, 1: Byte), (1: Byte, 0: Byte)),
+      s"unexpected grouping sets: $out")
+    // each set partitions all 4 documents
+    assert(out.filter(r => r._4 == 0).map(_._6).sum == 4L)
+    assert(out.filter(r => r._4 == 1).map(_._6).sum == 4L)
+    // spot row: source A by-length 'short' holds exactly doc 1
+    val aShort = out.find(r => r._1 == "A" && r._3 == "short").get
+    assert((aShort._6, aShort._7) == ((1L, 50L)), s"got $aShort")
+  }
 }

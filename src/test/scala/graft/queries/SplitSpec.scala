@@ -79,4 +79,29 @@ class SplitSpec extends SparkTestBase {
     assert(counts.getOrElse("train", 0L) / n > 0.6)
     assert(counts.getOrElse("train", 0L) / n < 0.95)
   }
+
+  test("q162: planted 30-day timeline lands every bucket exactly; embargo days excised") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("q162-spec").toString
+    val day = 86400L * 1000000000L // epoch-nanos per day
+    // user 1 active every day 0..29; user 2 test-only (26, 27);
+    // user 3 train (0) + valid (23). span 29 -> train <20, embargo 20-21,
+    // valid 22-23, embargo 24-25, test 26-29
+    val rows =
+      (0 to 29).map(d => (d.toLong, d * day, 1L, "view", 0.0, "")) ++
+        Seq((100L, 26 * day, 2L, "view", 0.0, ""),
+          (101L, 27 * day, 2L, "view", 0.0, ""),
+          (102L, 0 * day, 3L, "view", 0.0, ""),
+          (103L, 23 * day, 3L, "view", 0.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = PipelineQueries.q162PurgedTimeSplit(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("1_train", 21L, 2L, 0L, 19L, 2L),
+      ("2_embargo", 2L, 1L, 20L, 21L, 1L),
+      ("3_valid", 3L, 2L, 22L, 23L, 2L),
+      ("4_embargo", 2L, 1L, 24L, 25L, 1L),
+      ("5_test", 6L, 2L, 26L, 29L, 1L)), s"got $out")
+  }
 }
