@@ -1220,9 +1220,57 @@ object CorpusOpsQueries {
       |JOIN g ON g.g_idx = (r * n_total + n_s - 1) // n_s
       |ORDER BY doc_id""".stripMargin
 
+  // ===== q166 — hapax legomena vocabulary report ==========================
+
+  /** Per-language vocabulary concentration: total tokens, vocabulary
+    * size, hapax legomena (tokens occurring exactly once) and dis
+    * legomena (exactly twice), with the hapax share of the vocabulary
+    * in micro. Complements q130's Zipf slope with the head-vs-tail
+    * numbers corpus linguists actually quote — a high hapax ratio
+    * flags OCR noise / tokenizer damage; a collapsing one flags
+    * boilerplate.
+    *
+    * Scale shape: token explode (codegen'd shingle path at n=1) →
+    * one hash-aggregate at (lang, token) grain → one at lang grain.
+    * The token relation is the big one and it shuffles once, on the
+    * uniform (lang, token) hash.
+    */
+  def q166HapaxReport(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.MinHashLSH.shingleRows
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val toks = shingleRows(docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", n = 1)
+      .filter(length(col("sh")) > 0)
+      .join(docs.select(col("doc_id").as("sid"), col("lang")), Seq("sid"))
+    val freq = toks.groupBy(col("lang"), col("sh"))
+      .agg(count(lit(1)).as("c"))
+    freq.groupBy(col("lang"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("vocab"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+        sum(when(col("c") === 2, 1L).otherwise(0L)).as("dis"))
+      .withColumn("hapax_ratio_micro", expr("(hapax * 1000000) div vocab"))
+      .orderBy(col("lang"))
+  }
+
+  val q166Sql: String =
+    """WITH toks AS (
+      |  SELECT lang, unnest(list_filter(
+      |    regexp_split_to_array(lower(trim(text)), '\s+'), t -> t <> '')) AS tok
+      |  FROM documents),
+      |f AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2)
+      |SELECT lang, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS vocab,
+      |  CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+      |  CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS dis,
+      |  (CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) * 1000000)
+      |    // count(*) AS hapax_ratio_micro
+      |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_hapax_report" -> (q166HapaxReport _),
     "q163_quantile_normalize" -> (q163QuantileNormalize _),
     "q155_budget_waterfill" -> (q155BudgetWaterfill _),
     "q145_psi_drift" -> (q145PsiDrift _),
@@ -1245,6 +1293,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q166_hapax_report" -> q166Sql,
     "q163_quantile_normalize" -> q163Sql,
     "q155_budget_waterfill" -> q155Sql,
     "q145_psi_drift" -> q145Sql,

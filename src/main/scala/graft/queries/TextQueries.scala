@@ -181,6 +181,151 @@ object TextQueries {
       |    / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS jaccard
       |FROM s ORDER BY doc_id""".stripMargin
 
+  // ===== q165 — dedup threshold calibration sweep =========================
+
+  /** How aggressive would near-dup dedup be at each Jaccard threshold?
+    * The calibration readout a curation team looks at before committing
+    * to a θ: over a corpus with planted exact copies and per-doc-unique
+    * near-copies (so no artificial mega-shingle ties the plants
+    * together), EXACT trigram Jaccard on every pair sharing ≥1 shingle,
+    * swept at θ ∈ {0.5, 0.7, 0.8, 0.9, 1.0}: pairs flagged and distinct
+    * documents touched per θ. Jaccard is integer micro arithmetic
+    * (|∩|·1e6 div |∪|) — no float anywhere.
+    *
+    * Scale shape: the pair universe is the exact shared-shingle
+    * equi-join — the verification kernel, quadratic only inside a
+    * shingle's posting list (bounded by the corpus shingle
+    * document-frequency spectrum; stopword trigrams are the skew risk
+    * and the production candidate generator is q21's banded MinHash,
+    * which this sweep calibrates). The sweep itself is ONE pass over
+    * the pair relation (5 conditional sums) plus one over the per-doc
+    * max — thresholds never re-scan.
+    */
+  def q165ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.MinHashLSH.shingleRows
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs
+      .unionAll(docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" near dup marker "), col("doc_id")).as("text")))
+      .unionAll(docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    val sh = shingleRows(corpus, "doc_id", "text", n = 3).distinct()
+    val counts = sh.groupBy(col("sid")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid"))
+      .groupBy(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    val jac = inter
+      .join(counts.select(col("sid").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
+      .join(counts.select(col("sid").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("(n_inter * 1000000) div (n_a + n_b - n_inter)").as("jm"))
+    val thetas = Seq(500000L, 700000L, 800000L, 900000L, 1000000L)
+    val pairSums = jac.agg(
+      count(lit(1)).as("p_all"),
+      thetas.map(t => sum(when(col("jm") >= t, 1L).otherwise(0L)).as(s"p_$t")): _*)
+    val docSums = jac
+      .select(explode(array(
+        struct(col("id_a").as("d"), col("jm")),
+        struct(col("id_b").as("d"), col("jm")))).as("x"))
+      .groupBy(col("x.d")).agg(max(col("x.jm")).as("max_jm"))
+      .agg(count(lit(1)).as("d_all"),
+        thetas.map(t => sum(when(col("max_jm") >= t, 1L).otherwise(0L)).as(s"d_$t")): _*)
+    pairSums.crossJoin(docSums)
+      .select(explode(array(thetas.map(t =>
+        struct(lit(t).as("theta_micro"), col(s"p_$t").as("n_pairs"),
+          col(s"d_$t").as("n_docs"))): _*)).as("r"))
+      .select(col("r.theta_micro"), col("r.n_pairs"), col("r.n_docs"))
+      .orderBy(col("theta_micro"))
+  }
+
+  val q165Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000,
+      |    text || ' near dup marker ' || CAST(doc_id AS VARCHAR) FROM documents
+      |  UNION ALL SELECT doc_id + 2000000, text FROM documents),
+      |t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ta
+      |  FROM corpus),
+      |sets AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+      |        i -> concat(ta[i], ' ', ta[i+1], ' ', ta[i+2]))) END AS sa
+      |  FROM t),
+      |sh AS (SELECT doc_id, unnest(sa) AS sh FROM sets),
+      |cnt AS (SELECT doc_id, len(sa) AS n_sh FROM sets),
+      |inter AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |jac AS (
+      |  SELECT id_a, id_b,
+      |    (n_inter * 1000000) // (ca.n_sh + cb.n_sh - n_inter) AS jm
+      |  FROM inter
+      |  JOIN cnt ca ON ca.doc_id = id_a
+      |  JOIN cnt cb ON cb.doc_id = id_b),
+      |perdoc AS (
+      |  SELECT d, max(jm) AS max_jm
+      |  FROM (SELECT id_a AS d, jm FROM jac UNION ALL SELECT id_b, jm FROM jac)
+      |  GROUP BY 1),
+      |th AS (SELECT CAST(unnest([500000, 700000, 800000, 900000, 1000000]) AS BIGINT)
+      |  AS theta_micro)
+      |SELECT theta_micro,
+      |  (SELECT count(*) FROM jac WHERE jm >= theta_micro) AS n_pairs,
+      |  (SELECT count(*) FROM perdoc WHERE max_jm >= theta_micro) AS n_docs
+      |FROM th ORDER BY theta_micro""".stripMargin
+
+  // ===== q167 — n-gram novelty curve ======================================
+
+  /** Per-document novelty: the fraction of a document's distinct
+    * trigrams NOT introduced by any earlier document (first occurrence,
+    * by doc_id order, is the document itself) — the memorization /
+    * freshness signal a streaming corpus intake tracks (later documents
+    * repeating earlier n-grams add less new information; a document
+    * with novelty ≈ 0 is pure recombination). Integer micro ratio over
+    * exact distinct-gram counts.
+    *
+    * Scale shape: distinct (doc, gram) relation → one hash-aggregate
+    * per gram for the min-doc owner → equi-join back at gram grain →
+    * per-doc aggregate. Two shuffles on the uniform gram hash, one on
+    * doc_id; no arrays or windows, no quadratic anything.
+    */
+  def q167NgramNovelty(s: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.MinHashLSH.shingleRows
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val sh = shingleRows(docs, "doc_id", "text", n = 3).distinct()
+    val firstSeen = sh.groupBy(col("sh")).agg(min(col("sid")).as("first_id"))
+    sh.join(firstSeen, Seq("sh"))
+      .groupBy(col("sid").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("first_id") === col("sid"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_micro", expr("(n_novel * 1000000) div n_grams"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q167Sql: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(trim(text)), '\s+'), x -> x <> '') AS ta
+      |  FROM documents),
+      |sets AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(ta) < 3 THEN [array_to_string(ta, ' ')]
+      |      ELSE list_distinct(list_transform(range(1, len(ta) - 1),
+      |        i -> concat(ta[i], ' ', ta[i+1], ' ', ta[i+2]))) END AS sa
+      |  FROM t),
+      |sh AS (SELECT doc_id, unnest(sa) AS sh FROM sets),
+      |fs AS (SELECT sh, min(doc_id) AS first_id FROM sh GROUP BY 1)
+      |SELECT sh.doc_id AS doc_id, count(*) AS n_grams,
+      |  CAST(sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_novel,
+      |  (CAST(sum(CASE WHEN fs.first_id = sh.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+      |    * 1000000) // count(*) AS novelty_micro
+      |FROM sh JOIN fs ON sh.sh = fs.sh
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===== q38 — repetition-based quality filter ============================
 
   /** Intra-document repetition signals — the filter family large text
@@ -618,6 +763,8 @@ object TextQueries {
     "q18_quality_score" -> (q18QualityScore _),
     "q19_dedup_exact_docs" -> (q19DedupExactDocs _),
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
+    "q165_threshold_sweep" -> (q165ThresholdSweep _),
+    "q167_ngram_novelty" -> (q167NgramNovelty _),
     "q38_repetition_filter" -> (q38RepetitionFilter _),
     "q39_decontaminate" -> (q39Decontaminate _),
     "q43_pii_redact" -> (q43PiiRedact _),
@@ -635,6 +782,8 @@ object TextQueries {
     "q18_quality_score" -> q18Sql,
     "q19_dedup_exact_docs" -> q19Sql,
     "q26_ngram_jaccard" -> q26Sql,
+    "q165_threshold_sweep" -> q165Sql,
+    "q167_ngram_novelty" -> q167Sql,
     "q38_repetition_filter" -> q38Sql,
     "q39_decontaminate" -> q39Sql,
     "q43_pii_redact" -> q43Sql)

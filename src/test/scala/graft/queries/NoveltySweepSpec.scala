@@ -1,0 +1,56 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** q165 threshold sweep, q166 hapax report, q167 n-gram novelty:
+  * hand-exact planted corpora plus monotonicity invariants.
+  */
+class NoveltySweepSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("q165: exact plants pin the theta=1.0 row; sweep is monotone decreasing") {
+    val dir = java.nio.file.Files.createTempDirectory("q165-spec").toString
+    // two long, token-disjoint docs: the only 1.0 pairs are the planted
+    // exact copies (one per doc), touching doc+copy = 4 docs
+    Seq((1L, (1 to 30).map(i => s"alpha$i").mkString(" "), "en", "s", 1L),
+      (2L, (1 to 30).map(i => s"beta$i").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q165ThresholdSweep(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out.map(_._1) == Seq(500000L, 700000L, 800000L, 900000L, 1000000L))
+    val exact = out.last
+    assert((exact._2, exact._3) == ((2L, 4L)), s"theta=1.0 row: $exact")
+    // monotone: raising theta can only drop pairs and docs
+    out.sliding(2).foreach { case Seq(lo, hi) =>
+      assert(hi._2 <= lo._2 && hi._3 <= lo._3, s"non-monotone: $lo -> $hi")
+    }
+  }
+
+  test("q166: hand corpus pins hapax/dis counts per language") {
+    val dir = java.nio.file.Files.createTempDirectory("q166-spec").toString
+    // en: tokens aa aa bb -> vocab 2, hapax {bb}, dis {aa}
+    // fr: tokens xx yy zz -> vocab 3, all hapax
+    Seq((1L, "aa aa", "en", "s", 5L), (2L, "bb", "en", "s", 2L),
+      (3L, "xx yy zz", "fr", "s", 8L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q166HapaxReport(spark, dir)
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("en") == (("en", 3L, 2L, 1L, 1L, 500000L)), s"en: ${out("en")}")
+    assert(out("fr") == (("fr", 3L, 3L, 3L, 0L, 1000000L)), s"fr: ${out("fr")}")
+  }
+
+  test("q167: the first document is fully novel; a later near-repeat scores its new tail only") {
+    val dir = java.nio.file.Files.createTempDirectory("q167-spec").toString
+    // doc 1: grams {a b c, b c d}; doc 2 repeats them and adds {c d e}
+    Seq((1L, "a b c d", "en", "s", 7L), (2L, "a b c d e", "en", "s", 9L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q167NgramNovelty(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, 2L, 1000000L), (2L, 3L, 1L, 333333L)),
+      s"got $out")
+  }
+}
