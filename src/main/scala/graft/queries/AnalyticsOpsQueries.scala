@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -1505,7 +1505,177 @@ object AnalyticsOpsQueries {
       |FROM documents
       |ORDER BY source, n_chars, doc_id""".stripMargin
 
+  // ===== q169 — Spearman rank correlation (exact rational) ================
+
+  /** Spearman's rho between document length and BPE-estimate token
+    * count — the tie-free rank-correlation every feature audit wants
+    * next to q110's Pearson. Ranks come from row_number with a doc_id
+    * tiebreak (total order → NO ties → the exact rational formula
+    * rho = 1 − 6·Σd²/(n(n²−1)) applies, all integers). To keep the
+    * integer division floor-vs-truncate concordant across engines even
+    * for negative rho, the quantized output is shifted:
+    * rho01_micro = (numer+denom)·5e5 div denom ∈ [0, 1e6] (numer+denom
+    * ≥ 0 always), and rho_micro = 2·rho01_micro − 1e6 derives from the
+    * already-quantized value.
+    *
+    * Scale shape: two global rank sorts (the exact-rank honest cost,
+    * q63's argument; the 100-TB swap is bucketed approximate ranks per
+    * q68), then one single-row aggregate of d². Nothing quadratic.
+    */
+  def q169RankCorrelation(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        graft.text.TextFunctions.bpeTokenEstimate(col("text")).cast("long")
+          .as("bpe"))
+    val rA = Window.orderBy(col("n_chars"), col("doc_id"))
+    val rB = Window.orderBy(col("bpe"), col("doc_id"))
+    docs
+      .withColumn("ra", row_number().over(rA).cast("long"))
+      .withColumn("rb", row_number().over(rB).cast("long"))
+      .agg(count(lit(1)).as("n"),
+        sum(expr("(ra - rb) * (ra - rb)")).as("sum_d2"))
+      .withColumn("rho01_micro", expr(
+        "((n * (n * n - 1) - 6 * sum_d2 + n * (n * n - 1)) * 500000)" +
+          " div (n * (n * n - 1))"))
+      .select(col("n"), col("sum_d2"), col("rho01_micro"),
+        expr("2 * rho01_micro - 1000000").as("rho_micro"))
+  }
+
+  val q169Sql: String =
+    """WITH r AS (
+      |  SELECT
+      |    row_number() OVER (ORDER BY n_chars, doc_id) AS ra,
+      |    row_number() OVER (ORDER BY
+      |      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')),
+      |      doc_id) AS rb
+      |  FROM documents),
+      |a AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+      |  FROM r),
+      |m AS (
+      |  SELECT n, sum_d2,
+      |    ((n * (n * n - 1) - 6 * sum_d2 + n * (n * n - 1)) * 500000)
+      |      // (n * (n * n - 1)) AS rho01_micro
+      |  FROM a)
+      |SELECT n, sum_d2, rho01_micro, 2 * rho01_micro - 1000000 AS rho_micro
+      |FROM m""".stripMargin
+
+  // ===== q170 — RFM feature engineering ===================================
+
+  /** Per-user Recency/Frequency/Monetary features with quintile scores
+    * — the classic behavioral segmentation every growth stack derives
+    * from the event log. Monetary is exact cents; scores are ntile(5)
+    * over a TOTAL order (metric + user_id tiebreak, best bucket = 5),
+    * so the standard-SQL ntile remainder rule makes both engines agree
+    * bit-for-bit; the composite segment is r·100+f·10+m.
+    *
+    * Scale shape: one user-grain hash aggregate, then three global
+    * ntile sorts over the USER relation (already reduced far below
+    * event grain). Exact global quantiles cost a sort — q63's
+    * argument; the 100-TB swap is q68's broadcast cut points.
+    */
+  def q170RfmFeatures(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.load(s, dir, "events")
+      .select(col("user_id"), expr("(ts div 1000) div 86400000000L").as("day"),
+        col("value"))
+    val maxDay = ev.agg(max(col("day")).as("corpus_max_day"))
+    val perUser = ev.groupBy(col("user_id"))
+      .agg(max(col("day")).as("last_day"),
+        count(lit(1)).as("f_events"),
+        sum(expr("cast(floor(value * 100 + 0.5) as bigint)")).as("m_cents"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"),
+        (col("corpus_max_day") - col("last_day")).as("r_days"),
+        col("f_events"), col("m_cents"))
+    perUser
+      .withColumn("r_score",
+        ntile(5).over(Window.orderBy(col("r_days").desc, col("user_id"))))
+      .withColumn("f_score",
+        ntile(5).over(Window.orderBy(col("f_events"), col("user_id"))))
+      .withColumn("m_score",
+        ntile(5).over(Window.orderBy(col("m_cents"), col("user_id"))))
+      .select(col("user_id"), col("r_days"), col("f_events"), col("m_cents"),
+        col("r_score"), col("f_score"), col("m_score"),
+        expr("r_score * 100 + f_score * 10 + m_score").as("rfm_segment"))
+      .orderBy(col("user_id"))
+  }
+
+  val q170Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) // 86400000000 AS day, value FROM events),
+      |mx AS (SELECT max(day) AS corpus_max_day FROM e),
+      |u AS (
+      |  SELECT user_id, corpus_max_day - max(day) AS r_days,
+      |    count(*) AS f_events,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS m_cents
+      |  FROM e, mx GROUP BY user_id, corpus_max_day),
+      |sc AS (
+      |  SELECT user_id, r_days, f_events, m_cents,
+      |    ntile(5) OVER (ORDER BY r_days DESC, user_id) AS r_score,
+      |    ntile(5) OVER (ORDER BY f_events, user_id) AS f_score,
+      |    ntile(5) OVER (ORDER BY m_cents, user_id) AS m_score
+      |  FROM u)
+      |SELECT user_id, r_days, f_events, m_cents, r_score, f_score, m_score,
+      |  r_score * 100 + f_score * 10 + m_score AS rfm_segment
+      |FROM sc ORDER BY user_id""".stripMargin
+
+  // ===== q171 — Gini concentration of corpus volume =======================
+
+  /** How concentrated is each source's volume in its largest documents?
+    * The Gini coefficient per source (plus a corpus-wide row) over
+    * document lengths, from the exact rank formula on ascending-sorted
+    * values: G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) — all integer sums, the
+    * quantized ratio is nonnegative by construction so integer division
+    * is concordant. The release-report companion to q59/q155: a source
+    * with Gini → 1 is a few giant documents wearing a big doc count.
+    *
+    * Scale shape: one rank window per source (single exchange on
+    * source, in-partition sort) and integer sums; the corpus row costs
+    * one global sort — same honest-cost note as q63, swap = q68
+    * buckets.
+    */
+  def q171GiniConcentration(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+    def gini(df: DataFrame, grp: Column): DataFrame = df
+      .withColumn("i", row_number()
+        .over(Window.partitionBy(grp).orderBy(col("n_chars"), col("doc_id")))
+        .cast("long"))
+      .groupBy(grp.as("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(expr("i * n_chars")).as("wsum"))
+      .select(col("source"), col("n_docs"), col("total_chars"),
+        expr("((2 * wsum - (n_docs + 1) * total_chars) * 1000000)" +
+          " div (n_docs * total_chars)").as("gini_micro"))
+    gini(docs, col("source"))
+      .unionAll(gini(docs.withColumn("g", lit("(all)")), col("g")))
+      .orderBy(col("source"))
+  }
+
+  val q171Sql: String =
+    """WITH d AS (
+      |  SELECT source, doc_id, n_chars FROM documents
+      |  UNION ALL SELECT '(all)', doc_id, n_chars FROM documents),
+      |r AS (
+      |  SELECT source, n_chars,
+      |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS i
+      |  FROM d),
+      |g AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      |    CAST(sum(i * n_chars) AS BIGINT) AS wsum
+      |  FROM r GROUP BY 1)
+      |SELECT source, n_docs, total_chars,
+      |  ((2 * wsum - (n_docs + 1) * total_chars) * 1000000)
+      |    // (n_docs * total_chars) AS gini_micro
+      |FROM g ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_rank_correlation" -> (q169RankCorrelation _),
+    "q170_rfm_features" -> (q170RfmFeatures _),
+    "q171_gini_concentration" -> (q171GiniConcentration _),
     "q133_time_travel_lookup" -> (q133TimeTravelLookup _),
     "q143_growth_accounting" -> (q143GrowthAccounting _),
     "q151_unpivot_measures" -> (q151UnpivotMeasures _),
@@ -1537,6 +1707,9 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q169_rank_correlation" -> q169Sql,
+    "q170_rfm_features" -> q170Sql,
+    "q171_gini_concentration" -> q171Sql,
     "q133_time_travel_lookup" -> q133Sql,
     "q143_growth_accounting" -> q143Sql,
     "q151_unpivot_measures" -> q151Sql,

@@ -1267,9 +1267,89 @@ object CorpusOpsQueries {
       |    // count(*) AS hapax_ratio_micro
       |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q168 — source/language mutual-information profile ================
+
+  /** How much does knowing the source tell you about the language (and
+    * vice versa)? Entropies H(source), H(lang) and their mutual
+    * information over the document metadata, in micro-nats, plus the
+    * normalized MI (MI / min(H)) — the one-number answer to "are my
+    * sources language-siloed?" that a mixture designer reads before
+    * stratifying. Per-cell and per-marginal terms are quantized with
+    * the q124 discipline (floor(x·1e6+0.5) on a scalar of exact
+    * integer counts, concordant across engines) BEFORE the sum; the
+    * normalized ratio divides the two already-quantized sums.
+    *
+    * Scale shape: one (source, lang) hash aggregate — cells bounded by
+    * |sources|·|langs|, marginals derived from the cells, everything
+    * after the first aggregate is dashboard-sized. One shuffle.
+    */
+  def q168MiProfile(s: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.load(s, dir, "documents")
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c_sl"))
+    val bySrc = cells.groupBy(col("source")).agg(sum(col("c_sl")).as("c_s"))
+    val byLang = cells.groupBy(col("lang")).agg(sum(col("c_sl")).as("c_l"))
+    val n = cells.agg(sum(col("c_sl")).as("n_docs"))
+    val hs = bySrc.crossJoin(broadcast(n))
+      .select(floor((col("c_s").cast("double") / col("n_docs"))
+        * -log(col("c_s").cast("double") / col("n_docs")) * 1e6 + lit(0.5))
+        .cast("long").as("t"))
+      .agg(sum(col("t")).as("h_source_micro"))
+    val hl = byLang.crossJoin(broadcast(n))
+      .select(floor((col("c_l").cast("double") / col("n_docs"))
+        * -log(col("c_l").cast("double") / col("n_docs")) * 1e6 + lit(0.5))
+        .cast("long").as("t"))
+      .agg(sum(col("t")).as("h_lang_micro"))
+    val mi = cells.join(broadcast(bySrc), Seq("source"))
+      .join(broadcast(byLang), Seq("lang"))
+      .crossJoin(broadcast(n))
+      .select(floor((col("c_sl").cast("double") / col("n_docs"))
+        * log((col("c_sl").cast("double") * col("n_docs"))
+          / (col("c_s").cast("double") * col("c_l"))) * 1e6 + lit(0.5))
+        .cast("long").as("t"))
+      .agg(sum(col("t")).as("mi_micro"))
+    // MI is mathematically >= 0; per-term rounding can leave a tiny
+    // negative residue, clamped so the ratio's integer division is
+    // floor==truncate in both engines
+    n.crossJoin(hs).crossJoin(hl).crossJoin(mi)
+      .select(col("n_docs"), col("h_source_micro"), col("h_lang_micro"),
+        greatest(col("mi_micro"), lit(0L)).as("mi_micro"))
+      .select(col("n_docs"), col("h_source_micro"), col("h_lang_micro"),
+        col("mi_micro"),
+        expr("(mi_micro * 1000000) div least(h_source_micro, h_lang_micro)")
+          .as("nmi_micro"))
+  }
+
+  val q168Sql: String =
+    """WITH cells AS (
+      |  SELECT source, lang, count(*) AS c_sl FROM documents GROUP BY 1, 2),
+      |s AS (SELECT source, sum(c_sl) AS c_s FROM cells GROUP BY 1),
+      |l AS (SELECT lang, sum(c_sl) AS c_l FROM cells GROUP BY 1),
+      |n AS (SELECT CAST(sum(c_sl) AS BIGINT) AS n_docs FROM cells),
+      |hs AS (
+      |  SELECT CAST(sum(CAST(floor((CAST(c_s AS DOUBLE) / n_docs)
+      |    * -ln(CAST(c_s AS DOUBLE) / n_docs) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS h_source_micro
+      |  FROM s, n),
+      |hl AS (
+      |  SELECT CAST(sum(CAST(floor((CAST(c_l AS DOUBLE) / n_docs)
+      |    * -ln(CAST(c_l AS DOUBLE) / n_docs) * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+      |    AS h_lang_micro
+      |  FROM l, n),
+      |mi AS (
+      |  SELECT CAST(sum(CAST(floor((CAST(c_sl AS DOUBLE) / n_docs)
+      |    * ln((CAST(c_sl AS DOUBLE) * n_docs) / (CAST(c_s AS DOUBLE) * c_l))
+      |    * 1000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_micro
+      |  FROM cells JOIN s USING (source) JOIN l USING (lang), n)
+      |SELECT n_docs, h_source_micro, h_lang_micro,
+      |  greatest(mi_micro, 0) AS mi_micro,
+      |  (greatest(mi_micro, 0) * 1000000)
+      |    // least(h_source_micro, h_lang_micro) AS nmi_micro
+      |FROM n, hs, hl, mi""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_mi_profile" -> (q168MiProfile _),
     "q166_hapax_report" -> (q166HapaxReport _),
     "q163_quantile_normalize" -> (q163QuantileNormalize _),
     "q155_budget_waterfill" -> (q155BudgetWaterfill _),
@@ -1293,6 +1373,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q168_mi_profile" -> q168Sql,
     "q166_hapax_report" -> q166Sql,
     "q163_quantile_normalize" -> q163Sql,
     "q155_budget_waterfill" -> q155Sql,

@@ -1,0 +1,85 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** q168 MI profile, q169 Spearman, q170 RFM, q171 Gini: hand-exact
+  * plants at the boundary values (NMI 0/1, rho ±1, gini 0/known).
+  */
+class StatsAuditSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def docsDf(rows: Seq[(Long, String, String, String, Long)]) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  test("q168: language-siloed sources hit NMI 1e6; independent dims hit 0") {
+    val dir1 = java.nio.file.Files.createTempDirectory("q168-spec").toString
+    docsDf(Seq((1L, "a", "en", "A", 1L), (2L, "b", "en", "A", 1L),
+      (3L, "c", "fr", "B", 1L), (4L, "d", "fr", "B", 1L)))
+      .write.parquet(s"$dir1/documents.parquet")
+    val silo = CorpusOpsQueries.q168MiProfile(spark, dir1)
+      .as[(Long, Long, Long, Long, Long)].head()
+    // H = ln 2 in micro summed over 2 symbols: 2 * floor(0.5*ln2*1e6+0.5)
+    assert(silo == ((4L, 693148L, 693148L, 693148L, 1000000L)), s"silo: $silo")
+
+    val dir2 = java.nio.file.Files.createTempDirectory("q168-spec").toString
+    docsDf(Seq((1L, "a", "en", "A", 1L), (2L, "b", "fr", "A", 1L),
+      (3L, "c", "en", "B", 1L), (4L, "d", "fr", "B", 1L)))
+      .write.parquet(s"$dir2/documents.parquet")
+    val indep = CorpusOpsQueries.q168MiProfile(spark, dir2)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert((indep._4, indep._5) == ((0L, 0L)), s"independent: $indep")
+  }
+
+  test("q169: reversed ranks score exactly -1e6, aligned ranks +1e6") {
+    // bpe token count drives rank b: 'aa bb cc'=3, 'aa bb'=2, 'aa'=1
+    val dir1 = java.nio.file.Files.createTempDirectory("q169-spec").toString
+    docsDf(Seq((1L, "aa bb cc", "en", "s", 10L), (2L, "aa bb", "en", "s", 20L),
+      (3L, "aa", "en", "s", 30L)))
+      .write.parquet(s"$dir1/documents.parquet")
+    val rev = AnalyticsOpsQueries.q169RankCorrelation(spark, dir1)
+      .as[(Long, Long, Long, Long)].head()
+    assert(rev == ((3L, 8L, 0L, -1000000L)), s"reversed: $rev")
+
+    val dir2 = java.nio.file.Files.createTempDirectory("q169-spec").toString
+    docsDf(Seq((1L, "aa", "en", "s", 10L), (2L, "aa bb", "en", "s", 20L),
+      (3L, "aa bb cc", "en", "s", 30L)))
+      .write.parquet(s"$dir2/documents.parquet")
+    val fwd = AnalyticsOpsQueries.q169RankCorrelation(spark, dir2)
+      .as[(Long, Long, Long, Long)].head()
+    assert(fwd == ((3L, 0L, 1000000L, 1000000L)), s"aligned: $fwd")
+  }
+
+  test("q170: distinct metrics make every quintile a singleton; best user scores 555") {
+    val dir = java.nio.file.Files.createTempDirectory("q170-spec").toString
+    val day = 86400L * 1000000000L
+    // user i: last active day i, i events, value sum i dollars -> user 5
+    // is best on all three axes
+    val rows = (1 to 5).flatMap { u =>
+      (1 to u).map(k => ((u * 10 + k).toLong, u * day, u.toLong, "buy",
+        1.0, ""))
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = AnalyticsOpsQueries.q170RfmFeatures(spark, dir)
+      .as[(Long, Long, Long, Long, Int, Int, Int, Int)].collect().toSeq
+    assert(out.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    out.foreach { r =>
+      val u = r._1.toInt
+      assert(r._2 == 5L - u && r._3 == u.toLong && r._4 == u * 100L, s"features: $r")
+      assert((r._5, r._6, r._7, r._8) == ((u, u, u, u * 111)), s"scores: $r")
+    }
+  }
+
+  test("q171: uniform lengths score gini 0; a 1-vs-9 split scores 400000") {
+    val dir = java.nio.file.Files.createTempDirectory("q171-spec").toString
+    docsDf(Seq((1L, "a", "en", "EQ", 5L), (2L, "b", "en", "EQ", 5L),
+      (3L, "c", "en", "SKEW", 1L), (4L, "d", "en", "SKEW", 9L)))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = AnalyticsOpsQueries.q171GiniConcentration(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out("EQ") == 0L, s"uniform: ${out("EQ")}")
+    assert(out("SKEW") == 400000L, s"skew: ${out("SKEW")}")
+    assert(out.contains("(all)"))
+  }
+}
