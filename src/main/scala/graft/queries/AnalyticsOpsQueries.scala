@@ -1672,7 +1672,62 @@ object AnalyticsOpsQueries {
       |    // (n_docs * total_chars) AS gini_micro
       |FROM g ORDER BY source""".stripMargin
 
+  // ===== q173 — 2D Pareto skyline (dominance frontier) ====================
+
+  /** The skyline operator: documents on the Pareto frontier of
+    * (n_chars MAXIMIZE, bpe_tokens MINIMIZE) — the char-per-token
+    * "compression efficiency" frontier a tokenizer evaluation reads.
+    * A document is dominated iff another has ≥ chars AND ≤ tokens with
+    * one strict. The naive plan is the O(n²) self-join; this one is the
+    * sort-based O(n log n) window formulation: a row survives iff no
+    * strictly-longer row has tokens ≤ its own (a RANGE frame min over
+    * n_chars strictly greater) and no equal-length row has strictly
+    * fewer tokens (a partition min).
+    *
+    * Scale shape: one global RANGE-frame sort + one partition min —
+    * no self-join, no explode. The global sort is the exact-skyline
+    * honest cost; the 100-TB swap is the standard grid-partition
+    * skyline (coarse bucket pre-filter drops rows dominated within
+    * their own bucket before the global merge).
+    */
+  def q173ParetoSkyline(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"),
+        graft.text.TextFunctions.bpeTokenEstimate(col("text")).cast("long")
+          .as("bpe_tokens"))
+    val strictlyLonger = Window.orderBy(col("n_chars"))
+      .rangeBetween(1L, Window.unboundedFollowing)
+    val sameLength = Window.partitionBy(col("n_chars"))
+    docs
+      .withColumn("min_t_longer", min(col("bpe_tokens")).over(strictlyLonger))
+      .withColumn("min_t_equal", min(col("bpe_tokens")).over(sameLength))
+      .filter((col("min_t_longer").isNull
+          || col("min_t_longer") > col("bpe_tokens"))
+        && col("min_t_equal") === col("bpe_tokens"))
+      .select(col("doc_id"), col("n_chars"), col("bpe_tokens"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+  }
+
+  val q173Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, n_chars,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+      |      AS BIGINT) AS bpe_tokens
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, n_chars, bpe_tokens,
+      |    min(bpe_tokens) OVER (ORDER BY n_chars
+      |      RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS min_t_longer,
+      |    min(bpe_tokens) OVER (PARTITION BY n_chars) AS min_t_equal
+      |  FROM d)
+      |SELECT doc_id, n_chars, bpe_tokens
+      |FROM w
+      |WHERE (min_t_longer IS NULL OR min_t_longer > bpe_tokens)
+      |  AND min_t_equal = bpe_tokens
+      |ORDER BY n_chars DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q173_pareto_skyline" -> (q173ParetoSkyline _),
     "q169_rank_correlation" -> (q169RankCorrelation _),
     "q170_rfm_features" -> (q170RfmFeatures _),
     "q171_gini_concentration" -> (q171GiniConcentration _),
@@ -1707,6 +1762,7 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q173_pareto_skyline" -> q173Sql,
     "q169_rank_correlation" -> q169Sql,
     "q170_rfm_features" -> q170Sql,
     "q171_gini_concentration" -> q171Sql,

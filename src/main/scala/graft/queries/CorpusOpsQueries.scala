@@ -1346,9 +1346,53 @@ object CorpusOpsQueries {
       |    // least(h_source_micro, h_lang_micro) AS nmi_micro
       |FROM n, hs, hl, mi""".stripMargin
 
+  // ===== q172 — Simpson/Herfindahl language-diversity index ===============
+
+  /** Per-source language diversity as the Simpson/Herfindahl
+    * concentration index H = Σ p² — EXACT rational in micro
+    * ((Σc²)·1e6 div n²) — and its reciprocal, the "effective number of
+    * languages" (micro, from the already-quantized H). The one-number
+    * companion to q76's full breakdown: H → 1e6 means a monolingual
+    * source; effective_langs ≈ k means "as diverse as k equal
+    * languages". Corpus-wide row included under `(all)`.
+    *
+    * Scale shape: one (source, lang) hash aggregate; everything after
+    * is |sources|·|langs|-sized. One shuffle, no windows, no floats.
+    */
+  def q172SimpsonDiversity(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("source"), col("lang"))
+    val cells = docs
+      .unionAll(docs.select(lit("(all)").as("source"), col("lang")))
+      .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("c"))
+    cells.groupBy(col("source"))
+      .agg(sum(col("c")).as("n_docs"), count(lit(1)).as("n_langs"),
+        sum(expr("c * c")).as("sum_c2"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        expr("(sum_c2 * 1000000) div (n_docs * n_docs)").as("herfindahl_micro"))
+      .withColumn("effective_langs_micro",
+        expr("cast(1000000000000 as bigint) div herfindahl_micro"))
+      .orderBy(col("source"))
+  }
+
+  val q172Sql: String =
+    """WITH d AS (
+      |  SELECT source, lang FROM documents
+      |  UNION ALL SELECT '(all)', lang FROM documents),
+      |cells AS (SELECT source, lang, count(*) AS c FROM d GROUP BY 1, 2),
+      |g AS (
+      |  SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_langs,
+      |    CAST(sum(c * c) AS BIGINT) AS sum_c2
+      |  FROM cells GROUP BY 1)
+      |SELECT source, n_docs, n_langs,
+      |  (sum_c2 * 1000000) // (n_docs * n_docs) AS herfindahl_micro,
+      |  CAST(1000000000000 AS BIGINT)
+      |    // ((sum_c2 * 1000000) // (n_docs * n_docs)) AS effective_langs_micro
+      |FROM g ORDER BY source""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_simpson_diversity" -> (q172SimpsonDiversity _),
     "q168_mi_profile" -> (q168MiProfile _),
     "q166_hapax_report" -> (q166HapaxReport _),
     "q163_quantile_normalize" -> (q163QuantileNormalize _),
@@ -1373,6 +1417,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q172_simpson_diversity" -> q172Sql,
     "q168_mi_profile" -> q168Sql,
     "q166_hapax_report" -> q166Sql,
     "q163_quantile_normalize" -> q163Sql,

@@ -70,6 +70,34 @@ class StatsAuditSpec extends SparkTestBase {
     }
   }
 
+  test("q172: monolingual source scores H=1e6; a 50/50 source halves it") {
+    val dir = java.nio.file.Files.createTempDirectory("q172-spec").toString
+    docsDf(Seq((1L, "a", "en", "MONO", 1L), (2L, "b", "en", "MONO", 1L),
+      (3L, "c", "en", "DUO", 1L), (4L, "d", "fr", "DUO", 1L)))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q172SimpsonDiversity(spark, dir)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out("MONO") == (("MONO", 2L, 1L, 1000000L, 1000000L)), s"${out("MONO")}")
+    assert(out("DUO") == (("DUO", 2L, 2L, 500000L, 2000000L)), s"${out("DUO")}")
+    // corpus row: 3 en 1 fr over 4 -> (9+1)*1e6//16 = 625000
+    assert(out("(all)")._4 == 625000L, s"${out("(all)")}")
+  }
+
+  test("q173: dominance removes equal-length worse rows and shorter worse rows") {
+    val dir = java.nio.file.Files.createTempDirectory("q173-spec").toString
+    // (chars, tokens): (20,3) dominates (20,4) and (10,5); (5,1) survives
+    // on the token axis
+    docsDf(Seq((1L, "aa bb cc dd ee", "en", "s", 10L),
+      (2L, "aa bb cc", "en", "s", 20L),
+      (3L, "aa bb cc dd", "en", "s", 20L),
+      (4L, "aa", "en", "s", 5L)))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = AnalyticsOpsQueries.q173ParetoSkyline(spark, dir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 20L, 3L), (4L, 5L, 1L)), s"got $out")
+  }
+
   test("q171: uniform lengths score gini 0; a 1-vs-9 split scores 400000") {
     val dir = java.nio.file.Files.createTempDirectory("q171-spec").toString
     docsDf(Seq((1L, "a", "en", "EQ", 5L), (2L, "b", "en", "EQ", 5L),
