@@ -237,6 +237,98 @@ object RelationalQueries {
       |SELECT from_type, to_type, count(*) AS n_transitions
       |FROM t GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ===== q174 — Markov stationary event mix ===============================
+
+  /** The steady-state event mix implied by the per-user transition
+    * chain: q104 reports the transition COUNTS; this runs three
+    * quantized power iterations of the row-normalized matrix from a
+    * uniform start and reports where the mass settles — the one-vector
+    * answer to "what does a typical long session converge to spending
+    * its time on". Mass is integer NANO units with the q131 discipline:
+    * every per-edge contribution floors pn·c/rowtotal to a long BEFORE
+    * the per-state sum, so all three iterations are exact integer
+    * aggregations and the unrolled oracle reproduces them bit-for-bit.
+    * States that lose all incoming mass report 0 rather than vanishing.
+    *
+    * Scale shape: transitions come from one lead-window pass on the
+    * user exchange (q104's shape); after that first aggregate
+    * everything is |event_types|²-sized — each iteration is a tiny
+    * join + hash aggregate, checkpointed to keep lineage flat.
+    */
+  def q174MarkovStationary(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_us"))
+    val ev = eventsUs(s, dir)
+    val trans = ev
+      .withColumn("to_type", lead(col("event_type"), 1).over(byUser))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("c"))
+    val m = trans
+      .join(trans.groupBy(col("from_type")).agg(sum(col("c")).as("rt")),
+        "from_type")
+      .localCheckpoint(true)
+    val states = ev.select(col("event_type").as("state")).distinct()
+    var pi = states
+      .crossJoin(broadcast(states.agg(count(lit(1)).as("n"))))
+      .select(col("state"),
+        floor(lit(1e9) / col("n") + lit(0.5)).cast("long").as("pn"))
+      .localCheckpoint(true)
+    for (_ <- 1 to 3) {
+      val contrib = m
+        .join(pi.select(col("state").as("from_type"), col("pn")), "from_type")
+        .select(col("to_type"),
+          floor(col("pn").cast("double") * col("c") / col("rt") + lit(0.5))
+            .cast("long").as("t"))
+        .groupBy(col("to_type")).agg(sum(col("t")).as("mass"))
+      pi = states
+        .join(contrib.select(col("to_type").as("state"), col("mass")),
+          Seq("state"), "left")
+        .select(col("state"), coalesce(col("mass"), lit(0L)).as("pn"))
+        .localCheckpoint(true)
+    }
+    pi.select(col("state"), col("pn").as("stat_nano")).orderBy(col("state"))
+  }
+
+  /** The same three iterations unrolled as CTEs (q131's oracle shape). */
+  val q174Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |t0 AS (
+      |  SELECT event_type AS from_type,
+      |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us) AS to_type
+      |  FROM e),
+      |m0 AS (
+      |  SELECT from_type, to_type, count(*) AS c FROM t0
+      |  WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |m AS (
+      |  SELECT m0.from_type, m0.to_type, m0.c, r.rt
+      |  FROM m0 JOIN (SELECT from_type, sum(c) AS rt FROM m0 GROUP BY 1) r
+      |    USING (from_type)),
+      |st AS (SELECT DISTINCT event_type AS state FROM e),
+      |nn AS (SELECT count(*) AS n FROM st),
+      |p0 AS (
+      |  SELECT state,
+      |    CAST(floor(1000000000.0 / n + 0.5) AS BIGINT) AS pn
+      |  FROM st, nn),
+      |i1 AS (
+      |  SELECT to_type AS state,
+      |    CAST(sum(CAST(floor(CAST(pn AS DOUBLE) * c / rt + 0.5) AS BIGINT))
+      |      AS BIGINT) AS mass
+      |  FROM m JOIN p0 ON p0.state = m.from_type GROUP BY 1),
+      |p1 AS (SELECT st.state, coalesce(mass, 0) AS pn FROM st LEFT JOIN i1 USING (state)),
+      |i2 AS (
+      |  SELECT to_type AS state,
+      |    CAST(sum(CAST(floor(CAST(pn AS DOUBLE) * c / rt + 0.5) AS BIGINT))
+      |      AS BIGINT) AS mass
+      |  FROM m JOIN p1 ON p1.state = m.from_type GROUP BY 1),
+      |p2 AS (SELECT st.state, coalesce(mass, 0) AS pn FROM st LEFT JOIN i2 USING (state)),
+      |i3 AS (
+      |  SELECT to_type AS state,
+      |    CAST(sum(CAST(floor(CAST(pn AS DOUBLE) * c / rt + 0.5) AS BIGINT))
+      |      AS BIGINT) AS mass
+      |  FROM m JOIN p2 ON p2.state = m.from_type GROUP BY 1),
+      |p3 AS (SELECT st.state, coalesce(mass, 0) AS pn FROM st LEFT JOIN i3 USING (state))
+      |SELECT state, pn AS stat_nano FROM p3 ORDER BY state""".stripMargin
+
   // ===== q46 — range join: purchases inside error-burst windows ==========
 
   /** Which purchases landed within 5 minutes after ANY error event —
@@ -827,6 +919,7 @@ object RelationalQueries {
     "q100_gap_fill_grid" -> (q100GapFillGrid _),
     "q102_session_funnel" -> (q102SessionFunnel _),
     "q104_event_transitions" -> (q104EventTransitions _),
+    "q174_markov_stationary" -> (q174MarkovStationary _),
     "q46_range_join" -> (q46RangeJoin _),
     "q47_session_attribution" -> (q47SessionAttribution _),
     "q48_overlap_join" -> (q48OverlapJoin _),
@@ -834,6 +927,7 @@ object RelationalQueries {
     "q50_asof_forward" -> (q50AsofForward _))
 
   val oracleSql: Map[String, String] = Map(
+    "q174_markov_stationary" -> q174Sql,
     "q140_event_dedup_window" -> q140Sql,
     "q156_funnel_timing" -> q156Sql,
     "q123_asof_nearest" -> q123Sql,

@@ -201,7 +201,11 @@ object TextQueries {
     * the pair relation (5 conditional sums) plus one over the per-doc
     * max — thresholds never re-scan.
     */
-  def q165ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+  /** The q165/q175 shared kernel: exact trigram-Jaccard (micro) for
+    * every pair sharing ≥1 shingle over the planted corpus (original +
+    * per-doc-unique near-copy + exact copy). See q165's scale notes.
+    */
+  private[queries] def plantedJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.MinHashLSH.shingleRows
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs
@@ -214,11 +218,15 @@ object TextQueries {
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid"))
       .groupBy(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    val jac = inter
+    inter
       .join(counts.select(col("sid").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(counts.select(col("sid").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         expr("(n_inter * 1000000) div (n_a + n_b - n_inter)").as("jm"))
+  }
+
+  def q165ThresholdSweep(s: SparkSession, dir: String): DataFrame = {
+    val jac = plantedJaccardPairs(s, dir)
     val thetas = Seq(500000L, 700000L, 800000L, 900000L, 1000000L)
     val pairSums = jac.agg(
       count(lit(1)).as("p_all"),
@@ -238,8 +246,11 @@ object TextQueries {
       .orderBy(col("theta_micro"))
   }
 
-  val q165Sql: String =
-    """WITH corpus AS (
+  /** SQL twin of [[plantedJaccardPairs]] — the CTE prefix ending at
+    * `jac (id_a, id_b, jm)`, shared by q165 and q175.
+    */
+  private val SqlJacPairs: String =
+    """corpus AS (
       |  SELECT doc_id, text FROM documents
       |  UNION ALL SELECT doc_id + 1000000,
       |    text || ' near dup marker ' || CAST(doc_id AS VARCHAR) FROM documents
@@ -265,7 +276,10 @@ object TextQueries {
       |    (n_inter * 1000000) // (ca.n_sh + cb.n_sh - n_inter) AS jm
       |  FROM inter
       |  JOIN cnt ca ON ca.doc_id = id_a
-      |  JOIN cnt cb ON cb.doc_id = id_b),
+      |  JOIN cnt cb ON cb.doc_id = id_b)""".stripMargin
+
+  val q165Sql: String =
+    s"""WITH $SqlJacPairs,
       |perdoc AS (
       |  SELECT d, max(jm) AS max_jm
       |  FROM (SELECT id_a AS d, jm FROM jac UNION ALL SELECT id_b, jm FROM jac)
@@ -276,6 +290,98 @@ object TextQueries {
       |  (SELECT count(*) FROM jac WHERE jm >= theta_micro) AS n_pairs,
       |  (SELECT count(*) FROM perdoc WHERE max_jm >= theta_micro) AS n_docs
       |FROM th ORDER BY theta_micro""".stripMargin
+
+  // ===== q175 — near-dup graph degree histogram ===========================
+
+  /** The degree distribution of the θ=0.8 near-duplicate graph over the
+    * q165 planted corpus — the structural readout that separates "my
+    * dupes are isolated pairs" (degree spikes at 1–2, per-pair dedup is
+    * safe) from "my dupes form hubs" (heavy tail, cluster resolution
+    * like q36 is mandatory). Zero-degree documents are reported
+    * explicitly so the histogram sums to the corpus size.
+    *
+    * Scale shape: one pass over the shared exact-Jaccard pair kernel
+    * ([[plantedJaccardPairs]]), explode to (doc, pair) rows, two hash
+    * aggregates (degree per doc, docs per degree). Nothing beyond the
+    * kernel's cost.
+    */
+  def q175DupgraphDegrees(s: SparkSession, dir: String): DataFrame = {
+    val deg = plantedJaccardPairs(s, dir)
+      .filter(col("jm") >= 800000)
+      .select(explode(array(col("id_a"), col("id_b"))).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy(col("degree")).agg(count(lit(1)).as("n_docs"))
+    val zero = Tables.load(s, dir, "documents")
+      .agg((count(lit(1)) * 3).as("n_corpus"))
+      .crossJoin(broadcast(deg.agg(count(lit(1)).as("n_involved"))))
+      .select(lit(0L).as("degree"), (col("n_corpus") - col("n_involved")).as("n_docs"))
+    hist.unionAll(zero).filter(col("n_docs") > 0).orderBy(col("degree"))
+  }
+
+  val q175Sql: String =
+    s"""WITH $SqlJacPairs,
+      |deg AS (
+      |  SELECT d, count(*) AS degree
+      |  FROM (SELECT id_a AS d FROM jac WHERE jm >= 800000
+      |        UNION ALL SELECT id_b FROM jac WHERE jm >= 800000)
+      |  GROUP BY 1),
+      |hist AS (SELECT degree, count(*) AS n_docs FROM deg GROUP BY 1),
+      |tot AS (SELECT count(*) * 3 AS n_corpus FROM documents),
+      |inv AS (SELECT count(*) AS n_involved FROM deg)
+      |SELECT degree, n_docs FROM (
+      |  SELECT degree, n_docs FROM hist
+      |  UNION ALL SELECT CAST(0 AS BIGINT), n_corpus - n_involved FROM tot, inv)
+      |WHERE n_docs > 0 ORDER BY degree""".stripMargin
+
+  // ===== q176 — per-language character-trigram profile ====================
+
+  /** The top-5 character trigrams per language with exact counts — the
+    * interpretable face of the q17 n-gram language-ID heuristic (these
+    * are the features it keys on) and the standard fingerprint for
+    * spotting mislabeled or transliterated subcorpora. Text is
+    * normalized exactly like the shingler (lower, whitespace collapsed
+    * to single spaces) so profiles compose with the dedup family.
+    *
+    * Scale shape: character-window explode is length-linear and
+    * map-side; one (lang, gram) hash aggregate; the top-5 window runs
+    * over the VOCABULARY-sized count relation partitioned by lang
+    * (deterministic count-desc + gram tiebreak). For a vocabulary too
+    * big to sort per lang, the declared swap is the bounded `topk_by`
+    * aggregate (TopKAgg) the ANN family uses.
+    */
+  def q176CharTrigramProfile(s: SparkSession, dir: String): DataFrame = {
+    val norm = Tables.load(s, dir, "documents")
+      .select(col("lang"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("n"))
+    val counts = norm.filter(length(col("n")) >= 3)
+      .select(col("lang"), explode(expr(
+        "transform(sequence(1, length(n) - 2), i -> substring(n, i, 3))")).as("g"))
+      .groupBy(col("lang"), col("g")).agg(count(lit(1)).as("n_occurrences"))
+    counts
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("n_occurrences").desc, col("g"))))
+      .filter(col("rk") <= 5)
+      .select(col("lang"), col("rk"), col("g").as("trigram"), col("n_occurrences"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  val q176Sql: String =
+    """WITH d AS (
+      |  SELECT lang, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      |  FROM documents),
+      |g AS (
+      |  SELECT lang, unnest(list_transform(range(1, length(n) - 1),
+      |    i -> substr(n, i, 3))) AS g
+      |  FROM d WHERE length(n) >= 3),
+      |c AS (SELECT lang, g, count(*) AS n_occurrences FROM g GROUP BY 1, 2),
+      |r AS (
+      |  SELECT lang, g, n_occurrences,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_occurrences DESC, g) AS rk
+      |  FROM c)
+      |SELECT lang, rk, g AS trigram, n_occurrences
+      |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
 
   // ===== q167 — n-gram novelty curve ======================================
 
@@ -765,6 +871,8 @@ object TextQueries {
     "q26_ngram_jaccard" -> (q26NgramJaccard _),
     "q165_threshold_sweep" -> (q165ThresholdSweep _),
     "q167_ngram_novelty" -> (q167NgramNovelty _),
+    "q175_dupgraph_degrees" -> (q175DupgraphDegrees _),
+    "q176_char_trigram_profile" -> (q176CharTrigramProfile _),
     "q38_repetition_filter" -> (q38RepetitionFilter _),
     "q39_decontaminate" -> (q39Decontaminate _),
     "q43_pii_redact" -> (q43PiiRedact _),
@@ -784,6 +892,8 @@ object TextQueries {
     "q26_ngram_jaccard" -> q26Sql,
     "q165_threshold_sweep" -> q165Sql,
     "q167_ngram_novelty" -> q167Sql,
+    "q175_dupgraph_degrees" -> q175Sql,
+    "q176_char_trigram_profile" -> q176Sql,
     "q38_repetition_filter" -> q38Sql,
     "q39_decontaminate" -> q39Sql,
     "q43_pii_redact" -> q43Sql)

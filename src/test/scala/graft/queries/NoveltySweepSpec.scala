@@ -42,6 +42,31 @@ class NoveltySweepSpec extends SparkTestBase {
     assert(out("fr") == (("fr", 3L, 3L, 3L, 0L, 1000000L)), s"fr: ${out("fr")}")
   }
 
+  test("q175: one planted doc forms a complete triangle with its two copies (degree 2 each)") {
+    val dir = java.nio.file.Files.createTempDirectory("q175-spec").toString
+    // 30 distinct tokens: doc<->exact jm = 1e6; doc<->near and
+    // near<->exact share 28 of 32 shingles = 875000 >= 0.8
+    Seq((1L, (1 to 30).map(i => s"tok$i").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q175DupgraphDegrees(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 3L)), s"got $out")
+  }
+
+  test("q176: counts and count-desc/gram-asc tiebreaks pin the profile order") {
+    val dir = java.nio.file.Files.createTempDirectory("q176-spec").toString
+    Seq((1L, "aaaa", "en", "s", 4L), (2L, "ab ab", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q176CharTrigramProfile(spark, dir)
+      .as[(String, Int, String, Long)].collect().toSeq
+    // "aaaa" -> aaa x2; "ab ab" -> "ab ", "b a", " ab" x1 each;
+    // ties order lexicographically: " ab" < "ab " < "b a"
+    assert(out == Seq(("en", 1, "aaa", 2L), ("en", 2, " ab", 1L),
+      ("en", 3, "ab ", 1L), ("en", 4, "b a", 1L)), s"got $out")
+  }
+
   test("q167: the first document is fully novel; a later near-repeat scores its new tail only") {
     val dir = java.nio.file.Files.createTempDirectory("q167-spec").toString
     // doc 1: grams {a b c, b c d}; doc 2 repeats them and adds {c d e}

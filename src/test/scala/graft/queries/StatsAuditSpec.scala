@@ -98,6 +98,30 @@ class StatsAuditSpec extends SparkTestBase {
     assert(out == Seq((2L, 20L, 3L), (4L, 5L, 1L)), s"got $out")
   }
 
+  test("q174: a symmetric 2-cycle stays uniform; an absorbing state takes all mass") {
+    val sec = 1000000000L
+    val dir1 = java.nio.file.Files.createTempDirectory("q174-spec").toString
+    // user 1: A B A B -> A->B, B->A only; uniform is stationary
+    Seq((1L, 1 * sec, 1L, "A", 0.0, ""), (2L, 2 * sec, 1L, "B", 0.0, ""),
+      (3L, 3 * sec, 1L, "A", 0.0, ""), (4L, 4 * sec, 1L, "B", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir1/events.parquet")
+    val cyc = RelationalQueries.q174MarkovStationary(spark, dir1)
+      .as[(String, Long)].collect().toMap
+    assert(cyc == Map("A" -> 500000000L, "B" -> 500000000L), s"cycle: $cyc")
+
+    val dir2 = java.nio.file.Files.createTempDirectory("q174-spec").toString
+    // A->A twice (user 1), B->A once (user 2): A absorbs everything
+    Seq((1L, 1 * sec, 1L, "A", 0.0, ""), (2L, 2 * sec, 1L, "A", 0.0, ""),
+      (3L, 3 * sec, 1L, "A", 0.0, ""),
+      (4L, 1 * sec, 2L, "B", 0.0, ""), (5L, 2 * sec, 2L, "A", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir2/events.parquet")
+    val abs = RelationalQueries.q174MarkovStationary(spark, dir2)
+      .as[(String, Long)].collect().toMap
+    assert(abs == Map("A" -> 1000000000L, "B" -> 0L), s"absorbing: $abs")
+  }
+
   test("q171: uniform lengths score gini 0; a 1-vs-9 split scores 400000") {
     val dir = java.nio.file.Files.createTempDirectory("q171-spec").toString
     docsDf(Seq((1L, "a", "en", "EQ", 5L), (2L, "b", "en", "EQ", 5L),
