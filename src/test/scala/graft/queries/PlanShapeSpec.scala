@@ -507,4 +507,36 @@ class PlanShapeSpec extends SparkTestBase {
       "a range partitioning below the vocab aggregate means the vocabulary was sorted:\n" +
         p.linesIterator.filter(l => l.contains("Exchange")).mkString("\n"))
   }
+
+  test("q164 grouping sets plan ONE Expand over one scan — the 2-set cut of cube's 8") {
+    val p = plan(CurationOpsQueries.q164GroupingSets(spark, sf))
+    assert(p.contains("Expand"), "grouping sets should plan an Expand")
+    assert(p.sliding("Expand".length).count(_ == "Expand") <= 2, // node + detail line
+      "more than one Expand — the sets split into multiple passes")
+    assert(p.contains("partial_"), "no map-side combine under the Expand")
+    assert(countScans(p, "documents") == 1, "grouping sets re-scanned the fact table")
+  }
+
+  test("q173 skyline is join-free: windows only, no self-join, no cartesian") {
+    val p = plan(AnalyticsOpsQueries.q173ParetoSkyline(spark, sf))
+    assert(p.contains("Window"), "skyline must use the window formulation")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      "skyline planned a join — the O(n^2) shape:\n" +
+        p.linesIterator.filter(l => l.contains("Join")).mkString("\n"))
+    assert(countScans(p, "documents") == 1, "skyline re-scanned the corpus")
+  }
+
+  test("q167 novelty is window-free: gram hash aggregates + one equi-join") {
+    val p = plan(TextQueries.q167NgramNovelty(spark, sf))
+    assert(!p.contains("Window"), "novelty must not sort anything per-row")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "novelty planned a non-equi join")
+    assert(p.contains("partial_"), "gram aggregate must combine map-side")
+  }
+
+  test("q176 trigram profile: one scan, map-side combine before the lang/gram exchange") {
+    val p = plan(TextQueries.q176CharTrigramProfile(spark, sf))
+    assert(countScans(p, "documents") == 1, "profile re-scanned the corpus")
+    assert(p.contains("partial_"), "gram counts must combine map-side")
+  }
 }
