@@ -1726,7 +1726,119 @@ object AnalyticsOpsQueries {
       |  AND min_t_equal = bpe_tokens
       |ORDER BY n_chars DESC, doc_id""".stripMargin
 
+  // ===== q179 — one-way ANOVA effect size (eta squared) ===================
+
+  /** How much of document-length variance does the source explain?
+    * One-way ANOVA sums of squares with the effect size η² = SSB/SST —
+    * the number that says whether per-source length stratification
+    * (q141/q163) is even worth doing. Everything is integer: per-group
+    * (Σx)² div n terms, the grand (Σx)² div N correction, and Σx² —
+    * each integer division is a deterministic floor on positive values,
+    * so both engines produce identical SSB'/SST' and the micro ratio
+    * is exact.
+    *
+    * Scale shape: ONE hash aggregate at source grain (count, Σx, Σx²
+    * — map-side combine), then a |sources|-row rollup. No windows, no
+    * floats, one shuffle of three longs per source.
+    */
+  def q179AnovaEffect(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_g"), sum(col("n_chars")).as("sx_g"),
+        sum(expr("n_chars * n_chars")).as("sxx_g"))
+    g.agg(
+        count(lit(1)).as("n_groups"),
+        sum(col("n_g")).as("n"),
+        sum(col("sx_g")).as("sx"),
+        sum(col("sxx_g")).as("sxx"),
+        sum(expr("(sx_g * sx_g) div n_g")).as("between_raw"))
+      .select(col("n_groups"), col("n"),
+        // SSB >= 0 mathematically; the per-group floors can leave a tiny
+        // negative residue, clamped so the ratio's integer division is
+        // floor==truncate in both engines. sst = 0 (constant column)
+        // reports 0 rather than dividing by zero.
+        greatest(col("between_raw") - expr("(sx * sx) div n"), lit(0L)).as("ssb"),
+        (col("sxx") - expr("(sx * sx) div n")).as("sst"))
+      .select(col("n_groups"), col("n"), col("ssb"), col("sst"),
+        when(col("sst") > 0, expr("(ssb * 1000000) div sst"))
+          .otherwise(lit(0L)).as("eta2_micro"))
+  }
+
+  val q179Sql: String =
+    """WITH g AS (
+      |  SELECT source, count(*) AS n_g,
+      |    CAST(sum(n_chars) AS BIGINT) AS sx_g,
+      |    CAST(sum(n_chars * n_chars) AS BIGINT) AS sxx_g
+      |  FROM documents GROUP BY 1),
+      |a AS (
+      |  SELECT count(*) AS n_groups, CAST(sum(n_g) AS BIGINT) AS n,
+      |    CAST(sum(sx_g) AS BIGINT) AS sx, CAST(sum(sxx_g) AS BIGINT) AS sxx,
+      |    CAST(sum((sx_g * sx_g) // n_g) AS BIGINT) AS between_raw
+      |  FROM g),
+      |m AS (
+      |  SELECT n_groups, n,
+      |    greatest(between_raw - (sx * sx) // n, 0) AS ssb,
+      |    sxx - (sx * sx) // n AS sst
+      |  FROM a)
+      |SELECT n_groups, n, ssb, sst,
+      |  CASE WHEN sst > 0 THEN (ssb * 1000000) // sst ELSE 0 END AS eta2_micro
+      |FROM m""".stripMargin
+
+  // ===== q180 — lag-1 autocorrelation of the daily event series ===========
+
+  /** Is today's traffic predictive of tomorrow's? Lag-1 Pearson
+    * autocorrelation of the daily event-count series — the one-number
+    * seasonality/trend screen that decides whether the q157 smoother or
+    * the q144/q145 drift monitors need a detrending step first.
+    * Co-moments are exact integer sums over the (x_t, x_{t+1}) pairs
+    * (q110's discipline); only the final ratio divides in double with
+    * round(·, 6).
+    *
+    * Scale shape: the raw stream collapses to day grain first (q119's
+    * reducer); the lead window and co-moment aggregate run over the
+    * tiny daily relation. One real shuffle.
+    */
+  def q180DailyAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(expr("(ts div 1000) div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("x"))
+    val pairs = daily
+      .withColumn("y", lead(col("x"), 1).over(Window.orderBy(col("day"))))
+      .filter(col("y").isNotNull)
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+        sum(expr("x * y")).as("sxy"))
+      .select(col("n_pairs"),
+        round((col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt(((col("n_pairs") * col("sxx") - col("sx") * col("sx"))
+            * (col("n_pairs") * col("syy") - col("sy") * col("sy"))).cast("double")),
+          6).as("r1"))
+  }
+
+  val q180Sql: String =
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS x
+      |  FROM events GROUP BY 1),
+      |p AS (
+      |  SELECT x, lead(x, 1) OVER (ORDER BY day) AS y FROM d),
+      |f AS (SELECT x, y FROM p WHERE y IS NOT NULL),
+      |a AS (
+      |  SELECT count(*) AS n_pairs,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM f)
+      |SELECT n_pairs,
+      |  round(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+      |    / sqrt(CAST((n_pairs * sxx - sx * sx) * (n_pairs * syy - sy * sy)
+      |      AS DOUBLE)), 6) AS r1
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_anova_effect" -> (q179AnovaEffect _),
+    "q180_daily_autocorr" -> (q180DailyAutocorr _),
     "q173_pareto_skyline" -> (q173ParetoSkyline _),
     "q169_rank_correlation" -> (q169RankCorrelation _),
     "q170_rfm_features" -> (q170RfmFeatures _),
@@ -1762,6 +1874,8 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q179_anova_effect" -> q179Sql,
+    "q180_daily_autocorr" -> q180Sql,
     "q173_pareto_skyline" -> q173Sql,
     "q169_rank_correlation" -> q169Sql,
     "q170_rfm_features" -> q170Sql,

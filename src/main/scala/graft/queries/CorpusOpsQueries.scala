@@ -1389,9 +1389,67 @@ object CorpusOpsQueries {
       |    // ((sum_c2 * 1000000) // (n_docs * n_docs)) AS effective_langs_micro
       |FROM g ORDER BY source""".stripMargin
 
+  // ===== q177 — runs test: is the epoch schedule well-shuffled? ===========
+
+  /** A Wald–Wolfowitz runs test over the q136 interleaved epoch
+    * schedule: walking the schedule in training order, count the
+    * maximal runs of is-largest-source vs rest, against the expected
+    * run count for a random arrangement (1 + 2·n1·n2/n, exact
+    * rational). ratio_micro ≈ 1e6 certifies the low-discrepancy
+    * interleave actually mixes (a source-sorted epoch would score
+    * runs = 2, ratio → 0) — the shuffle-quality audit training-order
+    * bugs hide from.
+    *
+    * Scale shape: the schedule's own cost (two windows) plus ONE
+    * global order walk (lag over the schedule order) — a schedule
+    * audit is inherently a sequential read; it runs at corpus-metadata
+    * grain (ids only, no text). Final rollup is one row.
+    */
+  def q177RunsTest(s: SparkSession, dir: String): DataFrame = {
+    val sched = q136EpochSchedule(s, dir)
+      .select(col("source"), col("pos_micro"), col("doc_id"))
+    val top = sched.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("source")).limit(1)
+      .select(col("source").as("top_src"))
+    val ord = Window.orderBy(col("pos_micro"), col("source"), col("doc_id"))
+    sched.crossJoin(broadcast(top))
+      .withColumn("b", when(col("source") === col("top_src"), 1L).otherwise(0L))
+      .withColumn("chg",
+        when(lag(col("b"), 1).over(ord).isNull
+          || lag(col("b"), 1).over(ord) =!= col("b"), 1L).otherwise(0L))
+      .agg(count(lit(1)).as("n"), sum(col("b")).as("n1"),
+        sum(lit(1) - col("b")).as("n2"), sum(col("chg")).as("runs"))
+      .select(col("n"), col("n1"), col("n2"), col("runs"),
+        expr("((n + 2 * n1 * n2) * 1000000) div n").as("expected_runs_micro"),
+        expr("(runs * n * 1000000) div (n + 2 * n1 * n2)").as("ratio_micro"))
+  }
+
+  val q177Sql: String =
+    s"""WITH sched AS ($q136Sql),
+      |top AS (
+      |  SELECT source AS top_src FROM sched GROUP BY 1
+      |  ORDER BY count(*) DESC, source LIMIT 1),
+      |b AS (
+      |  SELECT CASE WHEN source = top_src THEN 1 ELSE 0 END AS b,
+      |    pos_micro, source, doc_id
+      |  FROM sched, top),
+      |c AS (
+      |  SELECT b, CASE WHEN lag(b) OVER w IS NULL OR lag(b) OVER w <> b
+      |    THEN 1 ELSE 0 END AS chg
+      |  FROM b WINDOW w AS (ORDER BY pos_micro, source, doc_id)),
+      |a AS (
+      |  SELECT count(*) AS n, CAST(sum(b) AS BIGINT) AS n1,
+      |    CAST(sum(1 - b) AS BIGINT) AS n2, CAST(sum(chg) AS BIGINT) AS runs
+      |  FROM c)
+      |SELECT n, n1, n2, runs,
+      |  ((n + 2 * n1 * n2) * 1000000) // n AS expected_runs_micro,
+      |  (runs * n * 1000000) // (n + 2 * n1 * n2) AS ratio_micro
+      |FROM a""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q177_runs_test" -> (q177RunsTest _),
     "q172_simpson_diversity" -> (q172SimpsonDiversity _),
     "q168_mi_profile" -> (q168MiProfile _),
     "q166_hapax_report" -> (q166HapaxReport _),
@@ -1417,6 +1475,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q177_runs_test" -> q177Sql,
     "q172_simpson_diversity" -> q172Sql,
     "q168_mi_profile" -> q168Sql,
     "q166_hapax_report" -> q166Sql,

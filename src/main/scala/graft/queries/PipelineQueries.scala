@@ -850,7 +850,52 @@ object PipelineQueries {
       |FROM p LEFT JOIN o ON p.split = o.split
       |ORDER BY 1""".stripMargin
 
+  // ===== q178 — dataloader shard balance audit =============================
+
+  /** Content-keyed 8-way shard assignment (md5 bucket mod 8 — the q37
+    * split family's key, so byte-identical docs co-shard) with the
+    * balance numbers a dataloader review reads: per shard, document and
+    * token counts, the share of total tokens, and skew_micro =
+    * this shard's tokens against the perfect 1/8 ideal (1e6 = balanced;
+    * the max row is the straggler bound on epoch time).
+    *
+    * Scale shape: assignment is a map-side projection on the scan; one
+    * 8-key hash aggregate; the total rides back as a broadcast 1-row
+    * cross. One pass, one tiny exchange.
+    */
+  def q178ShardBalance(s: SparkSession, dir: String): DataFrame = {
+    val perShard = Tables.load(s, dir, "documents")
+      .withColumn("bucket", md5Bucket)
+      .select((col("bucket") % 8).as("shard"),
+        graft.text.TextFunctions.tokenCount(col("text")).cast("long").as("tok"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("n_tokens"))
+    perShard
+      .crossJoin(broadcast(perShard.agg(sum(col("n_tokens")).as("t_total"))))
+      .select(col("shard"), col("n_docs"), col("n_tokens"),
+        expr("(n_tokens * 1000000) div t_total").as("share_micro"),
+        expr("(n_tokens * 8 * 1000000) div t_total").as("skew_micro"))
+      .orderBy(col("shard"))
+  }
+
+  val q178Sql: String =
+    """WITH d AS (
+      |  SELECT ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |      + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1)) % 8 AS shard,
+      |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |      t -> t <> '')) AS tok
+      |  FROM documents),
+      |p AS (
+      |  SELECT shard, count(*) AS n_docs, CAST(sum(tok) AS BIGINT) AS n_tokens
+      |  FROM d GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_total FROM p)
+      |SELECT shard, n_docs, n_tokens,
+      |  (n_tokens * 1000000) // t_total AS share_micro,
+      |  (n_tokens * 8 * 1000000) // t_total AS skew_micro
+      |FROM p, t ORDER BY shard""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q178_shard_balance" -> (q178ShardBalance _),
     "q96_leakage_safe_split" -> (q96LeakageSafeSplit _),
     "q27_corpus_pipeline" -> (q27CorpusPipeline _),
     "q28_sessionize" -> (q28Sessionize _),
@@ -869,6 +914,7 @@ object PipelineQueries {
     "q162_purged_time_split" -> (q162PurgedTimeSplit _))
 
   val oracleSql: Map[String, String] = Map(
+    "q178_shard_balance" -> q178Sql,
     "q96_leakage_safe_split" -> q96Sql,
     "q27_corpus_pipeline" -> q27Sql,
     "q28_sessionize" -> q28Sql,

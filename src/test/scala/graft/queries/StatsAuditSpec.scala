@@ -122,6 +122,62 @@ class StatsAuditSpec extends SparkTestBase {
     assert(abs == Map("A" -> 1000000000L, "B" -> 0L), s"absorbing: $abs")
   }
 
+  test("q177: two equal sources interleave to perfect alternation (runs = n)") {
+    val dir = java.nio.file.Files.createTempDirectory("q177-spec").toString
+    docsDf((1 to 8).map(i =>
+      (i.toLong, s"text $i", "en", if (i <= 4) "A" else "B", 10L)))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q177RunsTest(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long)].head()
+    // equal sizes -> identical pos_micro ladders -> A/B alternate at each
+    // tie -> 8 runs; expected for random = 1 + 2*16/8 = 5
+    assert(out == ((8L, 4L, 4L, 8L, 5000000L, 1600000L)), s"got $out")
+  }
+
+  test("q178: a single doc owns its md5 shard with full share and 8x skew") {
+    val dir = java.nio.file.Files.createTempDirectory("q178-spec").toString
+    val text = "five tokens of shard text"
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(text.getBytes("UTF-8"))
+    val shard = (md5(0) & 0xff) % 8
+    docsDf(Seq((1L, text, "en", "s", text.length.toLong)))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = PipelineQueries.q178ShardBalance(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((shard.toLong, 1L, 5L, 1000000L, 8000000L)), s"got $out")
+  }
+
+  test("q179: group-separated values score eta2 1e6; a constant column scores 0") {
+    val dir1 = java.nio.file.Files.createTempDirectory("q179-spec").toString
+    docsDf(Seq((1L, "a", "en", "A", 10L), (2L, "b", "en", "A", 10L),
+      (3L, "c", "en", "B", 20L), (4L, "d", "en", "B", 20L)))
+      .write.parquet(s"$dir1/documents.parquet")
+    val sep = AnalyticsOpsQueries.q179AnovaEffect(spark, dir1)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(sep == ((2L, 4L, 100L, 100L, 1000000L)), s"separated: $sep")
+
+    val dir2 = java.nio.file.Files.createTempDirectory("q179-spec").toString
+    docsDf(Seq((1L, "a", "en", "A", 7L), (2L, "b", "en", "B", 7L)))
+      .write.parquet(s"$dir2/documents.parquet")
+    val const = AnalyticsOpsQueries.q179AnovaEffect(spark, dir2)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert((const._4, const._5) == ((0L, 0L)), s"constant: $const")
+  }
+
+  test("q180: a perfectly alternating daily series scores r1 = -1") {
+    val dir = java.nio.file.Files.createTempDirectory("q180-spec").toString
+    val day = 86400L * 1000000000L
+    // daily counts 1, 2, 1, 2
+    val rows = Seq((1L, 0 * day, 1L), (2L, 1 * day, 1L), (3L, 1 * day, 2L),
+      (4L, 2 * day, 1L), (5L, 3 * day, 1L), (6L, 3 * day, 2L))
+      .map { case (id, ts, u) => (id, ts, u, "view", 0.0, "") }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = AnalyticsOpsQueries.q180DailyAutocorr(spark, dir)
+      .as[(Long, Double)].head()
+    assert(out == ((3L, -1.0)), s"got $out")
+  }
+
   test("q171: uniform lengths score gini 0; a 1-vs-9 split scores 400000") {
     val dir = java.nio.file.Files.createTempDirectory("q171-spec").toString
     docsDf(Seq((1L, "a", "en", "EQ", 5L), (2L, "b", "en", "EQ", 5L),
