@@ -1836,7 +1836,37 @@ object AnalyticsOpsQueries {
       |      AS DOUBLE)), 6) AS r1
       |FROM a""".stripMargin
 
+  // ===== q183 — seasonal hour-of-day × day-of-week profile ================
+
+  /** The traffic heatmap every ops and capacity review starts from:
+    * exact event and distinct-user counts per (ISO weekday, UTC hour)
+    * cell. Both time features are pure integer arithmetic on the epoch
+    * (1970-01-01 is a Thursday; dow = ((days + 3) mod 7) + 1 makes
+    * Monday 1) — no timezone/calendar functions, so the two engines
+    * cannot disagree on a boundary and the same spelling serves as the
+    * time-feature-extraction surface for model features.
+    *
+    * Scale shape: feature extraction is a map-side projection; one
+    * ≤168-key hash aggregate with map-side combine. One pass.
+    */
+  def q183SeasonalProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("user_id"),
+        expr("(((ts div 1000) div 86400000000L + 3) % 7) + 1").as("dow_iso"),
+        expr("((ts div 1000) div 3600000000L) % 24").as("hour_utc"))
+      .groupBy(col("dow_iso"), col("hour_utc"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("dow_iso"), col("hour_utc"))
+
+  val q183Sql: String =
+    """SELECT ((epoch_us(ts) // 86400000000 + 3) % 7) + 1 AS dow_iso,
+      |  (epoch_us(ts) // 3600000000) % 24 AS hour_utc,
+      |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_seasonal_profile" -> (q183SeasonalProfile _),
     "q179_anova_effect" -> (q179AnovaEffect _),
     "q180_daily_autocorr" -> (q180DailyAutocorr _),
     "q173_pareto_skyline" -> (q173ParetoSkyline _),
@@ -1874,6 +1904,7 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q183_seasonal_profile" -> q183Sql,
     "q179_anova_effect" -> q179Sql,
     "q180_daily_autocorr" -> q180Sql,
     "q173_pareto_skyline" -> q173Sql,

@@ -1446,9 +1446,100 @@ object CorpusOpsQueries {
       |  (runs * n * 1000000) // (n + 2 * n1 * n2) AS ratio_micro
       |FROM a""".stripMargin
 
+  // ===== q181 — Hill tail-index of the length distribution ================
+
+  /** How heavy is the document-length tail? The Hill estimator over the
+    * top-k = 100 order statistics: H = mean of ln(x_i/x_k) for the k−1
+    * largest values against the k-th — the standard power-law tail
+    * gauge (α ≈ 1/H; H near 0 means a thin tail, large H means a few
+    * giant documents dominate storage and packing). Per-term logs are
+    * quantized (floor(·1e6+0.5), deterministic scalars of the two
+    * integers) BEFORE the sum; the mean divides the quantized sum.
+    *
+    * Scale shape: the ONLY global operation is top-100 — planned as
+    * TakeOrderedAndProject (per-partition heaps, k rows to the driver
+    * stage), never a full sort. Everything after is 100-row local work
+    * with a 1-row broadcast for x_k.
+    */
+  def q181HillTailIndex(s: SparkSession, dir: String): DataFrame = {
+    val k = 100
+    val top = Tables.load(s, dir, "documents")
+      .select(col("n_chars")).orderBy(col("n_chars").desc).limit(k)
+    val xk = top.agg(min(col("n_chars")).as("x_k"), count(lit(1)).as("k"))
+    top.crossJoin(broadcast(xk))
+      .select(col("x_k"), col("k"),
+        floor(log(col("n_chars").cast("double") / col("x_k")) * lit(1e6)
+          + lit(0.5)).cast("long").as("t"))
+      .groupBy(col("k"), col("x_k"))
+      .agg(sum(col("t")).as("sum_log_micro"))
+      .select(col("k"), col("x_k"),
+        expr("sum_log_micro div (k - 1)").as("hill_micro"))
+  }
+
+  val q181Sql: String =
+    """WITH top AS (
+      |  SELECT n_chars FROM documents ORDER BY n_chars DESC LIMIT 100),
+      |xk AS (SELECT min(n_chars) AS x_k, count(*) AS k FROM top),
+      |t AS (
+      |  SELECT k, x_k,
+      |    CAST(floor(ln(CAST(n_chars AS DOUBLE) / x_k) * 1000000 + 0.5)
+      |      AS BIGINT) AS t
+      |  FROM top, xk)
+      |SELECT k, x_k,
+      |  CAST(sum(t) AS BIGINT) // (k - 1) AS hill_micro
+      |FROM t GROUP BY k, x_k""".stripMargin
+
+  // ===== q182 — context-window fit CDF per source =========================
+
+  /** What fraction of each source fits a context window? Per source,
+    * the share of documents whose BPE-estimate token count is ≤ 128 /
+    * 512 / 2048 — the first question sequence-packing (q41) and
+    * truncation-loss reviews ask. Exact conditional counts, micro
+    * shares by integer division; thresholds are columns so the table
+    * reads as a CDF sampled at the window sizes that matter.
+    *
+    * Scale shape: token counting is map-side codegen; ONE source-grain
+    * hash aggregate carries four conditional sums. One pass.
+    */
+  def q182ContextFitCdf(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(col("source"),
+        graft.text.TextFunctions.bpeTokenEstimate(col("text")).cast("long")
+          .as("t"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("t") <= 128, 1L).otherwise(0L)).as("n_128"),
+        sum(when(col("t") <= 512, 1L).otherwise(0L)).as("n_512"),
+        sum(when(col("t") <= 2048, 1L).otherwise(0L)).as("n_2048"))
+      .select(col("source"), col("n_docs"),
+        expr("(n_128 * 1000000) div n_docs").as("fit128_micro"),
+        expr("(n_512 * 1000000) div n_docs").as("fit512_micro"),
+        expr("(n_2048 * 1000000) div n_docs").as("fit2048_micro"))
+      .orderBy(col("source"))
+
+  val q182Sql: String =
+    """WITH d AS (
+      |  SELECT source,
+      |    CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))
+      |      AS BIGINT) AS t
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(CASE WHEN t <= 128 THEN 1 ELSE 0 END) AS BIGINT) AS n_128,
+      |    CAST(sum(CASE WHEN t <= 512 THEN 1 ELSE 0 END) AS BIGINT) AS n_512,
+      |    CAST(sum(CASE WHEN t <= 2048 THEN 1 ELSE 0 END) AS BIGINT) AS n_2048
+      |  FROM d GROUP BY 1)
+      |SELECT source, n_docs,
+      |  (n_128 * 1000000) // n_docs AS fit128_micro,
+      |  (n_512 * 1000000) // n_docs AS fit512_micro,
+      |  (n_2048 * 1000000) // n_docs AS fit2048_micro
+      |FROM g ORDER BY source""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_hill_tail_index" -> (q181HillTailIndex _),
+    "q182_context_fit_cdf" -> (q182ContextFitCdf _),
     "q177_runs_test" -> (q177RunsTest _),
     "q172_simpson_diversity" -> (q172SimpsonDiversity _),
     "q168_mi_profile" -> (q168MiProfile _),
@@ -1475,6 +1566,8 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q181_hill_tail_index" -> q181Sql,
+    "q182_context_fit_cdf" -> q182Sql,
     "q177_runs_test" -> q177Sql,
     "q172_simpson_diversity" -> q172Sql,
     "q168_mi_profile" -> q168Sql,

@@ -178,6 +178,44 @@ class StatsAuditSpec extends SparkTestBase {
     assert(out == ((3L, -1.0)), s"got $out")
   }
 
+  test("q181: a planted two-value tail pins the Hill estimate to ln 2") {
+    val dir = java.nio.file.Files.createTempDirectory("q181-spec").toString
+    // top-100 = 99 docs at 200 chars + the 100th at 100: terms are
+    // 99 x floor(ln2*1e6+0.5) and one 0 -> mean = 693147
+    val rows = (1 to 99).map(i => (i.toLong, "a", "en", "s", 200L)) ++
+      (100 to 109).map(i => (i.toLong, "a", "en", "s", 100L))
+    docsDf(rows).write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q181HillTailIndex(spark, dir)
+      .as[(Long, Long, Long)].head()
+    assert(out == ((100L, 100L, 693147L)), s"got $out")
+  }
+
+  test("q182: token thresholds classify docs into the right CDF buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("q182-spec").toString
+    docsDf(Seq(
+      (1L, "three small tokens", "en", "A", 18L),
+      (2L, Seq.fill(200)("w").mkString(" "), "en", "A", 999L)))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q182ContextFitCdf(spark, dir)
+      .as[(String, Long, Long, Long, Long)].head()
+    // doc 1: 3 bpe tokens (<=128); doc 2: 200 — fits 512 and 2048 only
+    assert(out == (("A", 2L, 500000L, 1000000L, 1000000L)), s"got $out")
+  }
+
+  test("q183: epoch arithmetic pins weekday/hour cells (1970-01-01 is Thursday)") {
+    val dir = java.nio.file.Files.createTempDirectory("q183-spec").toString
+    val hour = 3600L * 1000000000L
+    // ts 0 -> Thursday (dow 4) hour 0; day 4 + 5h -> Monday (dow 1) hour 5
+    Seq((1L, 0L, 1L, "view", 0.0, ""),
+      (2L, 4L * 24 * hour + 5 * hour, 2L, "view", 0.0, ""),
+      (3L, 4L * 24 * hour + 5 * hour + 1000L, 2L, "view", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = AnalyticsOpsQueries.q183SeasonalProfile(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 5L, 2L, 1L), (4L, 0L, 1L, 1L)), s"got $out")
+  }
+
   test("q171: uniform lengths score gini 0; a 1-vs-9 split scores 400000") {
     val dir = java.nio.file.Files.createTempDirectory("q171-spec").toString
     docsDf(Seq((1L, "a", "en", "EQ", 5L), (2L, "b", "en", "EQ", 5L),
