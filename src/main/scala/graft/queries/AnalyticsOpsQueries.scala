@@ -1865,7 +1865,70 @@ object AnalyticsOpsQueries {
       |  count(*) AS n_events, count(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ===== q184 — winsorized mean (robust aggregate surface) ================
+
+  /** Per-event-type value statistics that outliers cannot poison: exact
+    * rank-based p10/p90 cut points (value at rank ceil(0.1n)/ceil(0.9n),
+    * the q30 discipline), every value clamped into [p10, p90], and the
+    * winsorized mean in micro-cents by integer division. The robust
+    * companion to q112's MAD outlier flags — this one reports the
+    * defensible central value instead of flagging the tails.
+    *
+    * Scale shape: one rank window per type (single exchange on
+    * event_type), cut points from conditional mins in the same
+    * aggregate, clamp + mean in a second tiny aggregate joined by
+    * broadcast. The per-type sort is the exact-percentile honest cost
+    * (q30's argument; approx swap is q31).
+    */
+  def q184WinsorizedMean(s: SparkSession, dir: String): DataFrame = {
+    val cents = Tables.load(s, dir, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("c"))
+    val byType = Window.partitionBy(col("event_type"))
+    val ranked = cents
+      .withColumn("r", row_number()
+        .over(byType.orderBy(col("c"), col("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byType).cast("long"))
+    val cuts = ranked.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        min(when(col("r") >= expr("(n + 9) div 10"), col("c"))).as("p10_cents"),
+        min(when(col("r") >= expr("(9 * n + 9) div 10"), col("c"))).as("p90_cents"))
+    cents.join(broadcast(cuts), Seq("event_type"))
+      .select(col("event_type"), col("n"), col("p10_cents"), col("p90_cents"),
+        greatest(least(col("c"), col("p90_cents")), col("p10_cents")).as("w"))
+      .groupBy(col("event_type"), col("n"), col("p10_cents"), col("p90_cents"))
+      .agg(sum(col("w")).as("wsum"))
+      .select(col("event_type"), col("n"), col("p10_cents"), col("p90_cents"),
+        expr("(wsum * 1000000) div n").as("wmean_microcents"))
+      .orderBy(col("event_type"))
+  }
+
+  val q184Sql: String =
+    """WITH c AS (
+      |  SELECT event_type, event_id,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+      |  FROM events),
+      |r AS (
+      |  SELECT event_type, c,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS r,
+      |    count(*) OVER (PARTITION BY event_type) AS n
+      |  FROM c),
+      |cuts AS (
+      |  SELECT event_type, max(n) AS n,
+      |    min(CASE WHEN r >= (n + 9) // 10 THEN c END) AS p10_cents,
+      |    min(CASE WHEN r >= (9 * n + 9) // 10 THEN c END) AS p90_cents
+      |  FROM r GROUP BY 1),
+      |w AS (
+      |  SELECT c.event_type, n, p10_cents, p90_cents,
+      |    greatest(least(c.c, p90_cents), p10_cents) AS w
+      |  FROM c JOIN cuts USING (event_type))
+      |SELECT event_type, n, p10_cents, p90_cents,
+      |  (CAST(sum(w) AS BIGINT) * 1000000) // n AS wmean_microcents
+      |FROM w GROUP BY event_type, n, p10_cents, p90_cents
+      |ORDER BY event_type""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q184_winsorized_mean" -> (q184WinsorizedMean _),
     "q183_seasonal_profile" -> (q183SeasonalProfile _),
     "q179_anova_effect" -> (q179AnovaEffect _),
     "q180_daily_autocorr" -> (q180DailyAutocorr _),
@@ -1904,6 +1967,7 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q184_winsorized_mean" -> q184Sql,
     "q183_seasonal_profile" -> q183Sql,
     "q179_anova_effect" -> q179Sql,
     "q180_daily_autocorr" -> q180Sql,

@@ -122,11 +122,48 @@ object MedallionRoundtrip {
     """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ===== q187 — ORC write/read roundtrip ==================================
+
+  /** The ORC lake-format surface, mirroring q106's JSONL proof: the
+    * documents table written once as ORC (Warehouse-cached,
+    * fingerprint-keyed) and read back with a declared schema; the
+    * oracle recomputes the same projection from the parquet source, so
+    * a hash match proves the ORC write+read is LOSSLESS for every
+    * column including the full text (compared via md5). ORC is the
+    * one columnar format besides parquet that ships in the Spark
+    * distribution — a real lake migration path.
+    *
+    * Scale shape: one write + one scan; the roundtrip inherits ORC's
+    * predicate pushdown and column pruning like any other columnar
+    * source.
+    */
+  def q187OrcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "documents_orc", s"$dir/documents.parquet",
+        params = "fmt=orc,v=1")) { d =>
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").orc(d)
+    }
+    s.read
+      .schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+      .orc(out)
+      .select(col("doc_id"), md5(col("text")).as("text_md5"),
+        col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q187Sql: String =
+    """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_medallion_roundtrip" -> (q15MedallionRoundtrip _),
-    "q106_jsonl_roundtrip" -> (q106JsonlRoundtrip _))
+    "q106_jsonl_roundtrip" -> (q106JsonlRoundtrip _),
+    "q187_orc_roundtrip" -> (q187OrcRoundtrip _))
 
   val oracleSql: Map[String, String] = Map(
     "q15_medallion_roundtrip" -> q15Sql,
-    "q106_jsonl_roundtrip" -> q106Sql)
+    "q106_jsonl_roundtrip" -> q106Sql,
+    "q187_orc_roundtrip" -> q187Sql)
 }

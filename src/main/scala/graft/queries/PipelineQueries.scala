@@ -894,7 +894,47 @@ object PipelineQueries {
       |  (n_tokens * 8 * 1000000) // t_total AS skew_micro
       |FROM p, t ORDER BY shard""".stripMargin
 
+  // ===== q185 — sequence-packing efficiency report ==========================
+
+  /** How good is the q41 packer? Per split: pack count, token volume,
+    * the mean fill rate against the 2048 budget (micro, integer
+    * division), the overfull-pack count (q41's start-position rule
+    * lets a pack's LAST document overflow the boundary — the report
+    * counts how often that truncation/carry decision actually fires)
+    * and the worst pack. The numbers that decide whether the budget or
+    * the packing rule needs tuning before a training run.
+    *
+    * Scale shape: exactly q41's cost plus a |splits|-row rollup.
+    */
+  def q185PackEfficiency(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    q41SequencePack(s, dir)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_packs"),
+        sum(col("total_tokens")).as("total_tokens"),
+        sum(when(col("total_tokens") > budget, 1L).otherwise(0L))
+          .as("n_overfull"),
+        max(col("total_tokens")).as("max_pack_tokens"))
+      .select(col("split"), col("n_packs"), col("total_tokens"),
+        expr(s"(total_tokens * 1000000) div (n_packs * $budget)")
+          .as("mean_fill_micro"),
+        col("n_overfull"), col("max_pack_tokens"))
+      .orderBy(col("split"))
+  }
+
+  val q185Sql: String =
+    s"""WITH packs AS ($q41Sql)
+      |SELECT split, count(*) AS n_packs,
+      |  CAST(sum(total_tokens) AS BIGINT) AS total_tokens,
+      |  (CAST(sum(total_tokens) AS BIGINT) * 1000000)
+      |    // (count(*) * 2048) AS mean_fill_micro,
+      |  CAST(sum(CASE WHEN total_tokens > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_overfull,
+      |  CAST(max(total_tokens) AS BIGINT) AS max_pack_tokens
+      |FROM packs GROUP BY split ORDER BY split""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_pack_efficiency" -> (q185PackEfficiency _),
     "q178_shard_balance" -> (q178ShardBalance _),
     "q96_leakage_safe_split" -> (q96LeakageSafeSplit _),
     "q27_corpus_pipeline" -> (q27CorpusPipeline _),
@@ -914,6 +954,7 @@ object PipelineQueries {
     "q162_purged_time_split" -> (q162PurgedTimeSplit _))
 
   val oracleSql: Map[String, String] = Map(
+    "q185_pack_efficiency" -> q185Sql,
     "q178_shard_balance" -> q178Sql,
     "q96_leakage_safe_split" -> q96Sql,
     "q27_corpus_pipeline" -> q27Sql,

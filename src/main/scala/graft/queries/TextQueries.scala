@@ -383,6 +383,56 @@ object TextQueries {
       |SELECT lang, rk, g AS trigram, n_occurrences
       |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
 
+  // ===== q186 — prefix-template duplicate groups ==========================
+
+  /** Template detection at the document HEAD: group documents by the
+    * fingerprint of their first 16 normalized tokens and report every
+    * group with more than one member — the boilerplate-opening signal
+    * (licence headers, scraped navigation, form letters) that full-text
+    * dedup (q19) misses because the tails differ and that n-gram
+    * frequency (q54) can't attribute to specific documents. The corpus
+    * is augmented with tail-variant copies (doc_id + 1000000, same
+    * head + distinct tail, the q19 planting convention) so every
+    * document with ≥ 16 tokens demonstrably groups with its variant
+    * while shorter ones — whose WHOLE text is the prefix, which the
+    * variant's extra tail changes — stay singletons.
+    *
+    * Scale shape: the prefix fingerprint is a map-side projection
+    * (slice of the token array, md5 of 16 tokens — bounded work per
+    * row regardless of doc length); one hash aggregate on the 32-byte
+    * fingerprint. Exactly the q19 shape.
+    */
+  def q186PrefixDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    val corpus = docs.unionAll(
+      docs.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" distinct tail variant "), col("doc_id"))
+          .as("text")))
+    corpus
+      .select(col("doc_id"),
+        md5(array_join(slice(tokens(col("text")), 1, 16), " ")).as("prefix_fp"))
+      .groupBy(col("prefix_fp"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("rep_doc_id"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("rep_doc_id"))
+  }
+
+  val q186Sql: String =
+    """WITH corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 1000000,
+      |    text || ' distinct tail variant ' || CAST(doc_id AS VARCHAR)
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(
+      |      (list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |        t -> t <> ''))[1:16], ' ')) AS prefix_fp
+      |  FROM corpus)
+      |SELECT prefix_fp, count(*) AS n_docs, min(doc_id) AS rep_doc_id
+      |FROM p GROUP BY 1 HAVING count(*) > 1
+      |ORDER BY rep_doc_id""".stripMargin
+
   // ===== q167 — n-gram novelty curve ======================================
 
   /** Per-document novelty: the fraction of a document's distinct
@@ -873,6 +923,7 @@ object TextQueries {
     "q167_ngram_novelty" -> (q167NgramNovelty _),
     "q175_dupgraph_degrees" -> (q175DupgraphDegrees _),
     "q176_char_trigram_profile" -> (q176CharTrigramProfile _),
+    "q186_prefix_dedup" -> (q186PrefixDedup _),
     "q38_repetition_filter" -> (q38RepetitionFilter _),
     "q39_decontaminate" -> (q39Decontaminate _),
     "q43_pii_redact" -> (q43PiiRedact _),
@@ -894,6 +945,7 @@ object TextQueries {
     "q167_ngram_novelty" -> q167Sql,
     "q175_dupgraph_degrees" -> q175Sql,
     "q176_char_trigram_profile" -> q176Sql,
+    "q186_prefix_dedup" -> q186Sql,
     "q38_repetition_filter" -> q38Sql,
     "q39_decontaminate" -> q39Sql,
     "q43_pii_redact" -> q43Sql)

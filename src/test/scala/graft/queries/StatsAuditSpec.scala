@@ -216,6 +216,45 @@ class StatsAuditSpec extends SparkTestBase {
     assert(out == Seq((1L, 5L, 2L, 1L), (4L, 0L, 1L, 1L)), s"got $out")
   }
 
+  test("q184: rank cut points and the clamp reproduce the hand-winsorized mean") {
+    val dir = java.nio.file.Files.createTempDirectory("q184-spec").toString
+    // cents 1..10: p10 = rank ceil(1) = 1, p90 = rank 9 -> 9; the 10
+    // clamps to 9 -> sum 54, mean 5.4 cents
+    (1 to 10).map(i => (i.toLong, i.toLong * 1000000000L, 1L, "X", i / 100.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = AnalyticsOpsQueries.q184WinsorizedMean(spark, dir)
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(out == (("X", 10L, 1L, 9L, 5400000L)), s"got $out")
+  }
+
+  test("q185: pack report invariants hold and reconcile with q41") {
+    val sf = "/root/testdata/sf0.001"
+    val out = PipelineQueries.q185PackEfficiency(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r._2 > 0 && r._3 > 0, s"empty split row: $r")
+      assert(r._6 >= r._3 / r._2, s"max below mean: $r")
+      assert(r._5 <= r._2, s"more overfull than packs: $r")
+    }
+    val q41Total = PipelineQueries.q41SequencePack(spark, sf)
+      .agg(org.apache.spark.sql.functions.sum("total_tokens"))
+      .as[Long].head()
+    assert(out.map(_._3).sum == q41Total, "token volume diverges from q41")
+  }
+
+  test("q186: long docs group with their tail variants; short docs stay singleton") {
+    val dir = java.nio.file.Files.createTempDirectory("q186-spec").toString
+    docsDf(Seq(
+      (1L, (1 to 20).map(i => s"tok$i").mkString(" "), "en", "s", 99L),
+      (2L, "only three tokens", "en", "s", 17L)))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q186PrefixDedup(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out.map(r => (r._2, r._3)) == Seq((2L, 1L)), s"got $out")
+  }
+
   test("q171: uniform lengths score gini 0; a 1-vs-9 split scores 400000") {
     val dir = java.nio.file.Files.createTempDirectory("q171-spec").toString
     docsDf(Seq((1L, "a", "en", "EQ", 5L), (2L, "b", "en", "EQ", 5L),
