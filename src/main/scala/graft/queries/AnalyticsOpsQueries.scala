@@ -1927,7 +1927,101 @@ object AnalyticsOpsQueries {
       |FROM w GROUP BY event_type, n, p10_cents, p90_cents
       |ORDER BY event_type""".stripMargin
 
+  // ===== q189 — grouped top-k via the bounded topk_by aggregate ===========
+
+  /** Per-source top-3 longest documents through the SAME bounded
+    * `topk_by` TypedImperativeAggregate the ANN family runs on
+    * (functions/TopKAgg.scala) — the relational face of that operator:
+    * identical results to the q02-style rank window, but the plan
+    * carries ≤ k (score, id) entries per group per partition instead
+    * of range-partitioning the corpus for row_number. The oracle is
+    * the window spelling, so this query IS the proof the two
+    * formulations agree; PlanShapeSpec locks the window-free plan.
+    *
+    * Scale shape: one hash aggregate with map-side partial_topk_by —
+    * a hot source costs O(k) state, not a sort. This is the declared
+    * 100-TB swap for every "per-group head" window in the repo,
+    * exercised end-to-end.
+    */
+  def q189GroupedTopK(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    Tables.load(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAgg.topkBy(
+        col("n_chars").cast("double"), col("doc_id"), 3, asc = false).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).cast("int").as("rank"),
+        col("e.id").as("doc_id"), col("e.score").cast("long").as("n_chars"))
+      .orderBy(col("source"), col("rank"))
+  }
+
+  /** Oracle: the rank-window formulation — agreement proves the
+    * bounded aggregate ≡ row_number (largest first, doc_id tiebreak).
+    */
+  val q189Sql: String =
+    """SELECT source, CAST(rk AS INTEGER) AS rank, doc_id, n_chars
+      |FROM (
+      |  SELECT source, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars DESC, doc_id) AS rk
+      |  FROM documents)
+      |WHERE rk <= 3 ORDER BY source, rank""".stripMargin
+
+  // ===== q190 — A/B experiment lift readout ===============================
+
+  /** The deterministic experiment-analysis surface: users are assigned
+    * to arms by content key (md5 of the user id — the q37 discipline,
+    * so assignment is reproducible and join-free), and the readout
+    * compares mean purchase value per arm in micro-cents with the B/A
+    * ratio (1e6 = parity). Means are integer divisions of exact cent
+    * sums; the ratio divides the two already-quantized means — no
+    * float anywhere.
+    *
+    * Scale shape: arm assignment is a map-side projection; ONE 2-key
+    * hash aggregate; the readout row is a self-join of two tiny
+    * aggregates. One pass over events.
+    */
+  def q190AbLift(s: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.load(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(
+        expr("case when (locate(substring(md5(cast(user_id as string)), 1, 1)," +
+          " '0123456789abcdef') - 1) % 2 = 0 then 'A' else 'B' end").as("arm"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(col("arm"), col("n"),
+        expr("(sum_cents * 1000000) div n").as("mean_microcents"))
+    arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("mean_microcents").as("mean_a_microcents"))
+      .crossJoin(arms.filter(col("arm") === "B")
+        .select(col("n").as("n_b"), col("mean_microcents").as("mean_b_microcents")))
+      .select(col("n_a"), col("n_b"),
+        col("mean_a_microcents"), col("mean_b_microcents"),
+        expr("(mean_b_microcents * 1000000) div mean_a_microcents")
+          .as("ratio_micro"))
+  }
+
+  val q190Sql: String =
+    """WITH p AS (
+      |  SELECT CASE WHEN (strpos('0123456789abcdef',
+      |      substr(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 1) % 2 = 0
+      |      THEN 'A' ELSE 'B' END AS arm,
+      |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (
+      |  SELECT arm, count(*) AS n,
+      |    (CAST(sum(cents) AS BIGINT) * 1000000) // count(*) AS mean_microcents
+      |  FROM p GROUP BY 1)
+      |SELECT a.n AS n_a, b.n AS n_b,
+      |  a.mean_microcents AS mean_a_microcents,
+      |  b.mean_microcents AS mean_b_microcents,
+      |  (b.mean_microcents * 1000000) // a.mean_microcents AS ratio_micro
+      |FROM g a, g b WHERE a.arm = 'A' AND b.arm = 'B'""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q189_grouped_topk" -> (q189GroupedTopK _),
+    "q190_ab_lift" -> (q190AbLift _),
     "q184_winsorized_mean" -> (q184WinsorizedMean _),
     "q183_seasonal_profile" -> (q183SeasonalProfile _),
     "q179_anova_effect" -> (q179AnovaEffect _),
@@ -1967,6 +2061,8 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q189_grouped_topk" -> q189Sql,
+    "q190_ab_lift" -> q190Sql,
     "q184_winsorized_mean" -> q184Sql,
     "q183_seasonal_profile" -> q183Sql,
     "q179_anova_effect" -> q179Sql,

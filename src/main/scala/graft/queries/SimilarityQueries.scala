@@ -809,7 +809,52 @@ object SimilarityQueries {
       |  CAST(sum(CASE WHEN zmicro > 3000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dims_gt3
       |FROM z GROUP BY vec_id ORDER BY vec_id""".stripMargin
 
+  // ===== q188 — per-label embedding norm audit ============================
+
+  /** Per-label L2-norm statistics over the embedding table — the
+    * health check run before any cosine machinery (q20/q32/q82): a
+    * label whose norms collapse toward 0 or spread wildly signals a
+    * broken encoder or un-normalized mix. Exactness: each element is
+    * quantized to micro BEFORE squaring, the squared sum is a pure
+    * INTEGER aggregate over the array (order-immune), and the norm is
+    * one sqrt of that exact integer — so both engines agree bit-for-bit
+    * with no float-summation-order hazard.
+    *
+    * Scale shape: per-row array fold is map-side codegen; one
+    * label-grain hash aggregate of five longs. One pass, one tiny
+    * exchange.
+    */
+  def q188EmbeddingNormAudit(s: SparkSession, dir: String): DataFrame = {
+    val q = "cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)"
+    Tables.load(s, dir, "embeddings")
+      .select(col("label"), size(col("embedding")).as("dim"),
+        expr(s"cast(floor(sqrt(cast(aggregate(embedding, cast(0 as bigint)," +
+          s" (a, x) -> a + $q * $q) as double)) + 0.5) as bigint)")
+          .as("norm_qmicro"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"), max(col("dim")).as("dim"),
+        min(col("norm_qmicro")).as("min_norm_micro"),
+        max(col("norm_qmicro")).as("max_norm_micro"),
+        expr("sum(norm_qmicro) div count(1)").as("mean_norm_micro"))
+      .orderBy(col("label"))
+  }
+
+  val q188Sql: String =
+    """WITH n AS (
+      |  SELECT label, len(embedding) AS dim,
+      |    CAST(floor(sqrt(CAST(list_sum(list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+      |        * CAST(floor(CAST(x AS DOUBLE) * 1000000 + 0.5) AS BIGINT)))
+      |      AS DOUBLE)) + 0.5) AS BIGINT) AS norm_qmicro
+      |  FROM embeddings)
+      |SELECT label, count(*) AS n_vecs, max(dim) AS dim,
+      |  min(norm_qmicro) AS min_norm_micro,
+      |  max(norm_qmicro) AS max_norm_micro,
+      |  CAST(sum(norm_qmicro) AS BIGINT) // count(*) AS mean_norm_micro
+      |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_embedding_norm_audit" -> (q188EmbeddingNormAudit _),
     "q139_embedding_outliers" -> (q139EmbeddingOutliers _),
     "q132_pca_project" -> (q132PcaProject _),
     "q115_embedding_covariance" -> (q115EmbeddingCovariance _),
@@ -833,6 +878,7 @@ object SimilarityQueries {
     * running the queries — the q82 discipline).
     */
   def oracleSql: Map[String, String] = Map(
+    "q188_embedding_norm_audit" -> q188Sql,
     "q139_embedding_outliers" -> q139Sql,
     "q132_pca_project" -> q132Sql,
     "q115_embedding_covariance" -> q115Sql,

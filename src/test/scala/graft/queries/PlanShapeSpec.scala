@@ -534,6 +534,14 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p.contains("partial_"), "gram aggregate must combine map-side")
   }
 
+  test("q189 grouped top-k runs the bounded aggregate — no rank window anywhere") {
+    val p = plan(AnalyticsOpsQueries.q189GroupedTopK(spark, sf))
+    assert(p.contains("partial_topk_by"),
+      "grouped top-k must map-side combine through topk_by")
+    assert(!p.contains("Window"),
+      "a rank window crept back into the bounded top-k path")
+  }
+
   test("q176 trigram profile: one scan, map-side combine before the lang/gram exchange") {
     val p = plan(TextQueries.q176CharTrigramProfile(spark, sf))
     assert(countScans(p, "documents") == 1, "profile re-scanned the corpus")

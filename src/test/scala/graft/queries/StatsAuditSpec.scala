@@ -255,6 +255,52 @@ class StatsAuditSpec extends SparkTestBase {
     assert(out.map(r => (r._2, r._3)) == Seq((2L, 1L)), s"got $out")
   }
 
+  test("q188: a 3-4-5 vector pins the quantized norm exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("q188-spec").toString
+    Seq((1L, Array(3.0f, 4.0f), 0), (2L, Array(0.0f, 0.0f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val out = SimilarityQueries.q188EmbeddingNormAudit(spark, dir)
+      .as[(Int, Long, Int, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0, 1L, 2, 5000000L, 5000000L, 5000000L),
+      (1, 1L, 2, 0L, 0L, 0L)), s"got $out")
+  }
+
+  test("q189: bounded aggregate reproduces the rank window incl. id tiebreak") {
+    val dir = java.nio.file.Files.createTempDirectory("q189-spec").toString
+    docsDf(Seq((1L, "a", "en", "A", 10L), (2L, "b", "en", "A", 40L),
+      (3L, "c", "en", "A", 30L), (4L, "d", "en", "A", 30L),
+      (5L, "e", "en", "A", 5L)))
+      .write.parquet(s"$dir/documents.parquet")
+    val out = AnalyticsOpsQueries.q189GroupedTopK(spark, dir)
+      .as[(String, Int, Long, Long)].collect().toSeq
+    // 40 first, then the 30-tie resolved by doc_id asc (3 before 4)
+    assert(out == Seq(("A", 1, 2L, 40L), ("A", 2, 3L, 30L), ("A", 3, 4L, 30L)),
+      s"got $out")
+  }
+
+  test("q190: hand-computed md5 arms reproduce the readout") {
+    val dir = java.nio.file.Files.createTempDirectory("q190-spec").toString
+    def arm(u: Long): String = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(u.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      if ("0123456789abcdef".indexOf(hex.head) % 2 == 0) "A" else "B"
+    }
+    val users = (1L to 10L)
+    val rows = users.map(u => (u, u * 1000000000L, u, "purchase", u.toDouble, "")) ++
+      Seq((99L, 1L, 1L, "view", 1000.0, "")) // non-purchase must be ignored
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val byArm = users.groupBy(arm)
+    def mean(us: Seq[Long]) = us.map(_ * 100L).sum * 1000000L / us.size
+    val (ea, eb) = (byArm("A").toSeq, byArm("B").toSeq)
+    val out = AnalyticsOpsQueries.q190AbLift(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(out == ((ea.size.toLong, eb.size.toLong, mean(ea), mean(eb),
+      mean(eb) * 1000000L / mean(ea))), s"got $out vs arms $byArm")
+  }
+
   test("q171: uniform lengths score gini 0; a 1-vs-9 split scores 400000") {
     val dir = java.nio.file.Files.createTempDirectory("q171-spec").toString
     docsDf(Seq((1L, "a", "en", "EQ", 5L), (2L, "b", "en", "EQ", 5L),
