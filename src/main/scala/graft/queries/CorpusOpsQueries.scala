@@ -1535,9 +1535,79 @@ object CorpusOpsQueries {
       |  (n_2048 * 1000000) // n_docs AS fit2048_micro
       |FROM g ORDER BY source""".stripMargin
 
+  // ===== q192 — distinctive vocabulary per source (chi-square) ============
+
+  /** The top-5 terms most OVER-represented in each source relative to
+    * the corpus — per-(source, term) chi-square association, positive
+    * cells only — the "what makes this source different" readout that
+    * names a subcorpus (q124 scores HOW FAR a source drifts; this
+    * names the terms responsible). The statistic is computed in double
+    * from exact integer counts in one fixed operand order and
+    * micro-quantized per cell (the q124 discipline), so both engines
+    * agree bit-for-bit; ranking ties break on the term.
+    *
+    * Scale shape: one (source, w) hash aggregate; corpus term totals
+    * join on the term (vocabulary-sized, q56's no-broadcast argument);
+    * source totals and N broadcast. The top-5 window runs per source
+    * over its vocabulary — the declared giant-vocab swap is the
+    * bounded `topk_by` aggregate (exercised by q189).
+    */
+  def q192DistinctiveTerms(s: SparkSession, dir: String): DataFrame = {
+    val sw = MinHashLSH.shingleRows(
+        Tables.load(s, dir, "documents"), "source", "text", n = 1)
+      .filter(col("sh") =!= "")
+      .groupBy(col("sid").as("source"), col("sh").as("w"))
+      .agg(count(lit(1)).as("o"))
+    val srcTot = sw.groupBy(col("source")).agg(sum(col("o")).as("rt"))
+    val wTot = sw.groupBy(col("w")).agg(sum(col("o")).as("ct"))
+    val n = srcTot.agg(sum(col("rt")).as("nd"))
+    val scored = sw.join(wTot, Seq("w"))
+      .join(broadcast(srcTot), Seq("source"))
+      .crossJoin(broadcast(n))
+      .filter(expr("o * nd > rt * ct")) // over-represented cells only
+      .withColumn("chi2_micro", expr(
+        "cast(floor(((cast(o as double) * nd - cast(rt as double) * ct)" +
+          " * (cast(o as double) * nd - cast(rt as double) * ct))" +
+          " / (cast(nd as double) * rt * ct) * 1000000 + 0.5) as bigint)"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("chi2_micro").desc, col("w"))))
+      .filter(col("rk") <= 5)
+      .select(col("source"), col("rk"), col("w").as("term"), col("o"),
+        col("chi2_micro"))
+      .orderBy(col("source"), col("rk"))
+  }
+
+  val q192Sql: String =
+    """WITH toks AS (
+      |  SELECT source,
+      |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS w
+      |  FROM documents),
+      |sw AS (SELECT source, w, count(*) AS o FROM toks WHERE w <> '' GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM sw GROUP BY 1),
+      |wt AS (SELECT w, CAST(sum(o) AS BIGINT) AS ct FROM sw GROUP BY 1),
+      |n AS (SELECT CAST(sum(rt) AS BIGINT) AS nd FROM st),
+      |scored AS (
+      |  SELECT sw.source, sw.w, sw.o,
+      |    CAST(floor(((CAST(o AS DOUBLE) * nd - CAST(rt AS DOUBLE) * ct)
+      |      * (CAST(o AS DOUBLE) * nd - CAST(rt AS DOUBLE) * ct))
+      |      / (CAST(nd AS DOUBLE) * rt * ct) * 1000000 + 0.5) AS BIGINT)
+      |      AS chi2_micro
+      |  FROM sw JOIN wt USING (w) JOIN st USING (source), n
+      |  WHERE o * nd > rt * ct),
+      |r AS (
+      |  SELECT source, w, o, chi2_micro,
+      |    row_number() OVER (PARTITION BY source
+      |      ORDER BY chi2_micro DESC, w) AS rk
+      |  FROM scored)
+      |SELECT source, CAST(rk AS INTEGER) AS rk, w AS term, o, chi2_micro
+      |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_distinctive_terms" -> (q192DistinctiveTerms _),
     "q181_hill_tail_index" -> (q181HillTailIndex _),
     "q182_context_fit_cdf" -> (q182ContextFitCdf _),
     "q177_runs_test" -> (q177RunsTest _),
@@ -1566,6 +1636,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q192_distinctive_terms" -> q192Sql,
     "q181_hill_tail_index" -> q181Sql,
     "q182_context_fit_cdf" -> q182Sql,
     "q177_runs_test" -> q177Sql,

@@ -383,6 +383,54 @@ object TextQueries {
       |SELECT lang, rk, g AS trigram, n_occurrences
       |FROM r WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
 
+  // ===== q191 — near-dup cluster size histogram ===========================
+
+  /** The cluster-size distribution of the θ=0.9 near-duplicate graph:
+    * connected components over the exact-Jaccard pairs
+    * ([[graft.dedup.DedupClusters.components]] — the same resolver
+    * q36/q93 trust), rolled to (cluster_size → n_clusters). q175 reads
+    * node degrees; this reads the component structure those edges
+    * induce — the number that sizes dedup's actual yield (a corpus of
+    * k-clusters keeps 1/k of duplicated mass). The oracle unrolls six
+    * min-label-propagation rounds in SQL — sufficient for any
+    * component of diameter ≤ 6, and the planted corpus's clusters are
+    * per-document triangles (diameter ≤ 2) by construction.
+    *
+    * Scale shape: the pair kernel plus label propagation (per-round
+    * join + min aggregate, the q131 Pregel shape with checkpoint
+    * discipline), then two tiny aggregates. Component state is one
+    * long per node.
+    */
+  def q191ClusterSizeHist(s: SparkSession, dir: String): DataFrame = {
+    val pairs = plantedJaccardPairs(s, dir)
+      .filter(col("jm") >= 900000)
+      .select(col("id_a"), col("id_b"))
+    graft.dedup.DedupClusters.components(pairs)
+      .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+      .orderBy(col("cluster_size"))
+  }
+
+  val q191Sql: String = {
+    val round = (k: Int) =>
+      s"""l$k AS (
+         |  SELECT l${k - 1}.id, least(l${k - 1}.lbl, min(lx.lbl)) AS lbl
+         |  FROM l${k - 1}
+         |  JOIN e ON e.a = l${k - 1}.id
+         |  JOIN l${k - 1} lx ON lx.id = e.b
+         |  GROUP BY l${k - 1}.id, l${k - 1}.lbl)""".stripMargin
+    s"""WITH $SqlJacPairs,
+       |e0 AS (SELECT id_a, id_b FROM jac WHERE jm >= 900000),
+       |e AS (SELECT id_a AS a, id_b AS b FROM e0
+       |      UNION ALL SELECT id_b, id_a FROM e0),
+       |nodes AS (SELECT DISTINCT a AS id FROM e),
+       |l0 AS (SELECT id, id AS lbl FROM nodes),
+       |${(1 to 6).map(round).mkString(",\n")},
+       |sizes AS (SELECT lbl, count(*) AS cluster_size FROM l6 GROUP BY 1)
+       |SELECT cluster_size, count(*) AS n_clusters
+       |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   // ===== q186 — prefix-template duplicate groups ==========================
 
   /** Template detection at the document HEAD: group documents by the
@@ -924,6 +972,7 @@ object TextQueries {
     "q175_dupgraph_degrees" -> (q175DupgraphDegrees _),
     "q176_char_trigram_profile" -> (q176CharTrigramProfile _),
     "q186_prefix_dedup" -> (q186PrefixDedup _),
+    "q191_cluster_size_hist" -> (q191ClusterSizeHist _),
     "q38_repetition_filter" -> (q38RepetitionFilter _),
     "q39_decontaminate" -> (q39Decontaminate _),
     "q43_pii_redact" -> (q43PiiRedact _),
@@ -946,6 +995,7 @@ object TextQueries {
     "q175_dupgraph_degrees" -> q175Sql,
     "q176_char_trigram_profile" -> q176Sql,
     "q186_prefix_dedup" -> q186Sql,
+    "q191_cluster_size_hist" -> q191Sql,
     "q38_repetition_filter" -> q38Sql,
     "q39_decontaminate" -> q39Sql,
     "q43_pii_redact" -> q43Sql)

@@ -67,6 +67,33 @@ class NoveltySweepSpec extends SparkTestBase {
       ("en", 3, "ab ", 1L), ("en", 4, "b a", 1L)), s"got $out")
   }
 
+  test("q191: cluster sizes split exactly at the 0.9 Jaccard boundary") {
+    val dir = java.nio.file.Files.createTempDirectory("q191-spec").toString
+    // 60-token doc: near-copy Jaccard 58/62 = 0.935 >= 0.9 -> full
+    // triangle (size 3); 10-token doc: 8/12 = 0.67 -> only the exact
+    // pair clusters (size 2), its near-copy stays isolated
+    Seq((1L, (1 to 60).map(i => s"alpha$i").mkString(" "), "en", "s", 1L),
+      (2L, (1 to 10).map(i => s"beta$i").mkString(" "), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = TextQueries.q191ClusterSizeHist(spark, dir)
+      .as[(Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 1L), (3L, 1L)), s"got $out")
+  }
+
+  test("q192: a two-source disjoint vocabulary pins the chi-square cells") {
+    val dir = java.nio.file.Files.createTempDirectory("q192-spec").toString
+    Seq((1L, "apple apple apple", "en", "A", 17L),
+      (2L, "banana banana banana", "en", "B", 20L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = CorpusOpsQueries.q192DistinctiveTerms(spark, dir)
+      .as[(String, Int, String, Long, Long)].collect().toSeq
+    // chi2 = (3*6 - 3*3)^2 / (6*3*3) = 1.5 for both cells
+    assert(out == Seq(("A", 1, "apple", 3L, 1500000L),
+      ("B", 1, "banana", 3L, 1500000L)), s"got $out")
+  }
+
   test("q167: the first document is fully novel; a later near-repeat scores its new tail only") {
     val dir = java.nio.file.Files.createTempDirectory("q167-spec").toString
     // doc 1: grams {a b c, b c d}; doc 2 repeats them and adds {c d e}
