@@ -2019,7 +2019,98 @@ object AnalyticsOpsQueries {
       |  (b.mean_microcents * 1000000) // a.mean_microcents AS ratio_micro
       |FROM g a, g b WHERE a.arm = 'A' AND b.arm = 'B'""".stripMargin
 
+  // ===== q193 — weekday-adjusted traffic residuals ========================
+
+  /** Each day's traffic against its own weekday's average — the
+    * seasonality-adjusted residual that makes a Tuesday dip visible
+    * next to a quiet-Sunday baseline (the q183 heatmap says WHAT the
+    * weekly shape is; this divides it out). ratio_micro =
+    * n_events·n_days_dow·1e6 div Σ(dow counts) — exact integers end to
+    * end, 1e6 = exactly at weekday par.
+    *
+    * Scale shape: day-grain reduction first (q119's reducer), then a
+    * ≤7-key aggregate joined back by broadcast. One real shuffle.
+    */
+  def q193SeasonalResiduals(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.load(s, dir, "events")
+      .groupBy(expr("(ts div 1000) div 86400000000L").as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("dow_iso", expr("((day + 3) % 7) + 1"))
+    val byDow = daily.groupBy(col("dow_iso"))
+      .agg(sum(col("n_events")).as("dow_sum"), count(lit(1)).as("dow_days"))
+    daily.join(broadcast(byDow), Seq("dow_iso"))
+      .select(col("day"), col("dow_iso"), col("n_events"),
+        expr("(dow_sum * 1000000) div dow_days").as("dow_mean_micro"),
+        expr("(n_events * dow_days * 1000000) div dow_sum").as("ratio_micro"))
+      .orderBy(col("day"))
+  }
+
+  val q193Sql: String =
+    """WITH d AS (
+      |  SELECT epoch_us(ts) // 86400000000 AS day, count(*) AS n_events
+      |  FROM events GROUP BY 1),
+      |dd AS (SELECT day, n_events, ((day + 3) % 7) + 1 AS dow_iso FROM d),
+      |w AS (
+      |  SELECT dow_iso, CAST(sum(n_events) AS BIGINT) AS dow_sum,
+      |    count(*) AS dow_days
+      |  FROM dd GROUP BY 1)
+      |SELECT day, dd.dow_iso, n_events,
+      |  (dow_sum * 1000000) // dow_days AS dow_mean_micro,
+      |  (n_events * dow_days * 1000000) // dow_sum AS ratio_micro
+      |FROM dd JOIN w ON dd.dow_iso = w.dow_iso
+      |ORDER BY day""".stripMargin
+
+  // ===== q194 — Pareto share: top-quintile users' value concentration =====
+
+  /** The 80/20 check: what share of total purchase value do the top
+    * 20% of users hold? Exact: per-user cent totals, rank descending
+    * with user_id tiebreak, k = ceil(n/5), top-k share in micro by
+    * integer division. The revenue-concentration companion to q171's
+    * per-document Gini.
+    *
+    * Scale shape: user-grain hash aggregate, one rank window over the
+    * user relation (already reduced), one conditional sum. The global
+    * sort is the exact-rank honest cost (q63's argument).
+    */
+  def q194ParetoShare(s: SparkSession, dir: String): DataFrame = {
+    val users = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(expr("cast(floor(value * 100 + 0.5) as bigint)")).as("cents"))
+    users
+      .crossJoin(broadcast(users.agg(count(lit(1)).as("n_users"))))
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("cents").desc, col("user_id"))).cast("long"))
+      .groupBy(col("n_users"))
+      .agg(sum(col("cents")).as("total_cents"),
+        sum(when(col("r") <= expr("(n_users + 4) div 5"), col("cents"))
+          .otherwise(0L)).as("topk_cents"))
+      .select(col("n_users"), expr("(n_users + 4) div 5").as("k"),
+        col("total_cents"), col("topk_cents"),
+        expr("(topk_cents * 1000000) div total_cents").as("share_micro"))
+  }
+
+  val q194Sql: String =
+    """WITH u AS (
+      |  SELECT user_id,
+      |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |n AS (SELECT count(*) AS n_users FROM u),
+      |r AS (
+      |  SELECT cents, n_users,
+      |    row_number() OVER (ORDER BY cents DESC, user_id) AS r
+      |  FROM u, n),
+      |a AS (
+      |  SELECT n_users, CAST(sum(cents) AS BIGINT) AS total_cents,
+      |    CAST(sum(CASE WHEN r <= (n_users + 4) // 5 THEN cents ELSE 0 END)
+      |      AS BIGINT) AS topk_cents
+      |  FROM r GROUP BY 1)
+      |SELECT n_users, (n_users + 4) // 5 AS k, total_cents, topk_cents,
+      |  (topk_cents * 1000000) // total_cents AS share_micro
+      |FROM a""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_seasonal_residuals" -> (q193SeasonalResiduals _),
+    "q194_pareto_share" -> (q194ParetoShare _),
     "q189_grouped_topk" -> (q189GroupedTopK _),
     "q190_ab_lift" -> (q190AbLift _),
     "q184_winsorized_mean" -> (q184WinsorizedMean _),
@@ -2061,6 +2152,8 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q193_seasonal_residuals" -> q193Sql,
+    "q194_pareto_share" -> q194Sql,
     "q189_grouped_topk" -> q189Sql,
     "q190_ab_lift" -> q190Sql,
     "q184_winsorized_mean" -> q184Sql,

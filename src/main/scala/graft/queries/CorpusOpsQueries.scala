@@ -1604,9 +1604,87 @@ object CorpusOpsQueries {
       |SELECT source, CAST(rk AS INTEGER) AS rk, w AS term, o, chi2_micro
       |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin
 
+  // ===== q196 — Jensen–Shannon divergence between corpus snapshots ========
+
+  /** The bounded, symmetric member of the drift family: JSD between
+    * the language mixes of two corpus snapshots (q152/q64's overlap
+    * convention: A = first 80% of doc ids, B = last 80%) — KL (q124)
+    * explodes on vanishing support and is asymmetric; JSD ∈ [0, ln 2]
+    * is the number a dashboard can threshold. Per-language terms
+    * p·ln(p/m) are computed in double from exact counts in one fixed
+    * operand order and micro-quantized BEFORE summation (the q124
+    * discipline); absent languages contribute 0 exactly.
+    *
+    * Scale shape: two ≤|langs| hash aggregates full-outer-joined at
+    * language grain, 1-row totals broadcast. Everything after the
+    * first aggregates is dashboard-sized.
+    */
+  def q196JsdDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val maxId = docs.agg(max(col("doc_id")).as("m"))
+    val base = docs.crossJoin(broadcast(maxId))
+    val aCnt = base.filter(col("doc_id") <= expr("m * 8 div 10"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("ca"))
+    val bCnt = base.filter(col("doc_id") > expr("m * 2 div 10"))
+      .groupBy(col("lang")).agg(count(lit(1)).as("cb"))
+    val na = aCnt.agg(sum(col("ca")).as("na"))
+    val nb = bCnt.agg(sum(col("cb")).as("nb"))
+    val joined = aCnt.join(bCnt, Seq("lang"), "full_outer")
+      .select(col("lang"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .withColumn("pa", expr("cast(ca as double) / na"))
+      .withColumn("pb", expr("cast(cb as double) / nb"))
+      .withColumn("mm", expr("(pa + pb) / 2"))
+      .select(
+        expr("case when ca > 0 then cast(floor(pa * ln(pa / mm) * 1000000 + 0.5)" +
+          " as bigint) else 0 end").as("ta"),
+        expr("case when cb > 0 then cast(floor(pb * ln(pb / mm) * 1000000 + 0.5)" +
+          " as bigint) else 0 end").as("tb"))
+    // both KL halves are >= 0 mathematically; clamp the per-term
+    // rounding residue so the halving division is floor==truncate in
+    // both engines
+    joined.agg(greatest(sum(col("ta")), lit(0L)).as("kl_a_micro"),
+        greatest(sum(col("tb")), lit(0L)).as("kl_b_micro"))
+      .select(col("kl_a_micro"), col("kl_b_micro"),
+        expr("(kl_a_micro + kl_b_micro) div 2").as("jsd_micro"))
+  }
+
+  val q196Sql: String =
+    """WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+      |a AS (
+      |  SELECT lang, count(*) AS ca FROM documents, mx
+      |  WHERE doc_id <= m * 8 // 10 GROUP BY 1),
+      |b AS (
+      |  SELECT lang, count(*) AS cb FROM documents, mx
+      |  WHERE doc_id > m * 2 // 10 GROUP BY 1),
+      |na AS (SELECT CAST(sum(ca) AS BIGINT) AS na FROM a),
+      |nb AS (SELECT CAST(sum(cb) AS BIGINT) AS nb FROM b),
+      |j AS (
+      |  SELECT coalesce(a.lang, b.lang) AS lang,
+      |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+      |  FROM a FULL OUTER JOIN b ON a.lang = b.lang),
+      |t AS (
+      |  SELECT
+      |    CASE WHEN ca > 0 THEN CAST(floor((CAST(ca AS DOUBLE) / na)
+      |      * ln((CAST(ca AS DOUBLE) / na)
+      |        / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+      |      * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS ta,
+      |    CASE WHEN cb > 0 THEN CAST(floor((CAST(cb AS DOUBLE) / nb)
+      |      * ln((CAST(cb AS DOUBLE) / nb)
+      |        / ((CAST(ca AS DOUBLE) / na + CAST(cb AS DOUBLE) / nb) / 2))
+      |      * 1000000 + 0.5) AS BIGINT) ELSE 0 END AS tb
+      |  FROM j, na, nb)
+      |SELECT greatest(CAST(sum(ta) AS BIGINT), 0) AS kl_a_micro,
+      |  greatest(CAST(sum(tb) AS BIGINT), 0) AS kl_b_micro,
+      |  (greatest(CAST(sum(ta) AS BIGINT), 0)
+      |    + greatest(CAST(sum(tb) AS BIGINT), 0)) // 2 AS jsd_micro
+      |FROM t""".stripMargin
+
   // ========================================================================
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q196_jsd_drift" -> (q196JsdDrift _),
     "q192_distinctive_terms" -> (q192DistinctiveTerms _),
     "q181_hill_tail_index" -> (q181HillTailIndex _),
     "q182_context_fit_cdf" -> (q182ContextFitCdf _),
@@ -1636,6 +1714,7 @@ object CorpusOpsQueries {
     "q59_source_cap" -> (q59SourceCap _))
 
   val oracleSql: Map[String, String] = Map(
+    "q196_jsd_drift" -> q196Sql,
     "q192_distinctive_terms" -> q192Sql,
     "q181_hill_tail_index" -> q181Sql,
     "q182_context_fit_cdf" -> q182Sql,

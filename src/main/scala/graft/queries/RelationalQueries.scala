@@ -329,6 +329,46 @@ object RelationalQueries {
       |p3 AS (SELECT st.state, coalesce(mass, 0) AS pn FROM st LEFT JOIN i3 USING (state))
       |SELECT state, pn AS stat_nano FROM p3 ORDER BY state""".stripMargin
 
+  // ===== q195 — first-touch distribution (funnel-entry audit) =============
+
+  /** What does a user's FIRST event look like? One row per event type
+    * with the count and share of users whose earliest event (by ts,
+    * event_id tiebreak) has that type — the funnel-entry mix. A
+    * nonzero `purchase` row is the funnel-violation signal (users
+    * appearing mid-journey: lost attribution, imported accounts, or
+    * tracking gaps) that q102's in-session funnel cannot see.
+    *
+    * Scale shape: one user_id exchange for the first-event window
+    * (rank 1 only — the as-of family's shape), then a ≤|types| hash
+    * aggregate with a broadcast 1-row total. No joins.
+    */
+  def q195FirstTouch(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"), col("event_id"))
+    val first = eventsUs(s, dir)
+      .withColumn("rk", row_number().over(byUser))
+      .filter(col("rk") === 1)
+      .groupBy(col("event_type")).agg(count(lit(1)).as("n_users"))
+    first
+      .crossJoin(broadcast(first.agg(sum(col("n_users")).as("n_total"))))
+      .select(col("event_type"), col("n_users"),
+        expr("(n_users * 1000000) div n_total").as("share_micro"))
+      .orderBy(col("event_type"))
+  }
+
+  val q195Sql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |f AS (
+      |  SELECT event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS rk
+      |  FROM e),
+      |g AS (SELECT event_type, count(*) AS n_users FROM f WHERE rk = 1 GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS n_total FROM g)
+      |SELECT event_type, n_users,
+      |  (n_users * 1000000) // n_total AS share_micro
+      |FROM g, t ORDER BY event_type""".stripMargin
+
   // ===== q46 — range join: purchases inside error-burst windows ==========
 
   /** Which purchases landed within 5 minutes after ANY error event —
@@ -920,6 +960,7 @@ object RelationalQueries {
     "q102_session_funnel" -> (q102SessionFunnel _),
     "q104_event_transitions" -> (q104EventTransitions _),
     "q174_markov_stationary" -> (q174MarkovStationary _),
+    "q195_first_touch" -> (q195FirstTouch _),
     "q46_range_join" -> (q46RangeJoin _),
     "q47_session_attribution" -> (q47SessionAttribution _),
     "q48_overlap_join" -> (q48OverlapJoin _),
@@ -928,6 +969,7 @@ object RelationalQueries {
 
   val oracleSql: Map[String, String] = Map(
     "q174_markov_stationary" -> q174Sql,
+    "q195_first_touch" -> q195Sql,
     "q140_event_dedup_window" -> q140Sql,
     "q156_funnel_timing" -> q156Sql,
     "q123_asof_nearest" -> q123Sql,

@@ -301,6 +301,63 @@ class StatsAuditSpec extends SparkTestBase {
       mean(eb) * 1000000L / mean(ea))), s"got $out vs arms $byArm")
   }
 
+  test("q193: two Thursdays at different volumes split the weekday mean exactly") {
+    val dir = java.nio.file.Files.createTempDirectory("q193-spec").toString
+    val day = 86400L * 1000000000L
+    // day 0 (Thu): 2 events; day 7 (Thu): 4 events
+    val rows = (1 to 2).map(i => (i.toLong, 0L, 1L, "v", 0.0, "")) ++
+      (3 to 6).map(i => (i.toLong, 7 * day, 1L, "v", 0.0, ""))
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = AnalyticsOpsQueries.q193SeasonalResiduals(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((0L, 4L, 2L, 3000000L, 666666L),
+      (7L, 4L, 4L, 3000000L, 1333333L)), s"got $out")
+  }
+
+  test("q194: five users with linear value pin the top-quintile share") {
+    val dir = java.nio.file.Files.createTempDirectory("q194-spec").toString
+    (1 to 5).map(u => (u.toLong, u * 1000000000L, u.toLong, "buy", u.toDouble, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = AnalyticsOpsQueries.q194ParetoShare(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].head()
+    // k = 1, top user holds 500 of 1500 cents
+    assert(out == ((5L, 1L, 1500L, 500L, 333333L)), s"got $out")
+  }
+
+  test("q195: first-touch mix counts each user once at their earliest event") {
+    val dir = java.nio.file.Files.createTempDirectory("q195-spec").toString
+    val sec = 1000000000L
+    Seq((1L, 1 * sec, 1L, "purchase", 0.0, ""), (2L, 2 * sec, 1L, "view", 0.0, ""),
+      (3L, 1 * sec, 2L, "view", 0.0, ""), (4L, 2 * sec, 2L, "purchase", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = RelationalQueries.q195FirstTouch(spark, dir)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("purchase", 1L, 500000L), ("view", 1L, 500000L)),
+      s"got $out")
+  }
+
+  test("q196: identical snapshot mixes score JSD 0; a mirrored shift is symmetric") {
+    val dir1 = java.nio.file.Files.createTempDirectory("q196-spec").toString
+    docsDf((1 to 10).map(i => (i.toLong, "t", "en", "s", 1L)))
+      .write.parquet(s"$dir1/documents.parquet")
+    val same = CorpusOpsQueries.q196JsdDrift(spark, dir1)
+      .as[(Long, Long, Long)].head()
+    assert(same == ((0L, 0L, 0L)), s"identical: $same")
+
+    val dir2 = java.nio.file.Files.createTempDirectory("q196-spec").toString
+    docsDf((1 to 10).map(i =>
+      (i.toLong, "t", if (i <= 5) "en" else "fr", "s", 1L)))
+      .write.parquet(s"$dir2/documents.parquet")
+    val sym = CorpusOpsQueries.q196JsdDrift(spark, dir2)
+      .as[(Long, Long, Long)].head()
+    // A = 5 en / 3 fr, B = 3 en / 5 fr: the mixes mirror, so the two KL
+    // halves agree and JSD is strictly positive
+    assert(sym._1 == sym._2 && sym._3 > 0L, s"mirrored: $sym")
+  }
+
   test("q171: uniform lengths score gini 0; a 1-vs-9 split scores 400000") {
     val dir = java.nio.file.Files.createTempDirectory("q171-spec").toString
     docsDf(Seq((1L, "a", "en", "EQ", 5L), (2L, "b", "en", "EQ", 5L),
