@@ -31,7 +31,7 @@ object PipelineQueries {
       .orderBy(col("quality").desc, col("rep_doc_id"))
       .limit(100)
 
-  private val SqlQuality = {
+  private[queries] val SqlQuality = {
     // mirrors TextQueries' quality expression (same operand order)
     val toks = "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), t -> t <> '')"
     val stops = "['the','a','an','of','and','to','in','is','it','that']"
@@ -933,7 +933,114 @@ object PipelineQueries {
       |  CAST(max(total_tokens) AS BIGINT) AS max_pack_tokens
       |FROM packs GROUP BY split ORDER BY split""".stripMargin
 
+  // ===== q199 — length × quality joint histogram ==========================
+
+  /** The 2D histogram behind every "are long documents better?"
+    * debate: document count per (length decimal-digit-count, quality
+    * quintile) cell. Both bucketings are engine-proof: the length
+    * bucket is the digit count of the integer (a string length, no
+    * logs), the quality bucket divides the micro-quantized q18 score
+    * into five fixed bands. Reading down a column shows the quality
+    * mix at each length scale — the joint view q63 (deciles) and q18
+    * (scores) can't give separately.
+    *
+    * Scale shape: both bucket keys are map-side projections; one
+    * ≤ 5·digits-key hash aggregate. One pass.
+    */
+  def q199LengthQualityHist(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+      .select(expr("length(cast(n_chars as string))").as("len_digits"),
+        floor(graft.text.TextFunctions.qualityScore(col("text")) * lit(1e6)
+          + lit(0.5)).cast("long").as("q_micro"))
+      .withColumn("q_quintile", expr("least(q_micro div 200000, 4) + 1"))
+      .groupBy(col("len_digits"), col("q_quintile"))
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy(col("len_digits"), col("q_quintile"))
+
+  val q199Sql: String =
+    s"""WITH d AS (
+       |  SELECT length(CAST(n_chars AS VARCHAR)) AS len_digits,
+       |    CAST(floor(($SqlQuality) * 1000000 + 0.5) AS BIGINT) AS q_micro
+       |  FROM documents)
+       |SELECT len_digits, least(q_micro // 200000, 4) + 1 AS q_quintile,
+       |  count(*) AS n_docs
+       |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ===== q200 — corpus release gate =======================================
+
+  /** The one-row GO/NO-GO a corpus release pipeline ends with: the
+    * exact metrics the audits above compute (document/source/language
+    * counts, exact-duplicate basis points, mean quality micro, the
+    * smallest source's doc count) each compared against a declared
+    * threshold, flags as 0/1 integers, and `release_ok` as their
+    * conjunction. Every input is an exact integer from one of the
+    * proven spellings (q154's card, q58's scorecard), so the gate is
+    * bit-reproducible — a release decision that can be re-derived
+    * byte-for-byte is an auditable one.
+    *
+    * Scale shape: one corpus aggregate, one fingerprint-grain
+    * aggregate (the q154 pair), one source-grain aggregate — all
+    * map-side combining, joined as broadcast 1-row relations.
+    */
+  def q200ReleaseGate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents")
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      floor(sum(floor(graft.text.TextFunctions.qualityScore(col("text")) * lit(1e6)
+          + lit(0.5)).cast("long")).cast("double") / count(lit(1)) + lit(0.5))
+        .cast("long").as("mean_quality_micro"))
+    val dups = docs.groupBy(md5(col("text")).as("fp")).agg(count(lit(1)).as("c"))
+      .agg(sum(col("c") - 1).as("n_dup_docs"))
+    val srcMin = docs.groupBy(col("source")).agg(count(lit(1)).as("c"))
+      .agg(min(col("c")).as("min_source_docs"))
+    base.crossJoin(broadcast(dups)).crossJoin(broadcast(srcMin))
+      .withColumn("dup_bps", expr("(n_dup_docs * 10000) div n_docs"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("mean_quality_micro"), col("dup_bps"), col("min_source_docs"),
+        expr("cast(dup_bps <= 100 as bigint)").as("dup_ok"),
+        expr("cast(n_langs >= 3 as bigint)").as("lang_ok"),
+        expr("cast(mean_quality_micro >= 400000 as bigint)").as("quality_ok"),
+        expr("cast(min_source_docs * n_sources * 10 >= n_docs as bigint)")
+          .as("balance_ok"))
+      .withColumn("release_ok",
+        expr("dup_ok * lang_ok * quality_ok * balance_ok"))
+  }
+
+  val q200Sql: String =
+    s"""WITH base AS (
+       |  SELECT count(*) AS n_docs,
+       |    count(DISTINCT source) AS n_sources,
+       |    count(DISTINCT lang) AS n_langs,
+       |    CAST(floor(CAST(sum(CAST(floor(($SqlQuality) * 1000000 + 0.5) AS BIGINT))
+       |      AS DOUBLE) / count(*) + 0.5) AS BIGINT) AS mean_quality_micro
+       |  FROM documents),
+       |d AS (
+       |  SELECT CAST(sum(c - 1) AS BIGINT) AS n_dup_docs
+       |  FROM (SELECT md5(text) AS fp, count(*) AS c FROM documents GROUP BY 1)),
+       |sm AS (
+       |  SELECT CAST(min(c) AS BIGINT) AS min_source_docs
+       |  FROM (SELECT source, count(*) AS c FROM documents GROUP BY 1)),
+       |m AS (
+       |  SELECT n_docs, n_sources, n_langs, mean_quality_micro,
+       |    (n_dup_docs * 10000) // n_docs AS dup_bps, min_source_docs
+       |  FROM base, d, sm)
+       |SELECT n_docs, n_sources, n_langs, mean_quality_micro, dup_bps,
+       |  min_source_docs,
+       |  CAST(dup_bps <= 100 AS BIGINT) AS dup_ok,
+       |  CAST(n_langs >= 3 AS BIGINT) AS lang_ok,
+       |  CAST(mean_quality_micro >= 400000 AS BIGINT) AS quality_ok,
+       |  CAST(min_source_docs * n_sources * 10 >= n_docs AS BIGINT) AS balance_ok,
+       |  CAST(dup_bps <= 100 AS BIGINT) * CAST(n_langs >= 3 AS BIGINT)
+       |    * CAST(mean_quality_micro >= 400000 AS BIGINT)
+       |    * CAST(min_source_docs * n_sources * 10 >= n_docs AS BIGINT)
+       |    AS release_ok
+       |FROM m""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q199_length_quality_hist" -> (q199LengthQualityHist _),
+    "q200_release_gate" -> (q200ReleaseGate _),
     "q185_pack_efficiency" -> (q185PackEfficiency _),
     "q178_shard_balance" -> (q178ShardBalance _),
     "q96_leakage_safe_split" -> (q96LeakageSafeSplit _),
@@ -954,6 +1061,8 @@ object PipelineQueries {
     "q162_purged_time_split" -> (q162PurgedTimeSplit _))
 
   val oracleSql: Map[String, String] = Map(
+    "q199_length_quality_hist" -> q199Sql,
+    "q200_release_gate" -> q200Sql,
     "q185_pack_efficiency" -> q185Sql,
     "q178_shard_balance" -> q178Sql,
     "q96_leakage_safe_split" -> q96Sql,

@@ -369,6 +369,107 @@ object RelationalQueries {
       |  (n_users * 1000000) // n_total AS share_micro
       |FROM g, t ORDER BY event_type""".stripMargin
 
+  // ===== q197 — per-user engagement entropy ===============================
+
+  /** How varied is each user's behavior? Shannon entropy of the user's
+    * event-type mix in micro-nats — 0 = single-note users (bots,
+    * scrapers, broken clients score here), ln(|types|) = uniform
+    * explorers. Per-type terms −p·ln p are quantized from exact counts
+    * (q124 discipline) before the per-user sum, so the scores are
+    * bit-stable and safely thresholdable.
+    *
+    * Scale shape: one (user, type) hash aggregate, one user-grain
+    * rollup — both map-side combining; per-user state is ≤ |types|
+    * counters. No windows.
+    */
+  def q197EngagementEntropy(s: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.load(s, dir, "events")
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("c"))
+    val totals = ut.groupBy(col("user_id")).agg(sum(col("c")).as("n_events"))
+    ut.join(totals, Seq("user_id"))
+      .select(col("user_id"), col("n_events"),
+        expr("cast(floor((cast(c as double) / n_events)" +
+          " * -ln(cast(c as double) / n_events) * 1000000 + 0.5) as bigint)")
+          .as("t"))
+      .groupBy(col("user_id"), col("n_events"))
+      .agg(count(lit(1)).as("n_types"), sum(col("t")).as("entropy_micro"))
+      .orderBy(col("user_id"))
+  }
+
+  val q197Sql: String =
+    """WITH ut AS (
+      |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2),
+      |t AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events FROM ut GROUP BY 1),
+      |terms AS (
+      |  SELECT ut.user_id, n_events,
+      |    CAST(floor((CAST(c AS DOUBLE) / n_events)
+      |      * -ln(CAST(c AS DOUBLE) / n_events) * 1000000 + 0.5) AS BIGINT) AS tt
+      |  FROM ut JOIN t USING (user_id))
+      |SELECT user_id, n_events, count(*) AS n_types,
+      |  CAST(sum(tt) AS BIGINT) AS entropy_micro
+      |FROM terms GROUP BY 1, 2 ORDER BY user_id""".stripMargin
+
+  // ===== q198 — order-fulfillment lead-time SLA by priority ===============
+
+  /** Does priority actually buy speed? Per order-priority class: order
+    * count and the exact p50/p90 of fulfillment lead time (days from
+    * order date to the order's LAST line shipment) — the SLA readout.
+    * Lead times are pure integer epoch-day arithmetic; percentiles are
+    * the q184 rank-cut-point discipline (value at rank ceil(q·n),
+    * orderkey tiebreak).
+    *
+    * Scale shape: one lineitem→order hash aggregate (max shipdate per
+    * order — map-side combining), an equi-join to orders on the key
+    * both sides already hash on, then the per-priority rank window
+    * (q30's honest exact-percentile cost; q31 is the approx swap).
+    */
+  def q198FulfillmentSla(s: SparkSession, dir: String): DataFrame = {
+    val lastShip = Tables.load(s, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(max(expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000L"))
+        .as("ship_day"))
+    val lead = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000L")
+          .as("order_day"))
+      .join(lastShip, col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        (col("ship_day") - col("order_day")).as("lead_days"))
+    val byPrio = Window.partitionBy(col("o_orderpriority"))
+    lead
+      .withColumn("r", row_number()
+        .over(byPrio.orderBy(col("lead_days"), col("o_orderkey"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(byPrio).cast("long"))
+      .groupBy(col("o_orderpriority"))
+      .agg(max(col("n")).as("n_orders"),
+        min(when(col("r") >= expr("(n + 1) div 2"), col("lead_days")))
+          .as("p50_days"),
+        min(when(col("r") >= expr("(9 * n + 9) div 10"), col("lead_days")))
+          .as("p90_days"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val q198Sql: String =
+    """WITH ls AS (
+      |  SELECT l_orderkey,
+      |    max(epoch_us(l_shipdate) // 86400000000) AS ship_day
+      |  FROM lineitem GROUP BY 1),
+      |lead AS (
+      |  SELECT o_orderpriority, o_orderkey,
+      |    ship_day - (epoch_us(o_orderdate) // 86400000000) AS lead_days
+      |  FROM orders JOIN ls ON o_orderkey = l_orderkey),
+      |r AS (
+      |  SELECT o_orderpriority, lead_days,
+      |    row_number() OVER (PARTITION BY o_orderpriority
+      |      ORDER BY lead_days, o_orderkey) AS r,
+      |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+      |  FROM lead)
+      |SELECT o_orderpriority, max(n) AS n_orders,
+      |  min(CASE WHEN r >= (n + 1) // 2 THEN lead_days END) AS p50_days,
+      |  min(CASE WHEN r >= (9 * n + 9) // 10 THEN lead_days END) AS p90_days
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===== q46 — range join: purchases inside error-burst windows ==========
 
   /** Which purchases landed within 5 minutes after ANY error event —
@@ -961,6 +1062,8 @@ object RelationalQueries {
     "q104_event_transitions" -> (q104EventTransitions _),
     "q174_markov_stationary" -> (q174MarkovStationary _),
     "q195_first_touch" -> (q195FirstTouch _),
+    "q197_engagement_entropy" -> (q197EngagementEntropy _),
+    "q198_fulfillment_sla" -> (q198FulfillmentSla _),
     "q46_range_join" -> (q46RangeJoin _),
     "q47_session_attribution" -> (q47SessionAttribution _),
     "q48_overlap_join" -> (q48OverlapJoin _),
@@ -970,6 +1073,8 @@ object RelationalQueries {
   val oracleSql: Map[String, String] = Map(
     "q174_markov_stationary" -> q174Sql,
     "q195_first_touch" -> q195Sql,
+    "q197_engagement_entropy" -> q197Sql,
+    "q198_fulfillment_sla" -> q198Sql,
     "q140_event_dedup_window" -> q140Sql,
     "q156_funnel_timing" -> q156Sql,
     "q123_asof_nearest" -> q123Sql,

@@ -358,6 +358,70 @@ class StatsAuditSpec extends SparkTestBase {
     assert(sym._1 == sym._2 && sym._3 > 0L, s"mirrored: $sym")
   }
 
+  test("q197: a 50/50 two-type user scores ln2; a single-note user scores 0") {
+    val dir = java.nio.file.Files.createTempDirectory("q197-spec").toString
+    val sec = 1000000000L
+    Seq((1L, 1 * sec, 1L, "view", 0.0, ""), (2L, 2 * sec, 1L, "view", 0.0, ""),
+      (3L, 3 * sec, 1L, "click", 0.0, ""), (4L, 4 * sec, 1L, "click", 0.0, ""),
+      (5L, 1 * sec, 2L, "view", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val out = RelationalQueries.q197EngagementEntropy(spark, dir)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, 4L, 2L, 693148L), (2L, 1L, 1L, 0L)), s"got $out")
+  }
+
+  test("q198: linear lead times pin the rank percentiles per priority") {
+    val dir = java.nio.file.Files.createTempDirectory("q198-spec").toString
+    val day = 86400L * 1000000L // micros per day
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400L * 1000L)
+    // order k ships k days after its order date
+    (1 to 10).map(k => (k.toLong, k.toLong, "O", 1.0, ts(0), "1-URGENT"))
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "o_orderdate", "o_orderpriority")
+      .write.parquet(s"$dir/orders.parquet")
+    (1 to 10).map(k => (k.toLong, 1L, 1L, 1, 1.0, 1.0, 0.0, 0.0, "N", "O", ts(k)))
+      .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate")
+      .write.parquet(s"$dir/lineitem.parquet")
+    val out = RelationalQueries.q198FulfillmentSla(spark, dir)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    // leads 1..10: p50 = rank 5 -> 5 days, p90 = rank 9 -> 9 days
+    assert(out == Seq(("1-URGENT", 10L, 5L, 9L)), s"got $out")
+  }
+
+  test("q199: histogram partitions the corpus and buckets stay in range") {
+    val sf = "/root/testdata/sf0.001"
+    val out = PipelineQueries.q199LengthQualityHist(spark, sf)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(out.map(_._3).sum == 500L, "cells must partition the corpus")
+    assert(out.forall(r => r._2 >= 1 && r._2 <= 5), s"quintile out of range: $out")
+    assert(out.forall(_._1 >= 1))
+  }
+
+  test("q200: a healthy plant releases; an all-duplicate plant trips the dup gate") {
+    val good = (1 to 30).map { i =>
+      val lang = Seq("en", "fr", "de")(i % 3)
+      val src = Seq("A", "B", "C")((i - 1) / 10)
+      (i.toLong, s"the quick document number $i of and to in it that is text", lang, src, 50L)
+    }
+    val dir1 = java.nio.file.Files.createTempDirectory("q200-spec").toString
+    docsDf(good).write.parquet(s"$dir1/documents.parquet")
+    val ok = PipelineQueries.q200ReleaseGate(spark, dir1)
+      .select("dup_ok", "lang_ok", "quality_ok", "balance_ok", "release_ok")
+      .as[(Long, Long, Long, Long, Long)].head()
+    assert(ok == ((1L, 1L, 1L, 1L, 1L)), s"healthy corpus blocked: $ok")
+
+    val dir2 = java.nio.file.Files.createTempDirectory("q200-spec").toString
+    docsDf(good.map { case (id, _, lang, src, n) =>
+      (id, "the same duplicated text of and to in it that is body", lang, src, n)
+    }).write.parquet(s"$dir2/documents.parquet")
+    val bad = PipelineQueries.q200ReleaseGate(spark, dir2)
+      .select("dup_ok", "release_ok").as[(Long, Long)].head()
+    assert(bad == ((0L, 0L)), s"all-duplicate corpus released: $bad")
+  }
+
   test("q171: uniform lengths score gini 0; a 1-vs-9 split scores 400000") {
     val dir = java.nio.file.Files.createTempDirectory("q171-spec").toString
     docsDf(Seq((1L, "a", "en", "EQ", 5L), (2L, "b", "en", "EQ", 5L),
