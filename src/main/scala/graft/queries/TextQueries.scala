@@ -201,18 +201,34 @@ object TextQueries {
     * the pair relation (5 conditional sums) plus one over the per-doc
     * max — thresholds never re-scan.
     */
-  /** The q165/q175 shared kernel: exact trigram-Jaccard (micro) for
-    * every pair sharing ≥1 shingle over the planted corpus (original +
-    * per-doc-unique near-copy + exact copy). See q165's scale notes.
+  /** The q165/q175/q191 shared kernel: exact trigram-Jaccard (micro)
+    * for every pair sharing ≥1 shingle over the planted corpus
+    * (original + per-doc-unique near-copy + exact copy). Built ONCE
+    * per corpus into the Warehouse (fingerprint-keyed, the q33/q88
+    * discipline) — the shared-shingle self-join is the expensive part
+    * and three calibration queries probe the same relation.
     */
   private[queries] def plantedJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val out = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "jacpairs", s"$dir/documents.parquet",
+        params = "n=3,plant=v1")) { d =>
+      buildPlantedJaccardPairs(s, dir).write.mode("overwrite").parquet(d)
+    }
+    s.read.parquet(out)
+  }
+
+  private def buildPlantedJaccardPairs(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.MinHashLSH.shingleRows
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
     val corpus = docs
       .unionAll(docs.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" near dup marker "), col("doc_id")).as("text")))
       .unionAll(docs.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    // the shingle relation feeds the per-doc counts AND both sides of
+    // the self-join — pin it so the regex explode over the tripled
+    // corpus runs once, not three times
     val sh = shingleRows(corpus, "doc_id", "text", n = 3).distinct()
+      .localCheckpoint(true)
     val counts = sh.groupBy(col("sid")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid"))
@@ -499,12 +515,21 @@ object TextQueries {
   def q167NgramNovelty(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.MinHashLSH.shingleRows
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    // computed twice below (per-doc totals, first-owner) — pin it so the
+    // regex explode runs once
     val sh = shingleRows(docs, "doc_id", "text", n = 3).distinct()
-    val firstSeen = sh.groupBy(col("sh")).agg(min(col("sid")).as("first_id"))
-    sh.join(firstSeen, Seq("sh"))
-      .groupBy(col("sid").as("doc_id"))
-      .agg(count(lit(1)).as("n_grams"),
-        sum(when(col("first_id") === col("sid"), 1L).otherwise(0L)).as("n_novel"))
+      .localCheckpoint(true)
+    val perDoc = sh.groupBy(col("sid").as("doc_id"))
+      .agg(count(lit(1)).as("n_grams"))
+    // novel counts WITHOUT a gram-grain join back: a gram is novel for
+    // exactly the doc that owns its min id, so the owner aggregate IS
+    // the per-doc novel count
+    val novel = sh.groupBy(col("sh")).agg(min(col("sid")).as("first_id"))
+      .groupBy(col("first_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    perDoc.join(novel, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
       .withColumn("novelty_micro", expr("(n_novel * 1000000) div n_grams"))
       .orderBy(col("doc_id"))
   }
