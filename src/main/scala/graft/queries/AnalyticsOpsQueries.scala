@@ -2108,7 +2108,86 @@ object AnalyticsOpsQueries {
       |  (topk_cents * 1000000) // total_cents AS share_micro
       |FROM a""".stripMargin
 
+  // ===== q201 — interpolated (continuous) percentiles =====================
+
+  /** The percentile_cont surface: exact LINEARLY-INTERPOLATED p50/p95
+    * of purchase value per event type — the convention dashboards and
+    * SLOs quote (q30's rank-based family returns an observed value;
+    * this returns the type-7 interpolation between the two straddling
+    * observations, which both engines implement identically). Inputs
+    * are exact cents; only the final interpolation is double, micro-
+    * quantized once.
+    *
+    * Scale shape: Spark's `percentile` is a single hash aggregate with
+    * map-side partial state; no window, no sort of the fact table. The
+    * 100-TB swap is q31's approx sketch when the per-group value count
+    * itself is too big to hold.
+    */
+  def q201InterpolatedPercentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "events")
+      .select(col("event_type"),
+        expr("cast(floor(value * 100 + 0.5) as bigint)").as("cents"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        expr("cast(floor(percentile(cents, 0.5) * 10000 + 0.5) as bigint)")
+          .as("p50_interp"),
+        expr("cast(floor(percentile(cents, 0.95) * 10000 + 0.5) as bigint)")
+          .as("p95_interp"))
+      .orderBy(col("event_type"))
+
+  val q201Sql: String =
+    """WITH c AS (
+      |  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(floor(quantile_cont(cents, 0.5) * 10000 + 0.5) AS BIGINT)
+      |    AS p50_interp,
+      |  CAST(floor(quantile_cont(cents, 0.95) * 10000 + 0.5) AS BIGINT)
+      |    AS p95_interp
+      |FROM c GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ===== q202 — rank-function family surface ===============================
+
+  /** The remaining rank variants in one audited surface: `rank` (gaps
+    * on ties), `dense_rank` (no gaps), and full-partition
+    * `first_value`/`nth_value(2)` — per source over document length
+    * descending. Ties are REAL here (rank vs dense_rank diverge on
+    * them, which the spec pins); the value functions use an explicit
+    * unbounded frame with a doc_id tiebreak so both engines pick the
+    * same witness row.
+    *
+    * Scale shape: one source exchange serves all four functions (one
+    * window spec); q189's bounded `topk_by` is the declared swap when
+    * only the head of each group is wanted.
+    */
+  def q202RankFamily(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byLen = Window.partitionBy(col("source")).orderBy(col("n_chars").desc)
+    Tables.load(s, dir, "documents")
+      .select(col("source"), col("doc_id"), col("n_chars"))
+      .withColumn("rnk", rank().over(byLen))
+      .withColumn("drnk", dense_rank().over(byLen))
+      .withColumn("longest", first_value(col("n_chars")).over(full))
+      .withColumn("second_longest", nth_value(col("n_chars"), 2).over(full))
+      .orderBy(col("source"), col("n_chars").desc, col("doc_id"))
+  }
+
+  val q202Sql: String =
+    """SELECT source, doc_id, n_chars,
+      |  rank() OVER (PARTITION BY source ORDER BY n_chars DESC) AS rnk,
+      |  dense_rank() OVER (PARTITION BY source ORDER BY n_chars DESC) AS drnk,
+      |  first_value(n_chars) OVER w AS longest,
+      |  nth_value(n_chars, 2) OVER w AS second_longest
+      |FROM documents
+      |WINDOW w AS (PARTITION BY source ORDER BY n_chars DESC, doc_id
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY source, n_chars DESC, doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_interp_percentiles" -> (q201InterpolatedPercentiles _),
+    "q202_rank_family" -> (q202RankFamily _),
     "q193_seasonal_residuals" -> (q193SeasonalResiduals _),
     "q194_pareto_share" -> (q194ParetoShare _),
     "q189_grouped_topk" -> (q189GroupedTopK _),
@@ -2152,6 +2231,8 @@ object AnalyticsOpsQueries {
     "q92_epoch_materialize" -> (q92EpochMaterialize _))
 
   val oracleSql: Map[String, String] = Map(
+    "q201_interp_percentiles" -> q201Sql,
+    "q202_rank_family" -> q202Sql,
     "q193_seasonal_residuals" -> q193Sql,
     "q194_pareto_share" -> q194Sql,
     "q189_grouped_topk" -> q189Sql,
