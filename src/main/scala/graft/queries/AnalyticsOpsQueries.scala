@@ -1534,9 +1534,15 @@ object AnalyticsOpsQueries {
       .withColumn("rb", row_number().over(rB).cast("long"))
       .agg(count(lit(1)).as("n"),
         sum(expr("(ra - rb) * (ra - rb)")).as("sum_d2"))
+      // DECIMAL(38,0) arithmetic: the numerator is ≈ 2n³·5e5, which
+      // wraps int64 past n ≈ 21k docs (Spark ansi=false wraps silently;
+      // DuckDB would error) — the sf0.1 corpus already crosses it. All
+      // operands are integers so decimal math is exact; `div` on
+      // decimals still yields BIGINT.
+      .withColumn("nd", col("n").cast("decimal(38,0)"))
       .withColumn("rho01_micro", expr(
-        "((n * (n * n - 1) - 6 * sum_d2 + n * (n * n - 1)) * 500000)" +
-          " div (n * (n * n - 1))"))
+        "((2 * nd * (nd * nd - 1) - 6 * cast(sum_d2 as decimal(38,0))) * 500000)" +
+          " div (nd * (nd * nd - 1))"))
       .select(col("n"), col("sum_d2"), col("rho01_micro"),
         expr("2 * rho01_micro - 1000000").as("rho_micro"))
   }
@@ -1555,8 +1561,10 @@ object AnalyticsOpsQueries {
       |  FROM r),
       |m AS (
       |  SELECT n, sum_d2,
-      |    ((n * (n * n - 1) - 6 * sum_d2 + n * (n * n - 1)) * 500000)
-      |      // (n * (n * n - 1)) AS rho01_micro
+      |    CAST(((2 * CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1)
+      |           - 6 * CAST(sum_d2 AS HUGEINT)) * 500000)
+      |      // (CAST(n AS HUGEINT) * (CAST(n AS HUGEINT) * n - 1))
+      |      AS BIGINT) AS rho01_micro
       |  FROM a)
       |SELECT n, sum_d2, rho01_micro, 2 * rho01_micro - 1000000 AS rho_micro
       |FROM m""".stripMargin
@@ -1647,8 +1655,16 @@ object AnalyticsOpsQueries {
         sum(col("n_chars")).as("total_chars"),
         sum(expr("i * n_chars")).as("wsum"))
       .select(col("source"), col("n_docs"), col("total_chars"),
-        expr("((2 * wsum - (n_docs + 1) * total_chars) * 1000000)" +
-          " div (n_docs * total_chars)").as("gini_micro"))
+        // DECIMAL(38,0): 2·wsum·1e6 ≤ 2·n_docs·total_chars·1e6 is
+        // ~2.5e18 at sf0.1 already (3.7× int64 headroom) and wraps
+        // around sf≈0.5 — same class as the q169 overflow. Numerator
+        // is nonnegative (ascending-rank Gini ≥ 0) so the integer
+        // division stays concordant across engines.
+        expr("((2 * cast(wsum as decimal(38,0))" +
+          " - (cast(n_docs as decimal(38,0)) + 1)" +
+          " * cast(total_chars as decimal(38,0))) * 1000000)" +
+          " div (cast(n_docs as decimal(38,0))" +
+          " * cast(total_chars as decimal(38,0)))").as("gini_micro"))
     gini(docs, col("source"))
       .unionAll(gini(docs.withColumn("g", lit("(all)")), col("g")))
       .orderBy(col("source"))
@@ -1668,8 +1684,8 @@ object AnalyticsOpsQueries {
       |    CAST(sum(i * n_chars) AS BIGINT) AS wsum
       |  FROM r GROUP BY 1)
       |SELECT source, n_docs, total_chars,
-      |  ((2 * wsum - (n_docs + 1) * total_chars) * 1000000)
-      |    // (n_docs * total_chars) AS gini_micro
+      |  CAST(((2 * CAST(wsum AS HUGEINT) - (n_docs + 1) * CAST(total_chars AS HUGEINT)) * 1000000)
+      |    // (CAST(n_docs AS HUGEINT) * total_chars) AS BIGINT) AS gini_micro
       |FROM g ORDER BY source""".stripMargin
 
   // ===== q173 — 2D Pareto skyline (dominance frontier) ====================

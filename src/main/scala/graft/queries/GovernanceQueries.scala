@@ -190,8 +190,17 @@ object GovernanceQueries {
         "(((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) * 1000000) div (n * n)"))
       .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
         col("po_micro"), col("pe_micro"),
-        expr("((po_micro - pe_micro) * 1000000) div (1000000 - pe_micro)")
-          .as("kappa_micro"))
+        // Sign-concordant division: kappa < 0 whenever the signals
+        // agree worse than chance, and Spark `div` truncates toward
+        // zero while DuckDB `//` floors — divergent by 1 on negative
+        // non-exact quotients. Dividing the absolute value (trunc =
+        // floor on nonnegative operands) and reapplying the sign makes
+        // both engines bit-equal for either sign; values with
+        // po ≥ pe (the bench corpus) are unchanged.
+        expr("CASE WHEN po_micro >= pe_micro" +
+          " THEN ((po_micro - pe_micro) * 1000000) div (1000000 - pe_micro)" +
+          " ELSE -(((pe_micro - po_micro) * 1000000) div (1000000 - pe_micro))" +
+          " END").as("kappa_micro"))
   }
 
   val q161Sql: String =
@@ -215,7 +224,10 @@ object GovernanceQueries {
       |      // (n * n) AS pe_micro
       |  FROM c)
       |SELECT n, n11, n10, n01, n00, po_micro, pe_micro,
-      |  ((po_micro - pe_micro) * 1000000) // (1000000 - pe_micro) AS kappa_micro
+      |  CASE WHEN po_micro >= pe_micro
+      |    THEN ((po_micro - pe_micro) * 1000000) // (1000000 - pe_micro)
+      |    ELSE -(((pe_micro - po_micro) * 1000000) // (1000000 - pe_micro))
+      |  END AS kappa_micro
       |FROM m""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -40,8 +40,10 @@ object NoveltyStream {
     * partitions (empty frame when nothing has been indexed yet).
     */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame = {
-    val path = new java.io.File(gramsPath(indexDir))
-    if (!path.exists()) {
+    // Hadoop FS probe, not java.io.File (see PackStream.readState).
+    val path = new org.apache.hadoop.fs.Path(gramsPath(indexDir))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) {
       import spark.implicits._
       Seq.empty[(String, Long)].toDF("sh", "first_id")
     } else {

@@ -37,8 +37,12 @@ object PackStream {
     * frame when no prior state exists).
     */
   def readState(spark: SparkSession, stateDir: String, batchId: Long): DataFrame = {
-    val path = new java.io.File(stateDir)
-    if (!path.exists()) {
+    // Hadoop FS probe, not java.io.File: state may live on hdfs://s3a://
+    // where a local-File exists() is always false and prior state would
+    // silently read as empty (the CdcStream.currentVersion discipline).
+    val path = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) {
       import spark.implicits._
       Seq.empty[(String, Long)].toDF("split", "cum0")
     } else {

@@ -80,4 +80,24 @@ class GovernanceSpec extends SparkTestBase {
       .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
     assert(out == ((4L, 1L, 1L, 1L, 1L, 500000L, 500000L, 0L)), s"independence: $out")
   }
+
+  test("q161: worse-than-chance disagreement yields a negative kappa, trunc-semantics exact") {
+    def doc(id: Long, a: Boolean, b: Boolean) = {
+      val text = if (a) Seq.fill(25)("w").mkString(" ") else "short text"
+      (id, text, "en", "s", if (b) 200L else 10L)
+    }
+    // anti-correlated signals: n11=0, n10=1, n01=1, n00=1 ->
+    // po = 1e6 div 3 = 333333, pe = 5e6 div 9 = 555555,
+    // kappa = -((222222 * 1e6) div 444445) = -499998 under truncation
+    // toward zero on the NONNEGATIVE operand (a floored negative
+    // division would give -499999 — the engine-divergence this pins).
+    val dir = java.nio.file.Files.createTempDirectory("gov-spec").toString
+    Seq(doc(1, true, false), doc(2, false, true), doc(3, false, false))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = GovernanceQueries.q161KappaAgreement(spark, dir)
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    assert(out == ((3L, 0L, 1L, 1L, 1L, 333333L, 555555L, -499998L)),
+      s"negative kappa: $out")
+  }
 }

@@ -49,6 +49,20 @@ class StatsAuditSpec extends SparkTestBase {
     assert(fwd == ((3L, 0L, 1000000L, 1000000L)), s"aligned: $fwd")
   }
 
+  test("q169: 25k-doc corpus does not wrap int64 (numerator ~1.6e19)") {
+    // 2n(n^2-1)*5e5 at n=25000 is 1.56e19 > Long.MaxValue: the naive
+    // int64 spelling silently wraps under ansi=false and reports a
+    // garbage rho. Identical docs tie everywhere, so both rank orders
+    // fall back to doc_id and sum_d2 = 0 -> rho must be EXACTLY +1e6.
+    val dir = java.nio.file.Files.createTempDirectory("q169-ovf").toString
+    (1 to 25000).map(i => (i.toLong, "aa bb", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = AnalyticsOpsQueries.q169RankCorrelation(spark, dir)
+      .as[(Long, Long, Long, Long)].head()
+    assert(out == ((25000L, 0L, 1000000L, 1000000L)), s"overflow regression: $out")
+  }
+
   test("q170: distinct metrics make every quintile a singleton; best user scores 555") {
     val dir = java.nio.file.Files.createTempDirectory("q170-spec").toString
     val day = 86400L * 1000000000L
@@ -433,5 +447,19 @@ class StatsAuditSpec extends SparkTestBase {
     assert(out("EQ") == 0L, s"uniform: ${out("EQ")}")
     assert(out("SKEW") == 400000L, s"skew: ${out("SKEW")}")
     assert(out.contains("(all)"))
+  }
+
+  test("q171: 25k x 20k-char corpus does not wrap int64 (2*wsum*1e6 ~ 1.25e19)") {
+    // wsum = 2e4 * n(n+1)/2 = 6.25e12 at n=25000; the naive int64
+    // numerator 2*wsum*1e6 = 1.25e19 wraps. Uniform lengths -> gini
+    // must be EXACTLY 0 for the source row and the (all) row.
+    val dir = java.nio.file.Files.createTempDirectory("q171-ovf").toString
+    (1 to 25000).map(i => (i.toLong, "x", "en", "s", 20000L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val out = AnalyticsOpsQueries.q171GiniConcentration(spark, dir)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(out == Map("s" -> 0L, "(all)" -> 0L), s"overflow regression: $out")
   }
 }
