@@ -13,6 +13,17 @@ import graft.core.Sessions
   * benchmarks; the small second-run cache advantage (OS page cache on
   * the parquet) applies equally to every query, so relative ordering
   * is preserved.
+  *
+  * The two samples come from two SEPARATE full passes over the query
+  * list (pass 1 runs every query once, then pass 2 repeats), NOT
+  * back-to-back runs of the same query: with back-to-back sampling a
+  * single sustained host-load window poisons BOTH samples of every
+  * query it covers, and min-of-2 can't reject it — exactly the
+  * contiguous both-runs inflation bands the round-16 (q56/q80) and
+  * round-17 (q55/q58) driver benches recorded on line-identical code
+  * that sat at profile in same-commit clean-window re-runs. With the
+  * passes minutes apart, a host window has to span the entire bench
+  * to inflate both samples of one query.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -64,74 +75,96 @@ object Bench {
       if (args.nonEmpty) args.toSeq.sorted
       else SparkEntry.queries.keys.toSeq.sorted
     var deadlineHit = false
-    val results = names.map { name =>
+    // Each run records its Warehouse.ensureBuilt outcomes (drained
+    // around the timed region) so an indexed query's wall time is
+    // attributable: did THIS run pay the one-off index build, or
+    // only the steady-state probe?
+    case class Run(sec: Double, err: Option[String], touched: Boolean, built: Boolean)
+    def once(name: String, runNo: Int): Run = {
       val fn = SparkEntry.queries(name)
-      // Each run records its Warehouse.ensureBuilt outcomes (drained
-      // around the timed region) so an indexed query's wall time is
-      // attributable: did THIS run pay the one-off index build, or
-      // only the steady-state probe?
-      case class Run(sec: Double, err: Option[String], touched: Boolean, built: Boolean)
-      def once(runNo: Int): Run = {
-        graft.core.Warehouse.drainBuildEvents()
-        val t0 = System.nanoTime()
-        // The query runs on a worker thread under its own job group so
-        // the watchdog can cancel its Spark jobs; interruptOnCancel
-        // reaches task threads stuck in compute, and the thread
-        // interrupt reaches driver-side planning.
-        val group = s"bench-$name-run$runNo"
-        @volatile var err: Option[String] = None
-        val worker = new Thread(() => {
-          try {
-            spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
-            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          } catch {
-            case e: Throwable =>
-              err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-          } finally spark.sparkContext.clearJobGroup()
-        }, group)
-        worker.setDaemon(true)
-        worker.start()
-        worker.join(queryTimeoutSec * 1000)
-        if (worker.isAlive) {
-          progress(s"$name run$runNo exceeded ${queryTimeoutSec}s — cancelling job group")
-          spark.sparkContext.cancelJobGroup(group)
-          worker.interrupt()
-          worker.join(30000)
-          err = Some(s"bench_timeout_after_${queryTimeoutSec}s")
-        }
-        val events = graft.core.Warehouse.drainBuildEvents()
-        val sec = (System.nanoTime() - t0) / 1e9
-        progress(f"$name run$runNo ${sec}%.2fs${err.map(e => s" ERR $e").getOrElse("")}")
-        Run(sec, err, events.nonEmpty, events.exists(_._2))
+      graft.core.Warehouse.drainBuildEvents()
+      val t0 = System.nanoTime()
+      // The query runs on a worker thread under its own job group so
+      // the watchdog can cancel its Spark jobs; interruptOnCancel
+      // reaches task threads stuck in compute, and the thread
+      // interrupt reaches driver-side planning.
+      val group = s"bench-$name-run$runNo"
+      @volatile var err: Option[String] = None
+      val worker = new Thread(() => {
+        try {
+          spark.sparkContext.setJobGroup(group, name, interruptOnCancel = true)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        } catch {
+          case e: Throwable =>
+            err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+        } finally spark.sparkContext.clearJobGroup()
+      }, group)
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(queryTimeoutSec * 1000)
+      if (worker.isAlive) {
+        progress(s"$name run$runNo exceeded ${queryTimeoutSec}s — cancelling job group")
+        spark.sparkContext.cancelJobGroup(group)
+        worker.interrupt()
+        worker.join(30000)
+        err = Some(s"bench_timeout_after_${queryTimeoutSec}s")
       }
-      // "built_runN": run N paid an index build (its time is build+probe;
-      // the other run is pure probe). "prebuilt": probes only — the
-      // index predated this bench process.
-      def whState(runs: Seq[Run]): Option[String] =
-        runs.zipWithIndex.collectFirst { case (r, i) if r.built => s"built_run${i + 1}" }
-          .orElse(if (runs.exists(_.touched)) Some("prebuilt") else None)
+      val events = graft.core.Warehouse.drainBuildEvents()
+      val sec = (System.nanoTime() - t0) / 1e9
+      progress(f"$name run$runNo ${sec}%.2fs${err.map(e => s" ERR $e").getOrElse("")}")
+      Run(sec, err, events.nonEmpty, events.exists(_._2))
+    }
+    // "built_runN": run N paid an index build (its time is build+probe;
+    // the other run is pure probe). "prebuilt": probes only — the
+    // index predated this bench process.
+    def whState(runs: Seq[Run]): Option[String] =
+      runs.zipWithIndex.collectFirst { case (r, i) if r.built => s"built_run${i + 1}" }
+        .orElse(if (runs.exists(_.touched)) Some("prebuilt") else None)
 
-      if (deadlineHit)
-        (name, 0.0, Seq.empty[Double], Some("skipped_bench_deadline"), None)
-      else {
-        val first = once(1)
-        if (elapsedSec > deadlineSec && !deadlineHit) {
+    // PASS 1: every query once, in name order. A deadline hit skips
+    // the rest (artifact still emitted).
+    val pass1 = scala.collection.mutable.LinkedHashMap.empty[String, Run]
+    names.foreach { name =>
+      if (!deadlineHit) {
+        pass1(name) = once(name, 1)
+        if (elapsedSec > deadlineSec) {
           deadlineHit = true
-          progress(s"global deadline ${deadlineSec}s passed — skipping remaining second runs and queries")
+          progress(s"global deadline ${deadlineSec}s passed — skipping remaining queries and all of pass 2")
         }
-        // don't re-run a failing query — its error is the result; past
-        // the deadline, report run 1 alone rather than risk the artifact
-        if (first.err.isDefined)
+      }
+    }
+    // PASS 2: a second full pass, so the two samples of one query are
+    // minutes apart — a transient host-load window can no longer
+    // inflate both (see the scaladoc). Queries that errored in pass 1
+    // are not re-run: the error IS their result.
+    val pass2 = scala.collection.mutable.LinkedHashMap.empty[String, Run]
+    if (!deadlineHit) progress("pass 1 complete — starting pass 2")
+    names.foreach { name =>
+      if (!deadlineHit) pass1.get(name) match {
+        case Some(first) if first.err.isEmpty =>
+          pass2(name) = once(name, 2)
+          if (elapsedSec > deadlineSec) {
+            deadlineHit = true
+            progress(s"global deadline ${deadlineSec}s passed — remaining queries report their pass-1 sample alone")
+          }
+        case _ => ()
+      }
+    }
+    val results = names.map { name =>
+      pass1.get(name) match {
+        case None =>
+          (name, 0.0, Seq.empty[Double], Some("skipped_bench_deadline"), None)
+        case Some(first) if first.err.isDefined =>
           (name, first.sec, Seq(first.sec), first.err, whState(Seq(first)))
-        else if (deadlineHit)
-          (name, first.sec, Seq(first.sec), None, whState(Seq(first)))
-        else {
-          val second = once(2)
-          if (second.err.isEmpty)
-            (name, math.min(first.sec, second.sec), Seq(first.sec, second.sec), None,
-              whState(Seq(first, second)))
-          else (name, first.sec, Seq(first.sec), first.err, whState(Seq(first)))
-        }
+        case Some(first) =>
+          pass2.get(name) match {
+            case Some(second) if second.err.isEmpty =>
+              (name, math.min(first.sec, second.sec), Seq(first.sec, second.sec),
+                None, whState(Seq(first, second)))
+            // pass-2 flake or deadline: the pass-1 success stands alone
+            case _ =>
+              (name, first.sec, Seq(first.sec), None, whState(Seq(first)))
+          }
       }
     }
 
