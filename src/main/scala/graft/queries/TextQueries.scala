@@ -229,11 +229,54 @@ object TextQueries {
     // corpus runs once, not three times
     val sh = shingleRows(corpus, "doc_id", "text", n = 3).distinct()
       .localCheckpoint(true)
+    jaccardPairsFromShingles(sh)
+  }
+
+  /** Exact-Jaccard pair kernel over a distinct (sid, sh) shingle
+    * relation: every pair of ids sharing ≥1 CANDIDATE-ELIGIBLE shingle,
+    * with exact micro-quantized Jaccard (|∩|·1e6 div |∪|) computed over
+    * ALL shingles of both members.
+    *
+    * `maxDf` is the posting-list skew escape hatch: the candidate
+    * self-join's volume is Σ_g df(g)·(df(g)−1)/2 — quadratic in each
+    * shingle's document frequency, and one corpus-frequent stopword
+    * trigram at 100 TB makes it explode (JaccardKernelSpec plants
+    * exactly that and pins the closed form). A finite cap EXCLUDES
+    * grams with df > maxDf from candidate GENERATION only; surviving
+    * pairs are still verified against the full shingle relation, so
+    * every emitted jm is the true exact Jaccard — the cap can only
+    * lose pairs whose EVERY shared gram is corpus-frequent (which at a
+    * calibration θ ≥ 0.5 means near-boilerplate content), never
+    * corrupt a value. The default ∞ keeps the q165/q175/q191 oracles
+    * exact; with cap ≥ max df the output is bit-identical to uncapped
+    * (spec-pinned).
+    */
+  private[queries] def jaccardPairsFromShingles(
+      sh: DataFrame, maxDf: Long = Long.MaxValue): DataFrame = {
     val counts = sh.groupBy(col("sid")).agg(count(lit(1)).as("n_sh"))
-    val inter = sh.as("a")
-      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid"))
-      .groupBy(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val eligible =
+      if (maxDf == Long.MaxValue) sh
+      else sh.join(
+        sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxDf).select(col("sh")),
+        Seq("sh"))
+    val cand = eligible.as("a")
+      .join(eligible.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid"))
+      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+      .distinct()
+    // exact |∩| for the surviving candidates over the FULL shingle
+    // relation (the MinHashLSH.verifyPairs melt: each pair probes the
+    // relation once via its two ids)
+    val probes = cand.select(col("id_a"), col("id_b"),
+      explode(array(
+        struct(col("id_a").as("sid"), lit(1).as("in_a"), lit(0).as("in_b")),
+        struct(col("id_b").as("sid"), lit(0).as("in_a"), lit(1).as("in_b")))).as("p"))
+      .select(col("id_a"), col("id_b"), col("p.sid"), col("p.in_a"), col("p.in_b"))
+    val inter = probes.join(sh, "sid")
+      .groupBy(col("id_a"), col("id_b"), col("sh"))
+      .agg(max(col("in_a")).as("fa"), max(col("in_b")).as("fb"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum(col("fa") * col("fb")).as("n_inter"))
     inter
       .join(counts.select(col("sid").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(counts.select(col("sid").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))
