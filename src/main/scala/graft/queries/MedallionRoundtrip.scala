@@ -157,13 +157,82 @@ object MedallionRoundtrip {
     """SELECT doc_id, md5(text) AS text_md5, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  // ===== q203 — schema-evolving re-ingest over a versioned table ==========
+
+  /** Schema evolution end-to-end as a driver-verifiable query (the
+    * narrowable slice of the reference's Iceberg gap,
+    * `flows_iceberg/bronze_iceberg.py:40-41`): the `region` dim is
+    * ingested from CSV at schema v1 (key, name), then RE-ingested at
+    * schema v2 with an added `r_note` column, both committed to one
+    * [[graft.medallion.Versioned]] root via
+    * [[graft.medallion.SchemaEvolution.commitEvolved]]. The emitted
+    * table is the evolved snapshot: v1 rows surface with NULL under
+    * the added column, v2 rows carry it — which the oracle states
+    * independently from the untouched parquet dim. Old-snapshot
+    * readability and the no-rewrite add-column property are
+    * spec-pinned (SchemaEvolutionSpec).
+    *
+    * region is a fixed 5-row dim, so the driver-side CSV producer is
+    * safe at any scale (the q15 argument); the evolution machinery
+    * itself is metadata-plus-one-commit — nothing corpus-sized moves.
+    */
+  def q203SchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region")
+    val rows = region.select(col("r_regionkey").cast("string"), col("r_name"))
+      .collect() // fixed 5-row dim: the external CSV producer edge
+      .map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1)
+    val v1Csv = ("r_regionkey,r_name" +:
+      rows.map { case (k, n) => s"$k,$n" }).mkString("", "\n", "\n")
+    val v2Csv = ("r_regionkey,r_name,r_note" +:
+      rows.map { case (k, n) => s"$k,$n,note-$k" }).mkString("", "\n", "\n")
+
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-q203-evolution-${ProcessHandle.current().pid()}")
+    MedallionRoundtrip.registerCleanup(tmp)
+    if (Files.exists(tmp)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    def ingest(csv: String, tag: String): String = {
+      Chunker.deliver(Chunker.split(csv), s"$tmp/$tag/landing", bufferBytes = 1 << 20)
+      BronzeFlow.ingest(s, s"$tmp/$tag/landing", s"$tmp/$tag/bronze")
+    }
+    val root = s"$tmp/versioned/region"
+    graft.medallion.SchemaEvolution.commitEvolved(s, root,
+      s.read.parquet(ingest(v1Csv, "v1")))
+    graft.medallion.SchemaEvolution.commitEvolved(s, root,
+      s.read.parquet(ingest(v2Csv, "v2")))
+    graft.medallion.Versioned.read(s, root)
+      .select(col("r_regionkey").cast("long").as("r_regionkey"),
+        col("r_name"), col("r_note").cast("string").as("r_note"))
+      .orderBy(col("r_regionkey").asc, col("r_note").asc_nulls_first)
+  }
+
+  val q203Sql: String =
+    """WITH v AS (
+      |  SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+      |    CAST(NULL AS VARCHAR) AS r_note
+      |  FROM region
+      |  UNION ALL
+      |  SELECT CAST(r_regionkey AS BIGINT), r_name,
+      |    'note-' || CAST(r_regionkey AS VARCHAR)
+      |  FROM region)
+      |SELECT r_regionkey, r_name, r_note FROM v
+      |ORDER BY r_regionkey, r_note NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_medallion_roundtrip" -> (q15MedallionRoundtrip _),
     "q106_jsonl_roundtrip" -> (q106JsonlRoundtrip _),
-    "q187_orc_roundtrip" -> (q187OrcRoundtrip _))
+    "q187_orc_roundtrip" -> (q187OrcRoundtrip _),
+    "q203_schema_evolution" -> (q203SchemaEvolution _))
 
   val oracleSql: Map[String, String] = Map(
     "q15_medallion_roundtrip" -> q15Sql,
     "q106_jsonl_roundtrip" -> q106Sql,
-    "q187_orc_roundtrip" -> q187Sql)
+    "q187_orc_roundtrip" -> q187Sql,
+    "q203_schema_evolution" -> q203Sql)
 }
