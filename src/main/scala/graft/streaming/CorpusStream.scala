@@ -111,6 +111,23 @@ object CorpusStream {
       batch: DataFrame, batchId: Long, indexDir: String, corpusDir: String,
       backend: Backend): Unit = {
     if (batch.isEmpty) return
+    val survivors = dedupBatch(batch, indexDir, backend)
+    if (!survivors.isEmpty) {
+      survivors.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+      backend.appendToIndex(survivors, indexDir)
+    }
+  }
+
+  /** The batch's dedup SURVIVORS against the persisted index — the pair
+    * detection + corpus-vs-batch split + in-batch cluster resolution of
+    * [[dedupAndAppend]] WITHOUT the sink/index writes, so composed
+    * pipelines ([[CurationStream]]) can route survivors through further
+    * stages before committing. Replayed records (already indexed →
+    * self-pairs) come back empty, which composed callers use as their
+    * replay marker. Result is eagerly checkpointed.
+    */
+  def dedupBatch(
+      batch: DataFrame, indexDir: String, backend: Backend): DataFrame = {
     val id = backend.idCol
     // pin the micro-batch: it feeds the pair job, two joins, and the
     // writes — streaming sources don't guarantee re-readability inside
@@ -139,13 +156,9 @@ object CorpusStream {
     val batchPairs = flagged.filter(col("a_in").isNotNull && col("b_in").isNotNull)
       .select(col("id_a"), col("id_b"))
 
-    val survivors = DedupClusters.deduplicate(
+    DedupClusters.deduplicate(
         fresh.join(corpusDups, Seq(id), "left_anti"), id, batchPairs)
       .localCheckpoint(eager = true)
-    if (!survivors.isEmpty) {
-      survivors.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
-      backend.appendToIndex(survivors, indexDir)
-    }
   }
 
   /** Read the curated corpus (all ingested batches; `batch_id` appears

@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.dedup.Decontaminate
+
+/** The streaming curation pipeline END-TO-END: each arriving
+  * micro-batch of documents is (1) near-dup cut against the persisted
+  * dedup index ([[CorpusStream.dedupBatch]] — corpus copies win,
+  * in-batch clusters collapse), (2) span-grain DECONTAMINATED against
+  * the persisted eval-gram index ([[DecontaminateStream.cutBatch]] =
+  * the q89/q150 `Decontaminate` kernel), and (3) its surviving cleaned
+  * text PACKED into fixed-budget sequences continuing each split's
+  * running totals ([[PackStream.packAndAppend]] = the q41 rule). One
+  * intake loop produces the three artifacts a training-data service
+  * actually serves: the curated ledger, the packed corpus, and the
+  * grown dedup index — all shared-kernel with their batch twins, so
+  * streamed ≡ batch is by construction and pinned in
+  * CurationStreamSpec.
+  *
+  * ==Stage order==
+  * Dedup FIRST (cheapest cut, and the index must see raw survivor text
+  * so future batches dedup against what was kept), decon second over
+  * survivors only, packing last over the decontaminated text — the
+  * q150 composition order at intake grain.
+  *
+  * ==Exactly-once accounting==
+  * All sinks are per-batch-partition overwrites (`batch_id=N`), and the
+  * dedup-index append runs LAST: a crash anywhere before it leaves the
+  * index unchanged, so the replayed batch recomputes the identical
+  * survivors/cut/packs and rewrites its own partitions with identical
+  * rows (state for packing is read as "latest snapshot with
+  * batch_id < N", so a replay sees exactly what the first run saw); a
+  * crash after the append makes the replayed batch's records
+  * self-collide in the index ([[CorpusStream]]'s marker), survivors
+  * come back empty, and the whole replay is a no-op on every sink.
+  */
+object CurationStream {
+
+  /** Start the landing→curated+packed stream. `dedupIndexDir` must hold
+    * a backend-family index (day-0 corpus or empty); `evalIndexDir` a
+    * [[DecontaminateStream.buildEvalIndex]] gram table.
+    */
+  def start(
+      spark: SparkSession, inDir: String, schema: StructType,
+      dedupIndexDir: String, evalIndexDir: String,
+      curatedDir: String, packDir: String, stateDir: String,
+      checkpointDir: String,
+      backend: CorpusStream.Backend = CorpusStream.MinHashText(),
+      w: Int = Decontaminate.DefaultWindow,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curateBatch(batch, batchId, dedupIndexDir, evalIndexDir,
+          curatedDir, packDir, stateDir, backend, w)
+      }
+      .start()
+
+  /** One micro-batch of the composed loop (exposed for direct batch use
+    * and the spec). See class doc for stage order and replay contract.
+    */
+  def curateBatch(
+      batch: DataFrame, batchId: Long,
+      dedupIndexDir: String, evalIndexDir: String,
+      curatedDir: String, packDir: String, stateDir: String,
+      backend: CorpusStream.Backend = CorpusStream.MinHashText(),
+      w: Int = Decontaminate.DefaultWindow): Unit = {
+    if (batch.isEmpty) return
+    val id = backend.idCol
+    val textCol = backend match {
+      case m: CorpusStream.MinHashText => m.textCol
+      case _ => throw new IllegalArgumentException(
+        "CurationStream curates TEXT batches; use a text backend")
+    }
+    // stage 1 — near-dup cut (empty ⇒ replayed or all-duplicate batch;
+    // either way nothing downstream may be rewritten)
+    val survivors = CorpusStream.dedupBatch(batch, dedupIndexDir, backend)
+    if (survivors.isEmpty) return
+    // stage 2 — span decontamination of survivors (pure)
+    val cut = DecontaminateStream
+      .cutBatch(survivors, id, textCol, evalIndexDir, w)
+      .localCheckpoint(eager = true)
+    cut.write.mode("overwrite").parquet(s"$curatedDir/batch_id=$batchId")
+    // stage 3 — pack the DECONTAMINATED text (split keying and token
+    // counts follow the final content, the q150→q41 composition)
+    PackStream.packAndAppend(
+      cut.filter(col("kept_text") =!= "")
+        .select(col(id).as("doc_id"), col("kept_text").as("text")),
+      batchId, stateDir, packDir)
+    // index append LAST — the replay marker (class doc)
+    backend.appendToIndex(survivors, dedupIndexDir)
+  }
+
+  /** The curated ledger (all batches; q89 schema + batch_id). */
+  def readCurated(spark: SparkSession, curatedDir: String): DataFrame =
+    spark.read.parquet(curatedDir)
+
+  /** The packed corpus (all batches; q41 schema + batch_id). */
+  def readPacks(spark: SparkSession, packDir: String): DataFrame =
+    spark.read.parquet(packDir)
+}
