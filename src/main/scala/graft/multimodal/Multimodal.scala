@@ -325,6 +325,64 @@ object Multimodal {
     }
   }
 
+  /** Planted corpus for the PERCEPTUAL-hash near-dup surface
+    * ([[ImagePhash]]): `groups` natural-image-like luminance fields —
+    * a seeded 1/f-decaying sum of 8 low-frequency sinusoid products
+    * per group, rendered as REAL PNGs — each with three perturbed
+    * copies the HISTOGRAM path cannot reliably pair but pHash must:
+    *
+    *   id+1000: re-encode at 2× resolution (same continuous image)
+    *   id+2000: ~1% border crop
+    *   id+3000: ~0.5° rotation about the center
+    *
+    * The decaying spectrum matters: it gives the 8×8 DCT block a
+    * spread of coefficient magnitudes (like real photographs), so the
+    * median-threshold bits are mostly well-separated and perturbations
+    * flip only fringe bits — measured ≤ 14 of 64, vs ≥ 24 between
+    * distinct groups (ImageNearDupSpec pins both sides of the margin).
+    */
+  def phashDedupCorpus(spark: SparkSession, groups: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(groups).flatMap { i =>
+      val g = i.toInt
+      // seeded per-group spectrum: (freq, phase) pairs fixed at build
+      val rnd = new scala.util.Random(g * 7919 + 13)
+      val comps = (1 to 8).map { k =>
+        (1 + rnd.nextInt(4), 1 + rnd.nextInt(4),
+          rnd.nextDouble() * 2 * math.Pi, rnd.nextDouble() * 2 * math.Pi,
+          35.0 / k)
+      }
+      def lum(xc: Double, yc: Double): Int = {
+        var v = 128.0
+        comps.foreach { case (fx, fy, p1, p2, amp) =>
+          v += amp * math.sin(2 * math.Pi * fx * xc + p1) *
+            math.cos(2 * math.Pi * fy * yc + p2)
+        }
+        math.max(0, math.min(255, math.round(v).toInt))
+      }
+      def png(size: Int, xf: (Double, Double) => (Double, Double)) =
+        encodePng(size, size, (x, y) => {
+          val (xc, yc) = xf((x + 0.5) / size, (y + 0.5) / size)
+          val v = lum(xc, yc)
+          (v << 16) | (v << 8) | v
+        })
+      val theta = math.toRadians(0.5)
+      val (ct, st) = (math.cos(theta), math.sin(theta))
+      Seq(
+        MediaRecord(g.toLong, "image", "image/png", 64, 64, 0L,
+          png(64, (a, b) => (a, b))),
+        MediaRecord(1000L + g, "image", "image/png", 128, 128, 0L,
+          png(128, (a, b) => (a, b))),
+        MediaRecord(2000L + g, "image", "image/png", 64, 64, 0L,
+          png(64, (a, b) => (0.01 + a * 0.98, 0.01 + b * 0.98))),
+        MediaRecord(3000L + g, "image", "image/png", 64, 64, 0L,
+          png(64, (a, b) => {
+            val (u, v) = (a - 0.5, b - 0.5)
+            (0.5 + u * ct - v * st, 0.5 + u * st + v * ct)
+          })))
+    }
+  }
+
   /** Deterministic synthetic media corpus for tests/demos: REAL PNGs
     * (deterministic pixel pattern) and REAL 16-bit PCM WAVs
     * (deterministic sine), plus opaque "video" blobs. Metadata matches

@@ -61,9 +61,31 @@ object MultimodalQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Perceptual-hash image near-dup — the crop/re-encode-robust twin
+    * of q35 (whose luma HISTOGRAM carries no spatial structure: it
+    * pairs any two images with the same tone mix and misses nothing a
+    * recolor does): REAL PNG bytes → [[graft.multimodal.ImagePhash]]
+    * DCT pHash (32×32 box-resampled luma → 2-D DCT-II → 8×8 block →
+    * median-threshold 64 bits) → multi-index Hamming self-join
+    * (8 × 8-bit chunks + 1-bit multi-probe, radius ≤ 15 guaranteed) →
+    * exact popcount verify. The corpus plants 8 natural-image-like
+    * fields with a 2×-resolution re-encode, a ~1% crop, and a ~0.5°
+    * rotation of each ([[Multimodal.phashDedupCorpus]]): all planted
+    * copies land ≤ 14 bits from their original, distinct fields ≥ 24
+    * (ImageNearDupSpec pins both margins). Rows-only driver check:
+    * pixels→DCT is not SQL-expressible.
+    */
+  def q204ImagePhashNearDup(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.multimodal.ImagePhash
+    val corpus = Multimodal.phashDedupCorpus(s, groups = 8)
+    media.nearDuplicates(corpus)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_features" -> (q29MultimodalFeatures _),
-    "q35_image_neardup" -> (q35ImageNearDup _))
+    "q35_image_neardup" -> (q35ImageNearDup _),
+    "q204_image_phash_neardup" -> (q204ImagePhashNearDup _))
 
   val oracleSql: Map[String, String] = Map.empty
 }

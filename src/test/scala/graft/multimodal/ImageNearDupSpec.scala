@@ -55,4 +55,63 @@ class ImageNearDupSpec extends SparkTestBase {
     val lsh = Similarity.RandomHyperplaneLsh(dim = 8, bits = 4, tables = 4)
     assert(Similarity.cosineNearDuplicates(vecs, lsh, threshold = 0.99).isEmpty)
   }
+
+  // ===== DCT pHash (ImagePhash): the crop/re-encode/rotate twin =========
+
+  test("pHash finds every planted re-encode/crop/rotate copy; no cross-group pair") {
+    val groups = 8
+    val pairs = ImagePhash.nearDuplicates(Multimodal.phashDedupCorpus(spark, groups))
+      .as[(Long, Long, Int)].collect()
+    def group(id: Long) = id % 1000
+    // every (original, perturbed-copy) pair surfaces, all three kinds
+    val planted = (0 until groups).flatMap(g =>
+      Seq((g.toLong, 1000L + g), (g.toLong, 2000L + g), (g.toLong, 3000L + g))).toSet
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(planted.subsetOf(found),
+      s"planted copies missed: ${planted -- found}")
+    // nothing pairs across groups — distinct fields sit >= 24 bits apart
+    assert(pairs.forall(p => group(p._1) == group(p._2)),
+      s"cross-group pairs: ${pairs.filter(p => group(p._1) != group(p._2)).toSeq}")
+    // the margin is real: copies within 14 bits, radius 15 not strained
+    assert(pairs.filter(p => planted((p._1, p._2))).forall(_._3 <= 14),
+      "a planted copy needed more than 14 bits")
+  }
+
+  test("pHash separates what the histogram path cannot: same tone mix, different structure") {
+    // two images with IDENTICAL luma histograms but different spatial
+    // layout: mass split across the same two tones, arranged as
+    // left/right halves vs horizontal stripes
+    def png(stripes: Boolean) = Multimodal.encodePng(64, 64, (x, y) => {
+      val dark = if (stripes) (y / 8) % 2 == 0 else x < 32
+      val v = if (dark) 64 else 192
+      (v << 16) | (v << 8) | v
+    })
+    val h1 = Multimodal.decodeImage(png(stripes = false)).get.slice(8, 16)
+    val h2 = Multimodal.decodeImage(png(stripes = true)).get.slice(8, 16)
+    assert(h1.toSeq == h2.toSeq, "histograms should be identical by construction")
+    val d = java.lang.Long.bitCount(
+      ImagePhash.phash64(png(stripes = false)).get ^
+        ImagePhash.phash64(png(stripes = true)).get)
+    assert(d > ImagePhash.MaxDistance,
+      s"pHash must separate structurally different images: dist $d")
+  }
+
+  test("pHash multi-probe radius is honest: a 15-bit-away hash is found, 16 is not promised") {
+    // synthetic direct check of the chunk join on hand-made hashes
+    import org.apache.spark.sql.functions.{col => c}
+    val base = 0x0123456789abcdefL
+    def flipLow(h: Long, n: Int): Long = {
+      var out = h; var i = 0
+      while (i < n) { out ^= (1L << (i * 4)); i += 1 } // spread flips
+      out
+    }
+    val ph = Seq((1L, base), (2L, flipLow(base, 15))).toDF("media_id", "phash")
+    val found = ImagePhash.chunked(ph, probe = true)
+      .select(c("chunk_idx"), c("chunk_value"), c("media_id").as("id_a"), c("phash").as("ph_a"))
+      .join(ImagePhash.chunked(ph).select(c("chunk_idx"), c("chunk_value"),
+        c("media_id").as("id_b"), c("phash").as("ph_b")),
+        Seq("chunk_idx", "chunk_value"))
+      .filter(c("id_a") < c("id_b")).count()
+    assert(found > 0, "15-bit pair must collide in some probed chunk")
+  }
 }
