@@ -106,6 +106,16 @@ object SchemaEvolution {
     val ns = table.split('.').head
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $ns")
     if (!spark.catalog.tableExists(table)) {
+      // the catalog owns managed-table lifecycle: if the catalog has no
+      // such table but part files survive at its default location (an
+      // in-memory catalog from a previous session, a crashed DROP),
+      // they are orphans — clear them or the create lands on a
+      // non-empty dir and resurrects stale rows
+      val loc = new org.apache.hadoop.fs.Path(
+        new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(ns).locationUri),
+        table.split('.')(1))
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
       df.write.saveAsTable(table)
       return
     }

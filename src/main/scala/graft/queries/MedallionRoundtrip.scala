@@ -224,15 +224,45 @@ object MedallionRoundtrip {
       |SELECT r_regionkey, r_name, r_note FROM v
       |ORDER BY r_regionkey, r_note NULLS FIRST""".stripMargin
 
+  // ===== q206 — MANAGED-table schema evolution (ALTER TABLE path) =========
+
+  /** q203's evolving re-ingest through the MANAGED catalog table path
+    * ([[graft.medallion.SchemaEvolution.appendEvolved]]): the v1 batch
+    * creates `evo_gate.region` from its schema (the
+    * Arrow-schema-on-write behavior, S9), the v2 batch ADD-COLUMNs
+    * `r_note` metadata-only and appends — v1 rows read NULL from
+    * parquet files that never carried the column, which is exactly
+    * what the oracle states. The no-rewrite property itself is pinned
+    * in SchemaEvolutionSpec (original files stay live); this query
+    * pins the end state to the external gate.
+    */
+  def q206SchemaEvolutionManaged(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region")
+    val v1 = region.select(col("r_regionkey").cast("long").as("r_regionkey"),
+      col("r_name"))
+    val v2 = region.select(col("r_regionkey").cast("long").as("r_regionkey"),
+      col("r_name"),
+      concat(lit("note-"), col("r_regionkey").cast("string")).as("r_note"))
+    s.sql("DROP TABLE IF EXISTS evo_gate.region")
+    graft.medallion.SchemaEvolution.appendEvolved(s, "evo_gate.region", v1)
+    graft.medallion.SchemaEvolution.appendEvolved(s, "evo_gate.region", v2)
+    s.table("evo_gate.region")
+      .select(col("r_regionkey"), col("r_name"), col("r_note").cast("string"))
+      .orderBy(col("r_regionkey").asc, col("r_note").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_medallion_roundtrip" -> (q15MedallionRoundtrip _),
     "q106_jsonl_roundtrip" -> (q106JsonlRoundtrip _),
     "q187_orc_roundtrip" -> (q187OrcRoundtrip _),
-    "q203_schema_evolution" -> (q203SchemaEvolution _))
+    "q203_schema_evolution" -> (q203SchemaEvolution _),
+    "q206_schema_evolution_managed" -> (q206SchemaEvolutionManaged _))
 
   val oracleSql: Map[String, String] = Map(
     "q15_medallion_roundtrip" -> q15Sql,
     "q106_jsonl_roundtrip" -> q106Sql,
     "q187_orc_roundtrip" -> q187Sql,
-    "q203_schema_evolution" -> q203Sql)
+    "q203_schema_evolution" -> q203Sql,
+    // same end state as the Versioned path — one oracle serves both
+    "q206_schema_evolution_managed" -> q203Sql)
 }

@@ -878,7 +878,71 @@ object SimilarityQueries {
       |  CAST(sum(norm_qmicro) AS BIGINT) // count(*) AS mean_norm_micro
       |FROM n GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q205 — embedding snapshot drift (per-dimension mean shift) ======
+
+  /** Embedding-SPACE drift between two corpus snapshots — the vector
+    * twin of the q124/q145/q196 text-distribution drift family: when
+    * the embedding model or the upstream mix changes, per-dimension
+    * means move before any text statistic does. Snapshots are the
+    * deterministic even/odd vec_id halves (stand-ins for day-N vs
+    * day-N+1 deliveries); per (dim, snapshot) the micro-quantized
+    * values are summed exactly and the mean is a sign-concordant
+    * integer division (the q161 rule — embedding sums go negative, and
+    * trunc-vs-floor would otherwise split the engines), so the whole
+    * readout is bit-reproducible. One row per dimension: both means
+    * and the absolute shift a monitor thresholds on.
+    *
+    * Scale shape: ONE (dim)-keyed hash aggregate with map-side
+    * partials over the posexploded values — the shuffle carries
+    * d rows per task, never vectors; no joins, no windows.
+    */
+  def q205EmbeddingDrift(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    vecs.select((col("vec_id") % 2 === 0).as("in_a"),
+        posexplode(col("embedding")).as(Seq("pos0", "x")))
+      .select(col("in_a"), (col("pos0") + 1).as("dim_idx"),
+        expr("cast(floor(cast(x as double) * 1000000 + 0.5) as bigint)").as("q"))
+      .groupBy(col("dim_idx"))
+      .agg(
+        sum(when(col("in_a"), col("q")).otherwise(0L)).as("sum_a"),
+        sum(when(col("in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("in_a"), col("q")).otherwise(0L)).as("sum_b"),
+        sum(when(!col("in_a"), 1L).otherwise(0L)).as("n_b"))
+      .select(col("dim_idx").cast("int").as("dim_idx"),
+        expr("CASE WHEN sum_a >= 0 THEN sum_a div n_a ELSE -((-sum_a) div n_a) END")
+          .as("mean_a_micro"),
+        expr("CASE WHEN sum_b >= 0 THEN sum_b div n_b ELSE -((-sum_b) div n_b) END")
+          .as("mean_b_micro"))
+      .withColumn("shift_micro", abs(col("mean_a_micro") - col("mean_b_micro")))
+      .orderBy(col("dim_idx"))
+  }
+
+  val q205Sql: String =
+    """WITH e AS (
+      |  SELECT vec_id % 2 = 0 AS in_a,
+      |    generate_subscripts(embedding, 1) AS dim_idx,
+      |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000 + 0.5)
+      |      AS BIGINT) AS q
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT dim_idx,
+      |    CAST(sum(CASE WHEN in_a THEN q ELSE 0 END) AS BIGINT) AS sum_a,
+      |    CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN NOT in_a THEN q ELSE 0 END) AS BIGINT) AS sum_b,
+      |    CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |  FROM e GROUP BY 1)
+      |SELECT CAST(dim_idx AS INTEGER) AS dim_idx,
+      |  CASE WHEN sum_a >= 0 THEN sum_a // n_a ELSE -((-sum_a) // n_a) END
+      |    AS mean_a_micro,
+      |  CASE WHEN sum_b >= 0 THEN sum_b // n_b ELSE -((-sum_b) // n_b) END
+      |    AS mean_b_micro,
+      |  abs((CASE WHEN sum_a >= 0 THEN sum_a // n_a ELSE -((-sum_a) // n_a) END)
+      |    - (CASE WHEN sum_b >= 0 THEN sum_b // n_b ELSE -((-sum_b) // n_b) END))
+      |    AS shift_micro
+      |FROM m ORDER BY dim_idx""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q205_embedding_drift" -> (q205EmbeddingDrift _),
     "q188_embedding_norm_audit" -> (q188EmbeddingNormAudit _),
     "q139_embedding_outliers" -> (q139EmbeddingOutliers _),
     "q132_pca_project" -> (q132PcaProject _),
@@ -903,6 +967,7 @@ object SimilarityQueries {
     * running the queries — the q82 discipline).
     */
   def oracleSql: Map[String, String] = Map(
+    "q205_embedding_drift" -> q205Sql,
     "q188_embedding_norm_audit" -> q188Sql,
     "q139_embedding_outliers" -> q139Sql,
     "q132_pca_project" -> q132Sql,
