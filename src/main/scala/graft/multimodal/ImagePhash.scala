@@ -46,12 +46,12 @@ import org.apache.spark.sql.functions._
 object ImagePhash {
 
   val N = 32 // resample grid
-  val Chunks = 8
-  val ChunkBits = 64 / Chunks
+  val Chunks: Int = MultiIndexHamming.Chunks
+  val ChunkBits: Int = MultiIndexHamming.ChunkBits
   /** Multi-probe-guaranteed search radius: some chunk differs in ≤ 1
     * bit for any pair within 2·Chunks − 1.
     */
-  val MaxDistance: Int = 2 * Chunks - 1
+  val MaxDistance: Int = MultiIndexHamming.MaxDistance
 
   // DCT-II basis, built once per JVM: cos(π/N · (n + ½) · k)
   private lazy val cosTable: Array[Array[Double]] =
@@ -169,43 +169,19 @@ object ImagePhash {
   /** Chunked phash relation: (chunk_idx, chunk_value, media_id, phash),
     * one row per 8-bit chunk. With `probe = true` each chunk also emits
     * its 8 single-bit flips (the multi-probe side, ×9 fanout).
+    * Delegates to the shared [[MultiIndexHamming]] core.
     */
-  def chunked(ph: DataFrame, probe: Boolean = false): DataFrame = {
-    val rows = ph.select(col("media_id"), col("phash"),
-        posexplode(array((0 until Chunks).map { i =>
-          shiftright(col("phash"), i * ChunkBits)
-            .bitwiseAND(lit((1L << ChunkBits) - 1))
-        }: _*)))
-      .select(col("pos").as("chunk_idx"), col("col").as("exact"),
-        col("media_id"), col("phash"))
-    val variants =
-      if (!probe) array(col("exact"))
-      else array(col("exact") +:
-        (0 until ChunkBits).map(b => col("exact").bitwiseXOR(lit(1L << b))): _*)
-    rows.select(col("chunk_idx"), explode(variants).as("chunk_value"),
-      col("media_id"), col("phash"))
-  }
+  def chunked(ph: DataFrame, probe: Boolean = false): DataFrame =
+    MultiIndexHamming.chunked(ph, "phash", probe)
 
   /** Near-duplicate image pairs (id_a < id_b) within `maxDist` Hamming
     * bits of each other's pHash. Exact within the multi-probe radius:
     * a pair at distance ≤ 15 has a chunk differing in ≤ 1 bit, which
     * the probe side's single-bit flips cover; every candidate is
-    * popcount-verified inline, so false positives are impossible.
+    * popcount-verified inline, so false positives are impossible
+    * ([[MultiIndexHamming.nearDuplicatePairs]]).
     */
   def nearDuplicates(
-      media: Dataset[MediaRecord], maxDist: Int = MaxDistance): DataFrame = {
-    require(maxDist <= MaxDistance,
-      s"maxDist=$maxDist loses the multi-probe guarantee beyond $MaxDistance")
-    val ph = phashes(media).localCheckpoint(eager = true)
-    chunked(ph, probe = true).select(col("chunk_idx"), col("chunk_value"),
-        col("media_id").as("id_a"), col("phash").as("ph_a"))
-      .join(chunked(ph).select(col("chunk_idx"), col("chunk_value"),
-        col("media_id").as("id_b"), col("phash").as("ph_b")),
-        Seq("chunk_idx", "chunk_value"))
-      .filter(col("id_a") < col("id_b"))
-      .withColumn("hamming_dist", bit_count(col("ph_a").bitwiseXOR(col("ph_b"))))
-      .filter(col("hamming_dist") <= maxDist)
-      .select("id_a", "id_b", "hamming_dist")
-      .dropDuplicates("id_a", "id_b")
-  }
+      media: Dataset[MediaRecord], maxDist: Int = MaxDistance): DataFrame =
+    MultiIndexHamming.nearDuplicatePairs(phashes(media), "phash", maxDist)
 }

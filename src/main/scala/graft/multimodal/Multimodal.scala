@@ -383,6 +383,48 @@ object Multimodal {
     }
   }
 
+  /** Planted audio near-dup corpus for [[AudioFingerprint]]: `groups`
+    * originals (REAL 16-bit PCM WAVs — a 440 Hz carrier amplitude-
+    * modulated by a seeded 64-segment envelope, each segment's gain an
+    * independent uniform draw, so each clip's envelope SHAPE is a
+    * distinct random walk) with three perturbed copies of each:
+    * a 2× sample-rate re-encode (16 kHz vs 8 kHz, same content —
+    * the "different delivery pipeline" copy), a −6 dB gain copy, and
+    * a ~1%-amplitude additive-noise copy. The fingerprint's
+    * energy-delta bits are gain-invariant and frame bounds are
+    * duration-proportional, so planted copies land within a few bits
+    * while distinct envelopes disagree on ~half (AudioNearDupSpec pins
+    * both margins).
+    */
+  def audioDedupCorpus(spark: SparkSession, groups: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(groups).flatMap { i =>
+      val g = i.toInt
+      val rnd = new scala.util.Random(g * 6211 + 17)
+      val envelope = Array.fill(64)(0.1 + 0.9 * rnd.nextDouble())
+      def clip(rate: Int, gain: Double, noiseAmp: Double): Array[Short] = {
+        val n = rate * 64 / 50 // 1.28 s → rate/50 samples per segment
+        val noise = new scala.util.Random(g * 31 + 7)
+        Array.tabulate(n) { t =>
+          val seg = math.min(t * 64 / n, 63)
+          val v = gain * envelope(seg) * math.sin(2 * math.Pi * 440 * t / rate) +
+            noiseAmp * (noise.nextDouble() * 2 - 1)
+          (math.max(-1.0, math.min(1.0, v)) * 30000).toShort
+        }
+      }
+      def rec(id: Long, rate: Int, gain: Double, noiseAmp: Double) = {
+        val s = clip(rate, gain, noiseAmp)
+        MediaRecord(id, "audio", "audio/wav", 0, 0,
+          s.length * 1000L / rate, encodeWavMono(rate, s))
+      }
+      Seq(
+        rec(g.toLong, 8000, 1.0, 0.0),
+        rec(1000L + g, 16000, 1.0, 0.0), // resampled re-encode
+        rec(2000L + g, 8000, 0.5, 0.0), // −6 dB gain
+        rec(3000L + g, 8000, 1.0, 0.01)) // mild additive noise
+    }
+  }
+
   /** Deterministic synthetic media corpus for tests/demos: REAL PNGs
     * (deterministic pixel pattern) and REAL 16-bit PCM WAVs
     * (deterministic sine), plus opaque "video" blobs. Metadata matches

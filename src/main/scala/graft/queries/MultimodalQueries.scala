@@ -82,10 +82,35 @@ object MultimodalQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Audio near-dup — the third face of the multimodal dedup triangle
+    * (text simhash64 q22, image pHash q204, audio here; video stays
+    * the declared no-JDK-codec stub): REAL 16-bit PCM WAV bytes →
+    * [[graft.multimodal.AudioFingerprint]] energy-envelope fingerprint
+    * (64 duration-proportional frames → per-frame RMS → sign of the
+    * temporal energy delta, the Haitsma–Kalker shape at frame grain) →
+    * the SAME multi-index Hamming search as q204
+    * ([[graft.multimodal.MultiIndexHamming]], radius ≤ 15 guaranteed,
+    * inline popcount verify). The corpus plants 8 clips with distinct
+    * seeded envelopes plus a 2×-sample-rate re-encode, a −6 dB gain
+    * copy, and a ~1%-noise copy of each
+    * ([[graft.multimodal.Multimodal.audioDedupCorpus]]); planted
+    * copies land within a few bits (gain-invariant energy ratios,
+    * duration-proportional frames), distinct envelopes ~32 bits apart
+    * (AudioNearDupSpec pins both margins). Rows-only driver check:
+    * bytes→PCM→envelope is not SQL-expressible (the q35/q204
+    * argument).
+    */
+  def q208AudioNearDup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Multimodal.audioDedupCorpus(s, groups = 8)
+    graft.multimodal.AudioFingerprint.nearDuplicates(corpus)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_features" -> (q29MultimodalFeatures _),
     "q35_image_neardup" -> (q35ImageNearDup _),
-    "q204_image_phash_neardup" -> (q204ImagePhashNearDup _))
+    "q204_image_phash_neardup" -> (q204ImagePhashNearDup _),
+    "q208_audio_neardup" -> (q208AudioNearDup _))
 
   val oracleSql: Map[String, String] = Map.empty
 }

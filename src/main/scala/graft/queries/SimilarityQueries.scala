@@ -941,7 +941,74 @@ object SimilarityQueries {
       |    AS shift_micro
       |FROM m ORDER BY dim_idx""".stripMargin
 
+  // ===== q207 — contrastive pair mining (positives + hard negatives) =====
+
+  /** Contrastive training-pair mining over the labeled embedding
+    * corpus — the dataset-construction step for embedding-model
+    * training: for each anchor (vec_id < 50), the top-3 SAME-label
+    * neighbors by cosine (positives) and the top-3 DIFFERENT-label
+    * neighbors (HARD negatives — the close-but-wrong examples a
+    * contrastive loss learns the most from; random negatives are
+    * trivially separable and teach nothing). One row per
+    * (anchor, role, rank) with the rounded cosine, ready to feed a
+    * triplet/InfoNCE batch builder.
+    *
+    * Scale shape: anchors broadcast (bounded query set — at 100 TB the
+    * anchor set is a sampled slice, never the corpus), ONE scored pass
+    * over the corpus, and the per-(anchor, role) ranking is the
+    * bounded `topk_by` aggregate (the q20 discipline) — the exchange
+    * carries ≤ k entries per split per (anchor, role), never the
+    * scored corpus. For corpus-×-corpus mining, swap the broadcast for
+    * the q23/q25/q85 ANN ladder to generate candidates and keep this
+    * exact scorer as the rerank.
+    */
+  def q207HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    val vecs = Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"),
+        col("label"))
+    val anchors = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("query_id"), col("emb").as("q_emb"),
+        col("label").as("q_label"))
+    vecs.join(broadcast(anchors), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"),
+        when(col("label") === col("q_label"), lit("pos")).otherwise(lit("neg"))
+          .as("role"),
+        col("vec_id"),
+        Similarity.cosine(col("q_emb"), col("emb")).as("cosine"))
+      .groupBy(col("query_id"), col("role"))
+      .agg(graft.functions.TopKAgg.topkBy(
+        col("cosine"), col("vec_id"), 3, asc = false).as("tk"))
+      .select(col("query_id"), col("role"),
+        posexplode(col("tk")).as(Seq("pos0", "e")))
+      .select(col("query_id"), col("role"), (col("pos0") + 1).as("rank"),
+        col("e.id").as("vec_id"), round(col("e.score"), 6).as("cosine_r6"))
+      .orderBy(col("query_id"), col("role"), col("rank"))
+  }
+
+  val q207Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS query_id, e AS qe, label AS q_label
+      |  FROM v WHERE vec_id < 50),
+      |scored AS (
+      |  SELECT q.query_id,
+      |    CASE WHEN v.label = q.q_label THEN 'pos' ELSE 'neg' END AS role,
+      |    v.vec_id,
+      |    list_dot_product(q.qe, v.e)
+      |      / (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(v.e, v.e)))
+      |      AS cosine
+      |  FROM q, v WHERE v.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, role, vec_id, cosine,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id, role
+      |      ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, role, rank, vec_id, round(cosine, 6) AS cosine_r6
+      |FROM ranked WHERE rank <= 3 ORDER BY query_id, role, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q207_hard_negatives" -> (q207HardNegatives _),
     "q205_embedding_drift" -> (q205EmbeddingDrift _),
     "q188_embedding_norm_audit" -> (q188EmbeddingNormAudit _),
     "q139_embedding_outliers" -> (q139EmbeddingOutliers _),
@@ -967,6 +1034,7 @@ object SimilarityQueries {
     * running the queries — the q82 discipline).
     */
   def oracleSql: Map[String, String] = Map(
+    "q207_hard_negatives" -> q207Sql,
     "q205_embedding_drift" -> q205Sql,
     "q188_embedding_norm_audit" -> q188Sql,
     "q139_embedding_outliers" -> q139Sql,
