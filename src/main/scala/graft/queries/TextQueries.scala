@@ -254,29 +254,38 @@ object TextQueries {
   private[queries] def jaccardPairsFromShingles(
       sh: DataFrame, maxDf: Long = Long.MaxValue): DataFrame = {
     val counts = sh.groupBy(col("sid")).agg(count(lit(1)).as("n_sh"))
-    val eligible =
-      if (maxDf == Long.MaxValue) sh
-      else sh.join(
-        sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxDf).select(col("sh")),
-        Seq("sh"))
-    val cand = eligible.as("a")
-      .join(eligible.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid"))
-      .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
-      .distinct()
-    // exact |∩| for the surviving candidates over the FULL shingle
-    // relation (the MinHashLSH.verifyPairs melt: each pair probes the
-    // relation once via its two ids)
-    val probes = cand.select(col("id_a"), col("id_b"),
-      explode(array(
-        struct(col("id_a").as("sid"), lit(1).as("in_a"), lit(0).as("in_b")),
-        struct(col("id_b").as("sid"), lit(0).as("in_a"), lit(1).as("in_b")))).as("p"))
-      .select(col("id_a"), col("id_b"), col("p.sid"), col("p.in_a"), col("p.in_b"))
-    val inter = probes.join(sh, "sid")
-      .groupBy(col("id_a"), col("id_b"), col("sh"))
-      .agg(max(col("in_a")).as("fa"), max(col("in_b")).as("fb"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(sum(col("fa") * col("fb")).as("n_inter"))
+    val inter =
+      if (maxDf == Long.MaxValue) {
+        // uncapped: every shared gram IS a candidate join row, so the
+        // per-pair row count of the ONE shared-shingle join is already
+        // the exact |∩| — no separate verify pass. (The r18 driver
+        // bench caught the alternative the hard way: re-deriving |∩|
+        // by melting candidate pairs back against the full shingle
+        // relation multiplies the join volume by the per-doc shingle
+        // count — 420 s timeouts at sf0.1 where this shape runs in
+        // ~2 s.)
+        sh.as("a")
+          .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid"))
+          .groupBy(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+          .agg(count(lit(1)).as("n_inter"))
+      } else {
+        val eligible = sh.join(
+          sh.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxDf).select(col("sh")),
+          Seq("sh"))
+        val cand = eligible.as("a")
+          .join(eligible.as("b"), col("a.sh") === col("b.sh") && col("a.sid") < col("b.sid"))
+          .select(col("a.sid").as("id_a"), col("b.sid").as("id_b"))
+          .distinct()
+        // exact |∩| for the surviving candidates over the FULL shingle
+        // relation: carry id_a's shingles (|cand|·n̄ rows — bounded,
+        // the cap already shrank |cand|) and count the (id_b, sh)
+        // equi-matches — one join keyed on (sid, sh), one aggregate
+        cand.join(sh.select(col("sid").as("id_a"), col("sh")), Seq("id_a"))
+          .join(sh.select(col("sid").as("id_b"), col("sh")), Seq("id_b", "sh"))
+          .groupBy(col("id_a"), col("id_b"))
+          .agg(count(lit(1)).as("n_inter"))
+      }
     inter
       .join(counts.select(col("sid").as("id_a"), col("n_sh").as("n_a")), Seq("id_a"))
       .join(counts.select(col("sid").as("id_b"), col("n_sh").as("n_b")), Seq("id_b"))

@@ -74,6 +74,23 @@ object EmbeddingDriftStream {
       .start()
   }
 
+  /** Compact the accumulated partials into ONE consolidated partial at
+    * `dstDir` — the state over a long-running stream grows d rows per
+    * batch, and because the partials are exactly associative the
+    * consolidation is a pure aggregate with an identical readout
+    * (EmbeddingDriftStreamSpec pins the equality). Write-new-then-swap
+    * rather than rewrite-in-place: the caller points the monitor at
+    * `dstDir` (atomically via [[graft.medallion.Versioned]] in
+    * production — the object-store-safe publish), so a crash mid-
+    * compact leaves the live state untouched.
+    */
+  def compact(spark: SparkSession, stateDir: String, dstDir: String): Unit =
+    spark.read.parquet(stateDir)
+      .groupBy(col("dim_idx"))
+      .agg(sum(col("sum_q")).as("sum_q"), sum(col("n")).as("n"))
+      .coalesce(1).write.mode("overwrite")
+      .parquet(s"$dstDir/batch_id=00000")
+
   /** Current drift readout: reference means (a) vs the accumulated
     * stream means (b), per dimension — the q205 row shape
     * (dim_idx, mean_a_micro, mean_b_micro, shift_micro), same

@@ -66,6 +66,15 @@ class EmbeddingDriftStreamSpec extends SparkTestBase {
       .collect().map(_.toSeq).toSeq
     assert(once == twice, "replayed batch must overwrite its partial, not double-count")
     assert(once != batch, "the extra partial must actually have changed the readout")
+
+    // compaction: many partials → one, identical readout (associativity)
+    val compacted = s"$root/state2"
+    EmbeddingDriftStream.compact(spark, state, compacted)
+    val afterCompact = EmbeddingDriftStream.currentDrift(spark, ref, compacted)
+      .collect().map(_.toSeq).toSeq
+    assert(afterCompact == once, "compacted state must read out identically")
+    assert(spark.read.parquet(compacted)
+      .select(col("batch_id")).distinct().count() == 1)
   }
 
   test("negative-mean dimensions divide sign-concordantly (closed form)") {
