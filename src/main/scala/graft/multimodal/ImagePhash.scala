@@ -184,4 +184,24 @@ object ImagePhash {
   def nearDuplicates(
       media: Dataset[MediaRecord], maxDist: Int = MaxDistance): DataFrame =
     MultiIndexHamming.nearDuplicatePairs(phashes(media), "phash", maxDist)
+
+  /** Persist the (media_id, phash) relation as a probe-able code
+    * index — 16 bytes/image, decoded ONCE; day-2 batches probe the
+    * stored codes without rescanning raw media (the q33/q34/q88
+    * incremental discipline; callers key the dir through
+    * [[graft.core.Warehouse.ensureBuilt]] when the source is a stable
+    * path).
+    */
+  def writeIndex(media: Dataset[MediaRecord], indexDir: String): Unit =
+    phashes(media).write.mode("overwrite").parquet(indexDir)
+
+  /** Incremental near-dup: decode ONLY the new batch, probe the stored
+    * code index ([[MultiIndexHamming.searchAgainst]]) —
+    * (probe_id, index_id, hamming_dist), exact within the multi-probe
+    * radius.
+    */
+  def nearDuplicatesAgainst(media: Dataset[MediaRecord], indexDir: String,
+      maxDist: Int = MaxDistance): DataFrame =
+    MultiIndexHamming.searchAgainst(
+      phashes(media), media.sparkSession.read.parquet(indexDir), "phash", maxDist)
 }

@@ -50,6 +50,29 @@ object MultiIndexHamming {
       col("media_id"), col(hashCol))
   }
 
+  /** Cross-relation search: (probe_id, index_id, hamming_dist) for
+    * every probe hash within `maxDist` bits of an index hash — the
+    * incremental-dedup face (new batch vs persisted code index; the
+    * q33/q34/q88 discipline: the index side is stored chunks, never a
+    * rescan of raw media). Same multi-probe guarantee and inline
+    * popcount verify as the self-join.
+    */
+  def searchAgainst(probe: DataFrame, index: DataFrame, hashCol: String,
+      maxDist: Int = MaxDistance): DataFrame = {
+    require(maxDist <= MaxDistance,
+      s"maxDist=$maxDist loses the multi-probe guarantee beyond $MaxDistance")
+    chunked(probe, hashCol, probe = true).select(col("chunk_idx"), col("chunk_value"),
+        col("media_id").as("probe_id"), col(hashCol).as("h_p"))
+      .join(chunked(index, hashCol).select(col("chunk_idx"), col("chunk_value"),
+        col("media_id").as("index_id"), col(hashCol).as("h_i")),
+        Seq("chunk_idx", "chunk_value"))
+      .filter(col("probe_id") =!= col("index_id"))
+      .withColumn("hamming_dist", bit_count(col("h_p").bitwiseXOR(col("h_i"))))
+      .filter(col("hamming_dist") <= maxDist)
+      .select("probe_id", "index_id", "hamming_dist")
+      .dropDuplicates("probe_id", "index_id")
+  }
+
   /** Near-duplicate pairs (id_a < id_b, hamming_dist) within `maxDist`
     * Hamming bits over a (media_id, `hashCol`) relation. Exact within
     * the multi-probe radius.

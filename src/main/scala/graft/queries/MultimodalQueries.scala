@@ -106,11 +106,36 @@ object MultimodalQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Incremental pHash near-dup — the multimodal face of the q33/q34/
+    * q40 incremental-index family: the original images' 64-bit codes
+    * persist ONCE under the Warehouse (16 bytes/image, decoded once;
+    * fingerprint-keyed like every other index — the planted corpus
+    * itself is a pure function of its group count, so the anchor only
+    * forces a rebuild on a testdata refresh), and the day-2 batch
+    * (the re-encode/crop/rotate copies) decodes ONLY itself and probes
+    * the stored codes via [[graft.multimodal.MultiIndexHamming
+    * .searchAgainst]]. Equivalence to the batch q204 restricted to
+    * (batch × index) pairs is spec-pinned (ImageNearDupSpec).
+    * Rows-only driver check (the q204 argument).
+    */
+  def q210ImagePhashIncremental(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Multimodal.phashDedupCorpus(s, groups = 8)
+    val idx = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "phash_index",
+        s"$dir/documents.parquet", params = "plant8.v1")) { d =>
+      graft.multimodal.ImagePhash.writeIndex(corpus.filter(_.media_id < 1000), d)
+    }
+    graft.multimodal.ImagePhash
+      .nearDuplicatesAgainst(corpus.filter(_.media_id >= 1000), idx)
+      .orderBy(col("probe_id"), col("index_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_features" -> (q29MultimodalFeatures _),
     "q35_image_neardup" -> (q35ImageNearDup _),
     "q204_image_phash_neardup" -> (q204ImagePhashNearDup _),
-    "q208_audio_neardup" -> (q208AudioNearDup _))
+    "q208_audio_neardup" -> (q208AudioNearDup _),
+    "q210_image_phash_incremental" -> (q210ImagePhashIncremental _))
 
   val oracleSql: Map[String, String] = Map.empty
 }

@@ -537,6 +537,85 @@ object PipelineQueries {
       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ===== q209 — license propagation through pack lineage ==================
+
+  /** License/compliance propagation — the governance step a curation
+    * pipeline runs right after packing: a training sequence inherits
+    * the MOST RESTRICTIVE license of any document laid into it
+    * (distribution rights compose by the weakest link — one
+    * restricted document taints the whole pack), plus the restricted
+    * member count an auditor asks for. License tags here are
+    * deterministic content-keyed stand-ins (the [[md5Bucket]]
+    * discipline — reruns and engines agree doc-for-doc) for
+    * catalog-joined license metadata; the lineage is q41's EXACT pack
+    * layout, so the propagated tags are bit-consistent with the packs
+    * the pipeline actually emits.
+    *
+    * Scale shape: q41's split-partitioned running-sum window (never a
+    * global window), then ONE hash aggregate per pack — the
+    * propagation itself is a map-side-combinable max(rank) and a
+    * conditional count riding the aggregate q41 already pays for.
+    */
+  def q209LicensePropagation(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048
+    val licRank = when(md5Bucket < 128, 1L).when(md5Bucket < 192, 2L)
+      .when(md5Bucket < 240, 3L).otherwise(4L)
+    val d = Tables.load(s, dir, "documents")
+      .withColumn("split",
+        when(md5Bucket < 204, "train").when(md5Bucket < 230, "valid").otherwise("test"))
+      .withColumn("lic_rank", licRank)
+      .withColumn("n_tokens",
+        size(graft.text.TextFunctions.tokens(col("text"))).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    d.withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("pack_id",
+        floor((col("cum") - col("n_tokens")) / lit(budget.toDouble)).cast("long"))
+      .groupBy(col("split"), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        max(col("lic_rank")).as("max_rank"),
+        sum(when(col("lic_rank") === 4L, 1L).otherwise(0L)).as("n_restricted"))
+      .select(col("split"), col("pack_id"), col("n_docs"),
+        when(col("max_rank") === 1L, "cc-by").when(col("max_rank") === 2L, "cc-by-sa")
+          .when(col("max_rank") === 3L, "noncommercial").otherwise("restricted")
+          .as("pack_license"),
+        col("n_restricted"))
+      .orderBy(col("split"), col("pack_id"))
+  }
+
+  val q209Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+      |                         t -> t <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, n_tokens,
+      |    CASE WHEN bucket < 204 THEN 'train'
+      |         WHEN bucket < 230 THEN 'valid'
+      |         ELSE 'test' END AS split,
+      |    CASE WHEN bucket < 128 THEN 1 WHEN bucket < 192 THEN 2
+      |         WHEN bucket < 240 THEN 3 ELSE 4 END AS lic_rank
+      |  FROM base),
+      |c AS (
+      |  SELECT split, n_tokens, lic_rank,
+      |    sum(n_tokens) OVER (PARTITION BY split ORDER BY doc_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      |  FROM d)
+      |SELECT split,
+      |  CAST(floor((cum - n_tokens) / 2048.0) AS BIGINT) AS pack_id,
+      |  CAST(count(*) AS BIGINT) AS n_docs,
+      |  CASE max(lic_rank) WHEN 1 THEN 'cc-by' WHEN 2 THEN 'cc-by-sa'
+      |       WHEN 3 THEN 'noncommercial' ELSE 'restricted' END AS pack_license,
+      |  CAST(sum(CASE WHEN lic_rank = 4 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_restricted
+      |FROM c GROUP BY split, floor((cum - n_tokens) / 2048.0)
+      |ORDER BY 1, 2""".stripMargin
+
   // ===== q42 — deterministic data-mixture sampling ========================
 
   /** Domain/language mixture sampling — the weighting step that turns a
@@ -1059,6 +1138,7 @@ object PipelineQueries {
     "q31_percentiles_approx" -> (q31PercentilesApprox _),
     "q37_deterministic_split" -> (q37DeterministicSplit _),
     "q41_sequence_pack" -> (q41SequencePack _),
+    "q209_license_propagation" -> (q209LicensePropagation _),
     "q42_data_mixture" -> (q42DataMixture _),
     "q44_curation_funnel" -> (q44CurationFunnel _),
     "q51_cardinality" -> (q51Cardinality _),
@@ -1080,6 +1160,7 @@ object PipelineQueries {
     "q30_percentiles" -> q30Sql,
     "q37_deterministic_split" -> q37Sql,
     "q41_sequence_pack" -> q41Sql,
+    "q209_license_propagation" -> q209Sql,
     "q42_data_mixture" -> q42Sql,
     "q44_curation_funnel" -> q44Sql,
     "q51_cardinality" -> q51Sql,

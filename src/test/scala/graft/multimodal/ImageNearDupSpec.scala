@@ -96,6 +96,24 @@ class ImageNearDupSpec extends SparkTestBase {
       s"pHash must separate structurally different images: dist $d")
   }
 
+  test("incremental pHash probe ≡ batch near-dup restricted to (batch × index)") {
+    val corpus = Multimodal.phashDedupCorpus(spark, 8)
+    val idx = java.nio.file.Files.createTempDirectory("phash-idx").toString + "/codes"
+    ImagePhash.writeIndex(corpus.filter(_.media_id < 1000), idx)
+    val incremental = ImagePhash
+      .nearDuplicatesAgainst(corpus.filter(_.media_id >= 1000), idx)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // batch pairs are (id_a < id_b); the cross slice maps to
+    // (probe = copy, index = original)
+    val batchCross = ImagePhash.nearDuplicates(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter(p => p._1 < 1000 && p._2 >= 1000)
+      .map(p => (p._2, p._1, p._3)).toSet
+    assert(incremental == batchCross,
+      s"incremental vs batch-cross: ${incremental.diff(batchCross)} / ${batchCross.diff(incremental)}")
+    assert(incremental.nonEmpty)
+  }
+
   test("pHash multi-probe radius is honest: a 15-bit-away hash is found, 16 is not promised") {
     // synthetic direct check of the chunk join on hand-made hashes
     import org.apache.spark.sql.functions.{col => c}
