@@ -141,6 +141,60 @@ object AnalyticsOpsQueries {
       |FROM g WHERE gap_us IS NOT NULL
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ===== q211 — watermark / out-of-order-depth audit =======================
+
+  /** How late does this stream actually arrive? The audit that sizes a
+    * watermark BEFORE deploying the §2.9 streams: with `event_id` as
+    * the arrival order (the monotone ingest sequence) and `ts` as
+    * event time, an event is OUT OF ORDER when some earlier-arriving
+    * event of the same user carries a later event time, and its
+    * lateness is the gap to that running maximum. Per event type: how
+    * many events, how many arrive out of order, and the worst lateness
+    * — `withWatermark` set below the reported max silently drops data;
+    * set far above it, state bloats. Integer µs arithmetic end-to-end
+    * (the ts-nanos gotcha: truncate to µs Spark-side, `epoch_us` in
+    * the oracle).
+    *
+    * Scale shape: ONE user-partitioned running-max window (state = one
+    * value — never a global window), then one hash aggregate. The
+    * same shape every CDC/session stream in `streaming/` already
+    * plans.
+    */
+  def q211WatermarkAudit(s: SparkSession, dir: String): DataFrame = {
+    val arrival = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.load(s, dir, "events")
+      .withColumn("ts_us", unix_micros(EventStream.nanosToTs(col("ts"))))
+      .withColumn("prev_max_us", max(col("ts_us")).over(arrival))
+      .withColumn("lateness_us",
+        when(col("prev_max_us") > col("ts_us"), col("prev_max_us") - col("ts_us"))
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(when(col("lateness_us") > 0, 1L).otherwise(0L)).as("n_out_of_order"),
+        max(col("lateness_us")).as("max_lateness_us"),
+        sum(col("lateness_us")).as("total_lateness_us"))
+      .orderBy(col("event_type"))
+  }
+
+  val q211Sql: String =
+    """WITH w AS (
+      |  SELECT event_type, epoch_us(ts) AS ts_us,
+      |    max(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_us
+      |  FROM events),
+      |l AS (
+      |  SELECT event_type,
+      |    CASE WHEN prev_max_us > ts_us THEN prev_max_us - ts_us
+      |         ELSE 0 END AS lateness_us
+      |  FROM w)
+      |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(sum(CASE WHEN lateness_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_out_of_order,
+      |  CAST(max(lateness_us) AS BIGINT) AS max_lateness_us,
+      |  CAST(sum(lateness_us) AS BIGINT) AS total_lateness_us
+      |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ===== q63 — size-decile summary (ntile) ================================
 
   /** Corpus size deciles: every document assigned to one of 10
@@ -2236,6 +2290,7 @@ object AnalyticsOpsQueries {
     "q60_rollup_scorecard" -> (q60RollupScorecard _),
     "q61_pivot_length" -> (q61PivotLengthClasses _),
     "q62_event_deltas" -> (q62EventDeltas _),
+    "q211_watermark_audit" -> (q211WatermarkAudit _),
     "q63_size_deciles" -> (q63SizeDeciles _),
     "q64_snapshot_diff" -> (q64SnapshotDiff _),
     "q68_decile_buckets" -> (q68DecileBuckets _),
@@ -2280,6 +2335,7 @@ object AnalyticsOpsQueries {
     "q60_rollup_scorecard" -> q60Sql,
     "q61_pivot_length" -> q61Sql,
     "q62_event_deltas" -> q62Sql,
+    "q211_watermark_audit" -> q211Sql,
     "q63_size_deciles" -> q63Sql,
     "q64_snapshot_diff" -> q64Sql,
     "q68_decile_buckets" -> q68Sql,

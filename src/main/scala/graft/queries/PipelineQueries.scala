@@ -616,6 +616,58 @@ object PipelineQueries {
       |FROM c GROUP BY split, floor((cum - n_tokens) / 2048.0)
       |ORDER BY 1, 2""".stripMargin
 
+  // ===== q212 — dataloader shard manifest ==================================
+
+  /** The dataloader contract file — the artifact a training job
+    * actually mounts: every document assigned to a shard file with its
+    * START BYTE OFFSET inside that shard, so workers seek instead of
+    * scan. Shard assignment is content-keyed (`md5Bucket mod 8` — no
+    * row-number window, so no split-grain sort funnel; reruns and
+    * engines agree doc-for-doc) and offsets are a running sum of
+    * `n_chars` within (split, shard) in doc_id order.
+    *
+    * Scale shape: assignment is a pure projection; the ONLY window is
+    * partitioned by (split, shard) — at 100 TB the shard count scales
+    * with the corpus (100k+ shards), so the running-sum state stays
+    * one value per partition and no partition exceeds a shard file's
+    * size. The 8 here is the demo knob, not the design.
+    */
+  def q212ShardManifest(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("split"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    Tables.load(s, dir, "documents")
+      .withColumn("split",
+        when(md5Bucket < 204, "train").when(md5Bucket < 230, "valid").otherwise("test"))
+      .withColumn("shard", (md5Bucket % 8).cast("long"))
+      .withColumn("cum", sum(col("n_chars")).over(w))
+      .select(col("doc_id"), col("split"), col("shard"),
+        (col("cum") - col("n_chars")).as("offset_bytes"),
+        col("n_chars").as("length_bytes"))
+      .orderBy(col("doc_id"))
+  }
+
+  val q212Sql: String =
+    """WITH b AS (
+      |  SELECT doc_id, n_chars,
+      |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket
+      |  FROM documents),
+      |d AS (
+      |  SELECT doc_id, n_chars,
+      |    CASE WHEN bucket < 204 THEN 'train'
+      |         WHEN bucket < 230 THEN 'valid'
+      |         ELSE 'test' END AS split,
+      |    bucket % 8 AS shard
+      |  FROM b)
+      |SELECT doc_id, split, shard,
+      |  CAST(sum(n_chars) OVER (PARTITION BY split, shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT)
+      |    AS offset_bytes,
+      |  n_chars AS length_bytes
+      |FROM d ORDER BY doc_id""".stripMargin
+
   // ===== q42 — deterministic data-mixture sampling ========================
 
   /** Domain/language mixture sampling — the weighting step that turns a
@@ -1139,6 +1191,7 @@ object PipelineQueries {
     "q37_deterministic_split" -> (q37DeterministicSplit _),
     "q41_sequence_pack" -> (q41SequencePack _),
     "q209_license_propagation" -> (q209LicensePropagation _),
+    "q212_shard_manifest" -> (q212ShardManifest _),
     "q42_data_mixture" -> (q42DataMixture _),
     "q44_curation_funnel" -> (q44CurationFunnel _),
     "q51_cardinality" -> (q51Cardinality _),
@@ -1161,6 +1214,7 @@ object PipelineQueries {
     "q37_deterministic_split" -> q37Sql,
     "q41_sequence_pack" -> q41Sql,
     "q209_license_propagation" -> q209Sql,
+    "q212_shard_manifest" -> q212Sql,
     "q42_data_mixture" -> q42Sql,
     "q44_curation_funnel" -> q44Sql,
     "q51_cardinality" -> q51Sql,

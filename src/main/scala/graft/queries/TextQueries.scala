@@ -359,6 +359,53 @@ object TextQueries {
       |  (SELECT count(*) FROM perdoc WHERE max_jm >= theta_micro) AS n_docs
       |FROM th ORDER BY theta_micro""".stripMargin
 
+  // ===== q213 — cross-source duplication matrix ===========================
+
+  /** Who duplicates whom: the θ=0.5 near-dup pairs of the planted
+    * corpus rolled up to a (source_x, source_y) matrix — the
+    * provenance readout that tells a curation team whether duplication
+    * is WITHIN a source (mirrors, re-crawls — dedup per source
+    * suffices) or ACROSS sources (syndication — dedup must run
+    * globally and attribution/licensing follows the q209 weakest-link
+    * rule). Source pairs are order-normalized (least, greatest) so the
+    * matrix is upper-triangular.
+    *
+    * Scale shape: ONE pass over the shared Warehouse-cached
+    * exact-Jaccard pair relation ([[plantedJaccardPairs]] — the
+    * kernel's cost is paid once per corpus state, the q165/q175/q191
+    * discipline) plus two id-keyed joins to the (doc_id, source) map
+    * and a hash aggregate. The source map rides the pair relation —
+    * full documents never join.
+    */
+  def q213SourceDupMatrix(s: SparkSession, dir: String): DataFrame = {
+    val src = Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+    val pairs = plantedJaccardPairs(s, dir)
+      .filter(col("jm") >= 500000)
+      .select((col("id_a") % 1000000).as("base_a"), (col("id_b") % 1000000).as("base_b"))
+    pairs
+      .join(src.select(col("doc_id").as("base_a"), col("source").as("src_a")), Seq("base_a"))
+      .join(src.select(col("doc_id").as("base_b"), col("source").as("src_b")), Seq("base_b"))
+      .groupBy(least(col("src_a"), col("src_b")).as("source_x"),
+        greatest(col("src_a"), col("src_b")).as("source_y"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("source_x"), col("source_y"))
+  }
+
+  val q213Sql: String =
+    s"""WITH $SqlJacPairs,
+      |src AS (SELECT doc_id, source FROM documents),
+      |p AS (
+      |  SELECT a.source AS src_a, b.source AS src_b
+      |  FROM (SELECT id_a % 1000000 AS base_a, id_b % 1000000 AS base_b
+      |        FROM jac WHERE jm >= 500000) j
+      |  JOIN src a ON a.doc_id = j.base_a
+      |  JOIN src b ON b.doc_id = j.base_b)
+      |SELECT least(src_a, src_b) AS source_x,
+      |  greatest(src_a, src_b) AS source_y,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // ===== q175 — near-dup graph degree histogram ===========================
 
   /** The degree distribution of the θ=0.8 near-duplicate graph over the
@@ -1047,6 +1094,7 @@ object TextQueries {
     "q165_threshold_sweep" -> (q165ThresholdSweep _),
     "q167_ngram_novelty" -> (q167NgramNovelty _),
     "q175_dupgraph_degrees" -> (q175DupgraphDegrees _),
+    "q213_source_dup_matrix" -> (q213SourceDupMatrix _),
     "q176_char_trigram_profile" -> (q176CharTrigramProfile _),
     "q186_prefix_dedup" -> (q186PrefixDedup _),
     "q191_cluster_size_hist" -> (q191ClusterSizeHist _),
@@ -1070,6 +1118,7 @@ object TextQueries {
     "q165_threshold_sweep" -> q165Sql,
     "q167_ngram_novelty" -> q167Sql,
     "q175_dupgraph_degrees" -> q175Sql,
+    "q213_source_dup_matrix" -> q213Sql,
     "q176_char_trigram_profile" -> q176Sql,
     "q186_prefix_dedup" -> q186Sql,
     "q191_cluster_size_hist" -> q191Sql,
