@@ -547,4 +547,55 @@ class PlanShapeSpec extends SparkTestBase {
     assert(countScans(p, "documents") == 1, "profile re-scanned the corpus")
     assert(p.contains("partial_"), "gram counts must combine map-side")
   }
+
+  test("q205 drift is ONE dim-keyed aggregate: map-side combine, no window, no join") {
+    val p = plan(SimilarityQueries.q205EmbeddingDrift(spark, sf))
+    assert(p.contains("partial_"), "dim sums must combine map-side")
+    assert(!p.contains("Window"), "per-dim means need no window")
+    assert(!p.contains("Join"), "snapshot split is a projection, never a join")
+    assert(countScans(p, "embeddings") == 1, "both snapshots read in one pass")
+  }
+
+  test("q207 pair mining broadcasts the anchors; ranking is the bounded aggregate") {
+    val p = plan(SimilarityQueries.q207HardNegatives(spark, sf))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the bounded anchor set must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "corpus shuffled for the anchor join:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("partial_topk_by"),
+      "per-(anchor, role) ranking must pre-aggregate per split")
+    assert(!p.contains("Window"), "no window may rank the scored corpus")
+  }
+
+  test("q209 license propagation rides q41's plan: split-partitioned window, no join") {
+    val p = plan(PipelineQueries.q209LicensePropagation(spark, sf))
+    assert(!p.contains("Join"), "license tags are projections, never a join")
+    assert(p.contains("Window"), "expected the q41 running-sum window")
+    assert(countScans(p, "documents") == 1, "propagation re-scanned the corpus")
+  }
+
+  test("q211 watermark audit: user-partitioned running max, no join, one events scan") {
+    val p = plan(AnalyticsOpsQueries.q211WatermarkAudit(spark, sf))
+    assert(!p.contains("Join"), "lateness comes from a window, never a self-join")
+    assert(p.contains("Window"), "expected the running-max window")
+    assert(countScans(p, "events") == 1)
+  }
+
+  test("q212 shard manifest: content-keyed assignment, no join, no row-number window") {
+    val p = plan(PipelineQueries.q212ShardManifest(spark, sf))
+    assert(!p.contains("Join"), "shard assignment is a projection")
+    // the only window is the per-(split, shard) running sum; a
+    // row_number-based assignment would partition by split alone
+    // (3-way funnel at scale)
+    assert(!p.contains("row_number"), "row-number shard assignment crept back")
+    assert(countScans(p, "documents") == 1)
+  }
+
+  test("q213 source matrix joins the id-keyed source map — equi-joins only, never nested loops") {
+    val p = plan(TextQueries.q213SourceDupMatrix(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "source-map joins must be equi-joins:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
 }
