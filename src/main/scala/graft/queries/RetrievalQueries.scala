@@ -708,7 +708,86 @@ object RetrievalQueries {
       |FROM pv GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  // ===== q214 — corpus-scale hard negatives via the ANN ladder ============
+
+  /** q207's declared scale swap, made real: contrastive pair mining
+    * where the candidate generator is the binary-Hamming ANN (q85's
+    * 16×-smaller sign-bit codes, bounded `topk_by` cut) instead of a
+    * brute-force scored pass — the shape that mines positives and hard
+    * negatives when BOTH sides are the corpus. Per anchor: top-64
+    * Hamming candidates → exact-cosine rerank → label decoration →
+    * top-3 same-label positives + top-3 different-label hard negatives.
+    * Fully DuckDB-oracled (sign-bit packing is SQL-expressible — the
+    * q85 argument), so the approximation is pinned exactly, not
+    * recall-sampled.
+    *
+    * Scale shape: stage 1 ships ids + an int distance, ≤ C entries per
+    * (split, anchor); label decoration joins at CANDIDATE grain (Q×C
+    * rows broadcast against the label map — the corpus never shuffles);
+    * the role ranking is the bounded aggregate. At 100 TB anchors
+    * batch through the same persisted code index as q88.
+    */
+  def q214HardNegativesAnn(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKAgg.register(s)
+    val vecs = Tables.load(s, dir, "embeddings")
+    val cand = graft.similarity.BinaryAnn.hammingTopK(
+      vecs, vecs.filter(col("vec_id") < 50), k = 64, candidates = 64)
+    val labels = vecs.select(col("vec_id"), col("label"))
+    cand
+      .join(labels.select(col("vec_id").as("query_id"), col("label").as("q_label")),
+        Seq("query_id"))
+      .join(labels, Seq("vec_id"))
+      .select(col("query_id"),
+        when(col("label") === col("q_label"), lit("pos")).otherwise(lit("neg"))
+          .as("role"),
+        col("vec_id"), col("cosine"))
+      .groupBy(col("query_id"), col("role"))
+      .agg(graft.functions.TopKAgg.topkBy(
+        col("cosine"), col("vec_id"), 3, asc = false).as("tk"))
+      .select(col("query_id"), col("role"),
+        posexplode(col("tk")).as(Seq("pos0", "e")))
+      .select(col("query_id"), col("role"), (col("pos0") + 1).as("rank"),
+        col("e.id").as("vec_id"), round(col("e.score"), 6).as("cosine_r6"))
+      .orderBy(col("query_id"), col("role"), col("rank"))
+  }
+
+  val q214Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, list(wv ORDER BY w) AS bits FROM (
+      |    SELECT vec_id, (i - 1) // 32 AS w,
+      |      sum(CASE WHEN x > 0 THEN 1::BIGINT << ((i - 1) % 32) ELSE 0 END) AS wv
+      |    FROM (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v)
+      |    GROUP BY 1, 2) GROUP BY 1),
+      |q AS (SELECT vec_id AS query_id, bits AS qb FROM bits WHERE vec_id < 50),
+      |ham AS (
+      |  SELECT q.query_id, b.vec_id,
+      |    list_sum(list_transform(list_zip(q.qb, b.bits),
+      |      p -> bit_count(xor(p[1], p[2])))) AS hamming
+      |  FROM q, bits b WHERE b.vec_id <> q.query_id),
+      |cand AS (
+      |  SELECT query_id, vec_id,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS crank
+      |  FROM ham),
+      |rer AS (
+      |  SELECT c.query_id, c.vec_id,
+      |    CASE WHEN vv.label = qv.label THEN 'pos' ELSE 'neg' END AS role,
+      |    list_dot_product(qv.e, vv.e)
+      |      / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(vv.e, vv.e))) AS cosine
+      |  FROM cand c
+      |  JOIN v qv ON qv.vec_id = c.query_id
+      |  JOIN v vv ON vv.vec_id = c.vec_id
+      |  WHERE c.crank <= 64),
+      |ranked AS (
+      |  SELECT query_id, role, vec_id, cosine,
+      |    row_number() OVER (PARTITION BY query_id, role
+      |      ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM rer)
+      |SELECT query_id, role, rank, vec_id, round(cosine, 6) AS cosine_r6
+      |FROM ranked WHERE rank <= 3 ORDER BY query_id, role, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q214_hard_negatives_ann" -> (q214HardNegativesAnn _),
     "q149_cluster_cohesion" -> (q149ClusterCohesion _),
     "q128_semantic_decontaminate" -> (q128SemanticDecontaminate _),
     "q126_hybrid_rrf" -> (q126HybridRrf _),
@@ -724,6 +803,7 @@ object RetrievalQueries {
     * queries, so the driver's DuckDB sees the injected literals).
     */
   def oracleSql: Map[String, String] = Map(
+    "q214_hard_negatives_ann" -> q214Sql,
     "q128_semantic_decontaminate" -> q128Sql,
     "q149_cluster_cohesion" -> q149Sql,
     "q126_hybrid_rrf" -> q126Sql,
