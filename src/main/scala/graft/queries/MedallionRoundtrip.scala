@@ -251,12 +251,76 @@ object MedallionRoundtrip {
       .orderBy(col("r_regionkey").asc, col("r_note").asc_nulls_first)
   }
 
+  // ===== q215 — type-widening evolution (the rewrite path) ================
+
+  /** The widen face of schema evolution through the driver gate: the
+    * v1 batch creates `evo_gate.widen_t` with an INT measure, the v2
+    * batch arrives with the same column as LONG (plus values past
+    * int range, so a silent narrow would corrupt) —
+    * [[graft.medallion.SchemaEvolution.appendEvolved]] REWRITES the
+    * table at the promoted type (the honest plain-parquet cost of
+    * what Iceberg does metadata-only, loud by design) and appends.
+    * The oracle states the promoted union; the no-silent-corruption
+    * property is the row `5000000000` surviving intact.
+    */
+  def q215SchemaEvolutionWiden(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region")
+    val v1 = region.select(col("r_regionkey").cast("int").as("r_regionkey"),
+      col("r_name"), (col("r_regionkey") * 10L).cast("int").as("pop"))
+    val v2 = region.select((col("r_regionkey") + 100L).cast("long").as("r_regionkey"),
+      col("r_name"), (col("r_regionkey") + lit(5000000000L)).as("pop"))
+    s.sql("DROP TABLE IF EXISTS evo_gate.widen_t")
+    graft.medallion.SchemaEvolution.appendEvolved(s, "evo_gate.widen_t", v1)
+    graft.medallion.SchemaEvolution.appendEvolved(s, "evo_gate.widen_t", v2)
+    s.table("evo_gate.widen_t")
+      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"),
+        col("pop").cast("long").as("pop"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  val q215Sql: String =
+    """WITH u AS (
+      |  SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+      |    CAST(r_regionkey * 10 AS BIGINT) AS pop
+      |  FROM region
+      |  UNION ALL
+      |  SELECT CAST(r_regionkey + 100 AS BIGINT), r_name,
+      |    CAST(r_regionkey + 5000000000 AS BIGINT)
+      |  FROM region)
+      |SELECT r_regionkey, r_name, pop FROM u ORDER BY r_regionkey""".stripMargin
+
+  // ===== q216 — mergeSchema read over a heterogeneous landing dir =========
+
+  /** The [[graft.medallion.SchemaEvolution.readMerged]] path through
+    * the gate: an evolving producer wrote two parquet batches with
+    * different schemas into ONE landing dir (v2 adds `r_note`); the
+    * footer-merging read reconciles them — v1 rows NULL under the
+    * added column — without any table or rewrite. The documented cost
+    * (every footer read) is why this stays a landing/staging tool and
+    * tables evolve via q203/q206/q215 instead.
+    */
+  def q216MergeSchemaRead(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region")
+    val out = java.nio.file.Files.createTempDirectory("merge-read").toString
+    region.select(col("r_regionkey"), col("r_name"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=0")
+    region.select(col("r_regionkey"), col("r_name"),
+        concat(lit("note-"), col("r_regionkey").cast("string")).as("r_note"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=1")
+    graft.medallion.SchemaEvolution.readMerged(s, out)
+      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"),
+        col("r_note").cast("string"))
+      .orderBy(col("r_regionkey").asc, col("r_note").asc_nulls_first)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q15_medallion_roundtrip" -> (q15MedallionRoundtrip _),
     "q106_jsonl_roundtrip" -> (q106JsonlRoundtrip _),
     "q187_orc_roundtrip" -> (q187OrcRoundtrip _),
     "q203_schema_evolution" -> (q203SchemaEvolution _),
-    "q206_schema_evolution_managed" -> (q206SchemaEvolutionManaged _))
+    "q206_schema_evolution_managed" -> (q206SchemaEvolutionManaged _),
+    "q215_schema_evolution_widen" -> (q215SchemaEvolutionWiden _),
+    "q216_mergeschema_read" -> (q216MergeSchemaRead _))
 
   val oracleSql: Map[String, String] = Map(
     "q15_medallion_roundtrip" -> q15Sql,
@@ -264,5 +328,9 @@ object MedallionRoundtrip {
     "q187_orc_roundtrip" -> q187Sql,
     "q203_schema_evolution" -> q203Sql,
     // same end state as the Versioned path — one oracle serves both
-    "q206_schema_evolution_managed" -> q203Sql)
+    "q206_schema_evolution_managed" -> q203Sql,
+    "q215_schema_evolution_widen" -> q215Sql,
+    // q216's merged read reproduces q203's evolved end state (v1 rows
+    // NULL under the added column) — the same oracle pins it
+    "q216_mergeschema_read" -> q203Sql)
 }
