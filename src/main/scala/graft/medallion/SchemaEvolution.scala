@@ -103,6 +103,8 @@ object SchemaEvolution {
     * then appends the aligned batch by name.
     */
   def appendEvolved(spark: SparkSession, table: String, df: DataFrame): Unit = {
+    require(table.count(_ == '.') == 1 && !table.startsWith(".") && !table.endsWith("."),
+      s"appendEvolved needs a qualified `namespace.table` name, got: $table")
     val ns = table.split('.').head
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $ns")
     if (!spark.catalog.tableExists(table)) {
@@ -126,12 +128,23 @@ object SchemaEvolution {
         .exists(_.dataType != f.dataType)
     }
     if (widened) {
-      // localCheckpoint breaks the read-your-own-overwrite cycle; the
-      // rewrite is O(table) — the plain-parquet price of a promote
-      val old = align(spark.table(table), target).localCheckpoint(true)
-      // overwrite-saveAsTable drops and recreates the datasource table,
-      // so the catalog schema becomes the target schema
-      old.write.mode("overwrite").saveAsTable(table)
+      // write-new-then-swap (the Versioned discipline), NOT
+      // overwrite-saveAsTable: overwrite drops the original before its
+      // replacement exists, so a crash mid-rewrite would lose the
+      // table with the only other copy being a session-local
+      // localCheckpoint that dies with the driver. Here BOTH full
+      // copies exist on disk until the final DROP — a crash anywhere
+      // leaves either the original intact (before the renames) or the
+      // staging copy holding every row (between them; recover by
+      // renaming). The rewrite is still O(table), the honest
+      // plain-parquet price of a promote.
+      val (staging, retired) = (s"${table}__widen_stage", s"${table}__widen_old")
+      spark.sql(s"DROP TABLE IF EXISTS $staging")
+      spark.sql(s"DROP TABLE IF EXISTS $retired")
+      align(spark.table(table), target).write.saveAsTable(staging)
+      spark.sql(s"ALTER TABLE $table RENAME TO $retired")
+      spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+      spark.sql(s"DROP TABLE $retired")
     } else {
       val currentNames = current.fields.map(_.name.toLowerCase).toSet
       val added = target.fields.filterNot(f => currentNames(f.name.toLowerCase))

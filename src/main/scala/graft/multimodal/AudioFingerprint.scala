@@ -69,6 +69,11 @@ object AudioFingerprint {
         dataOff = buf.position(); dataLen = len
         buf.position(buf.position() + len)
       } else buf.position(buf.position() + len)
+      // RIFF word alignment: an odd-sized chunk is followed by one pad
+      // byte — common real-world WAVs carry odd-length LIST/INFO text
+      // chunks before `data`, and skipping the pad is what keeps the
+      // walk on tag boundaries instead of silently failing the clip
+      if (len % 2 == 1 && buf.remaining() > 0) buf.position(buf.position() + 1)
     }
     if (channels <= 0 || bits != 16 || dataOff < 0) return None
     val n = dataLen / 2 / channels
@@ -95,8 +100,11 @@ object AudioFingerprint {
       val energy = new Array[Double](Frames)
       var f = 0
       while (f < Frames) {
-        val x0 = f * n / Frames
-        val x1 = math.max((f + 1) * n / Frames, x0 + 1)
+        // Long frame-bound arithmetic: f * n wraps Int for clips past
+        // ~34M samples (a 13-minute 44.1 kHz mono WAV) — a negative x0
+        // would crash the whole job instead of fingerprinting the clip
+        val x0 = (f.toLong * n / Frames).toInt
+        val x1 = math.max(((f + 1).toLong * n / Frames).toInt, x0 + 1)
         var sumSq = 0.0; var i = x0
         while (i < x1) { sumSq += s(i) * s(i); i += 1 }
         energy(f) = sumSq / (x1 - x0)

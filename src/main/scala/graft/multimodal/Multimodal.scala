@@ -155,6 +155,9 @@ object Multimodal {
         dataOff = buf.position(); dataLen = len
         buf.position(buf.position() + len)
       } else buf.position(buf.position() + len)
+      // RIFF word alignment: odd-sized chunks carry one pad byte (see
+      // AudioFingerprint.decodeSamplesMono — same walk, same fix)
+      if (len % 2 == 1 && buf.remaining() > 0) buf.position(buf.position() + 1)
     }
     if (channels <= 0 || sampleRate <= 0 || bits != 16 || dataOff < 0) return None
     val n = dataLen / 2

@@ -301,7 +301,13 @@ object MedallionRoundtrip {
     */
   def q216MergeSchemaRead(s: SparkSession, dir: String): DataFrame = {
     val region = Tables.load(s, dir, "region")
-    val out = java.nio.file.Files.createTempDirectory("merge-read").toString
+    // per-PROCESS scratch root (the q15 discipline): overwritten per
+    // invocation, deleted by the shutdown hook — repeated bench/driver
+    // runs never accumulate orphan dirs
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-q216-merge-${ProcessHandle.current().pid()}")
+    registerCleanup(tmp)
+    val out = tmp.toString
     region.select(col("r_regionkey"), col("r_name"))
       .coalesce(1).write.mode("overwrite").parquet(s"$out/batch=0")
     region.select(col("r_regionkey"), col("r_name"),

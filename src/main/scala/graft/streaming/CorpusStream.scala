@@ -24,22 +24,29 @@ import graft.similarity.Similarity
   * self-pair replay signal).
   *
   * ==Exactly-once accounting==
-  * `foreachBatch` replays a micro-batch after a crash, so both sinks
+  * `foreachBatch` replays a micro-batch after a crash, so the sinks
   * are made replay-safe rather than transactional:
   *  - the corpus append writes to a per-batch partition dir
   *    (`<corpusDir>/batch_id=N`) with overwrite — a replayed batch
   *    overwrites its own partition, never duplicating rows;
-  *  - records already absorbed into the index pair with THEMSELVES in
-  *    the candidate join (same id on both sides), so a replayed batch's
-  *    already-ingested records are recognized and dropped before any
-  *    write — the index append is idempotent one step later.
-  *  - writes are skipped entirely when nothing survives, so a replay
-  *    that finds everything already ingested never clobbers its own
-  *    batch partition with an empty overwrite.
-  * Crash between the two writes (corpus first, then index): the replay
-  * recomputes the same survivors — self-pairs only appear after the
-  * INDEX append — overwrites the same partition, and completes the
-  * index append.
+  *  - the index append is guarded by a per-batch COMMIT MARKER
+  *    (`<indexDir>/_append_commits/batch_id=N`), written only after
+  *    the append's parquet jobs all finish. Marker present ⇒ the
+  *    whole batch completed ⇒ replay is a full no-op. Marker absent ⇒
+  *    the previous attempt may have died ANYWHERE — including mid-way
+  *    through the index append's two parquet jobs — so the replay
+  *    recomputes with the batch's own ids EXCLUDED from the pair
+  *    view ([[dedupBatch]] `ownAppendsPossible`): it sees exactly the
+  *    pre-batch index, reproduces the original survivors, overwrites
+  *    its sink partitions with identical rows, and re-runs the
+  *    append. A re-run append can duplicate this batch's (sid, sh) /
+  *    band rows in the index — harmless by design: verification
+  *    collapses duplicate pairs, and duplicate band rows only nudge
+  *    the width-cap degrade earlier (degrade, never corruption).
+  * The earlier self-collision replay signal could NOT survive a crash
+  * inside the append: a partially-appended batch saw only a SUBSET of
+  * itself self-collide, dropped those records from the replayed sinks,
+  * and lost them from the curated outputs forever.
   */
 object CorpusStream {
 
@@ -111,23 +118,56 @@ object CorpusStream {
       batch: DataFrame, batchId: Long, indexDir: String, corpusDir: String,
       backend: Backend): Unit = {
     if (batch.isEmpty) return
-    val survivors = dedupBatch(batch, indexDir, backend)
+    if (appendCommitted(batch.sparkSession, indexDir, batchId)) return
+    val survivors = dedupBatch(batch, indexDir, backend, ownAppendsPossible = true)
     if (!survivors.isEmpty) {
       survivors.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
       backend.appendToIndex(survivors, indexDir)
     }
+    markAppendCommitted(batch.sparkSession, indexDir, batchId)
+  }
+
+  private def appendMarker(indexDir: String, batchId: Long) =
+    new org.apache.hadoop.fs.Path(f"$indexDir/_append_commits/batch_id=$batchId%05d")
+
+  /** Has this batch's index append (and everything before it) fully
+    * committed? The replay no-op signal (class doc).
+    */
+  def appendCommitted(spark: SparkSession, indexDir: String, batchId: Long): Boolean = {
+    val m = appendMarker(indexDir, batchId)
+    m.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(m)
+  }
+
+  /** Drop the batch's commit marker — called LAST, after every sink and
+    * the index append finished.
+    */
+  def markAppendCommitted(spark: SparkSession, indexDir: String, batchId: Long): Unit = {
+    val m = appendMarker(indexDir, batchId)
+    val fs = m.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(m.getParent)
+    fs.create(m, true).close()
   }
 
   /** The batch's dedup SURVIVORS against the persisted index — the pair
     * detection + corpus-vs-batch split + in-batch cluster resolution of
     * [[dedupAndAppend]] WITHOUT the sink/index writes, so composed
     * pipelines ([[CurationStream]]) can route survivors through further
-    * stages before committing. Replayed records (already indexed →
-    * self-pairs) come back empty, which composed callers use as their
-    * replay marker. Result is eagerly checkpointed.
+    * stages before committing. Result is eagerly checkpointed.
+    *
+    * `ownAppendsPossible = false` (standalone callers): records already
+    * in the index self-collide (id_a == id_b) and come back empty —
+    * usable as a replay signal ONLY when the caller can guarantee the
+    * prior append was all-or-nothing. `true` (the marker-protocol
+    * loops): self-pairs are the batch's OWN possibly-partial prior
+    * append and are IGNORED, so the computation sees exactly the
+    * pre-batch index and reproduces the original survivors; any pair
+    * between an own indexed copy and a DIFFERENT batch record is
+    * classified batch-internal by the membership flags below, exactly
+    * as the first run classified it.
     */
   def dedupBatch(
-      batch: DataFrame, indexDir: String, backend: Backend): DataFrame = {
+      batch: DataFrame, indexDir: String, backend: Backend,
+      ownAppendsPossible: Boolean = false): DataFrame = {
     val id = backend.idCol
     // pin the micro-batch: it feeds the pair job, two joins, and the
     // writes — streaming sources don't guarantee re-readability inside
@@ -137,9 +177,12 @@ object CorpusStream {
 
     // replayed records: already in the index → they collide with
     // themselves (id_a == id_b)
-    val replayed = pairs.filter(col("id_a") === col("id_b"))
-      .select(col("id_a").as(id)).distinct()
-    val fresh = b.join(replayed, Seq(id), "left_anti")
+    val fresh =
+      if (ownAppendsPossible) b
+      else b.join(
+        pairs.filter(col("id_a") === col("id_b"))
+          .select(col("id_a").as(id)).distinct(),
+        Seq(id), "left_anti")
 
     // order-independent corpus-vs-batch split: a pair side that is NOT
     // a batch id is a corpus record, and the batch side of such a pair

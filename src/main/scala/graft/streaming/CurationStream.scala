@@ -28,15 +28,19 @@ import graft.dedup.Decontaminate
   * q150 composition order at intake grain.
   *
   * ==Exactly-once accounting==
-  * All sinks are per-batch-partition overwrites (`batch_id=N`), and the
-  * dedup-index append runs LAST: a crash anywhere before it leaves the
-  * index unchanged, so the replayed batch recomputes the identical
-  * survivors/cut/packs and rewrites its own partitions with identical
-  * rows (state for packing is read as "latest snapshot with
-  * batch_id < N", so a replay sees exactly what the first run saw); a
-  * crash after the append makes the replayed batch's records
-  * self-collide in the index ([[CorpusStream]]'s marker), survivors
-  * come back empty, and the whole replay is a no-op on every sink.
+  * All sinks are per-batch-partition overwrites (`batch_id=N`), the
+  * dedup-index append runs LAST, and the batch is sealed by
+  * [[CorpusStream.markAppendCommitted]]'s per-batch marker. Marker
+  * present ⇒ everything committed ⇒ the replay returns immediately.
+  * Marker absent ⇒ the prior attempt may have died anywhere —
+  * INCLUDING part-way through the index append's two parquet jobs —
+  * so the replay recomputes with the batch's own ids excluded from
+  * the pair view ([[CorpusStream.dedupBatch]] `ownAppendsPossible`):
+  * it sees the pre-batch index, reproduces the identical
+  * survivors/cut/packs (pack state reads the immutable snapshot with
+  * batch_id < N), overwrites its own partitions with identical rows,
+  * and re-runs the append (duplicate index rows are harmless by
+  * design — see [[CorpusStream]]).
   */
 object CurationStream {
 
@@ -72,29 +76,36 @@ object CurationStream {
       backend: CorpusStream.Backend = CorpusStream.MinHashText(),
       w: Int = Decontaminate.DefaultWindow): Unit = {
     if (batch.isEmpty) return
+    // sealed batch ⇒ full replay no-op (class doc)
+    if (CorpusStream.appendCommitted(batch.sparkSession, dedupIndexDir, batchId))
+      return
     val id = backend.idCol
     val textCol = backend match {
       case m: CorpusStream.MinHashText => m.textCol
       case _ => throw new IllegalArgumentException(
         "CurationStream curates TEXT batches; use a text backend")
     }
-    // stage 1 — near-dup cut (empty ⇒ replayed or all-duplicate batch;
-    // either way nothing downstream may be rewritten)
-    val survivors = CorpusStream.dedupBatch(batch, dedupIndexDir, backend)
-    if (survivors.isEmpty) return
-    // stage 2 — span decontamination of survivors (pure)
-    val cut = DecontaminateStream
-      .cutBatch(survivors, id, textCol, evalIndexDir, w)
-      .localCheckpoint(eager = true)
-    cut.write.mode("overwrite").parquet(s"$curatedDir/batch_id=$batchId")
-    // stage 3 — pack the DECONTAMINATED text (split keying and token
-    // counts follow the final content, the q150→q41 composition)
-    PackStream.packAndAppend(
-      cut.filter(col("kept_text") =!= "")
-        .select(col(id).as("doc_id"), col("kept_text").as("text")),
-      batchId, stateDir, packDir)
-    // index append LAST — the replay marker (class doc)
-    backend.appendToIndex(survivors, dedupIndexDir)
+    // stage 1 — near-dup cut under the marker protocol: the batch's own
+    // possibly-partial prior append is excluded from the pair view, so
+    // an unsealed replay reproduces the original survivors exactly
+    val survivors = CorpusStream.dedupBatch(batch, dedupIndexDir, backend,
+      ownAppendsPossible = true)
+    if (!survivors.isEmpty) {
+      // stage 2 — span decontamination of survivors (pure)
+      val cut = DecontaminateStream
+        .cutBatch(survivors, id, textCol, evalIndexDir, w)
+        .localCheckpoint(eager = true)
+      cut.write.mode("overwrite").parquet(s"$curatedDir/batch_id=$batchId")
+      // stage 3 — pack the DECONTAMINATED text (split keying and token
+      // counts follow the final content, the q150→q41 composition)
+      PackStream.packAndAppend(
+        cut.filter(col("kept_text") =!= "")
+          .select(col(id).as("doc_id"), col("kept_text").as("text")),
+        batchId, stateDir, packDir)
+      // index append, then the seal
+      backend.appendToIndex(survivors, dedupIndexDir)
+    }
+    CorpusStream.markAppendCommitted(batch.sparkSession, dedupIndexDir, batchId)
   }
 
   /** The curated ledger (all batches; q89 schema + batch_id). */

@@ -68,4 +68,35 @@ class AudioNearDupSpec extends SparkTestBase {
     assert(AudioFingerprint.afp64(Array[Byte](1, 2, 3)).isEmpty)
     assert(AudioFingerprint.afp64("RIFFxxxxWAVE".getBytes("US-ASCII")).isEmpty)
   }
+
+  test("RIFF word alignment: an odd-length metadata chunk before data still parses") {
+    // common real-world shape: an ICMT/LIST text chunk with an odd byte
+    // length, padded to the word boundary per the WAV spec — a walk
+    // that ignores the pad lands off-boundary and silently drops the clip
+    val plain = {
+      val s = Array.tabulate(8000)(t =>
+        (0.5 * math.sin(2 * math.Pi * 440 * t / 8000) * 20000).toShort)
+      Multimodal.encodeWavMono(8000, s)
+    }
+    // splice an odd-length LIST chunk (len 7 + 1 pad byte) after "WAVE"
+    val chunk = java.nio.ByteBuffer.allocate(8 + 7 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    chunk.put("LIST".getBytes("US-ASCII")).putInt(7)
+      .put("INFOxyz".getBytes("US-ASCII")).put(0.toByte)
+    val withMeta = {
+      val out = java.nio.ByteBuffer.allocate(plain.length + chunk.capacity())
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put(plain, 0, 12) // RIFF + size + WAVE
+      out.put(chunk.array())
+      out.put(plain, 12, plain.length - 12)
+      // patch the RIFF size field for the inserted bytes
+      out.putInt(4, plain.length - 8 + chunk.capacity())
+      out.array()
+    }
+    val (a, b) = (AudioFingerprint.afp64(plain), AudioFingerprint.afp64(withMeta))
+    assert(b.isDefined, "odd-chunk WAV must parse, not silently drop")
+    assert(a == b, "metadata chunks must not move the fingerprint")
+    assert(Multimodal.decodeWav(withMeta).isDefined,
+      "the feature decoder shares the aligned walk")
+  }
 }

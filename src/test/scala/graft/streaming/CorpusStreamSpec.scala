@@ -42,8 +42,8 @@ class CorpusStreamSpec extends SparkTestBase {
     CorpusStream.dedupAndAppend(batch1.toDF("doc_id", "text"), 1L, idx, corpus, CorpusStream.MinHashText())
     assert(corpusIds(corpus) == Set(1L, 2L, 102L, 104L))
 
-    // crash-replay of batch 1: already-ingested docs self-collide in the
-    // index, near-dups re-drop — the corpus does not change
+    // crash-replay of batch 1: its commit marker is present → full
+    // no-op — the corpus does not change
     CorpusStream.dedupAndAppend(batch1.toDF("doc_id", "text"), 1L, idx, corpus, CorpusStream.MinHashText())
     assert(corpusIds(corpus) == Set(1L, 2L, 102L, 104L))
 
@@ -85,7 +85,7 @@ class CorpusStreamSpec extends SparkTestBase {
     def ids = CorpusStream.readCorpus(spark, corpus)
       .select("vec_id").as[Long].collect().toSet
     assert(ids == Set(1L, 2L, 102L, 104L))
-    // replay of batch 1 is a no-op (self-collisions in the index)
+    // replay of batch 1 is a no-op (commit marker present)
     CorpusStream.dedupAndAppend(
       vecs(Seq(
         101L -> Seq(0.99f, 0.1f, 0f, 0f),

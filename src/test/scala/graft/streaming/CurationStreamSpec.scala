@@ -125,8 +125,8 @@ class CurationStreamSpec extends SparkTestBase {
     val s1 = spark.read.parquet(d.state)
       .select($"batch_id".cast("long"), $"split", $"cum")
       .as[(Long, String, Long)].collect().toSet
-    // replay batch 1: its ids are already indexed → survivors empty →
-    // every sink untouched
+    // replay batch 1: its commit marker is present → full no-op on
+    // every sink (the seal written after the index append)
     CurationStream.curateBatch(b2.toDF("doc_id", "text"), 1L,
       d.idx, d.eval, d.curated, d.packs, d.state)
     assert(curatedRows(d) == c1, "replay changed the curated ledger")
@@ -135,5 +135,40 @@ class CurationStreamSpec extends SparkTestBase {
       .select($"batch_id".cast("long"), $"split", $"cum")
       .as[(Long, String, Long)].collect().toSet == s1,
       "replay changed the pack state")
+  }
+
+  test("crash INSIDE the index append: unsealed replay reproduces identical outputs") {
+    // batch 2 widened to TWO fresh docs so a partial append is possible
+    val b2w = b2 :+ (13L -> longText("zeta"))
+
+    // the crash-free world
+    val clean = setup("curation-partial-clean")
+    CurationStream.curateBatch(b1.toDF("doc_id", "text"), 0L,
+      clean.idx, clean.eval, clean.curated, clean.packs, clean.state)
+    CurationStream.curateBatch(b2w.toDF("doc_id", "text"), 1L,
+      clean.idx, clean.eval, clean.curated, clean.packs, clean.state)
+    val (cClean, pClean) = (curatedRows(clean), packRollup(clean))
+
+    // the crashed world: batch 1 died mid-append — ONE of its two
+    // survivors reached the index, no sinks written, no seal. The old
+    // self-collision replay signal would misclassify that record as
+    // already-ingested and drop it from the curated outputs forever.
+    val d = setup("curation-partial")
+    CurationStream.curateBatch(b1.toDF("doc_id", "text"), 0L,
+      d.idx, d.eval, d.curated, d.packs, d.state)
+    val survivors = CorpusStream.dedupBatch(b2w.toDF("doc_id", "text"), d.idx,
+      CorpusStream.MinHashText(), ownAppendsPossible = true)
+    assert(survivors.count() == 2, "fixture needs two fresh survivors")
+    MinHashLSH.appendToIndex(survivors.orderBy($"doc_id").limit(1),
+      "doc_id", "text", d.idx)
+    assert(!CorpusStream.appendCommitted(spark, d.idx, 1L))
+
+    CurationStream.curateBatch(b2w.toDF("doc_id", "text"), 1L,
+      d.idx, d.eval, d.curated, d.packs, d.state)
+    assert(curatedRows(d) == cClean,
+      "unsealed replay after a partial append must reproduce the crash-free ledger")
+    assert(packRollup(d) == pClean,
+      "unsealed replay after a partial append must reproduce the crash-free packs")
+    assert(CorpusStream.appendCommitted(spark, d.idx, 1L), "replay must seal the batch")
   }
 }
