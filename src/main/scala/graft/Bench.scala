@@ -24,6 +24,19 @@ import graft.core.Sessions
   * that sat at profile in same-commit clean-window re-runs. With the
   * passes minutes apart, a host window has to span the entire bench
   * to inflate both samples of one query.
+  *
+  * Pass 2 walks the list in REVERSE name order. Round 18 exposed the
+  * residual blind spot of time-separated passes that share an order:
+  * a PERIODIC host window (same phase relative to each pass's start)
+  * aliases onto the same lexicographic band twice, because the band
+  * occupies the same *position in the pass* both times (q18/q184–q191
+  * inflated 4–9× in both passes on plan-locked shapes). Reversing
+  * pass 2 means query at position i runs at position n−1−i the second
+  * time, so no contiguous band can sit under the same periodic window
+  * in both passes. Each run also records the host's 1-minute loadavg
+  * (read from /proc/loadavg immediately before the timed region) into
+  * the "loadavg" artifact field, so future inflation adjudications are
+  * data-backed instead of inferred.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -79,10 +92,23 @@ object Bench {
     // around the timed region) so an indexed query's wall time is
     // attributable: did THIS run pay the one-off index build, or
     // only the steady-state probe?
-    case class Run(sec: Double, err: Option[String], touched: Boolean, built: Boolean)
+    case class Run(sec: Double, err: Option[String], touched: Boolean, built: Boolean,
+                   load: Double)
+    // 1-minute loadavg sampled just before each timed run: a query whose
+    // wall time is inflated by a host window carries the evidence in the
+    // artifact (loadavg >> 32-thread steady state) instead of requiring a
+    // post-hoc clean-window re-run to adjudicate.
+    def loadAvg1m(): Double =
+      try {
+        val line = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("/proc/loadavg")),
+          java.nio.charset.StandardCharsets.UTF_8)
+        line.trim.split("\\s+")(0).toDouble
+      } catch { case _: Throwable => -1.0 }
     def once(name: String, runNo: Int): Run = {
       val fn = SparkEntry.queries(name)
       graft.core.Warehouse.drainBuildEvents()
+      val load = loadAvg1m()
       val t0 = System.nanoTime()
       // The query runs on a worker thread under its own job group so
       // the watchdog can cancel its Spark jobs; interruptOnCancel
@@ -111,8 +137,8 @@ object Bench {
       }
       val events = graft.core.Warehouse.drainBuildEvents()
       val sec = (System.nanoTime() - t0) / 1e9
-      progress(f"$name run$runNo ${sec}%.2fs${err.map(e => s" ERR $e").getOrElse("")}")
-      Run(sec, err, events.nonEmpty, events.exists(_._2))
+      progress(f"$name run$runNo ${sec}%.2fs load=$load%.1f${err.map(e => s" ERR $e").getOrElse("")}")
+      Run(sec, err, events.nonEmpty, events.exists(_._2), load)
     }
     // "built_runN": run N paid an index build (its time is build+probe;
     // the other run is pure probe). "prebuilt": probes only — the
@@ -133,13 +159,15 @@ object Bench {
         }
       }
     }
-    // PASS 2: a second full pass, so the two samples of one query are
-    // minutes apart — a transient host-load window can no longer
-    // inflate both (see the scaladoc). Queries that errored in pass 1
-    // are not re-run: the error IS their result.
+    // PASS 2: a second full pass in REVERSE name order, so the two
+    // samples of one query are minutes apart AND occupy different
+    // positions within their pass — a transient host-load window can
+    // no longer inflate both, and neither can a periodic one phase-
+    // locked to pass starts (see the scaladoc). Queries that errored
+    // in pass 1 are not re-run: the error IS their result.
     val pass2 = scala.collection.mutable.LinkedHashMap.empty[String, Run]
-    if (!deadlineHit) progress("pass 1 complete — starting pass 2")
-    names.foreach { name =>
+    if (!deadlineHit) progress("pass 1 complete — starting pass 2 (reverse order)")
+    names.reverse.foreach { name =>
       if (!deadlineHit) pass1.get(name) match {
         case Some(first) if first.err.isEmpty =>
           pass2(name) = once(name, 2)
@@ -153,17 +181,17 @@ object Bench {
     val results = names.map { name =>
       pass1.get(name) match {
         case None =>
-          (name, 0.0, Seq.empty[Double], Some("skipped_bench_deadline"), None)
+          (name, 0.0, Seq.empty[Run], Some("skipped_bench_deadline"), None)
         case Some(first) if first.err.isDefined =>
-          (name, first.sec, Seq(first.sec), first.err, whState(Seq(first)))
+          (name, first.sec, Seq(first), first.err, whState(Seq(first)))
         case Some(first) =>
           pass2.get(name) match {
             case Some(second) if second.err.isEmpty =>
-              (name, math.min(first.sec, second.sec), Seq(first.sec, second.sec),
+              (name, math.min(first.sec, second.sec), Seq(first, second),
                 None, whState(Seq(first, second)))
             // pass-2 flake or deadline: the pass-1 success stands alone
             case _ =>
-              (name, first.sec, Seq(first.sec), None, whState(Seq(first)))
+              (name, first.sec, Seq(first), None, whState(Seq(first)))
           }
       }
     }
@@ -181,8 +209,15 @@ object Bench {
     // both raw timings per query, in run order: drift between run 1 and
     // run 2 (cold cache, one-time index builds, background noise) stays
     // visible in the record instead of vanishing into the min
-    val runs = ok.map { case (k, _, rs, _, _) => s"${jstr(k)}:${rs.mkString("[", ",", "]")}" }
+    val runs = ok.map { case (k, _, rs, _, _) => s"${jstr(k)}:${rs.map(_.sec).mkString("[", ",", "]")}" }
       .mkString("{", ",", "}")
+    // 1-min loadavg sampled just before each run, same order as "runs":
+    // an inflated sample with loadavg at the 32-thread steady state is a
+    // plan problem; with loadavg far above it, a host window — the
+    // adjudication the r16–r18 bands needed, now in the artifact itself.
+    val loads = ok.map { case (k, _, rs, _, _) =>
+      s"${jstr(k)}:${rs.map(r => f"${r.load}%.2f").mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     // per-indexed-query warehouse state: was the persisted index built
@@ -198,7 +233,7 @@ object Bench {
     // that truncation. The FINAL stdout line is a compact summary that is
     // guaranteed to fit the tail capture and names the detail file.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"errors":$errs,"warehouse":$wh,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"loadavg":$loads,"errors":$errs,"warehouse":$wh,"sf":${jstr(sfDir)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val detail =
       try {
