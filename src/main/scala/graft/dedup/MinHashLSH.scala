@@ -547,38 +547,73 @@ object MinHashLSH {
       threshold: Double, n: Int = 3, k: Int = 128, b: Int = 16,
       maxBucket: Int = DefaultMaxBandBucket): DataFrame = {
     val spark = batch.sparkSession
-    val corpusSh = spark.read.parquet(shinglesPath(indexDir))
-    val corpusBands = spark.read.parquet(bandsPath(indexDir))
     val batchSh = shingleRows(batch, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val obs = Observation()
-      val batchObs = Observation()
-      // the annotated batch bands feed three candidate subtrees
-      // (self-join left + right, corpus probe); the eager checkpoint
-      // runs the batch's shingle→signature→band→width derivation ONCE
-      // instead of per reference — the batch is small by construction,
-      // so the checkpoint is too — and evaluates the batch-side
-      // degrade observation exactly once (metrics exact)
-      val batchAnn = cappedBands(
-          bandedFromShingles(batchSh, k, b), maxBucket, Some(batchObs),
-          keepSingletons = true)
-        .localCheckpoint(eager = true)
-      warnDrops(batchObs, maxBucket,
-        s"nearDuplicatesAgainst($indexDir,n=$n,k=$k,b=$b) batch side")
-      val pairs = incrementalCandidatesAnnotated(corpusBands, batchAnn, maxBucket, Some(obs))
-        .localCheckpoint(eager = true)
-      warnDrops(obs, maxBucket,
-        s"nearDuplicatesAgainst($indexDir,n=$n,k=$k,b=$b) corpus side")
-      // verification reads corpus shingles for CANDIDATE docs only: the
-      // candidate id set is small by construction, so a broadcast
-      // semi-join prunes the stored-shingle scan before the probe join
-      val candIds = pairs.select(col("id_a").as("sid"))
-        .union(pairs.select(col("id_b").as("sid"))).distinct()
-      val sh = batchSh.union(
-        corpusSh.join(broadcast(candIds), Seq("sid"), "left_semi"))
-      materialize(verifyPairs(pairs, sh, threshold))
+      probeAgainst(batchSh, bandedFromShingles(batchSh, k, b),
+        spark.read.parquet(shinglesPath(indexDir)),
+        spark.read.parquet(bandsPath(indexDir)),
+        threshold, maxBucket, s"nearDuplicatesAgainst($indexDir,n=$n,k=$k,b=$b)")
     } finally batchSh.unpersist()
+  }
+
+  /** Incremental near-dup where the BATCH side is itself a persisted
+    * index (its shingles+bands were written once via [[buildIndex]]
+    * when the batch arrived): equal to [[nearDuplicatesAgainst]] on
+    * the indexed batch's docs by construction (stored shingles/bands
+    * are deterministic functions of the text), but each call pays
+    * only the PROBE — two stored-band scans, the candidate join, and
+    * the exact verify — never re-shingling or re-signing either side.
+    * This is the steady-state day-N shape: every batch pays its
+    * derivation exactly once (on arrival, when it is appended to the
+    * index anyway), and every later question — re-dedup after a
+    * threshold change, audit of a past batch, the q33 gate — probes
+    * stored state. At 100 TB the regex+k-hash derivation is the
+    * dominant cost and must never run twice for the same bytes.
+    * Both indexes must share (n, k, b); ids must be globally unique
+    * across the two. EAGER, like [[nearDuplicatesAgainst]].
+    */
+  def nearDuplicatesBetweenIndexes(
+      spark: SparkSession, batchIndexDir: String, indexDir: String,
+      threshold: Double, maxBucket: Int = DefaultMaxBandBucket): DataFrame =
+    probeAgainst(
+      spark.read.parquet(shinglesPath(batchIndexDir)),
+      spark.read.parquet(bandsPath(batchIndexDir)),
+      spark.read.parquet(shinglesPath(indexDir)),
+      spark.read.parquet(bandsPath(indexDir)),
+      threshold, maxBucket,
+      s"nearDuplicatesBetweenIndexes($batchIndexDir,$indexDir)")
+
+  /** Shared probe core of the two incremental entry points: annotate
+    * the batch bands, generate batch-touching candidates against the
+    * corpus bands, exact-verify against the union of batch shingles
+    * and candidate-pruned corpus shingles. `batchSh`/`batchBands` must
+    * be cheap to re-scan (cached or parquet-backed): the annotated
+    * band relation is checkpointed (it feeds three candidate subtrees
+    * and its degrade observation must evaluate exactly once), but the
+    * shingle relation is read again by the verify join.
+    */
+  private def probeAgainst(
+      batchSh: DataFrame, batchBands: DataFrame,
+      corpusSh: DataFrame, corpusBands: DataFrame,
+      threshold: Double, maxBucket: Int, what: String): DataFrame = {
+    val obs = Observation()
+    val batchObs = Observation()
+    val batchAnn = cappedBands(batchBands, maxBucket, Some(batchObs),
+        keepSingletons = true)
+      .localCheckpoint(eager = true)
+    warnDrops(batchObs, maxBucket, s"$what batch side")
+    val pairs = incrementalCandidatesAnnotated(corpusBands, batchAnn, maxBucket, Some(obs))
+      .localCheckpoint(eager = true)
+    warnDrops(obs, maxBucket, s"$what corpus side")
+    // verification reads corpus shingles for CANDIDATE docs only: the
+    // candidate id set is small by construction, so a broadcast
+    // semi-join prunes the stored-shingle scan before the probe join
+    val candIds = pairs.select(col("id_a").as("sid"))
+      .union(pairs.select(col("id_b").as("sid"))).distinct()
+    val sh = batchSh.union(
+      corpusSh.join(broadcast(candIds), Seq("sid"), "left_semi"))
+    materialize(verifyPairs(pairs, sh, threshold))
   }
 
   /** Eagerly cut lineage. With a checkpoint dir configured this is a

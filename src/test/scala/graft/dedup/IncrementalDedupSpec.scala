@@ -115,6 +115,30 @@ class IncrementalDedupSpec extends SparkTestBase {
     assert(!plan.contains("regexp_extract_all"))
   }
 
+  test("nearDuplicatesBetweenIndexes equals nearDuplicatesAgainst on the indexed batch") {
+    val corpusDf = corpus.toDF("doc_id", "text")
+    val batchDf = batch.toDF("doc_id", "text")
+    val idx = Files.createTempDirectory("btw-corpus").toString
+    val batchIdx = Files.createTempDirectory("btw-batch").toString
+    MinHashLSH.buildIndex(corpusDf, "doc_id", "text", idx)
+    MinHashLSH.buildIndex(batchDf, "doc_id", "text", batchIdx)
+
+    val fromIndexes = pairsOf(
+      MinHashLSH.nearDuplicatesBetweenIndexes(spark, batchIdx, idx, threshold = 0.5))
+    val direct = pairsOf(
+      MinHashLSH.nearDuplicatesAgainst(batchDf, "doc_id", "text", idx, threshold = 0.5))
+    assert(fromIndexes == direct && fromIndexes.nonEmpty)
+
+    // the probe-only contract: candidates over two STORED band tables
+    // never re-shingle either side (no regex anywhere in the plan)
+    val candPlan = MinHashLSH.incrementalCandidates(
+        spark.read.parquet(s"$idx/bands"), spark.read.parquet(s"$batchIdx/bands"))
+      .queryExecution.executedPlan.toString
+    assert(candPlan.contains(s"$idx/bands") && candPlan.contains(s"$batchIdx/bands"))
+    assert(!candPlan.contains("regexp_extract_all"),
+      "index-vs-index probe must not re-shingle")
+  }
+
   test("plan shape: candidates scan the stored band table, verify scans stored shingles") {
     val corpusDf = corpus.toDF("doc_id", "text")
     val batchDf = batch.toDF("doc_id", "text")
