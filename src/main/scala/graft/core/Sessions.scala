@@ -38,10 +38,14 @@ object Sessions {
       // read as epoch-nanos LongType and convert explicitly in queries.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Catalog namespaces (bronze/silver/gold) live under a temp
-      // warehouse; tables are external LOCATION-based, so nothing of
-      // value is stored here.
+      // warehouse; durable tables are external LOCATION-based, so
+      // nothing of value is stored here. The dir is PER-PROCESS: the
+      // in-memory catalog forgets managed tables at JVM exit, so a
+      // shared warehouse path would strand their files where the next
+      // process's saveAsTable resurrects them as rows (the r18 advice
+      // finding) — catalog and storage must share a lifetime.
       .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse-p${ProcessHandle.current().pid()}")
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

@@ -109,15 +109,32 @@ object SchemaEvolution {
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $ns")
     if (!spark.catalog.tableExists(table)) {
       // the catalog owns managed-table lifecycle: if the catalog has no
-      // such table but part files survive at its default location (an
+      // such table but files survive at its default location (an
       // in-memory catalog from a previous session, a crashed DROP),
-      // they are orphans — clear them or the create lands on a
-      // non-empty dir and resurrects stale rows
+      // the create would land on a non-empty dir and resurrect stale
+      // rows. Spark derives managed locations from the LOWERCASED
+      // table name, so lowercase the segment (a mixed-case name must
+      // not probe — let alone delete — a sibling path). And never
+      // silently recursive-delete: the path may hold data the catalog
+      // does not own (an external table registered elsewhere, another
+      // session's catalog, user files under the db dir) — fail loudly
+      // and let the owner clear it. An EMPTY leftover dir (a crashed
+      // DROP that removed the files but not the dir) is harmless to
+      // remove.
       val loc = new org.apache.hadoop.fs.Path(
         new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(ns).locationUri),
-        table.split('.')(1))
+        table.split('.')(1).toLowerCase)
       val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
+      if (fs.exists(loc)) {
+        if (fs.listStatus(loc).nonEmpty)
+          throw new IllegalStateException(
+            s"appendEvolved($table): catalog has no such table but its default " +
+              s"managed location $loc is non-empty — refusing to create over " +
+              "existing data (stale files from a crashed DROP resurrect as rows; " +
+              "data owned by someone else must not be destroyed). Inspect and " +
+              "clear the directory, or DROP/repair the table that owns it.")
+        fs.delete(loc, false)
+      }
       df.write.saveAsTable(table)
       return
     }

@@ -623,8 +623,11 @@ object PipelineQueries {
     * START BYTE OFFSET inside that shard, so workers seek instead of
     * scan. Shard assignment is content-keyed (`md5Bucket mod 8` — no
     * row-number window, so no split-grain sort funnel; reruns and
-    * engines agree doc-for-doc) and offsets are a running sum of
-    * `n_chars` within (split, shard) in doc_id order.
+    * engines agree doc-for-doc) and offsets are a running sum of each
+    * document's UTF-8 OCTET length (`octet_length(text)`, not the
+    * character count — chars ≠ bytes on any non-ASCII text, and a
+    * seek contract stated in characters would land workers mid-rune)
+    * within (split, shard) in doc_id order.
     *
     * Scale shape: assignment is a pure projection; the ONLY window is
     * partitioned by (split, shard) — at 100 TB the shard count scales
@@ -641,31 +644,32 @@ object PipelineQueries {
       .withColumn("split",
         when(md5Bucket < 204, "train").when(md5Bucket < 230, "valid").otherwise("test"))
       .withColumn("shard", (md5Bucket % 8).cast("long"))
-      .withColumn("cum", sum(col("n_chars")).over(w))
+      .withColumn("n_bytes", octet_length(col("text")).cast("long"))
+      .withColumn("cum", sum(col("n_bytes")).over(w))
       .select(col("doc_id"), col("split"), col("shard"),
-        (col("cum") - col("n_chars")).as("offset_bytes"),
-        col("n_chars").as("length_bytes"))
+        (col("cum") - col("n_bytes")).as("offset_bytes"),
+        col("n_bytes").as("length_bytes"))
       .orderBy(col("doc_id"))
   }
 
   val q212Sql: String =
     """WITH b AS (
-      |  SELECT doc_id, n_chars,
+      |  SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
       |    (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
       |    + (strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) AS bucket
       |  FROM documents),
       |d AS (
-      |  SELECT doc_id, n_chars,
+      |  SELECT doc_id, n_bytes,
       |    CASE WHEN bucket < 204 THEN 'train'
       |         WHEN bucket < 230 THEN 'valid'
       |         ELSE 'test' END AS split,
       |    bucket % 8 AS shard
       |  FROM b)
       |SELECT doc_id, split, shard,
-      |  CAST(sum(n_chars) OVER (PARTITION BY split, shard ORDER BY doc_id
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS BIGINT)
+      |  CAST(sum(n_bytes) OVER (PARTITION BY split, shard ORDER BY doc_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_bytes AS BIGINT)
       |    AS offset_bytes,
-      |  n_chars AS length_bytes
+      |  n_bytes AS length_bytes
       |FROM d ORDER BY doc_id""".stripMargin
 
   // ===== q42 — deterministic data-mixture sampling ========================

@@ -1080,7 +1080,25 @@ object TextQueries {
        |FROM f LEFT JOIN reps USING (fp)
        |GROUP BY source ORDER BY source""".stripMargin
 
+  /** Learned quality filter ([[graft.text.QualityClassifier]]): hashed
+    * char-trigram features → closed-form naive-Bayes log-odds weights
+    * (fit on the in-code prose/gibberish fixture, never on the corpus
+    * under test) → micro-quantized integer mean → sign decision. The
+    * trained counterpart of q18's heuristic composite; fully
+    * DuckDB-ORACLED because every stage — md5 bucketing, the literal
+    * weight vector, the sign-concordant integer mean — is engine-
+    * neutral arithmetic. One map-side projection, no shuffle
+    * (plan-locked in LearnedQualitySpec).
+    */
+  def q217LearnedQuality(s: SparkSession, dir: String): DataFrame =
+    graft.text.QualityClassifier.score(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      .select(col("doc_id"), col("n_grams"), col("score_micro"), col("label"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q217_learned_quality" -> (q217LearnedQuality _),
     "q147_source_attrition" -> (q147SourceAttrition _),
     "q148_contamination_depth" -> (q148ContaminationDepth _),
     "q146_curriculum_schedule" -> (q146CurriculumSchedule _),
@@ -1104,6 +1122,7 @@ object TextQueries {
     "q107_lang_confusion" -> (q107LangConfusion _))
 
   val oracleSql: Map[String, String] = Map(
+    "q217_learned_quality" -> graft.text.QualityClassifier.oracleSql,
     "q146_curriculum_schedule" -> q146Sql,
     "q147_source_attrition" -> q147Sql,
     "q148_contamination_depth" -> q148Sql,

@@ -35,18 +35,34 @@ import graft.similarity.Similarity
   *    whole batch completed ⇒ replay is a full no-op. Marker absent ⇒
   *    the previous attempt may have died ANYWHERE — including mid-way
   *    through the index append's two parquet jobs — so the replay
-  *    recomputes with the batch's own ids EXCLUDED from the pair
-  *    view ([[dedupBatch]] `ownAppendsPossible`): it sees exactly the
-  *    pre-batch index, reproduces the original survivors, overwrites
-  *    its sink partitions with identical rows, and re-runs the
-  *    append. A re-run append can duplicate this batch's (sid, sh) /
-  *    band rows in the index — harmless by design: verification
-  *    collapses duplicate pairs, and duplicate band rows only nudge
-  *    the width-cap degrade earlier (degrade, never corruption).
+  *    recomputes with the batch's OWN possibly-partial prior append
+  *    excluded from the pair view: it sees exactly the pre-batch
+  *    index, reproduces the original survivors, overwrites its sink
+  *    partitions with identical rows, and re-runs the append. A
+  *    re-run append can duplicate this batch's (sid, sh) / band rows
+  *    in the index — harmless by design: verification collapses
+  *    duplicate pairs, and duplicate band rows only nudge the
+  *    width-cap degrade earlier (degrade, never corruption).
   * The earlier self-collision replay signal could NOT survive a crash
   * inside the append: a partially-appended batch saw only a SUBSET of
   * itself self-collide, dropped those records from the replayed sinks,
   * and lost them from the curated outputs forever.
+  *
+  * "The batch's own prior append" is decided by a per-batch ids
+  * LEDGER (`<indexDir>/_append_ids/batch_id=N`, the survivors' ids,
+  * written — fully — BEFORE the index append starts): a self-collided
+  * id in batch N's own ledger is batch N's crashed append (keep); a
+  * self-collided id NOT in it is a CROSS-BATCH REDELIVERY — an
+  * at-least-once upstream delivered a record whose id an earlier
+  * batch (or the day-0 corpus) already committed — and is dropped,
+  * exactly like the standalone self-collision signal. The ordering
+  * makes the ledger sound: an own survivor can only self-collide
+  * after the append began, and by then its ledger entry exists; a
+  * redelivered id is dropped before survivor resolution on the first
+  * attempt, so it can never enter the ledger. Upstream ids must still
+  * be UNIQUE per logical record — two DIFFERENT texts arriving under
+  * one id are near-dup-independent, and whichever commits first wins
+  * the id.
   */
 object CorpusStream {
 
@@ -119,9 +135,10 @@ object CorpusStream {
       backend: Backend): Unit = {
     if (batch.isEmpty) return
     if (appendCommitted(batch.sparkSession, indexDir, batchId)) return
-    val survivors = dedupBatch(batch, indexDir, backend, ownAppendsPossible = true)
+    val survivors = dedupBatch(batch, indexDir, backend, replayOfBatch = Some(batchId))
     if (!survivors.isEmpty) {
       survivors.write.mode("overwrite").parquet(s"$corpusDir/batch_id=$batchId")
+      writeAppendLedger(survivors.select(col(backend.idCol)), indexDir, batchId)
       backend.appendToIndex(survivors, indexDir)
     }
     markAppendCommitted(batch.sparkSession, indexDir, batchId)
@@ -129,6 +146,33 @@ object CorpusStream {
 
   private def appendMarker(indexDir: String, batchId: Long) =
     new org.apache.hadoop.fs.Path(f"$indexDir/_append_commits/batch_id=$batchId%05d")
+
+  private def ledgerDir(indexDir: String, batchId: Long) =
+    f"$indexDir/_append_ids/batch_id=$batchId%05d"
+
+  /** Record the ids batch `batchId` is about to append to the index —
+    * MUST complete before the append starts (see class doc: the ledger
+    * is what lets an unsealed replay tell its own crashed append from a
+    * cross-batch redelivery). Overwrite ⇒ a replayed write is
+    * idempotent. One partition is read back per replay (O(1), never a
+    * history scan); entries are tiny id lists and can be GC'd together
+    * with their batch's commit marker if a retention sweep ever prunes
+    * sealed history.
+    */
+  def writeAppendLedger(ids: DataFrame, indexDir: String, batchId: Long): Unit =
+    ids.write.mode("overwrite").parquet(ledgerDir(indexDir, batchId))
+
+  /** Batch `batchId`'s own ledger entry, if its prior attempt got as
+    * far as writing one (absent on first attempts and pre-append
+    * crashes).
+    */
+  private def readAppendLedger(
+      spark: SparkSession, indexDir: String, batchId: Long): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(ledgerDir(indexDir, batchId))
+    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+      Some(spark.read.parquet(p.toString))
+    else None
+  }
 
   /** Has this batch's index append (and everything before it) fully
     * committed? The replay no-op signal (class doc).
@@ -154,20 +198,20 @@ object CorpusStream {
     * pipelines ([[CurationStream]]) can route survivors through further
     * stages before committing. Result is eagerly checkpointed.
     *
-    * `ownAppendsPossible = false` (standalone callers): records already
-    * in the index self-collide (id_a == id_b) and come back empty —
-    * usable as a replay signal ONLY when the caller can guarantee the
-    * prior append was all-or-nothing. `true` (the marker-protocol
-    * loops): self-pairs are the batch's OWN possibly-partial prior
-    * append and are IGNORED, so the computation sees exactly the
-    * pre-batch index and reproduces the original survivors; any pair
-    * between an own indexed copy and a DIFFERENT batch record is
-    * classified batch-internal by the membership flags below, exactly
-    * as the first run classified it.
+    * A self-collided record (id_a == id_b: the id is already in the
+    * index) is DROPPED as a redelivery — a standalone caller's replay
+    * signal, and the marker-protocol loops' cross-batch at-least-once
+    * guard — UNLESS `replayOfBatch = Some(n)` and the id sits in batch
+    * n's own append ledger: then it is batch n's crashed prior append
+    * (the pre-batch index must be reconstructed, so the record stays).
+    * See the class doc for why the ledger-before-append ordering makes
+    * this exact. Any pair between an own indexed copy and a DIFFERENT
+    * batch record is classified batch-internal by the membership flags
+    * below, exactly as the first run classified it.
     */
   def dedupBatch(
       batch: DataFrame, indexDir: String, backend: Backend,
-      ownAppendsPossible: Boolean = false): DataFrame = {
+      replayOfBatch: Option[Long] = None): DataFrame = {
     val id = backend.idCol
     // pin the micro-batch: it feeds the pair job, two joins, and the
     // writes — streaming sources don't guarantee re-readability inside
@@ -175,14 +219,15 @@ object CorpusStream {
     val b = batch.localCheckpoint(eager = true)
     val pairs = backend.pairsAgainst(b, indexDir)
 
-    // replayed records: already in the index → they collide with
-    // themselves (id_a == id_b)
-    val fresh =
-      if (ownAppendsPossible) b
-      else b.join(
-        pairs.filter(col("id_a") === col("id_b"))
-          .select(col("id_a").as(id)).distinct(),
-        Seq(id), "left_anti")
+    // records already in the index collide with themselves
+    // (id_a == id_b): redeliveries, minus this batch's own ledger
+    val selfIds = pairs.filter(col("id_a") === col("id_b"))
+      .select(col("id_a").as(id)).distinct()
+    val redelivered = replayOfBatch
+      .flatMap(n => readAppendLedger(b.sparkSession, indexDir, n))
+      .map(own => selfIds.join(own.select(col(id)), Seq(id), "left_anti"))
+      .getOrElse(selfIds)
+    val fresh = b.join(redelivered, Seq(id), "left_anti")
 
     // order-independent corpus-vs-batch split: a pair side that is NOT
     // a batch id is a corpus record, and the batch side of such a pair

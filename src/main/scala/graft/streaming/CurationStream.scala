@@ -34,13 +34,14 @@ import graft.dedup.Decontaminate
   * present ⇒ everything committed ⇒ the replay returns immediately.
   * Marker absent ⇒ the prior attempt may have died anywhere —
   * INCLUDING part-way through the index append's two parquet jobs —
-  * so the replay recomputes with the batch's own ids excluded from
-  * the pair view ([[CorpusStream.dedupBatch]] `ownAppendsPossible`):
-  * it sees the pre-batch index, reproduces the identical
-  * survivors/cut/packs (pack state reads the immutable snapshot with
-  * batch_id < N), overwrites its own partitions with identical rows,
-  * and re-runs the append (duplicate index rows are harmless by
-  * design — see [[CorpusStream]]).
+  * so the replay recomputes with the batch's own possibly-partial
+  * prior append excluded from the pair view via the per-batch append
+  * ledger ([[CorpusStream.dedupBatch]] `replayOfBatch`; cross-batch
+  * redeliveries stay dropped): it sees the pre-batch index,
+  * reproduces the identical survivors/cut/packs (pack state reads the
+  * immutable snapshot with batch_id < N), overwrites its own
+  * partitions with identical rows, and re-runs the append (duplicate
+  * index rows are harmless by design — see [[CorpusStream]]).
   */
 object CurationStream {
 
@@ -86,10 +87,11 @@ object CurationStream {
         "CurationStream curates TEXT batches; use a text backend")
     }
     // stage 1 — near-dup cut under the marker protocol: the batch's own
-    // possibly-partial prior append is excluded from the pair view, so
-    // an unsealed replay reproduces the original survivors exactly
+    // possibly-partial prior append (its append ledger) is excluded
+    // from the pair view, so an unsealed replay reproduces the original
+    // survivors exactly; redeliveries from other batches stay dropped
     val survivors = CorpusStream.dedupBatch(batch, dedupIndexDir, backend,
-      ownAppendsPossible = true)
+      replayOfBatch = Some(batchId))
     if (!survivors.isEmpty) {
       // stage 2 — span decontamination of survivors (pure)
       val cut = DecontaminateStream
@@ -102,7 +104,8 @@ object CurationStream {
         cut.filter(col("kept_text") =!= "")
           .select(col(id).as("doc_id"), col("kept_text").as("text")),
         batchId, stateDir, packDir)
-      // index append, then the seal
+      // ledger before append (the replay signal), then the seal
+      CorpusStream.writeAppendLedger(survivors.select(col(id)), dedupIndexDir, batchId)
       backend.appendToIndex(survivors, dedupIndexDir)
     }
     CorpusStream.markAppendCommitted(batch.sparkSession, dedupIndexDir, batchId)

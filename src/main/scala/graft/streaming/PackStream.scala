@@ -105,6 +105,30 @@ object PackStream {
         (coalesce(col("cum0"), lit(0L)) + coalesce(col("add"), lit(0L)))
           .as("cum"))
       .write.mode("overwrite").parquet(s"$stateDir/batch_id=$batchId")
+    pruneState(b.sparkSession, stateDir, keep = KeepSnapshots)
+  }
+
+  /** Trailing state snapshots kept by [[packAndAppend]]. */
+  val KeepSnapshots: Int = 4
+
+  /** Delete all but the trailing `keep` state snapshots (numeric
+    * batch-id order — dirs are written unpadded). Safe: each snapshot
+    * is the FULL per-split cum (untouched splits carried forward), so
+    * [[readState]]'s `max_by` needs only the latest snapshot below the
+    * replaying batch, and only the latest uncommitted batch can replay
+    * under a Structured Streaming checkpoint. Without this a
+    * long-running stream re-reads O(batches) small snapshot files in
+    * EVERY micro-batch's readState.
+    */
+  def pruneState(spark: SparkSession, stateDir: String, keep: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("batch_id=\\d+"))
+      .sortBy(_.getPath.getName.stripPrefix("batch_id=").toLong)
+      .dropRight(keep)
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** Doc-grain packed output (all batches; `batch_id` rides along as a

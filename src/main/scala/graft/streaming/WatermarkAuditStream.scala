@@ -33,8 +33,27 @@ import org.apache.spark.sql.types.StructType
   * rows, one equi-join against the user-count-sized state (AQE
   * broadcasts a small batch side), one t-row partial write; state is
   * one row per user ever seen.
+  *
+  * ==Retention==
+  * Without it, a long-running stream accumulates one snap dir and one
+  * ledger partition PER BATCH, and [[currentReport]] re-reads the
+  * whole history — the small-file death at day-N grain. So:
+  * [[applyBatch]] auto-prunes state snapshots to the trailing
+  * [[KeepSnapshots]] (the only replayable batch under a Structured
+  * Streaming checkpoint is the latest uncommitted one, which reads
+  * `snap_(N+1)` — trailing-2 suffices, 4 is margin), and [[compact]]
+  * folds sealed ledger partials into a rollup published through a
+  * [[graft.medallion.Versioned]] pointer (sum/sum/max/sum are
+  * associative, so rollup ∪ uncovered partials ≡ all partials). The
+  * rollup carries the max batch id it covers; readers take the
+  * rollup plus partitions STRICTLY ABOVE it, so a crash between
+  * rollup publish and partition delete — or a replayed batch
+  * re-writing a covered partition — never double-counts.
   */
 object WatermarkAuditStream {
+
+  /** Trailing state snapshots kept by [[applyBatch]]. */
+  val KeepSnapshots: Int = 4
 
   private def snapDir(stateDir: String, v: Int): String = f"$stateDir/snap_$v%05d"
 
@@ -77,6 +96,86 @@ object WatermarkAuditStream {
       .unionByName(state.select(col("user_id"), col("state_max_us").as("ts_us")))
       .groupBy(col("user_id")).agg(max(col("ts_us")).as("max_ts_us"))
       .write.mode("overwrite").parquet(snapDir(stateDir, version))
+    pruneState(spark, stateDir, keep = KeepSnapshots)
+  }
+
+  /** Delete all but the trailing `keep` state snapshots. Runs inside
+    * [[applyBatch]]; safe because only the latest uncommitted batch can
+    * replay (class doc).
+    */
+  def pruneState(spark: SparkSession, stateDir: String, keep: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(stateDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    val snaps = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("snap_\\d+"))
+      .sortBy(_.getPath.getName)
+    snaps.dropRight(keep).foreach(s => fs.delete(s.getPath, true))
+  }
+
+  private def rollupRoot(ledgerDir: String): String = s"$ledgerDir/_rollup"
+
+  /** (covered-through batch id, rolled-up rows) from the active rollup
+    * version; (-1, empty) when never compacted. The `through` marker
+    * rides a sentinel NULL-event_type row so an all-quiet (zero-event)
+    * compaction still records its coverage.
+    */
+  private def readRollup(
+      spark: SparkSession, ledgerDir: String): (Long, Option[DataFrame]) =
+    try {
+      val df = graft.medallion.Versioned.read(spark, rollupRoot(ledgerDir))
+      val through = df.agg(max(col("through_batch"))).first().getLong(0)
+      (through, Some(df.filter(col("event_type").isNotNull)
+        .drop("through_batch")))
+    } catch { case _: java.io.FileNotFoundException => (-1L, None) }
+
+  /** Ledger partition dirs above `through`, by FS listing (includes
+    * zero-row partitions, so compaction also reclaims those).
+    */
+  private def partitionsAbove(
+      spark: SparkSession, ledgerDir: String, through: Long): Seq[(Long, org.apache.hadoop.fs.Path)] = {
+    val p = new org.apache.hadoop.fs.Path(ledgerDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("batch_id=\\d+"))
+      .map(s => (s.getPath.getName.stripPrefix("batch_id=").toLong, s.getPath))
+      .filter(_._1 > through)
+      .sortBy(_._1)
+  }
+
+  /** Fold every sealed ledger partial into the rollup and delete the
+    * covered partitions. Call between triggers (or periodically from
+    * the driving loop) — the partial for a batch is final the moment
+    * its `applyBatch` returns, and a replay re-writing a covered
+    * partition is ignored by readers (they only see partitions above
+    * the rollup's coverage). Crash-safe: the rollup publishes through
+    * an atomic [[graft.medallion.Versioned]] pointer BEFORE any
+    * partition is deleted, so every crash point leaves readers a
+    * consistent (rollup, uncovered-partitions) pair.
+    */
+  def compact(spark: SparkSession, ledgerDir: String): Unit = {
+    val (through, rolled) = readRollup(spark, ledgerDir)
+    val fresh = partitionsAbove(spark, ledgerDir, through)
+    if (fresh.isEmpty) return
+    val newThrough = fresh.map(_._1).max
+    val freshRows = spark.read.parquet(fresh.map(_._2.toString): _*)
+    val combined = rolled.fold(freshRows)(_.unionByName(freshRows))
+      .groupBy(col("event_type"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("n_out_of_order")).as("n_out_of_order"),
+        max(col("max_lateness_us")).as("max_lateness_us"),
+        sum(col("total_lateness_us")).as("total_lateness_us"))
+      .withColumn("through_batch", lit(newThrough))
+    import spark.implicits._
+    val sentinel = Seq((Option.empty[String], 0L, 0L, 0L, 0L, newThrough))
+      .toDF("event_type", "n_events", "n_out_of_order",
+        "max_lateness_us", "total_lateness_us", "through_batch")
+    graft.medallion.Versioned.commit(spark, rollupRoot(ledgerDir),
+      combined.unionByName(sentinel).coalesce(1))
+    val fs = new org.apache.hadoop.fs.Path(ledgerDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fresh.foreach { case (_, dir) => fs.delete(dir, true) }
   }
 
   /** Start the event-feed → audit stream against an [[init]]-
@@ -99,13 +198,27 @@ object WatermarkAuditStream {
       .start()
   }
 
-  /** The accumulated per-type report — the q211 row shape. */
-  def currentReport(spark: SparkSession, ledgerDir: String): DataFrame =
-    spark.read.parquet(ledgerDir)
-      .groupBy(col("event_type"))
+  /** The accumulated per-type report — the q211 row shape: the rollup
+    * (if any) plus partials STRICTLY above its coverage (see class-doc
+    * Retention for why covered partitions still on disk are excluded).
+    */
+  def currentReport(spark: SparkSession, ledgerDir: String): DataFrame = {
+    val (through, rolled) = readRollup(spark, ledgerDir)
+    val fresh = partitionsAbove(spark, ledgerDir, through)
+    val parts =
+      if (fresh.isEmpty) None
+      else Some(spark.read.parquet(fresh.map(_._2.toString): _*))
+    val all = (rolled, parts) match {
+      case (Some(r), Some(p)) => r.unionByName(p)
+      case (Some(r), None) => r
+      case (None, Some(p)) => p
+      case (None, None) => return spark.emptyDataFrame
+    }
+    all.groupBy(col("event_type"))
       .agg(sum(col("n_events")).as("n_events"),
         sum(col("n_out_of_order")).as("n_out_of_order"),
         max(col("max_lateness_us")).as("max_lateness_us"),
         sum(col("total_lateness_us")).as("total_lateness_us"))
       .orderBy(col("event_type"))
+  }
 }

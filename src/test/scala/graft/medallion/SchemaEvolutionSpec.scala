@@ -65,6 +65,42 @@ class SchemaEvolutionSpec extends SparkTestBase {
     assert(spark.table("evo.unsafe").count() == 1)
   }
 
+  test("create path: mixed-case name lands on the lowercased managed location, non-empty orphan dir fails loudly") {
+    spark.sql("DROP TABLE IF EXISTS evo.mixedcase")
+    // Spark lowercases managed-table dir names: a mixed-case request
+    // must create/probe evo.db/mixedcase, not evo.db/MixedCase
+    SchemaEvolution.appendEvolved(spark, "evo.MixedCase",
+      Seq((1L, "a")).toDF("id", "title"))
+    assert(spark.table("evo.mixedcase").count() == 1)
+
+    // drop the table behind the catalog's back, plant a file at the
+    // managed location: the next create must refuse — not silently
+    // recursive-delete data it cannot prove it owns
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.catalog.getDatabase("evo").locationUri),
+      "orphaned")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(loc)
+    val f = fs.create(new org.apache.hadoop.fs.Path(loc, "stale.parquet"))
+    f.write(1); f.close()
+    val e = intercept[IllegalStateException] {
+      SchemaEvolution.appendEvolved(spark, "evo.Orphaned",
+        Seq((1L, "a")).toDF("id", "title"))
+    }
+    assert(e.getMessage.contains("non-empty"))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(loc, "stale.parquet")),
+      "refusal must leave the existing data untouched")
+    fs.delete(loc, true)
+
+    // an EMPTY leftover dir (crashed DROP) is cleared and the create proceeds
+    fs.mkdirs(new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.catalog.getDatabase("evo").locationUri),
+      "emptyleft"))
+    SchemaEvolution.appendEvolved(spark, "evo.EmptyLeft",
+      Seq((2L, "b")).toDF("id", "title"))
+    assert(spark.table("evo.emptyleft").count() == 1)
+  }
+
   test("Versioned root: evolved commit leaves the prior snapshot readable at its OLD schema") {
     val root = Files.createTempDirectory("evo-versioned").toString + "/docs"
     SchemaEvolution.commitEvolved(spark, root,

@@ -59,6 +59,45 @@ class CorpusStreamSpec extends SparkTestBase {
     assert(CorpusStream.readCorpus(spark, corpus).columns.contains("batch_id"))
   }
 
+  test("cross-batch redelivery of a committed id is dropped; own partial append is kept") {
+    val root = Files.createTempDirectory("corpus-redelivery").toString
+    val (idx, corpus) = (s"$root/index", s"$root/corpus")
+    MinHashLSH.buildIndex(emptyDocs, "doc_id", "text", idx)
+    CorpusStream.dedupAndAppend(day0.toDF("doc_id", "text"), 0L, idx, corpus,
+      CorpusStream.MinHashText())
+
+    // an at-least-once upstream re-delivers doc 2 VERBATIM (same id,
+    // same text) in a LATER batch: it self-collides against batch 0's
+    // committed copy, is NOT in batch 1's own ledger, and must drop —
+    // the pre-ledger protocol re-appended it as a duplicate corpus row
+    val redelivery = Seq(
+      2L -> "spark partitions shuffle data across executors for distributed joins and aggregates",
+      301L -> "volcanoes erupting under glacial ice sheets produce dramatic steam plumes")
+    CorpusStream.dedupAndAppend(redelivery.toDF("doc_id", "text"), 1L, idx, corpus,
+      CorpusStream.MinHashText())
+    assert(corpusIds(corpus) == Set(1L, 2L, 301L))
+    val dupRows = CorpusStream.readCorpus(spark, corpus)
+      .filter($"doc_id" === 2L).count()
+    assert(dupRows == 1L, s"redelivered id 2 appended $dupRows times")
+
+    // contrast: batch 2 crashes AFTER its ledger + a partial index
+    // append — the unsealed replay keeps its own half-appended
+    // survivor (ledger hit) while still dropping a redelivery
+    val batch2 = Seq(
+      401L -> "fresh prose about tidal estuaries hosting migratory shorebirds every autumn",
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank today")
+    val survivors = CorpusStream.dedupBatch(batch2.toDF("doc_id", "text"), idx,
+      CorpusStream.MinHashText(), replayOfBatch = Some(2L))
+    assert(survivors.select("doc_id").as[Long].collect().toSet == Set(401L))
+    CorpusStream.writeAppendLedger(survivors.select($"doc_id"), idx, 2L)
+    MinHashLSH.appendToIndex(survivors, "doc_id", "text", idx)
+    assert(!CorpusStream.appendCommitted(spark, idx, 2L))
+    CorpusStream.dedupAndAppend(batch2.toDF("doc_id", "text"), 2L, idx, corpus,
+      CorpusStream.MinHashText())
+    assert(corpusIds(corpus) == Set(1L, 2L, 301L, 401L))
+    assert(CorpusStream.readCorpus(spark, corpus).filter($"doc_id" === 401L).count() == 1L)
+  }
+
   test("the same loop runs over embeddings via the cosine backend") {
     import graft.similarity.Similarity
     val root = Files.createTempDirectory("corpus-stream-emb").toString

@@ -149,16 +149,19 @@ class CurationStreamSpec extends SparkTestBase {
       clean.idx, clean.eval, clean.curated, clean.packs, clean.state)
     val (cClean, pClean) = (curatedRows(clean), packRollup(clean))
 
-    // the crashed world: batch 1 died mid-append — ONE of its two
-    // survivors reached the index, no sinks written, no seal. The old
-    // self-collision replay signal would misclassify that record as
-    // already-ingested and drop it from the curated outputs forever.
+    // the crashed world: batch 1 died mid-append — its append LEDGER
+    // was fully written (the protocol orders it before the append),
+    // ONE of its two survivors reached the index, no sinks written,
+    // no seal. The plain self-collision replay signal would
+    // misclassify that record as already-ingested and drop it from
+    // the curated outputs forever.
     val d = setup("curation-partial")
     CurationStream.curateBatch(b1.toDF("doc_id", "text"), 0L,
       d.idx, d.eval, d.curated, d.packs, d.state)
     val survivors = CorpusStream.dedupBatch(b2w.toDF("doc_id", "text"), d.idx,
-      CorpusStream.MinHashText(), ownAppendsPossible = true)
+      CorpusStream.MinHashText(), replayOfBatch = Some(1L))
     assert(survivors.count() == 2, "fixture needs two fresh survivors")
+    CorpusStream.writeAppendLedger(survivors.select($"doc_id"), d.idx, 1L)
     MinHashLSH.appendToIndex(survivors.orderBy($"doc_id").limit(1),
       "doc_id", "text", d.idx)
     assert(!CorpusStream.appendCommitted(spark, d.idx, 1L))

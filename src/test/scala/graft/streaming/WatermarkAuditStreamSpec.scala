@@ -71,6 +71,62 @@ class WatermarkAuditStreamSpec extends SparkTestBase {
     assert(replayed == batch, "replayed batch must be a no-op")
   }
 
+  test("compaction folds sealed partials into the rollup; report invariant; artifacts bounded") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("wm-audit-compact").toString
+    val (state, ledger) = (s"$root/state", s"$root/ledger")
+    WatermarkAuditStream.init(spark, state)
+    def batch(id: Long, rows: (Long, Long, Long, String)*): Unit =
+      WatermarkAuditStream.applyBatch(
+        rows.toSeq.toDF("event_id", "ts_us", "user_id", "event_type"),
+        id, state, ledger)
+    // six batches; user 1's time zig-zags so several batches carry lateness
+    (0L until 6L).foreach { i =>
+      val t = if (i % 2 == 0) 100L + i else 10L + i
+      batch(i, (2 * i + 1, t, 1L, "view"), (2 * i + 2, t + 5, 2L, "click"))
+    }
+    val before = WatermarkAuditStream.currentReport(spark, ledger)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+
+    WatermarkAuditStream.compact(spark, ledger)
+    val after = WatermarkAuditStream.currentReport(spark, ledger)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(after == before, s"compaction changed the report: $after vs $before")
+
+    // covered partials are gone; the rollup is the single survivor
+    val fs = new org.apache.hadoop.fs.Path(ledger)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partials = fs.listStatus(new org.apache.hadoop.fs.Path(ledger)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("batch_id="))
+    assert(partials.isEmpty, s"covered partials not reclaimed: $partials")
+
+    // state snapshots are auto-pruned to the trailing window
+    val snaps = fs.listStatus(new org.apache.hadoop.fs.Path(state)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("snap_"))
+    assert(snaps.size == WatermarkAuditStream.KeepSnapshots,
+      s"expected ${WatermarkAuditStream.KeepSnapshots} snapshots, got $snaps")
+
+    // a REPLAY of a covered batch re-creates its partition — readers
+    // must ignore it (coverage excludes it), not double-count
+    batch(5L, (11L, 105L, 1L, "view"), (12L, 110L, 2L, "click"))
+    val replayed = WatermarkAuditStream.currentReport(spark, ledger)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(replayed == before, s"covered replay double-counted: $replayed")
+
+    // the stream continues: new batches land above the rollup coverage
+    batch(6L, (13L, 1L, 1L, "view"))
+    val viewRow = WatermarkAuditStream.currentReport(spark, ledger)
+      .filter($"event_type" === "view")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(viewRow._2 == 7L, s"post-compact batch not counted: $viewRow")
+    // and a second compaction folds the new partials too
+    WatermarkAuditStream.compact(spark, ledger)
+    val viewRow2 = WatermarkAuditStream.currentReport(spark, ledger)
+      .filter($"event_type" === "view")
+      .as[(String, Long, Long, Long, Long)].head()
+    assert(viewRow2 == viewRow)
+  }
+
   test("closed form: cross-batch out-of-order is seen, in-order is free") {
     import spark.implicits._
     val root = Files.createTempDirectory("wm-audit-cf").toString
