@@ -786,7 +786,76 @@ object RetrievalQueries {
       |SELECT query_id, role, rank, vec_id, round(cosine, 6) AS cosine_r6
       |FROM ranked WHERE rank <= 3 ORDER BY query_id, role, rank""".stripMargin
 
+  // ===== q218 — metadata-filtered ANN over the decorated code index ======
+
+  /** RAG-style FILTERED retrieval: top-k within a metadata slice
+    * (label = 3 here — source/date predicates are the same shape),
+    * with the predicate applied BEFORE the Hamming candidate cut on a
+    * [[graft.similarity.BinaryAnn.buildDecoratedIndex]] code table.
+    * Post-filtering a global cut under-returns (a slice holding x of
+    * the corpus keeps ~x·C of the top-C, 0 under adversarial skew —
+    * FilteredAnnSpec plants exactly that); pre-filtering keeps the
+    * whole candidate budget inside the slice. Exactly DuckDB-oracled
+    * by the q85 sign-bit argument restricted to the slice; queries
+    * themselves are NOT label-filtered (searching a slice from
+    * outside it is the serving shape).
+    *
+    * Scale: the predicate is a parquet pushdown on the decorated code
+    * scan (PlanShapeSpec pins PushedFilters), then the q85/q88 bounds
+    * apply within the slice.
+    */
+  def q218FilteredAnn(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    val idxDir = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "binary_ann_codes",
+        s"$dir/embeddings.parquet", params = "words=32bit,meta=label")) { d =>
+      graft.similarity.BinaryAnn.buildDecoratedIndex(vecs, d, Seq("label"))
+    }
+    graft.similarity.BinaryAnn.filteredHammingTopKFromIndex(
+        idxDir, vecs, vecs.filter(col("vec_id") < 50),
+        col("label") === 3, k = 5, candidates = 32)
+      .withColumn("cosine_r6", round(col("cosine"), 6))
+      .drop("cosine")
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val q218Sql: String =
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+      |bits AS (
+      |  SELECT vec_id, list(wv ORDER BY w) AS bits FROM (
+      |    SELECT vec_id, (i - 1) // 32 AS w,
+      |      sum(CASE WHEN x > 0 THEN 1::BIGINT << ((i - 1) % 32) ELSE 0 END) AS wv
+      |    FROM (SELECT vec_id, unnest(e) AS x, generate_subscripts(e, 1) AS i FROM v)
+      |    GROUP BY 1, 2) GROUP BY 1),
+      |q AS (SELECT vec_id AS query_id, bits AS qb FROM bits WHERE vec_id < 50),
+      |ham AS (
+      |  SELECT q.query_id, b.vec_id,
+      |    list_sum(list_transform(list_zip(q.qb, b.bits),
+      |      p -> bit_count(xor(p[1], p[2])))) AS hamming
+      |  FROM q, bits b JOIN v vb ON vb.vec_id = b.vec_id
+      |  WHERE vb.label = 3 AND b.vec_id <> q.query_id),
+      |cand AS (
+      |  SELECT query_id, vec_id, hamming,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY hamming, vec_id) AS crank
+      |  FROM ham),
+      |rer AS (
+      |  SELECT c.query_id, c.vec_id, c.hamming,
+      |    list_dot_product(qv.e, vv.e)
+      |      / (sqrt(list_dot_product(qv.e, qv.e)) * sqrt(list_dot_product(vv.e, vv.e))) AS cosine
+      |  FROM cand c
+      |  JOIN v qv ON qv.vec_id = c.query_id
+      |  JOIN v vv ON vv.vec_id = c.vec_id
+      |  WHERE c.crank <= 32),
+      |ranked AS (
+      |  SELECT query_id, vec_id, hamming, cosine,
+      |    row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS rank
+      |  FROM rer)
+      |SELECT query_id, rank, vec_id, CAST(hamming AS BIGINT) AS hamming,
+      |  round(cosine, 6) AS cosine_r6
+      |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q218_filtered_ann" -> (q218FilteredAnn _),
     "q214_hard_negatives_ann" -> (q214HardNegativesAnn _),
     "q149_cluster_cohesion" -> (q149ClusterCohesion _),
     "q128_semantic_decontaminate" -> (q128SemanticDecontaminate _),
@@ -803,6 +872,7 @@ object RetrievalQueries {
     * queries, so the driver's DuckDB sees the injected literals).
     */
   def oracleSql: Map[String, String] = Map(
+    "q218_filtered_ann" -> q218Sql,
     "q214_hard_negatives_ann" -> q214Sql,
     "q128_semantic_decontaminate" -> q128Sql,
     "q149_cluster_cohesion" -> q149Sql,

@@ -105,6 +105,52 @@ object BinaryAnn {
     topKWithBits(corpus,
       corpus.sparkSession.read.parquet(indexDir), queries, k, candidates)
 
+  /** [[buildIndex]] with metadata columns DECORATING the stored codes
+    * (label, source, date — whatever serving predicates key on): the
+    * filtered-search path needs the predicate evaluable ON THE CODE
+    * SCAN, because filtering after the candidate cut is wrong (see
+    * [[filteredHammingTopKFromIndex]]) and joining the corpus back in
+    * just to filter would drag the full-precision table into the cut
+    * stage. Metadata is a few narrow columns beside 16 B of codes —
+    * the index stays ~16× smaller than the embeddings.
+    */
+  def buildDecoratedIndex(
+      corpus: DataFrame, indexDir: String, metaCols: Seq[String]): Unit = {
+    VectorOps.register(corpus.sparkSession)
+    corpus.select(col("vec_id") +: col("embedding").cast("array<double>").as("emb") +:
+        metaCols.map(col): _*)
+      .select(col("vec_id") +: packSignBits(col("emb")).as("bits") +:
+        metaCols.map(col): _*)
+      .write.mode("overwrite").parquet(indexDir)
+  }
+
+  /** Metadata-FILTERED ANN over a [[buildDecoratedIndex]]-persisted
+    * code table: the predicate applies to the code scan BEFORE the
+    * Hamming candidate cut, then the cut and exact-cosine rerank run
+    * on the qualifying subset only — RAG-style serving ("top-k within
+    * this source/label/date slice").
+    *
+    * The ordering is the point: POST-filtering a global top-C cut
+    * under-returns — a predicate holding on an x-fraction of the
+    * corpus leaves ~x·C qualifying candidates (fewer under skew, 0 in
+    * the worst case), so the caller asking for k gets back less than k
+    * while matching rows exist (spec-pinned in FilteredAnnSpec).
+    * Pre-filtering keeps the full C candidate budget inside the slice,
+    * and equals exact filtered search whenever the cut does (the q85
+    * recall argument, now per-slice).
+    *
+    * Scale shape: the predicate prunes the (already 16×-compressed)
+    * code scan — a parquet pushdown on the decorated columns, so a
+    * selective slice reads a fraction of the codes; everything after
+    * inherits the [[hammingTopK]] bounds (top-C per split via
+    * `topk_by`, ids-only shuffle, broadcast rerank).
+    */
+  def filteredHammingTopKFromIndex(indexDir: String, corpus: DataFrame,
+      queries: DataFrame, predicate: Column, k: Int, candidates: Int): DataFrame =
+    topKWithBits(corpus,
+      corpus.sparkSession.read.parquet(indexDir).filter(predicate),
+      queries, k, candidates)
+
   private def topKWithBits(corpus: DataFrame, codes: DataFrame,
       queries: DataFrame, k: Int, candidates: Int): DataFrame = {
     require(candidates >= k, s"candidates=$candidates must be >= k=$k")
