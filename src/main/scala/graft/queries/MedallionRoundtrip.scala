@@ -289,6 +289,69 @@ object MedallionRoundtrip {
       |  FROM region)
       |SELECT r_regionkey, r_name, pop FROM u ORDER BY r_regionkey""".stripMargin
 
+  // ===== q220 — STREAMING schema evolution (mid-stream producer change) ===
+
+  /** The q203/q215 evolution story at STREAM grain
+    * ([[graft.streaming.SchemaEvolveStream]]): a producer lands three
+    * parquet batches — v1 (INT key), v1+column (r_note), then the key
+    * WIDENED to BIGINT at +100 offset — and the file-grain stream
+    * evolves its snapshot-chain bronze table per micro-batch, where a
+    * declared-schema stream would have dropped the new column and a
+    * static target would have refused the widen. Stream runs are
+    * sequential AvailableNow passes over one checkpoint (arrival
+    * order is the contract). The oracle states the evolved end state:
+    * the union at the promoted type with v1 rows NULL under r_note.
+    */
+  def q220StreamingSchemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val region = Tables.load(s, dir, "region")
+    val v1 = region.select(col("r_regionkey").cast("int").as("r_regionkey"),
+      col("r_name"))
+    val v2 = region.select(col("r_regionkey").cast("int").as("r_regionkey"),
+      col("r_name"),
+      concat(lit("note-"), col("r_regionkey").cast("string")).as("r_note"))
+    val v3 = region.select((col("r_regionkey") + 100L).as("r_regionkey"),
+      col("r_name"),
+      concat(lit("wide-"), col("r_regionkey").cast("string")).as("r_note"))
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-q220-evolve-${ProcessHandle.current().pid()}")
+    registerCleanup(tmp)
+    if (java.nio.file.Files.exists(tmp)) {
+      import scala.jdk.CollectionConverters._
+      val walk = java.nio.file.Files.walk(tmp)
+      try walk.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val (in, table, cp) = (s"$tmp/in", s"$tmp/table", s"$tmp/cp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    def land(df: DataFrame, tag: String): Unit = {
+      df.coalesce(1).write.parquet(s"$in/$tag")
+      graft.streaming.SchemaEvolveStream.start(s, s"$in/*", table, cp)
+        .awaitTermination()
+    }
+    land(v1, "f1"); land(v2, "f2"); land(v3, "f3")
+    graft.streaming.SchemaEvolveStream.read(s, table)
+      .select(col("r_regionkey").cast("long").as("r_regionkey"), col("r_name"),
+        col("r_note").cast("string"))
+      .orderBy(col("r_regionkey").asc, col("r_note").asc_nulls_first)
+  }
+
+  val q220Sql: String =
+    """WITH u AS (
+      |  SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+      |    CAST(NULL AS VARCHAR) AS r_note
+      |  FROM region
+      |  UNION ALL
+      |  SELECT CAST(r_regionkey AS BIGINT), r_name,
+      |    'note-' || CAST(r_regionkey AS VARCHAR)
+      |  FROM region
+      |  UNION ALL
+      |  SELECT CAST(r_regionkey + 100 AS BIGINT), r_name,
+      |    'wide-' || CAST(r_regionkey AS VARCHAR)
+      |  FROM region)
+      |SELECT r_regionkey, r_name, r_note FROM u
+      |ORDER BY r_regionkey, r_note NULLS FIRST""".stripMargin
+
   // ===== q216 — mergeSchema read over a heterogeneous landing dir =========
 
   /** The [[graft.medallion.SchemaEvolution.readMerged]] path through
@@ -326,7 +389,8 @@ object MedallionRoundtrip {
     "q203_schema_evolution" -> (q203SchemaEvolution _),
     "q206_schema_evolution_managed" -> (q206SchemaEvolutionManaged _),
     "q215_schema_evolution_widen" -> (q215SchemaEvolutionWiden _),
-    "q216_mergeschema_read" -> (q216MergeSchemaRead _))
+    "q216_mergeschema_read" -> (q216MergeSchemaRead _),
+    "q220_streaming_schema_evolution" -> (q220StreamingSchemaEvolution _))
 
   val oracleSql: Map[String, String] = Map(
     "q15_medallion_roundtrip" -> q15Sql,
@@ -338,5 +402,6 @@ object MedallionRoundtrip {
     "q215_schema_evolution_widen" -> q215Sql,
     // q216's merged read reproduces q203's evolved end state (v1 rows
     // NULL under the added column) — the same oracle pins it
-    "q216_mergeschema_read" -> q203Sql)
+    "q216_mergeschema_read" -> q203Sql,
+    "q220_streaming_schema_evolution" -> q220Sql)
 }
