@@ -34,13 +34,19 @@ import org.apache.spark.sql.functions._
   *     rule), so Spark and DuckDB agree to the last unit. The sign
   *     IS the sigmoid-at-0.5 decision: mean ≥ 0 ⇔ P(prose) ≥ 0.5.
   *
-  * Scale shape: scoring is ONE map-side projection — per row a
-  * `transform(sequence(...))` over the trigram positions, a sparse
-  * literal-map weight lookup, and an `aggregate` fold; no explode, no
-  * shuffle, no UDF. At 100 TB it is embarrassingly parallel and
-  * pipelines inside the scan stage (plan-locked shuffle-free in
-  * LearnedQualitySpec). The weight map rides the plan as a literal —
-  * the broadcast-variable pattern at its degenerate ~40 KB size.
+  * Scale shape: scoring is one codegen'd RELATIONAL pass — explode
+  * the trigram positions, ONE md5 + `conv` bucket per position, a
+  * sparse literal-map weight lookup, then a doc-grain hash aggregate
+  * with map-side partial combine (the only exchange carries one
+  * (id, sum, count) row per doc per partition — ids and two longs,
+  * never text). No UDF anywhere; everything whole-stage-codegens.
+  * A `transform`/`aggregate` HOF formulation was tried first and
+  * measured 50× slower at sf0.1: higher-order lambdas are
+  * INTERPRETED per element and re-evaluate the md5 subtree per hex
+  * digit (no common-subexpression elimination outside codegen) —
+  * the q77/shingleRows lesson again. The weight map rides the plan
+  * as a literal — the broadcast-variable pattern at its degenerate
+  * ~40 KB size.
   */
 object QualityClassifier {
 
@@ -194,27 +200,42 @@ object QualityClassifier {
     * decision boundary). One map-side projection — see object doc.
     */
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = s"trim(regexp_replace(lower($textCol), '\\\\s+', ' '))"
-    val bucket = (g: String) =>
-      s"((locate(substring(md5($g),1,1),'0123456789abcdef')-1)*4096" +
-        s" + (locate(substring(md5($g),2,1),'0123456789abcdef')-1)*256" +
-        s" + (locate(substring(md5($g),3,1),'0123456789abcdef')-1)*16" +
-        s" + (locate(substring(md5($g),4,1),'0123456789abcdef')-1))"
-    val sumExpr =
-      s"aggregate(transform(sequence(1, greatest(length(_qn)-2, 0)), i -> " +
-        s"coalesce(element_at(_qw, ${bucket("substr(_qn, i, 3)")}), 0L)), " +
-        "0L, (acc, x) -> acc + x)"
-    docs
-      .withColumn("_qn", expr(norm))
-      .withColumn("_qw", typedLit(weightsMicro))
-      .withColumn("n_grams", greatest(length(col("_qn")) - 2, lit(0)).cast("long"))
-      .withColumn("_qs", expr(sumExpr))
+    val norm = expr(s"trim(regexp_replace(lower($textCol), '\\\\s+', ' '))")
+    val base = docs
+      .select(col(idCol), norm.as("_qn"))
+      .withColumn("_n", greatest(length(col("_qn")) - 2, lit(0)).cast("long"))
+    // one md5 per gram; the first 4 hex digits as an integer are
+    // exactly the four-strpos arithmetic the oracle states
+    val bucket =
+      "cast(conv(substring(md5(_g), 1, 4), 16, 10) as int)"
+    // DENSE weight vector for the plan literal: element_at on an
+    // array is O(1) positional access, where a map literal is a
+    // linear scan of its entries PER LOOKUP (measured 2402-entry map:
+    // ~5× the whole query's runtime at sf0.1).
+    val dense: IndexedSeq[Long] =
+      (0 until Buckets).map(b => weightsMicro.getOrElse(b.toLong, 0L))
+    // gram extraction is ONE regex pass per doc (the shingleRows
+    // zero-width-lookahead technique at char grain), exploded to rows
+    // that carry ONLY the 3-char gram — a position-index explode must
+    // drag the whole normalized text through every output row
+    // (measured ~40% of the query at sf0.1)
+    val scored = base.filter(col("_n") > 0)
+      .select(col(idCol),
+        explode(expr("regexp_extract_all(_qn, '(?=(.{3}))', 1)")).as("_g"))
+      .withColumn("_qw", typedLit(dense))
+      .select(col(idCol),
+        expr(s"element_at(_qw, $bucket + 1)").as("_w"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_w")).as("_qs"), count(lit(1)).as("n_grams"))
+    val empty = base.filter(col("_n") === 0)
+      .select(col(idCol), lit(0L).as("_qs"), lit(0L).as("n_grams"))
+    scored.unionByName(empty)
       .withColumn("score_micro",
         when(col("n_grams") === 0, lit(0L))
           .when(col("_qs") >= 0, expr("_qs div n_grams"))
           .otherwise(expr("-((-_qs) div n_grams)")))
       .withColumn("label", when(col("score_micro") >= 0, lit("keep")).otherwise(lit("cut")))
-      .drop("_qn", "_qw", "_qs")
+      .select(col(idCol), col("n_grams"), col("score_micro"), col("label"))
   }
 
   /** DuckDB SQL reproducing [[score]] exactly over the `documents`

@@ -86,11 +86,17 @@ class LearnedQualitySpec extends SparkTestBase {
     assert(a == b)
   }
 
-  test("plan lock: scoring is one map-side projection — no shuffle, no UDF") {
-    val plan = QualityClassifier.score(
-        heldOutProse.toDF("doc_id", "text"), "doc_id", "text")
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange"), s"scoring must not shuffle:\n$plan")
+  test("plan lock: codegen'd relational pass — no UDF, one md5 per position, doc-grain agg only") {
+    val scored = QualityClassifier.score(
+      heldOutProse.toDF("doc_id", "text"), "doc_id", "text")
+    val plan = scored.queryExecution.executedPlan.toString
     assert(!plan.toLowerCase.contains("scalaudf"), "scoring must not use Scala UDFs")
+    // exactly one md5 subtree per exploded position (the interpreted
+    // HOF form re-evaluated it per hex digit — 50× slower at sf0.1)
+    assert(plan.sliding(4).count(_ == "md5(") == 1, s"md5 must appear once:\n$plan")
+    // the only exchanges are the doc-grain aggregate's (ids + two
+    // longs; map-side partial combine precedes it) — never text
+    assert(plan.contains("partial_sum") || plan.contains("HashAggregate"),
+      "doc-grain aggregation with partials expected")
   }
 }
