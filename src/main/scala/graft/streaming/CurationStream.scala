@@ -10,22 +10,28 @@ import graft.dedup.Decontaminate
 /** The streaming curation pipeline END-TO-END: each arriving
   * micro-batch of documents is (1) near-dup cut against the persisted
   * dedup index ([[CorpusStream.dedupBatch]] — corpus copies win,
-  * in-batch clusters collapse), (2) span-grain DECONTAMINATED against
-  * the persisted eval-gram index ([[DecontaminateStream.cutBatch]] =
-  * the q89/q150 `Decontaminate` kernel), and (3) its surviving cleaned
-  * text PACKED into fixed-budget sequences continuing each split's
-  * running totals ([[PackStream.packAndAppend]] = the q41 rule). One
-  * intake loop produces the three artifacts a training-data service
-  * actually serves: the curated ledger, the packed corpus, and the
-  * grown dedup index — all shared-kernel with their batch twins, so
-  * streamed ≡ batch is by construction and pinned in
-  * CurationStreamSpec.
+  * in-batch clusters collapse), (1b) optionally QUALITY-gated by the
+  * learned classifier ([[graft.text.QualityClassifier]] = the q217
+  * kernel — gibberish never reaches the corpus, the index, or the
+  * packs), (2) span-grain DECONTAMINATED against the persisted
+  * eval-gram index ([[DecontaminateStream.cutBatch]] = the q89/q150
+  * `Decontaminate` kernel), and (3) its surviving cleaned text PACKED
+  * into fixed-budget sequences continuing each split's running totals
+  * ([[PackStream.packAndAppend]] = the q41 rule). One intake loop
+  * produces the three artifacts a training-data service actually
+  * serves: the curated ledger, the packed corpus, and the grown dedup
+  * index — all shared-kernel with their batch twins, so streamed ≡
+  * batch is by construction and pinned in CurationStreamSpec.
   *
   * ==Stage order==
   * Dedup FIRST (cheapest cut, and the index must see raw survivor text
-  * so future batches dedup against what was kept), decon second over
+  * so future batches dedup against what was kept), the quality gate
+  * second (a quality-cut doc is dropped BEFORE the index append — its
+  * future copies fail the same deterministic gate for the cost of one
+  * map pass, so indexing it buys nothing), decon third over the gated
   * survivors only, packing last over the decontaminated text — the
-  * q150 composition order at intake grain.
+  * q150 composition order at intake grain with the q217 gate spliced
+  * where a production pipeline runs its classifier.
   *
   * ==Exactly-once accounting==
   * All sinks are per-batch-partition overwrites (`batch_id=N`), the
@@ -56,6 +62,7 @@ object CurationStream {
       checkpointDir: String,
       backend: CorpusStream.Backend = CorpusStream.MinHashText(),
       w: Int = Decontaminate.DefaultWindow,
+      minScoreMicro: Option[Long] = None,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     spark.readStream.schema(schema).parquet(inDir)
       .writeStream
@@ -63,7 +70,7 @@ object CurationStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         curateBatch(batch, batchId, dedupIndexDir, evalIndexDir,
-          curatedDir, packDir, stateDir, backend, w)
+          curatedDir, packDir, stateDir, backend, w, minScoreMicro)
       }
       .start()
 
@@ -75,7 +82,8 @@ object CurationStream {
       dedupIndexDir: String, evalIndexDir: String,
       curatedDir: String, packDir: String, stateDir: String,
       backend: CorpusStream.Backend = CorpusStream.MinHashText(),
-      w: Int = Decontaminate.DefaultWindow): Unit = {
+      w: Int = Decontaminate.DefaultWindow,
+      minScoreMicro: Option[Long] = None): Unit = {
     if (batch.isEmpty) return
     // sealed batch ⇒ full replay no-op (class doc)
     if (CorpusStream.appendCommitted(batch.sparkSession, dedupIndexDir, batchId))
@@ -90,8 +98,21 @@ object CurationStream {
     // possibly-partial prior append (its append ledger) is excluded
     // from the pair view, so an unsealed replay reproduces the original
     // survivors exactly; redeliveries from other batches stay dropped
-    val survivors = CorpusStream.dedupBatch(batch, dedupIndexDir, backend,
+    val dedupSurvivors = CorpusStream.dedupBatch(batch, dedupIndexDir, backend,
       replayOfBatch = Some(batchId))
+    // stage 1b — optional learned quality gate (q217): a pure
+    // deterministic map pass, so replay-safe by construction; cut docs
+    // never reach any sink OR the index (class doc on why)
+    val survivors = minScoreMicro match {
+      case None => dedupSurvivors
+      case Some(t) =>
+        val pass = graft.text.QualityClassifier
+          .score(dedupSurvivors.select(col(id), col(textCol)), id, textCol)
+          .filter(col("score_micro") >= t)
+          .select(col(id))
+        dedupSurvivors.join(pass, Seq(id), "left_semi")
+          .localCheckpoint(eager = true)
+    }
     if (!survivors.isEmpty) {
       // stage 2 — span decontamination of survivors (pure)
       val cut = DecontaminateStream

@@ -115,6 +115,43 @@ class CurationStreamSpec extends SparkTestBase {
     assert(packRollup(d) == batchPacks, "streamed packs != batch q41 packing")
   }
 
+  test("quality gate: gibberish never reaches ledger, packs, or index; prose unaffected") {
+    val d = setup("curation-quality")
+    // REAL prose register (the q217 fixture's positive class is natural
+    // English; b1's synthetic alphaN tokens legitimately read as junk
+    // to a char-trigram model and belong in the ungated tests)
+    val prose = Seq(
+      51L -> ("The harbor master checked the tide tables before letting " +
+        "the boats leave and noted the wind shifting to the northeast."),
+      52L -> ("Most of the apples were ripe by late September and the " +
+        "cider press ran daily until the orchard crew finished the rows."))
+    // threshold 0: the q217 decision boundary (log-ratio sign)
+    val junk = 99L -> (1 to 60).map(i =>
+      Seq("qwpz", "xkvj", "rtyn", "mlbg", "zxcv")(i % 5)).mkString(" ")
+    CurationStream.curateBatch((prose :+ junk).toDF("doc_id", "text"), 0L,
+      d.idx, d.eval, d.curated, d.packs, d.state, minScoreMicro = Some(0L))
+    val ids = CurationStream.readCurated(spark, d.curated)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(51L, 52L), s"quality gate failed: $ids")
+
+    // the junk doc was NOT indexed: re-delivering it under a new id in
+    // batch 1 does not near-dup-collide — it is cut by the same gate
+    CurationStream.curateBatch(Seq(199L -> junk._2).toDF("doc_id", "text"), 1L,
+      d.idx, d.eval, d.curated, d.packs, d.state, minScoreMicro = Some(0L))
+    val ids2 = CurationStream.readCurated(spark, d.curated)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids2 == Set(51L, 52L), s"junk re-delivery leaked: $ids2")
+
+    // the gated stream over prose equals the ungated one
+    val ungated = setup("curation-quality-clean")
+    CurationStream.curateBatch(prose.toDF("doc_id", "text"), 0L,
+      ungated.idx, ungated.eval, ungated.curated, ungated.packs, ungated.state)
+    assert(curatedRows(d) == curatedRows(ungated),
+      "quality gate changed prose curation")
+    assert(packRollup(d) == packRollup(ungated),
+      "quality gate changed prose packing")
+  }
+
   test("crash replay of a batch is a no-op on curated ledger, packs, and state") {
     val d = setup("curation-replay")
     CurationStream.curateBatch(b1.toDF("doc_id", "text"), 0L,
