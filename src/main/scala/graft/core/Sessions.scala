@@ -15,6 +15,27 @@ import org.apache.spark.sql.SparkSession
 object Sessions {
   def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
 
+  /** Per-process managed-table warehouse, deleted at JVM exit: the
+    * in-memory catalog dies with the process, so its storage must too
+    * (a surviving dir is exactly the stale-file resurrection hazard
+    * appendEvolved refuses loudly on). NOT the [[Warehouse]] index
+    * store, which is cross-process by design.
+    */
+  lazy val managedWarehouse: String = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-warehouse-p${ProcessHandle.current().pid()}"
+    sys.addShutdownHook {
+      val root = java.nio.file.Paths.get(dir)
+      if (java.nio.file.Files.exists(root)) {
+        import scala.jdk.CollectionConverters._
+        val walk = java.nio.file.Files.walk(root)
+        try walk.iterator().asScala.toSeq.reverse
+          .foreach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
+    }
+    dir
+  }
+
   def builder(appName: String): SparkSession.Builder =
     SparkSession
       .builder()
@@ -43,9 +64,9 @@ object Sessions {
       // in-memory catalog forgets managed tables at JVM exit, so a
       // shared warehouse path would strand their files where the next
       // process's saveAsTable resurrects them as rows (the r18 advice
-      // finding) — catalog and storage must share a lifetime.
-      .config("spark.sql.warehouse.dir",
-        s"${sys.props("java.io.tmpdir")}/graft-warehouse-p${ProcessHandle.current().pid()}")
+      // finding) — catalog and storage must share a lifetime, which is
+      // also why a shutdown hook deletes the dir (see managedWarehouse).
+      .config("spark.sql.warehouse.dir", managedWarehouse)
       .config("spark.ui.enabled", "false")
 
   def local(appName: String = "graft"): SparkSession = {

@@ -24,11 +24,17 @@ import graft.medallion.{BronzeFlow, Chunker, Lake}
   */
 object MedallionRoundtrip {
 
-  private val cleanupRegistered = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val cleanupRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** One-shot JVM shutdown hook deleting the per-process scratch lake. */
+  /** Register a PER-ROOT shutdown deletion (idempotent per path). A
+    * single global once-flag here was a leak: every caller passes its
+    * own scratch root (q15/q203/q216/q220 …) and only the first one
+    * ever got a hook — the rest accumulated one orphan dir per JVM.
+    */
   private[queries] def registerCleanup(root: java.nio.file.Path): Unit =
-    if (cleanupRegistered.compareAndSet(false, true)) {
+    if (cleanupRegistered.add(root.toString)) {
       sys.addShutdownHook {
         if (Files.exists(root)) {
           import scala.jdk.CollectionConverters._
