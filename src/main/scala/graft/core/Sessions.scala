@@ -24,14 +24,7 @@ object Sessions {
   lazy val managedWarehouse: String = {
     val dir = s"${sys.props("java.io.tmpdir")}/graft-warehouse-p${ProcessHandle.current().pid()}"
     sys.addShutdownHook {
-      val root = java.nio.file.Paths.get(dir)
-      if (java.nio.file.Files.exists(root)) {
-        import scala.jdk.CollectionConverters._
-        val walk = java.nio.file.Files.walk(root)
-        try walk.iterator().asScala.toSeq.reverse
-          .foreach(p => java.nio.file.Files.deleteIfExists(p))
-        finally walk.close()
-      }
+      LocalFs.deleteRecursively(java.nio.file.Paths.get(dir))
     }
     dir
   }

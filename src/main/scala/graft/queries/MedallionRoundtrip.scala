@@ -27,7 +27,6 @@ object MedallionRoundtrip {
   private val cleanupRegistered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  /** One-shot JVM shutdown hook deleting the per-process scratch lake. */
   /** Register a PER-ROOT shutdown deletion (idempotent per path). A
     * single global once-flag here was a leak: every caller passes its
     * own scratch root (q15/q203/q216/q220 …) and only the first one
@@ -36,13 +35,7 @@ object MedallionRoundtrip {
   private[queries] def registerCleanup(root: java.nio.file.Path): Unit =
     if (cleanupRegistered.add(root.toString)) {
       sys.addShutdownHook {
-        if (Files.exists(root)) {
-          import scala.jdk.CollectionConverters._
-          val walk = java.nio.file.Files.walk(root)
-          try walk.iterator().asScala.toSeq.reverse
-            .foreach(p => java.nio.file.Files.deleteIfExists(p))
-          finally walk.close()
-        }
+        graft.core.LocalFs.deleteRecursively(root)
       }
     }
 
@@ -66,13 +59,7 @@ object MedallionRoundtrip {
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-q15-roundtrip-${ProcessHandle.current().pid()}")
     MedallionRoundtrip.registerCleanup(tmp)
-    if (Files.exists(tmp)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    graft.core.LocalFs.deleteRecursively(tmp)
     val lake = Lake(tmp.toString)
     // ~120-byte chunks, ~400-byte delivery buffer → several chunks per
     // landing object → embedded header lines in bronze input.
@@ -196,13 +183,7 @@ object MedallionRoundtrip {
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-q203-evolution-${ProcessHandle.current().pid()}")
     MedallionRoundtrip.registerCleanup(tmp)
-    if (Files.exists(tmp)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    graft.core.LocalFs.deleteRecursively(tmp)
     def ingest(csv: String, tag: String): String = {
       Chunker.deliver(Chunker.split(csv), s"$tmp/$tag/landing", bufferBytes = 1 << 20)
       BronzeFlow.ingest(s, s"$tmp/$tag/landing", s"$tmp/$tag/bronze")
@@ -321,13 +302,7 @@ object MedallionRoundtrip {
     val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-q220-evolve-${ProcessHandle.current().pid()}")
     registerCleanup(tmp)
-    if (java.nio.file.Files.exists(tmp)) {
-      import scala.jdk.CollectionConverters._
-      val walk = java.nio.file.Files.walk(tmp)
-      try walk.iterator().asScala.toSeq.reverse
-        .foreach(p => java.nio.file.Files.deleteIfExists(p))
-      finally walk.close()
-    }
+    graft.core.LocalFs.deleteRecursively(tmp)
     val (in, table, cp) = (s"$tmp/in", s"$tmp/table", s"$tmp/cp")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
     def land(df: DataFrame, tag: String): Unit = {

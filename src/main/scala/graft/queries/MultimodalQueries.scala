@@ -201,22 +201,28 @@ object MultimodalQueries {
     graft.dedup.SimHashDedup.ensureRegistered(s)
     val tp = graft.dedup.SimHashDedup
       .nearDuplicates(crossmodalTexts(s, groups), "doc_id", "text")
-      .select(col("id_a"), col("id_b"), lit("text").as("m"))
     val ip = graft.multimodal.ImagePhash
       .nearDuplicates(Multimodal.phashDedupCorpus(s, groups))
-      .select(col("id_a"), col("id_b"), lit("image").as("m"))
     val ap = graft.multimodal.AudioFingerprint
       .nearDuplicates(Multimodal.audioDedupCorpus(s, groups))
-      .select(col("id_a"), col("id_b"), lit("audio").as("m"))
     // capture the three lists for the literal-injected oracle — a
     // bounded metadata load: near-dup pairs over the 32-asset planted
-    // corpus (≤ 48 rows per modality by the margin specs)
+    // corpus (≤ 48 rows per modality by the margin specs). The rollup
+    // below is then REBUILT from the captured rows, so each modality's
+    // decode+near-dup pipeline executes exactly once (the three
+    // DataFrames are uncached plans — unioning them directly would
+    // re-run all three for the second evaluation)
     def capture(df: DataFrame): Seq[(Long, Long)] =
       df.select(col("id_a").cast("long"), col("id_b").cast("long"))
         .as[(Long, Long)].collect().toSeq.sorted
-    q219CapturedPairs.put(dir, (capture(tp), capture(ip), capture(ap)))
+    val captured = (capture(tp), capture(ip), capture(ap))
+    q219CapturedPairs.put(dir, captured)
 
-    val pairs = tp.unionByName(ip).unionByName(ap)
+    val flagged = Seq(
+      captured._1.map(p => (p._1, p._2, "text")),
+      captured._2.map(p => (p._1, p._2, "image")),
+      captured._3.map(p => (p._1, p._2, "audio"))).flatten
+    val pairs = flagged.toDF("id_a", "id_b", "m")
       .groupBy(col("id_a"), col("id_b"))
       .agg(concat_ws(",", sort_array(collect_set(col("m")))).as("modalities"),
         size(collect_set(col("m"))).cast("long").as("n_modalities"))

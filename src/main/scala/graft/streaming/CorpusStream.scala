@@ -163,13 +163,20 @@ object CorpusStream {
     ids.write.mode("overwrite").parquet(ledgerDir(indexDir, batchId))
 
   /** Batch `batchId`'s own ledger entry, if its prior attempt got as
-    * far as writing one (absent on first attempts and pre-append
-    * crashes).
+    * far as COMMITTING one (absent on first attempts and pre-append
+    * crashes). Gated on `_SUCCESS`, not bare dir existence: a crash
+    * mid-ledger-write leaves a dir with only `_temporary` inside, and
+    * reading it would throw schema-inference errors on EVERY replay —
+    * wedging the stream permanently. An uncommitted ledger is safely
+    * equivalent to no ledger: the write precedes the index append, so
+    * no own rows can be in the index yet and no own self-pairs exist
+    * to misclassify.
     */
   private def readAppendLedger(
       spark: SparkSession, indexDir: String, batchId: Long): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(ledgerDir(indexDir, batchId))
-    if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")))
       Some(spark.read.parquet(p.toString))
     else None
   }
@@ -230,10 +237,17 @@ object CorpusStream {
     val fresh = b.join(redelivered, Seq(id), "left_anti")
 
     // order-independent corpus-vs-batch split: a pair side that is NOT
-    // a batch id is a corpus record, and the batch side of such a pair
-    // is dropped regardless of id order (the corpus copy always wins);
-    // batch-internal pairs go to cluster resolution
-    val ids = b.select(col(id)).withColumn("in_batch", lit(1))
+    // a (surviving) batch id is a corpus record, and the batch side of
+    // such a pair is dropped regardless of id order (the corpus copy
+    // always wins); batch-internal pairs go to cluster resolution.
+    // Membership is FRESH ids, not the raw batch: a redelivered id's
+    // indexed copy is a CORPUS record — classifying it batch-internal
+    // would send its pairs to cluster resolution, where a fresh
+    // near-dup with a smaller id would out-rank the committed copy and
+    // survive as a duplicate (corpus-wins violated). Own-append ids on
+    // a replay stay in `fresh` (their ledger keeps them), so the
+    // batch-internal classification of the first run is preserved.
+    val ids = fresh.select(col(id)).withColumn("in_batch", lit(1))
     val flagged = pairs.filter(col("id_a") =!= col("id_b"))
       .join(ids.select(col(id).as("id_a"), col("in_batch").as("a_in")), Seq("id_a"), "left")
       .join(ids.select(col(id).as("id_b"), col("in_batch").as("b_in")), Seq("id_b"), "left")

@@ -95,9 +95,12 @@ object SchemaEvolveStream {
     val p = new org.apache.hadoop.fs.Path(tableDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
+    // numeric sort, not lexicographic: the %05d padding overflows at
+    // batch 100000, where "snap_100000" string-sorts BEFORE
+    // "snap_99999" and a name sort would reap the newest snapshot
     fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("snap_\\d+"))
-      .sortBy(_.getPath.getName)
+      .sortBy(_.getPath.getName.stripPrefix("snap_").toLong)
       .dropRight(keep)
       .foreach(s => fs.delete(s.getPath, true))
   }

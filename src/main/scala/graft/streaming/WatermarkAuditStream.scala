@@ -107,9 +107,11 @@ object WatermarkAuditStream {
     val p = new org.apache.hadoop.fs.Path(stateDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return
+    // numeric sort: the %05d padding overflows at version 100000,
+    // where a lexicographic sort would reap the newest snapshot
     val snaps = fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("snap_\\d+"))
-      .sortBy(_.getPath.getName)
+      .sortBy(_.getPath.getName.stripPrefix("snap_").toLong)
     snaps.dropRight(keep).foreach(s => fs.delete(s.getPath, true))
   }
 
@@ -129,8 +131,13 @@ object WatermarkAuditStream {
         .drop("through_batch")))
     } catch { case _: java.io.FileNotFoundException => (-1L, None) }
 
-  /** Ledger partition dirs above `through`, by FS listing (includes
-    * zero-row partitions, so compaction also reclaims those).
+  /** COMMITTED ledger partition dirs above `through`, by FS listing
+    * (`_SUCCESS` present — a crashed partial write must not be read,
+    * and folding it into the immutable rollup would lose its batch's
+    * events forever once the replayed complete partition is shadowed
+    * by the rollup's coverage; the replay overwrites the partial dir
+    * and commits it properly). Committed zero-row partitions are
+    * included, so compaction also reclaims those.
     */
   private def partitionsAbove(
       spark: SparkSession, ledgerDir: String, through: Long): Seq[(Long, org.apache.hadoop.fs.Path)] = {
@@ -139,20 +146,23 @@ object WatermarkAuditStream {
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).toSeq
       .filter(s => s.isDirectory && s.getPath.getName.matches("batch_id=\\d+"))
+      .filter(s => fs.exists(new org.apache.hadoop.fs.Path(s.getPath, "_SUCCESS")))
       .map(s => (s.getPath.getName.stripPrefix("batch_id=").toLong, s.getPath))
       .filter(_._1 > through)
       .sortBy(_._1)
   }
 
   /** Fold every sealed ledger partial into the rollup and delete the
-    * covered partitions. Call between triggers (or periodically from
-    * the driving loop) — the partial for a batch is final the moment
-    * its `applyBatch` returns, and a replay re-writing a covered
-    * partition is ignored by readers (they only see partitions above
-    * the rollup's coverage). Crash-safe: the rollup publishes through
-    * an atomic [[graft.medallion.Versioned]] pointer BEFORE any
-    * partition is deleted, so every crash point leaves readers a
-    * consistent (rollup, uncovered-partitions) pair.
+    * covered partitions. Call from the SAME single-threaded loop that
+    * drives `applyBatch`, between triggers — the partial for a batch
+    * is final the moment its `applyBatch` returns, and a replay
+    * re-writing a covered partition is ignored by readers (they only
+    * see partitions above the rollup's coverage); a compact racing a
+    * concurrent in-flight overwrite is the one schedule the `_SUCCESS`
+    * gate cannot referee. Crash-safe: the rollup publishes through an
+    * atomic [[graft.medallion.Versioned]] pointer BEFORE any partition
+    * is deleted, so every crash point leaves readers a consistent
+    * (rollup, uncovered-partitions) pair.
     */
   def compact(spark: SparkSession, ledgerDir: String): Unit = {
     val (through, rolled) = readRollup(spark, ledgerDir)
@@ -212,7 +222,14 @@ object WatermarkAuditStream {
       case (Some(r), Some(p)) => r.unionByName(p)
       case (Some(r), None) => r
       case (None, Some(p)) => p
-      case (None, None) => return spark.emptyDataFrame
+      case (None, None) =>
+        // typed empty relation, not spark.emptyDataFrame: callers
+        // select/deserialize the five report columns and a zero-column
+        // frame would fail resolution on a freshly-initialized ledger
+        import spark.implicits._
+        Seq.empty[(String, Long, Long, Long, Long)]
+          .toDF("event_type", "n_events", "n_out_of_order",
+            "max_lateness_us", "total_lateness_us")
     }
     all.groupBy(col("event_type"))
       .agg(sum(col("n_events")).as("n_events"),

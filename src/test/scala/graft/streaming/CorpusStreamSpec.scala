@@ -98,6 +98,29 @@ class CorpusStreamSpec extends SparkTestBase {
     assert(CorpusStream.readCorpus(spark, corpus).filter($"doc_id" === 401L).count() == 1L)
   }
 
+  test("redelivered id + fresh near-dup in one batch: the committed corpus copy wins") {
+    val root = Files.createTempDirectory("corpus-redeliver-windup").toString
+    val (idx, corpus) = (s"$root/index", s"$root/corpus")
+    MinHashLSH.buildIndex(emptyDocs, "doc_id", "text", idx)
+    CorpusStream.dedupAndAppend(day0.toDF("doc_id", "text"), 0L, idx, corpus,
+      CorpusStream.MinHashText())
+
+    // batch 1 redelivers doc 2 verbatim AND carries a SMALLER-id fresh
+    // near-dup (id 0) of the same text: if the redelivered copy were
+    // classified batch-internal, cluster resolution would crown the
+    // min id (0) and append a near-duplicate of committed doc 2 —
+    // corpus-wins requires BOTH to drop
+    val batch = Seq(
+      0L -> "spark partitions shuffle data across executors for distributed joins and aggregates today",
+      2L -> "spark partitions shuffle data across executors for distributed joins and aggregates")
+    CorpusStream.dedupAndAppend(batch.toDF("doc_id", "text"), 1L, idx, corpus,
+      CorpusStream.MinHashText())
+    assert(corpusIds(corpus) == Set(1L, 2L),
+      s"corpus after redelivery batch: ${corpusIds(corpus)}")
+    assert(CorpusStream.readCorpus(spark, corpus).filter($"doc_id" === 2L).count() == 1,
+      "redelivered doc 2 duplicated")
+  }
+
   test("the same loop runs over embeddings via the cosine backend") {
     import graft.similarity.Similarity
     val root = Files.createTempDirectory("corpus-stream-emb").toString
