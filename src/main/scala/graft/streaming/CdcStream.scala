@@ -66,6 +66,29 @@ object CdcStream {
       .select(col(key),
         when(col("op").isNull, col(value)).otherwise(col("new_value")).as(value))
       .write.mode("overwrite").parquet(snapDir(mirrorDir, version))
+    pruneSnapshots(spark, mirrorDir, keep = KeepSnapshots)
+  }
+
+  /** Trailing snapshots kept by [[applyBatch]]. */
+  val KeepSnapshots: Int = 4
+
+  /** Delete all but the trailing `keep` snapshots (numeric order —
+    * the %05d padding overflows at version 100000 where a name sort
+    * would reap the newest). Safe: every snapshot is the FULL mirror,
+    * and only the latest uncommitted batch can replay under a
+    * Structured Streaming checkpoint (it reads the snapshot one below
+    * its own). Without this a long-running CDC mirror accumulates one
+    * full table copy PER BATCH.
+    */
+  def pruneSnapshots(spark: SparkSession, mirrorDir: String, keep: Int): Unit = {
+    val p = new HPath(mirrorDir)
+    val fs = FileSystem.get(p.toUri, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("snap_\\d+"))
+      .sortBy(_.getPath.getName.stripPrefix("snap_").toLong)
+      .dropRight(keep)
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** Start the changelog → mirror stream against an [[init]]-

@@ -21,8 +21,12 @@ import graft.relational.Scd2
   * and replayed batch re-reads the SAME immutable input and overwrites
   * only its own output: replay is a no-op (the [[DecontaminateStream]]
   * argument, with the per-batch partition generalized to a per-batch
-  * snapshot). The snapshot chain doubles as history time travel — q64's
-  * snapshot diff runs against any two versions for free.
+  * snapshot). Snapshots are pruned to a trailing window
+  * ([[KeepSnapshots]]) — replay only ever needs the one below the
+  * latest batch, and TIME TRAVEL does not need old snapshots at all:
+  * the type-2 history lives in the current snapshot's
+  * valid_from/valid_to rows (any past version is a filter), and q64's
+  * snapshot diff runs against any two versions still in the window.
   *
   * Scale shape: dimensions are small against the facts (the SCD
   * premise), so a full snapshot per batch is dimension-sized, not
@@ -58,6 +62,28 @@ object Scd2Stream {
     val b = changes.localCheckpoint(eager = true)
     Scd2.merge(history, b, key, attr, version)
       .write.mode("overwrite").parquet(snapDir(dimDir, version))
+    pruneSnapshots(spark, dimDir, keep = KeepSnapshots)
+  }
+
+  /** Trailing snapshots kept by [[applyBatch]]. */
+  val KeepSnapshots: Int = 4
+
+  /** Delete all but the trailing `keep` snapshots (numeric order, the
+    * CdcStream rule). Safe here for the same reason: each snapshot is
+    * the FULL dimension history — valid_from/valid_to rows included —
+    * so the latest snapshot alone serves every as-of question, and
+    * only the latest uncommitted batch can replay (it reads the
+    * snapshot one below its own).
+    */
+  def pruneSnapshots(spark: SparkSession, dimDir: String, keep: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dimDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.matches("snap_\\d+"))
+      .sortBy(_.getPath.getName.stripPrefix("snap_").toLong)
+      .dropRight(keep)
+      .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** Start the change-feed → dimension-history stream against an

@@ -33,7 +33,7 @@ class Scd2StreamSpec extends SparkTestBase {
     df.select($"key", $"segment", $"valid_from", $"valid_to")
       .as[Row4].collect().toSet
 
-  test("streamed two-batch merge ≡ sequential Scd2.merge; chain keeps every snapshot") {
+  test("streamed two-batch merge ≡ sequential Scd2.merge; trailing snapshots retained") {
     val root = Files.createTempDirectory("scd2-stream").toString
     val (in, dim, cp) = (s"$root/in", s"$root/dim", s"$root/cp")
 
@@ -68,8 +68,30 @@ class Scd2StreamSpec extends SparkTestBase {
       (3L, "SHIP", 1, None),
       (4L, "NEW", 2, Some(3)), (4L, "AIR", 3, None)))
 
-    // every intermediate snapshot survives on the chain (time travel)
+    // intermediate snapshots inside the trailing retention window
+    // survive (replay safety; as-of TIME TRAVEL needs no old snapshots
+    // — the history lives in the valid_from/valid_to rows themselves)
     assert(rows(spark.read.parquet(s"$dim/snap_00002")) === rows(h2))
+  }
+
+  test("snapshots are pruned to the trailing window; current history is complete") {
+    val root = Files.createTempDirectory("scd2-prune").toString
+    val dim = s"$root/dim"
+    Scd2Stream.init(initial.toDF("key", "segment"), dim, "key", "segment")
+    (0 until 7).foreach { i =>
+      Scd2Stream.applyBatch(
+        Seq(1L -> s"SEG$i").toDF("key", "segment"), i.toLong, dim, "key", "segment")
+    }
+    val fs = new org.apache.hadoop.fs.Path(dim)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snaps = fs.listStatus(new org.apache.hadoop.fs.Path(dim)).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("snap_"))
+    assert(snaps.size == Scd2Stream.KeepSnapshots, s"snapshots: $snaps")
+    // the full change history is still answerable from the CURRENT
+    // snapshot alone: seven closed versions plus the open row
+    val hist = Scd2Stream.readCurrent(spark, dim)
+      .filter($"key" === 1L).count()
+    assert(hist == 8, s"history rows: $hist")
   }
 
   test("crash replay is a no-op: re-applying a batch rewrites an identical snapshot") {
