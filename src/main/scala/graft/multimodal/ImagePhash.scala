@@ -64,7 +64,14 @@ object ImagePhash {
     val img =
       try Option(ImageIO.read(new ByteArrayInputStream(bytes)))
       catch { case _: Exception => None }
-    img.filter(im => im.getWidth > 0 && im.getHeight > 0).map { im =>
+    img.filter(im => im.getWidth > 0 && im.getHeight > 0).map(phashOf)
+  }
+
+  /** [[phash64]] over an already-decoded frame — the shared kernel the
+    * video path ([[VideoFrames]]) hashes each sampled GIF frame with,
+    * so image stills and video frames live in ONE perceptual space.
+    */
+  def phashOf(im: java.awt.image.BufferedImage): Long = {
       val (w, h) = (im.getWidth, im.getHeight)
       // box-filter luma resample to N×N
       val luma = Array.ofDim[Double](N, N)
@@ -151,7 +158,6 @@ object ImagePhash {
         i += 1
       }
       bits
-    }
   }
 
   /** (media_id, phash) for every decodable image in `media` —

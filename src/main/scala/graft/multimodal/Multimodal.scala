@@ -399,6 +399,65 @@ object Multimodal {
     * while distinct envelopes disagree on ~half (AudioNearDupSpec pins
     * both margins).
     */
+  /** Planted VIDEO dedup corpus (REAL animated GIFs —
+    * [[VideoFrames.encodeGif]]): per group a seeded 16-frame evolving
+    * luminance field (per-frame phase drift animates the q204-style
+    * spectrum, so every frame carries pHash-able spatial structure and
+    * the clip genuinely changes over time) plus three copies —
+    * 1000+g a 2×-resolution re-encode (same timeline), 2000+g a
+    * TRIMMED copy missing the first two frames (shifted timeline: the
+    * alignment-free matcher's reason to exist), 3000+g a luma-affine
+    * regrade (0.8·v + 20 — pHash's median threshold is invariant to
+    * monotone luma maps).
+    */
+  def videoDedupCorpus(spark: SparkSession, groups: Int): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.range(groups).flatMap { i =>
+      val g = i.toInt
+      val rnd = new scala.util.Random(g * 7919 + 29)
+      val comps = (1 to 8).map { k =>
+        (1 + rnd.nextInt(4), 1 + rnd.nextInt(4),
+          rnd.nextDouble() * 2 * math.Pi, rnd.nextDouble() * 2 * math.Pi,
+          35.0 / k)
+      }
+      def lum(xc: Double, yc: Double, t: Int): Double = {
+        var v = 128.0
+        comps.zipWithIndex.foreach { case ((fx, fy, p1, p2, amp), ci) =>
+          v += amp * math.sin(2 * math.Pi * fx * xc + p1 + 0.12 * t * (ci + 1)) *
+            math.cos(2 * math.Pi * fy * yc + p2 + 0.07 * t)
+        }
+        v
+      }
+      def frames(size: Int, ts: Range, shade: Double => Double) =
+        ts.map { t =>
+          val img = new java.awt.image.BufferedImage(
+            size, size, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var y = 0
+          while (y < size) {
+            var x = 0
+            while (x < size) {
+              val v = shade(lum((x + 0.5) / size, (y + 0.5) / size, t))
+              img.getRaster.setSample(x, y, 0,
+                math.max(0, math.min(255, math.round(v).toInt)))
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+      def rec(id: Long, size: Int, ts: Range, shade: Double => Double) = {
+        val fs = frames(size, ts, shade)
+        MediaRecord(id, "video", "image/gif", size, size, ts.size * 100L,
+          VideoFrames.encodeGif(fs))
+      }
+      Seq(
+        rec(g.toLong, 48, 0 until 16, identity),
+        rec(1000L + g, 96, 0 until 16, identity), // 2× re-encode
+        rec(2000L + g, 48, 2 until 16, identity), // trimmed head
+        rec(3000L + g, 48, 0 until 16, v => 0.8 * v + 20)) // luma regrade
+    }
+  }
+
   def audioDedupCorpus(spark: SparkSession, groups: Int): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.range(groups).flatMap { i =>

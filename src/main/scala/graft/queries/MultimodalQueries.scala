@@ -8,7 +8,8 @@ import graft.multimodal.Multimodal
 /** Multimodal-column pipeline as a driver-verifiable query: synthetic
   * binary media (real PNGs and WAVs from a deterministic generator) →
   * size-aware repartition → batched REAL decode (ImageIO pixels, RIFF
-  * PCM samples; video stays a byte-histogram stub) → per-kind feature
+  * PCM samples; GENERIC video containers stay byte-histogram stubs —
+  * animated GIF gets the real q221 frame path) → per-kind feature
   * statistics. Rows-only check: the corpus is generated Scala-side, so
   * no DuckDB oracle — determinism is what the driver can assert, and
   * the decode correctness (planted dims/channel means/sample rates) is
@@ -83,8 +84,9 @@ object MultimodalQueries {
   }
 
   /** Audio near-dup — the third face of the multimodal dedup triangle
-    * (text simhash64 q22, image pHash q204, audio here; video stays
-    * the declared no-JDK-codec stub): REAL 16-bit PCM WAV bytes →
+    * (text simhash64 q22, image pHash q204, audio here; video joined
+    * the family via q221's real animated-GIF frame decode): REAL
+    * 16-bit PCM WAV bytes →
     * [[graft.multimodal.AudioFingerprint]] energy-envelope fingerprint
     * (64 duration-proportional frames → per-frame RMS → sign of the
     * temporal energy delta, the Haitsma–Kalker shape at frame grain) →
@@ -128,6 +130,30 @@ object MultimodalQueries {
     graft.multimodal.ImagePhash
       .nearDuplicatesAgainst(corpus.filter(_.media_id >= 1000), idx)
       .orderBy(col("probe_id"), col("index_id"))
+  }
+
+  // ===== q221 — video near-dup over real animated-GIF decode ==============
+
+  /** The FOURTH face of the multimodal dedup family — the one round-18
+    * still declared a stub: REAL multi-frame video decode (animated
+    * GIF, the JDK's one genuine multi-frame codec —
+    * [[graft.multimodal.VideoFrames]]) → temporal frame sampling
+    * (every 2nd frame) → per-frame DCT pHash (the SAME
+    * [[graft.multimodal.ImagePhash.phashOf]] kernel as stills, one
+    * shared perceptual space) → alignment-free clip matching (a pair
+    * needs ≥ half the shorter side's sampled frames to match, so both
+    * a re-encode and a head-TRIMMED copy surface). Corpus plants a 2×
+    * re-encode, a 2-frame trim, and a luma regrade per group
+    * ([[Multimodal.videoDedupCorpus]]); margins and the trim's shifted
+    * timeline are pinned in VideoNearDupSpec. Rows-only driver check
+    * (bytes→frames→DCT is not SQL-expressible — the q204 argument).
+    * mp4/webm stay out of sandbox reach (no JDK codec); the decode
+    * seam is one function, everything downstream is codec-agnostic.
+    */
+  def q221VideoNearDup(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Multimodal.videoDedupCorpus(s, groups = 6)
+    graft.multimodal.VideoFrames.nearDuplicates(corpus)
+      .orderBy(col("id_a"), col("id_b"))
   }
 
   // ===== q219 — cross-modal asset-grain duplicate report ==================
@@ -311,7 +337,8 @@ object MultimodalQueries {
     "q204_image_phash_neardup" -> (q204ImagePhashNearDup _),
     "q208_audio_neardup" -> (q208AudioNearDup _),
     "q210_image_phash_incremental" -> (q210ImagePhashIncremental _),
-    "q219_crossmodal_dup_report" -> (q219CrossmodalDupReport _))
+    "q219_crossmodal_dup_report" -> (q219CrossmodalDupReport _),
+    "q221_video_neardup" -> (q221VideoNearDup _))
 
   /** def, not val: q219 re-renders with the pair lists captured by its
     * latest run (the q82 convention — Verify dumps oracle SQL after
