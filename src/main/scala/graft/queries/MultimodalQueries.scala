@@ -191,25 +191,26 @@ object MultimodalQueries {
     }.toDF("doc_id", "text")
   }
 
-  /** The three pair relations captured per corpus dir by [[q219]] runs
+  /** The four pair relations captured per corpus dir by [[q219]] runs
     * in this process — the q82/q90 literal-injection convention: Verify
     * runs every query BEFORE dumping oracle SQL, so the dump sees them.
     */
   private val q219CapturedPairs = new scala.collection.concurrent.TrieMap[
-    String, (Seq[(Long, Long)], Seq[(Long, Long)], Seq[(Long, Long)])]()
+    String, Seq[(String, Seq[(Long, Long)])]]()
 
   /** Cross-modal ASSET-grain duplicate report — the composition the
-    * dedup triangle's three faces (q22 text simhash, q204 image pHash,
-    * q208 audio fingerprint) were built for: a real curation run wants
-    * ONE verdict per crawled asset, not three pair lists. Each asset
-    * carries all three modalities (shared id convention); the three
+    * dedup family's four faces (q22 text simhash, q204 image pHash,
+    * q208 audio fingerprint, q221 video frame-hash) were built for: a
+    * real curation run wants ONE verdict per crawled asset, not four
+    * pair lists. Each asset carries all four modalities (shared id
+    * convention); the four
     * near-dup relations are outer-merged at pair grain (any modality
     * flags ⇒ duplicate candidate; the agreeing-modality count is the
     * CONFIDENCE), then rolled to asset grain: verdict, the minimum-id
     * duplicate partner, and that partner's modality agreement, with
     * the variant kind as the source dimension.
     *
-    * ORACLED by the q82 literal-injection pattern: the three pair
+    * ORACLED by the q82 literal-injection pattern: the four pair
     * lists (the already-argued non-SQL decode paths) are captured and
     * spliced into the oracle as VALUES relations, and the JOIN/rollup
     * layer — the thing this query adds — is recomputed independently
@@ -225,29 +226,28 @@ object MultimodalQueries {
     import s.implicits._
     val groups = 8
     graft.dedup.SimHashDedup.ensureRegistered(s)
-    val tp = graft.dedup.SimHashDedup
-      .nearDuplicates(crossmodalTexts(s, groups), "doc_id", "text")
-    val ip = graft.multimodal.ImagePhash
-      .nearDuplicates(Multimodal.phashDedupCorpus(s, groups))
-    val ap = graft.multimodal.AudioFingerprint
-      .nearDuplicates(Multimodal.audioDedupCorpus(s, groups))
-    // capture the three lists for the literal-injected oracle — a
+    // capture the four lists for the literal-injected oracle — a
     // bounded metadata load: near-dup pairs over the 32-asset planted
     // corpus (≤ 48 rows per modality by the margin specs). The rollup
     // below is then REBUILT from the captured rows, so each modality's
-    // decode+near-dup pipeline executes exactly once (the three
+    // decode+near-dup pipeline executes exactly once (the four
     // DataFrames are uncached plans — unioning them directly would
-    // re-run all three for the second evaluation)
+    // re-run all four for the second evaluation)
     def capture(df: DataFrame): Seq[(Long, Long)] =
       df.select(col("id_a").cast("long"), col("id_b").cast("long"))
         .as[(Long, Long)].collect().toSeq.sorted
-    val captured = (capture(tp), capture(ip), capture(ap))
+    val captured = Seq(
+      "text" -> capture(graft.dedup.SimHashDedup
+        .nearDuplicates(crossmodalTexts(s, groups), "doc_id", "text")),
+      "image" -> capture(graft.multimodal.ImagePhash
+        .nearDuplicates(Multimodal.phashDedupCorpus(s, groups))),
+      "audio" -> capture(graft.multimodal.AudioFingerprint
+        .nearDuplicates(Multimodal.audioDedupCorpus(s, groups))),
+      "video" -> capture(graft.multimodal.VideoFrames
+        .nearDuplicates(Multimodal.videoDedupCorpus(s, groups))))
     q219CapturedPairs.put(dir, captured)
 
-    val flagged = Seq(
-      captured._1.map(p => (p._1, p._2, "text")),
-      captured._2.map(p => (p._1, p._2, "image")),
-      captured._3.map(p => (p._1, p._2, "audio"))).flatten
+    val flagged = captured.flatMap { case (m, ps) => ps.map(p => (p._1, p._2, m)) }
     val pairs = flagged.toDF("id_a", "id_b", "m")
       .groupBy(col("id_a"), col("id_b"))
       .agg(concat_ws(",", sort_array(collect_set(col("m")))).as("modalities"),
@@ -289,20 +289,22 @@ object MultimodalQueries {
     * ran, in which case there is no result to compare — the q90 rule).
     */
   def q219Sql: String = {
-    val (tp, ip, ap) = q219CapturedPairs.readOnlySnapshot().values.toSeq match {
+    val captured = q219CapturedPairs.readOnlySnapshot().values.toSeq match {
       case Seq(single) => single
-      case _ => (Seq.empty[(Long, Long)], Seq.empty[(Long, Long)], Seq.empty[(Long, Long)])
+      case _ => Seq("text", "image", "audio", "video")
+        .map(_ -> Seq.empty[(Long, Long)])
     }
     val assetRows = (0 until 8)
       .flatMap(g => Seq(g.toLong, 1000L + g, 2000L + g, 3000L + g))
       .map(a => s"($a)").mkString(",")
-    s"""WITH tp AS (${pairValues(tp)}),
-       |ip AS (${pairValues(ip)}),
-       |ap AS (${pairValues(ap)}),
+    val modalityCtes = captured
+      .map { case (m, ps) => s"${m}_p AS (${pairValues(ps)})" }.mkString(",\n")
+    val flaggedUnion = captured
+      .map { case (m, _) => s"SELECT id_a, id_b, '$m' AS m FROM ${m}_p" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $modalityCtes,
        |flagged AS (
-       |  SELECT id_a, id_b, 'text' AS m FROM tp
-       |  UNION ALL SELECT id_a, id_b, 'image' FROM ip
-       |  UNION ALL SELECT id_a, id_b, 'audio' FROM ap),
+       |  $flaggedUnion),
        |pairs AS (
        |  SELECT id_a, id_b,
        |    array_to_string(list_sort(list(DISTINCT m)), ',') AS modalities,

@@ -31,10 +31,10 @@ class CrossmodalReportSpec extends SparkTestBase {
     }
   }
 
-  test("re-encode copies agree across all three modalities (confidence 3)") {
+  test("re-encode copies agree across all four modalities (confidence 4)") {
     (0 until 8).foreach { g =>
       val row = report(1000L + g)
-      assert(row._5 == 3L && row._6 == "audio,image,text",
+      assert(row._5 == 4L && row._6 == "audio,image,text,video",
         s"re-encode $g must be flagged by all modalities, got $row")
     }
   }
