@@ -34,5 +34,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default (box has 128 GiB): the round-19 driver bench showed the
+  // 8g heap degrading monotonically across 442 query executions — pass 2
+  // ran 4× slower than pass 1 at LOW host loadavg (q150: 4.8s → 233s,
+  // loadavg 1.6 on 32 cores), the signature of a GC-bound JVM, not a
+  // host window. Retained SQL-execution state and lazily-collected
+  // shuffle/broadcast bookkeeping accumulate until an 8g heap thrashes.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

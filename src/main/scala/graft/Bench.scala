@@ -37,6 +37,18 @@ import graft.core.Sessions
   * (read from /proc/loadavg immediately before the timed region) into
   * the "loadavg" artifact field, so future inflation adjudications are
   * data-backed instead of inferred.
+  *
+  * Round 19 exposed the OTHER inflation class: the driver bench's pass 2
+  * ran 4× slower than pass 1 (q150: 4.8s → 233s) at LOW host loadavg —
+  * a GC-bound driver JVM, not a host window. The bench now (a) clears
+  * the relation cache after every run and forces a full collection at
+  * the pass boundary, so pass 2 measures queries instead of pass-1
+  * sediment; (b) records per-run stop-the-world GC seconds ("gc_sec")
+  * and post-run heap-used ("heap_gb") next to loadavg, so the three
+  * inflation classes — heap thrash (gc≈sec), host window (loadavg high,
+  * gc≈0), plan regression (both quiet) — are distinguishable from the
+  * artifact alone. The session itself trims status-store retention and
+  * enables periodic cleaner GC (see [[graft.core.Sessions.builder]]).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -93,7 +105,7 @@ object Bench {
     // attributable: did THIS run pay the one-off index build, or
     // only the steady-state probe?
     case class Run(sec: Double, err: Option[String], touched: Boolean, built: Boolean,
-                   load: Double)
+                   load: Double, gcSec: Double, heapGb: Double)
     // 1-minute loadavg sampled just before each timed run: a query whose
     // wall time is inflated by a host window carries the evidence in the
     // artifact (loadavg >> 32-thread steady state) instead of requiring a
@@ -105,10 +117,25 @@ object Bench {
           java.nio.charset.StandardCharsets.UTF_8)
         line.trim.split("\\s+")(0).toDouble
       } catch { case _: Throwable => -1.0 }
+    // Cumulative stop-the-world GC seconds across all collectors: the
+    // delta over a timed run, recorded per run in the artifact, is the
+    // direct adjudicator for the r19 pathology (pass 2 inflating 4-50×
+    // at LOW host loadavg = a GC-bound JVM). An inflated sample with a
+    // matching gc delta is a heap problem; without one, a host window
+    // or a plan problem.
+    import scala.jdk.CollectionConverters._
+    def gcTotalSec(): Double =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum / 1e3
+    def heapUsedGb(): Double = {
+      val m = java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage
+      m.getUsed / 1073741824.0
+    }
     def once(name: String, runNo: Int): Run = {
       val fn = SparkEntry.queries(name)
       graft.core.Warehouse.drainBuildEvents()
       val load = loadAvg1m()
+      val gc0 = gcTotalSec()
       val t0 = System.nanoTime()
       // The query runs on a worker thread under its own job group so
       // the watchdog can cancel its Spark jobs; interruptOnCancel
@@ -137,8 +164,16 @@ object Bench {
       }
       val events = graft.core.Warehouse.drainBuildEvents()
       val sec = (System.nanoTime() - t0) / 1e9
-      progress(f"$name run$runNo ${sec}%.2fs load=$load%.1f${err.map(e => s" ERR $e").getOrElse("")}")
-      Run(sec, err, events.nonEmpty, events.exists(_._2), load)
+      val gcSec = gcTotalSec() - gc0
+      val heap = heapUsedGb()
+      // Per-run hygiene: a query that persist()s and leaks its cached
+      // relation would otherwise (a) donate warm blocks to whichever
+      // query happens to run next (cross-contaminated samples) and
+      // (b) pin heap for the rest of the bench. Warehouse indexes are
+      // on DISK and unaffected; only in-memory cached relations drop.
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      progress(f"$name run$runNo ${sec}%.2fs load=$load%.1f gc=$gcSec%.1fs heap=$heap%.1fg${err.map(e => s" ERR $e").getOrElse("")}")
+      Run(sec, err, events.nonEmpty, events.exists(_._2), load, gcSec, heap)
     }
     // "built_runN": run N paid an index build (its time is build+probe;
     // the other run is pure probe). "prebuilt": probes only — the
@@ -166,7 +201,15 @@ object Bench {
     // locked to pass starts (see the scaladoc). Queries that errored
     // in pass 1 are not re-run: the error IS their result.
     val pass2 = scala.collection.mutable.LinkedHashMap.empty[String, Run]
-    if (!deadlineHit) progress("pass 1 complete — starting pass 2 (reverse order)")
+    if (!deadlineHit) {
+      // Reset JVM health at the pass boundary: drop any cached
+      // relations and force a full collection so ContextCleaner frees
+      // the shuffle/broadcast bookkeeping of all pass-1 executions.
+      // Pass 2 then measures queries, not the sediment of pass 1.
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
+      System.gc()
+      progress(f"pass 1 complete (heap after gc=${heapUsedGb()}%.1fg) — starting pass 2 (reverse order)")
+    }
     names.reverse.foreach { name =>
       if (!deadlineHit) pass1.get(name) match {
         case Some(first) if first.err.isEmpty =>
@@ -218,6 +261,15 @@ object Bench {
     val loads = ok.map { case (k, _, rs, _, _) =>
       s"${jstr(k)}:${rs.map(r => f"${r.load}%.2f").mkString("[", ",", "]")}"
     }.mkString("{", ",", "}")
+    // stop-the-world GC seconds inside each run, and heap-used after it:
+    // an inflated run with gc≈sec is heap thrash (JVM problem); with
+    // gc≈0 it's a host window (loadavg) or a plan regression.
+    val gcs = ok.map { case (k, _, rs, _, _) =>
+      s"${jstr(k)}:${rs.map(r => f"${r.gcSec}%.2f").mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
+    val heaps = ok.map { case (k, _, rs, _, _) =>
+      s"${jstr(k)}:${rs.map(r => f"${r.heapGb}%.2f").mkString("[", ",", "]")}"
+    }.mkString("{", ",", "}")
     val errs = results.collect { case (k, _, _, Some(e), _) => s"${jstr(k)}:${jstr(e)}" }
       .mkString("{", ",", "}")
     // per-indexed-query warehouse state: was the persisted index built
@@ -233,7 +285,7 @@ object Bench {
     // that truncation. The FINAL stdout line is a compact summary that is
     // guaranteed to fit the tail capture and names the detail file.
     val fullJson =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"loadavg":$loads,"errors":$errs,"warehouse":$wh,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"loadavg":$loads,"gc_sec":$gcs,"heap_gb":$heaps,"errors":$errs,"warehouse":$wh,"sf":${jstr(sfDir)}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val detail =
       try {

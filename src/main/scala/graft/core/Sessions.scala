@@ -61,6 +61,28 @@ object Sessions {
       // also why a shutdown hook deletes the dir (see managedWarehouse).
       .config("spark.sql.warehouse.dir", managedWarehouse)
       .config("spark.ui.enabled", "false")
+      // Long-running-driver hygiene (the r19 driver bench degraded
+      // monotonically across 442 query executions at LOW host load —
+      // a GC-bound JVM, not a host window). Even with the UI off, the
+      // app/SQL status stores retain per-execution state IN HEAP —
+      // including full physical-plan description strings, which for
+      // the composed curation pipelines run to hundreds of KB each —
+      // and the defaults keep 1000 executions / 1000 jobs / 100k
+      // tasks. A bench or orchestration driver issuing hundreds of
+      // actions accumulates GB of dead-weight heap. Nothing in the
+      // engine reads the stores back, so retain the minimum.
+      .config("spark.sql.ui.retainedExecutions", "10")
+      .config("spark.ui.retainedJobs", "50")
+      .config("spark.ui.retainedStages", "100")
+      .config("spark.ui.retainedTasks", "2000")
+      .config("spark.ui.retainedDeadExecutors", "5")
+      // ContextCleaner frees shuffle files, broadcasts, and map-output
+      // state only when the owning objects are GC'd; a large mostly-idle
+      // heap can defer that for the whole process lifetime. The default
+      // periodic nudge is 30 min — longer than a full bench. 2 min keeps
+      // driver-side shuffle bookkeeping (MapOutputTracker entries) and
+      // executor-side shuffle files bounded during query storms.
+      .config("spark.cleaner.periodicGC.interval", "2min")
 
   def local(appName: String = "graft"): SparkSession = {
     val s = builder(appName).getOrCreate()

@@ -1043,6 +1043,70 @@ object CurationOpsQueries {
 
   // ===== q111 — blocked edit-distance (fuzzy) dedup =======================
 
+  /** Candidate pairs for [[q111FuzzyDedup]]'s blocked edit-distance
+    * dedup, from an (doc_id, nt, len) relation: docs collide when they
+    * share EITHER their normalized 64-char prefix or their 64-char
+    * suffix (an in-place edit breaks at most one of the two keys, so
+    * the second key is the recall backstop the single-prefix r19 shape
+    * lacked), and a block wider than `maxBlock` is DEGRADED — not
+    * enumerated — to its min-id representative star, exactly
+    * [[graft.dedup.MinHashLSH.DefaultMaxBandBucket]]'s treatment of an
+    * oversized LSH bucket. A corpus-frequent boilerplate opening (q186
+    * measures them on this very corpus) would otherwise put s docs in
+    * one prefix block and s²/2 pairs on one reducer; the star keeps the
+    * block's cost O(s) while its members stay connected through the
+    * representative, and a typo pair inside a hot-prefix block still
+    * surfaces DIRECTLY through its (narrow) suffix block.
+    *
+    * Output: (a_id, b_id, a_nt, b_nt, a_len, b_len), a_id < b_id,
+    * possibly with duplicates (a pair can collide on both keys) — the
+    * caller's post-verify distinct owns dedup. One shuffle on the
+    * block key, which the width/min window and the self-join share.
+    */
+  private[queries] def fuzzyCandidates(all: DataFrame, maxBlock: Int): DataFrame = {
+    val keyed = all.select(col("doc_id"), col("nt"), col("len"),
+      explode(array(
+        struct(lit(0).as("bi"), substring(col("nt"), 1, 64).as("bk")),
+        struct(lit(1).as("bi"),
+          when(col("len") <= 64, col("nt"))
+            .otherwise(expr("substring(nt, len - 63, 64)")).as("bk"))))
+        .as("k"))
+      .select(col("doc_id"), col("nt"), col("len"),
+        col("k.bi").as("bi"), col("k.bk").as("bk"))
+    val w = Window.partitionBy(col("bi"), col("bk"))
+    val widthed = keyed
+      .withColumn("bsz", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("doc_id")).over(w))
+      .filter(col("bsz") >= 2)
+    val inCap = widthed.filter(col("bsz") <= maxBlock)
+    val a = inCap.select(col("bi"), col("bk"), col("doc_id").as("a_id"),
+      col("nt").as("a_nt"), col("len").as("a_len"))
+    val b = inCap.select(col("bi"), col("bk"), col("doc_id").as("b_id"),
+      col("nt").as("b_nt"), col("len").as("b_len"))
+    val full = a.join(b, Seq("bi", "bk"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_nt", "b_nt", "a_len", "b_len")
+    // oversized block → (min-id rep, member) star, O(s) rows; the rep's
+    // text rides in via one narrow join against the doc relation
+    val reps = all.select(col("doc_id").as("a_id"),
+      col("nt").as("a_nt"), col("len").as("a_len"))
+    val star = widthed
+      .filter(col("bsz") > maxBlock && col("doc_id") =!= col("bmin"))
+      .select(col("bmin").as("a_id"), col("doc_id").as("b_id"),
+        col("nt").as("b_nt"), col("len").as("b_len"))
+      .join(reps, Seq("a_id"))
+      .select("a_id", "b_id", "a_nt", "b_nt", "a_len", "b_len")
+    full.union(star)
+  }
+
+  /** Block width past which [[fuzzyCandidates]] degrades a block to
+    * its representative star instead of enumerating its pairs. 256
+    * full-width blocks cost ≤ 32k pairs each; at sf0.1 no real block
+    * comes near it (4764 distinct prefixes / 5000 docs), so the cap is
+    * results-neutral here while bounding the 100 TB boilerplate case.
+    */
+  private[queries] val FuzzyMaxBlock: Int = 256
+
   /** Fuzzy dedup by EDIT DISTANCE — the dedup-family member that
     * catches small in-place edits (typo fixes, injected words) that
     * shingle-Jaccard under-weights on short texts: pairs of documents
@@ -1050,15 +1114,18 @@ object CurationOpsQueries {
     * 256 chars. Planted variants (every 7th doc gets 5 chars inserted
     * at position 65) prove the detector fires.
     *
-    * The scale shape is blocking, never all-pairs: candidates must
-    * share their normalized 64-char PREFIX (one equi-join key — an
-    * in-place edit past the prefix preserves it), then a length-delta
-    * prefilter (|Δlen| ≤ 12 is a lower bound on edit distance) guards
-    * the O(256²) DP so it runs only on survivors. Block widths are
-    * data-bounded like every LSH bucket here (4764 distinct prefixes /
-    * 5000 docs at sf0.1); at 100 TB the prefix length is the lever —
-    * longer prefix → narrower blocks, same plan. One shuffle on the
-    * block key; `levenshtein` is a codegen'd native expression on both
+    * The scale shape is blocking, never all-pairs, and the blocks are
+    * CAPPED: candidates must share their normalized 64-char prefix OR
+    * suffix ([[fuzzyCandidates]] — two equi-join keys; an in-place
+    * edit preserves at least one), a block wider than
+    * [[FuzzyMaxBlock]] degrades to its min-id star (O(s) rows, the
+    * MinHashLSH maxBucket treatment — r19's uncapped prefix block was
+    * the one remaining s²/2 skew hazard in the dedup family), and a
+    * length-delta prefilter (|Δlen| ≤ 12 is a lower bound on edit
+    * distance) guards the O(256²) DP so it runs only on survivors.
+    * At 100 TB the prefix length and the cap are the levers — longer
+    * prefix → narrower blocks, same plan. One shuffle on the block
+    * key; `levenshtein` is a codegen'd native expression on both
     * engines.
     */
   def q111FuzzyDedup(s: SparkSession, dir: String): DataFrame = {
@@ -1069,20 +1136,14 @@ object CurationOpsQueries {
       .select((col("doc_id") + 3000000).as("doc_id"),
         concat(substring(col("nt"), 1, 64), lit(" zzyq"),
           expr("substring(nt, 65)")).as("nt"))
-    val all = norm.union(variants)
-      .withColumn("bk", substring(col("nt"), 1, 64))
-      .withColumn("len", length(col("nt")))
-    val a = all.select(col("bk"), col("doc_id").as("a_id"),
-      col("nt").as("a_nt"), col("len").as("a_len"))
-    val b = all.select(col("bk"), col("doc_id").as("b_id"),
-      col("nt").as("b_nt"), col("len").as("b_len"))
-    a.join(b, Seq("bk"))
-      .filter(col("a_id") < col("b_id") &&
-        abs(col("a_len") - col("b_len")) <= 12)
+    val all = norm.union(variants).withColumn("len", length(col("nt")))
+    fuzzyCandidates(all, FuzzyMaxBlock)
+      .filter(abs(col("a_len") - col("b_len")) <= 12)
       .select(col("a_id"), col("b_id"),
         levenshtein(substring(col("a_nt"), 1, 256),
           substring(col("b_nt"), 1, 256)).as("edit_dist"))
       .filter(col("edit_dist") <= 12)
+      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -1095,13 +1156,34 @@ object CurationOpsQueries {
       |    substr(nt, 1, 64) || ' zzyq' || substr(nt, 65) AS nt
       |  FROM n WHERE doc_id % 7 = 0),
       |u AS (
-      |  SELECT doc_id, nt, substr(nt, 1, 64) AS bk, length(nt) AS len
-      |  FROM (SELECT * FROM n UNION ALL SELECT * FROM v))
-      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-      |  CAST(levenshtein(substr(a.nt, 1, 256), substr(b.nt, 1, 256)) AS INTEGER) AS edit_dist
-      |FROM u a JOIN u b ON a.bk = b.bk AND a.doc_id < b.doc_id
-      |WHERE abs(a.len - b.len) <= 12
-      |  AND levenshtein(substr(a.nt, 1, 256), substr(b.nt, 1, 256)) <= 12
+      |  SELECT doc_id, nt, length(nt) AS len
+      |  FROM (SELECT * FROM n UNION ALL SELECT * FROM v)),
+      |k AS (
+      |  SELECT doc_id, nt, len, 0 AS bi, substr(nt, 1, 64) AS bk FROM u
+      |  UNION ALL
+      |  SELECT doc_id, nt, len, 1 AS bi,
+      |    CASE WHEN len <= 64 THEN nt ELSE substr(nt, len - 63, 64) END AS bk
+      |  FROM u),
+      |w AS (
+      |  SELECT doc_id, nt, len, bi, bk,
+      |    count(*) OVER (PARTITION BY bi, bk) AS bsz,
+      |    min(doc_id) OVER (PARTITION BY bi, bk) AS bmin
+      |  FROM k),
+      |cand AS (
+      |  SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.nt AS a_nt, b.nt AS b_nt,
+      |    a.len AS a_len, b.len AS b_len
+      |  FROM w a JOIN w b ON a.bi = b.bi AND a.bk = b.bk AND a.doc_id < b.doc_id
+      |  WHERE a.bsz BETWEEN 2 AND 256
+      |  UNION ALL
+      |  SELECT w.bmin AS a_id, w.doc_id AS b_id, r.nt AS a_nt, w.nt AS b_nt,
+      |    r.len AS a_len, w.len AS b_len
+      |  FROM w JOIN u r ON r.doc_id = w.bmin
+      |  WHERE w.bsz > 256 AND w.doc_id <> w.bmin)
+      |SELECT DISTINCT a_id, b_id,
+      |  CAST(levenshtein(substr(a_nt, 1, 256), substr(b_nt, 1, 256)) AS INTEGER) AS edit_dist
+      |FROM cand
+      |WHERE abs(a_len - b_len) <= 12
+      |  AND levenshtein(substr(a_nt, 1, 256), substr(b_nt, 1, 256)) <= 12
       |ORDER BY a_id, b_id""".stripMargin
 
   // ===== q112 — robust outlier cut (median / MAD) =========================

@@ -598,4 +598,15 @@ class PlanShapeSpec extends SparkTestBase {
       "source-map joins must be equi-joins:\n" +
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
+
+  test("q111 fuzzy dedup: block-keyed equi-joins under a width window — no nested loops, no cartesian") {
+    // the r19 finding: an uncapped prefix block is s²/2 on one key; the
+    // capped shape computes block width/min in a window and joins only
+    // in-cap blocks — the plan must show the window feeding equi-joins
+    val p = plan(CurationOpsQueries.q111FuzzyDedup(spark, sf))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "fuzzy blocking must stay equi-keyed:\n" +
+        p.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    assert(p.contains("Window"), "expected the block width/min window")
+  }
 }
