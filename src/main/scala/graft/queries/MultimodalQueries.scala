@@ -226,29 +226,40 @@ object MultimodalQueries {
     import s.implicits._
     val groups = 8
     graft.dedup.SimHashDedup.ensureRegistered(s)
-    // capture the four lists for the literal-injected oracle — a
-    // bounded metadata load: near-dup pairs over the 32-asset planted
-    // corpus (≤ 48 rows per modality by the margin specs). The rollup
-    // below is then REBUILT from the captured rows, so each modality's
-    // decode+near-dup pipeline executes exactly once (the four
-    // DataFrames are uncached plans — unioning them directly would
-    // re-run all four for the second evaluation)
-    def capture(df: DataFrame): Seq[(Long, Long)] =
+    // One eager localCheckpoint per modality: each decode+near-dup
+    // pipeline executes EXACTLY once, its lineage truncates to the
+    // materialized pair rows, and everything downstream — the
+    // distributed rollup AND the oracle literal capture — reads those
+    // rows. The r19 shape collected the pairs to the driver and
+    // re-parallelized them, which is O(dups) driver memory at corpus
+    // scale; the report is now a distributed union of the checkpointed
+    // relations, and the driver sees pair rows only in the
+    // test-scale-only oracle capture below.
+    def once(df: DataFrame): DataFrame =
       df.select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .as[(Long, Long)].collect().toSeq.sorted
-    val captured = Seq(
-      "text" -> capture(graft.dedup.SimHashDedup
+        .localCheckpoint(eager = true)
+    val rel = Seq(
+      "text" -> once(graft.dedup.SimHashDedup
         .nearDuplicates(crossmodalTexts(s, groups), "doc_id", "text")),
-      "image" -> capture(graft.multimodal.ImagePhash
+      "image" -> once(graft.multimodal.ImagePhash
         .nearDuplicates(Multimodal.phashDedupCorpus(s, groups))),
-      "audio" -> capture(graft.multimodal.AudioFingerprint
+      "audio" -> once(graft.multimodal.AudioFingerprint
         .nearDuplicates(Multimodal.audioDedupCorpus(s, groups))),
-      "video" -> capture(graft.multimodal.VideoFrames
+      "video" -> once(graft.multimodal.VideoFrames
         .nearDuplicates(Multimodal.videoDedupCorpus(s, groups))))
-    q219CapturedPairs.put(dir, captured)
+    // oracle capture — the q82 literal-injection convention, bounded by
+    // construction here (≤ 48 rows per modality over the 32-asset
+    // planted corpus, margin-spec-pinned) and reading the already-
+    // materialized checkpoint, never re-running a decode. This feeds
+    // ONLY q219Sql; the returned report below does not depend on it.
+    q219CapturedPairs.put(dir, rel.map { case (m, df) =>
+      m -> df.as[(Long, Long)].collect().toSeq.sorted
+    })
 
-    val flagged = captured.flatMap { case (m, ps) => ps.map(p => (p._1, p._2, m)) }
-    val pairs = flagged.toDF("id_a", "id_b", "m")
+    val flagged = rel
+      .map { case (m, df) => df.withColumn("m", lit(m)) }
+      .reduce(_ unionByName _)
+    val pairs = flagged
       .groupBy(col("id_a"), col("id_b"))
       .agg(concat_ws(",", sort_array(collect_set(col("m")))).as("modalities"),
         size(collect_set(col("m"))).cast("long").as("n_modalities"))

@@ -51,6 +51,26 @@ class CrossmodalReportSpec extends SparkTestBase {
       report(2003L)._2 == "crop_gain" && report(3003L)._2 == "rot_noise")
   }
 
+  test("the report is distributed over materialized pair relations — decode pipelines ran once and cannot re-run") {
+    // each modality pipeline is eagerly localCheckpointed during
+    // construction, so (a) its decode executed exactly once, and (b)
+    // the returned plan's lineage is truncated to the materialized
+    // pair rows: four LogicalRDD scans, no media/file relations, no
+    // codec mapPartitions seam — evaluating the report (even twice)
+    // can never re-decode. The r19 shape instead collect()ed the
+    // pairs to the driver, O(dups) driver memory at corpus scale.
+    val df = graft.queries.MultimodalQueries
+      .q219CrossmodalDupReport(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.optimizedPlan.toString
+    val rdds = plan.linesIterator.count(_.contains("LogicalRDD"))
+    // 4 modalities × the two sides of the pair→touch union, each a
+    // re-read of the same materialized checkpoint blocks
+    assert(rdds == 8, s"expected the 4 checkpointed modality relations (×2 touch sides):\n${plan.take(1200)}")
+    assert(!plan.contains("MapPartitions") && !plan.contains("parquet") &&
+      !plan.contains("binaryFile"),
+      s"report plan must not reach back into decode pipelines:\n${plan.take(1200)}")
+  }
+
   test("the injected oracle SQL renders with the captured pair lists") {
     val sql = graft.queries.MultimodalQueries.q219Sql
     assert(sql.contains("VALUES") && sql.contains("min_by"))
