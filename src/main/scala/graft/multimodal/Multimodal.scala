@@ -37,12 +37,16 @@ final case class MediaFeatures(
   * JDK: PNG/JPEG via `javax.imageio.ImageIO` (width/height/band count
   * and per-channel pixel statistics), WAV via a little-endian RIFF
   * parser (channel count, sample rate, duration, PCM amplitude
-  * statistics). Video remains an honest stub (the JDK ships no video
-  * codec): its "features" are a byte histogram, and frame sampling
-  * slices byte windows instead of seeking keyframes. Payloads that
-  * fail to decode fall back to the same deterministic byte histogram,
-  * so the pipeline never throws on dirty data — at 100 TB some
-  * payloads WILL be corrupt.
+  * statistics). Video FRAME decode remains an honest stub for
+  * mp4/webm (the JDK ships no video codec — animated GIF gets the
+  * real [[VideoFrames]] path): generic-video "features" are a byte
+  * histogram, and frame sampling slices byte windows instead of
+  * seeking keyframes. Video METADATA is real, codec-free:
+  * [[Mp4Boxes]] walks the public ISO BMFF header atoms into typed
+  * brand/timescale/duration/track columns (q222). Payloads that fail
+  * to decode fall back to the same deterministic byte histogram, so
+  * the pipeline never throws on dirty data — at 100 TB some payloads
+  * WILL be corrupt.
   */
 object Multimodal {
 

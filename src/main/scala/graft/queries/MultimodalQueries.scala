@@ -344,6 +344,91 @@ object MultimodalQueries {
        |ORDER BY asset_id""".stripMargin
   }
 
+  // ===== q222 — mp4 container metadata ====================================
+
+  /** Deterministic mp4 corpus: REAL ISO BMFF headers
+    * ([[graft.multimodal.Mp4Boxes.encodeMp4]]) whose brand / timescale
+    * / duration / track count are fixed formulas of the id — so an
+    * independent oracle can recompute the expected metadata without
+    * ever seeing the bytes, which forces the Spark side to actually
+    * PARSE them. mvhd alternates version 0/1 by id parity (both live
+    * in the wild); every 9th payload is torn mid-moov
+    * ([[graft.multimodal.Mp4Boxes.corruptMp4]]) to exercise the
+    * None convention.
+    */
+  private[queries] def mp4Corpus(
+      s: SparkSession, n: Int): org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord] = {
+    import s.implicits._
+    val brands = Seq("isom", "mp42", "avc1", "dash")
+    s.range(n).map { i =>
+      val bytes =
+        if (i % 9 == 8) graft.multimodal.Mp4Boxes.corruptMp4(brands((i % 4).toInt))
+        else graft.multimodal.Mp4Boxes.encodeMp4(
+          majorBrand = brands((i % 4).toInt),
+          timescale = 600L * (1 + i % 5),
+          duration = (i + 1) * 1234L,
+          nTracks = 1 + (i % 3).toInt,
+          mvhdVersion = (i % 2).toInt,
+          mdatLen = 32 + (i % 50).toInt,
+          seed = i)
+      graft.multimodal.MediaRecord(i, "video", "video/mp4", 0, 0,
+        if (i % 9 == 8) 0L else (i + 1) * 1234L * 1000L / (600L * (1 + i % 5)),
+        bytes)
+    }
+  }
+
+  /** MP4 container metadata as typed columns — the real metadata-grain
+    * video operator (frame decode still needs a codec the JVM lacks;
+    * header atoms don't): per payload, parse the public ISO BMFF box
+    * layout ([[graft.multimodal.Mp4Boxes]]) into brand / timescale /
+    * duration / track count, with torn payloads surfacing as
+    * valid=false null rows instead of failed tasks. EXACT-oracled: the
+    * corpus embeds id-formula fields at encode time and DuckDB
+    * recomputes them from `range()` — any parser offset error breaks
+    * the hash.
+    *
+    * Scale shape: embarrassingly parallel map over the payload column
+    * (the one seam where per-row JVM byte-walking is the right tool —
+    * no Catalyst expression walks recursive length-prefixed binary),
+    * behind [[Multimodal.repartitionForDecode]]'s size-aware
+    * repartition so skewed payload sizes don't skew tasks.
+    */
+  def q222Mp4Metadata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 48
+    val parsed = Multimodal
+      .repartitionForDecode(mp4Corpus(s, n), targetBytes = 256 * 1024)
+      .map { m =>
+        val p = graft.multimodal.Mp4Boxes.parse(m.content)
+        (m.media_id, p.isDefined,
+          p.map(_.majorBrand), p.map(_.timescale),
+          p.map(_.duration),
+          p.map(x => x.duration * 1000L / x.timescale),
+          p.map(_.nTracks.toLong))
+      }
+      .toDF("media_id", "valid", "major_brand", "timescale",
+        "duration_units", "duration_ms", "n_tracks")
+    parsed.orderBy(col("media_id"))
+  }
+
+  val q222Sql: String =
+    """SELECT CAST(i AS BIGINT) AS media_id,
+      |  (i % 9 <> 8) AS valid,
+      |  CASE WHEN i % 9 = 8 THEN NULL
+      |       WHEN i % 4 = 0 THEN 'isom' WHEN i % 4 = 1 THEN 'mp42'
+      |       WHEN i % 4 = 2 THEN 'avc1' ELSE 'dash' END AS major_brand,
+      |  CASE WHEN i % 9 = 8 THEN NULL
+      |       ELSE CAST(600 * (1 + i % 5) AS BIGINT) END AS timescale,
+      |  CASE WHEN i % 9 = 8 THEN NULL
+      |       ELSE CAST((i + 1) * 1234 AS BIGINT) END AS duration_units,
+      |  CASE WHEN i % 9 = 8 THEN NULL
+      |       ELSE CAST((i + 1) * 1234 * 1000 // (600 * (1 + i % 5)) AS BIGINT)
+      |       END AS duration_ms,
+      |  CASE WHEN i % 9 = 8 THEN NULL
+      |       ELSE CAST(1 + i % 3 AS BIGINT) END AS n_tracks
+      |FROM range(0, 48) t(i)
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_features" -> (q29MultimodalFeatures _),
     "q35_image_neardup" -> (q35ImageNearDup _),
@@ -351,12 +436,14 @@ object MultimodalQueries {
     "q208_audio_neardup" -> (q208AudioNearDup _),
     "q210_image_phash_incremental" -> (q210ImagePhashIncremental _),
     "q219_crossmodal_dup_report" -> (q219CrossmodalDupReport _),
-    "q221_video_neardup" -> (q221VideoNearDup _))
+    "q221_video_neardup" -> (q221VideoNearDup _),
+    "q222_mp4_metadata" -> (q222Mp4Metadata _))
 
   /** def, not val: q219 re-renders with the pair lists captured by its
     * latest run (the q82 convention — Verify dumps oracle SQL after
     * running the queries).
     */
   def oracleSql: Map[String, String] = Map(
-    "q219_crossmodal_dup_report" -> q219Sql)
+    "q219_crossmodal_dup_report" -> q219Sql,
+    "q222_mp4_metadata" -> q222Sql)
 }
