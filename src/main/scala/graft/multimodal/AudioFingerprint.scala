@@ -138,4 +138,24 @@ object AudioFingerprint {
   def nearDuplicates(
       media: Dataset[MediaRecord], maxDist: Int = MaxDistance): DataFrame =
     MultiIndexHamming.nearDuplicatePairs(fingerprints(media), "afp", maxDist)
+
+  /** Persist the (media_id, afp) relation as a probe-able code index —
+    * 16 bytes/clip, decoded ONCE; day-2 batches probe the stored codes
+    * without re-decoding the corpus (the [[ImagePhash.writeIndex]] /
+    * q210 incremental discipline; callers key the dir through
+    * [[graft.core.Warehouse.ensureBuilt]] when the source is a stable
+    * path).
+    */
+  def writeIndex(media: Dataset[MediaRecord], indexDir: String): Unit =
+    fingerprints(media).write.mode("overwrite").parquet(indexDir)
+
+  /** Incremental near-dup: decode ONLY the new batch, probe the stored
+    * fingerprint index ([[MultiIndexHamming.searchAgainst]]) —
+    * (probe_id, index_id, hamming_dist), exact within the multi-probe
+    * radius.
+    */
+  def nearDuplicatesAgainst(media: Dataset[MediaRecord], indexDir: String,
+      maxDist: Int = MaxDistance): DataFrame =
+    MultiIndexHamming.searchAgainst(
+      fingerprints(media), media.sparkSession.read.parquet(indexDir), "afp", maxDist)
 }

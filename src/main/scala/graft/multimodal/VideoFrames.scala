@@ -145,4 +145,51 @@ object VideoFrames {
       .filter(col("matched_frames") >= greatest(lit(1L), ceil(col("n_min") * minFrac)))
       .select(col("id_a"), col("id_b"), col("matched_frames"), col("n_min"))
   }
+
+  /** Persist the frame-grain (media_id, ord, phash) relation as a
+    * probe-able index — 24 bytes/sampled frame, the corpus decoded
+    * ONCE; day-2 batches probe stored frame hashes without re-decoding
+    * a single corpus clip (the [[ImagePhash.writeIndex]] / q210
+    * incremental discipline). `every` must match between build and
+    * probe: the alignment-free rollup compares SAMPLE counts.
+    */
+  def writeIndex(media: Dataset[MediaRecord], indexDir: String,
+      every: Int = 2): Unit =
+    framePhashes(media, every).write.mode("overwrite").parquet(indexDir)
+
+  /** Incremental clip near-dup: decode ONLY the new batch's frames,
+    * probe the stored frame index, and run the same alignment-free
+    * rollup as [[nearDuplicates]] restricted to (batch clip, index
+    * clip) pairs — (probe_id, index_id, matched_frames, n_min). The
+    * index side's sample counts come from the stored relation, so the
+    * corpus contributes nothing but a parquet scan of its codes.
+    */
+  def nearDuplicatesAgainst(media: Dataset[MediaRecord], indexDir: String,
+      every: Int = 2, maxDist: Int = MaxDistance,
+      minFrac: Double = 0.5): DataFrame = {
+    val batch = framePhashes(media, every).localCheckpoint(eager = true)
+    val index = media.sparkSession.read.parquet(indexDir)
+    val bSizes = batch.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    val iSizes = index.groupBy(col("media_id")).agg(count(lit(1)).as("n"))
+    def packed(df: DataFrame) = df
+      .select((col("media_id") * OrdSpace + col("ord")).as("media_id"), col("phash"))
+    val framePairs = MultiIndexHamming
+      .searchAgainst(packed(batch), packed(index), "phash", maxDist)
+      .select(expr(s"probe_id div $OrdSpace").as("vp"),
+        pmod(col("probe_id"), lit(OrdSpace)).as("ord_p"),
+        expr(s"index_id div $OrdSpace").as("vi"),
+        pmod(col("index_id"), lit(OrdSpace)).as("ord_i"))
+      .filter(col("vp") =!= col("vi"))
+    framePairs
+      .groupBy(col("vp").as("probe_id"), col("vi").as("index_id"))
+      .agg(least(countDistinct(col("ord_p")), countDistinct(col("ord_i")))
+        .as("matched_frames"))
+      .join(bSizes.select(col("media_id").as("probe_id"), col("n").as("n_p")),
+        Seq("probe_id"))
+      .join(iSizes.select(col("media_id").as("index_id"), col("n").as("n_i")),
+        Seq("index_id"))
+      .withColumn("n_min", least(col("n_p"), col("n_i")))
+      .filter(col("matched_frames") >= greatest(lit(1L), ceil(col("n_min") * minFrac)))
+      .select(col("probe_id"), col("index_id"), col("matched_frames"), col("n_min"))
+  }
 }

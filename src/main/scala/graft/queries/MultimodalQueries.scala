@@ -344,6 +344,48 @@ object MultimodalQueries {
        |ORDER BY asset_id""".stripMargin
   }
 
+  // ===== q223/q224 — incremental audio/video near-dup =====================
+
+  /** Incremental AUDIO near-dup — q210's day-2 discipline for the
+    * audio modality: the planted corpus's ORIGINALS are fingerprinted
+    * once into a Warehouse-keyed code index (16 bytes/clip), and the
+    * probe decodes ONLY the variant batch against stored codes — the
+    * corpus is never re-decoded after day 1. Rows-only (the q210
+    * argument: fingerprint internals aren't SQL-expressible; the
+    * margin ladder is pinned by AudioNearDupSpec and probe ≡ batch by
+    * IncrementalMediaSpec).
+    */
+  def q223AudioFpIncremental(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Multimodal.audioDedupCorpus(s, groups = 8)
+    val idx = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "afp_index",
+        s"$dir/documents.parquet", params = "plant8.v1")) { d =>
+      graft.multimodal.AudioFingerprint.writeIndex(corpus.filter(_.media_id < 1000), d)
+    }
+    graft.multimodal.AudioFingerprint
+      .nearDuplicatesAgainst(corpus.filter(_.media_id >= 1000), idx)
+      .orderBy(col("probe_id"), col("index_id"))
+  }
+
+  /** Incremental VIDEO near-dup — the frame-grain index face: corpus
+    * clips decode once into a stored (media_id, ord, phash) relation;
+    * day-2 probes decode only their own frames and the alignment-free
+    * rollup runs over (batch × index) frame-hash collisions. Rows-only
+    * (q210/q221 argument), anchored by VideoNearDupSpec's margins and
+    * IncrementalMediaSpec's probe ≡ batch proof.
+    */
+  def q224VideoNearDupIncremental(s: SparkSession, dir: String): DataFrame = {
+    val corpus = Multimodal.videoDedupCorpus(s, groups = 6)
+    val idx = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "video_frame_index",
+        s"$dir/documents.parquet", params = "plant6.e2.v1")) { d =>
+      graft.multimodal.VideoFrames.writeIndex(corpus.filter(_.media_id < 1000), d)
+    }
+    graft.multimodal.VideoFrames
+      .nearDuplicatesAgainst(corpus.filter(_.media_id >= 1000), idx)
+      .orderBy(col("probe_id"), col("index_id"))
+  }
+
   // ===== q222 — mp4 container metadata ====================================
 
   /** Deterministic mp4 corpus: REAL ISO BMFF headers
@@ -437,7 +479,9 @@ object MultimodalQueries {
     "q210_image_phash_incremental" -> (q210ImagePhashIncremental _),
     "q219_crossmodal_dup_report" -> (q219CrossmodalDupReport _),
     "q221_video_neardup" -> (q221VideoNearDup _),
-    "q222_mp4_metadata" -> (q222Mp4Metadata _))
+    "q222_mp4_metadata" -> (q222Mp4Metadata _),
+    "q223_audio_fp_incremental" -> (q223AudioFpIncremental _),
+    "q224_video_neardup_incremental" -> (q224VideoNearDupIncremental _))
 
   /** def, not val: q219 re-renders with the pair lists captured by its
     * latest run (the q82 convention — Verify dumps oracle SQL after
