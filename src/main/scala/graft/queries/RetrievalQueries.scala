@@ -854,8 +854,54 @@ object RetrievalQueries {
       |  round(cosine, 6) AS cosine_r6
       |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
 
+  // ===== q225 — STREAMING metadata-filtered ANN serving ===================
+
+  /** q218 under the RAG serving loop: the probe set arrives as TWO
+    * micro-batched parquet files, each batch probes the same decorated
+    * code index via [[graft.streaming.AnnServeStream]] (slice predicate
+    * BEFORE the Hamming cut, exact-cosine rerank per batch), and the
+    * accumulated serving log is the result. Probes are independent per
+    * query_id, so the batch boundary is invisible in the output and
+    * the EXACT q218 oracle applies verbatim — the streamed path is
+    * hash-held to the same DuckDB recomputation as the batch path
+    * (AnnServeStreamSpec additionally pins streamed ≡ batch and replay
+    * no-op at the stream grain).
+    *
+    * Scratch dirs are per-PID, rebuilt per call (the whole loop —
+    * landing, stream, probe — is the measured unit), deleted at JVM
+    * exit; the code index itself is Warehouse-shared with q218.
+    */
+  def q225StreamingAnnServe(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.load(s, dir, "embeddings")
+    val idxDir = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "binary_ann_codes",
+        s"$dir/embeddings.parquet", params = "words=32bit,meta=label")) { d =>
+      graft.similarity.BinaryAnn.buildDecoratedIndex(vecs, d, Seq("label"))
+    }
+    val tmp = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-q225-serve-${ProcessHandle.current().pid()}")
+    MedallionRoundtrip.registerCleanup(tmp)
+    graft.core.LocalFs.deleteRecursively(tmp)
+    val (in, out, cp) = (s"$tmp/in", s"$tmp/out", s"$tmp/cp")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    val probes = vecs.filter(col("vec_id") < 50)
+      .select(col("vec_id"), col("embedding"))
+    probes.filter(col("vec_id") < 25).coalesce(1).write.parquet(s"$in/f1")
+    probes.filter(col("vec_id") >= 25).coalesce(1).write.parquet(s"$in/f2")
+    val schema = s.read.parquet(s"$in/f1").schema
+    graft.streaming.AnnServeStream.start(s, s"$in/*", schema, idxDir, vecs,
+      col("label") === 3, out, cp, k = 5, candidates = 32)
+      .awaitTermination()
+    graft.streaming.AnnServeStream.servingLog(s, out)
+      .withColumn("cosine_r6", round(col("cosine"), 6))
+      .select(col("query_id"), col("rank"), col("vec_id"), col("hamming"),
+        col("cosine_r6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q218_filtered_ann" -> (q218FilteredAnn _),
+    "q225_streaming_ann_serving" -> (q225StreamingAnnServe _),
     "q214_hard_negatives_ann" -> (q214HardNegativesAnn _),
     "q149_cluster_cohesion" -> (q149ClusterCohesion _),
     "q128_semantic_decontaminate" -> (q128SemanticDecontaminate _),
@@ -873,6 +919,9 @@ object RetrievalQueries {
     */
   def oracleSql: Map[String, String] = Map(
     "q218_filtered_ann" -> q218Sql,
+    // the batch boundary is invisible per query_id, so the streamed
+    // serving loop is held to q218's exact oracle verbatim
+    "q225_streaming_ann_serving" -> q218Sql,
     "q214_hard_negatives_ann" -> q214Sql,
     "q128_semantic_decontaminate" -> q128Sql,
     "q149_cluster_cohesion" -> q149Sql,

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Streaming metadata-filtered ANN SERVING — the RAG retrieval loop
+  * over the q218 surface: a micro-batch stream of query embeddings
+  * probes the [[graft.similarity.BinaryAnn.buildDecoratedIndex]]
+  * code table with the slice predicate applied BEFORE the Hamming
+  * candidate cut, then the per-batch exact-cosine rerank, with each
+  * batch's top-k appended to the serving log. The probe kernel IS
+  * q218's ([[graft.similarity.BinaryAnn.filteredHammingTopKFromIndex]]),
+  * so streamed ≡ batch is by construction over identical probes —
+  * pinned in AnnServeStreamSpec, with q218's exact DuckDB oracle
+  * anchoring the kernel itself.
+  *
+  * ==Replay contract==
+  * The serving log is partitioned by micro-batch
+  * (`batch_id=N` dirs); the probe is a pure function of (immutable
+  * code index, immutable corpus, batch), so a redelivered batch
+  * overwrites its own partition with identical rows — idempotent
+  * without any marker protocol (nothing else mutates; contrast
+  * [[CurationStream]], whose index APPEND needs sealing).
+  *
+  * ==Scale shape==
+  * Per batch: the slice predicate prunes the 16×-compressed code scan
+  * (parquet pushdown on the decorated metadata columns), the Hamming
+  * cut keeps ≤ C ids per (split, query) via the bounded `topk_by`
+  * aggregate, and only the C×Q candidate list (broadcast) ever meets
+  * the full-precision corpus — the serving loop never shuffles the
+  * corpus, and the index is built once, outside the stream.
+  */
+object AnnServeStream {
+
+  /** Start the query-stream → serving-log loop. `indexDir` must hold a
+    * decorated code table covering `predicate`'s columns; `corpus`
+    * supplies full-precision embeddings for the rerank only.
+    */
+  def start(
+      spark: SparkSession, inDir: String, schema: StructType,
+      indexDir: String, corpus: DataFrame, predicate: Column,
+      outDir: String, checkpointDir: String,
+      k: Int, candidates: Int,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream.schema(schema).parquet(inDir)
+      .writeStream
+      .trigger(trigger)
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        serveBatch(batch, batchId, indexDir, corpus, predicate,
+          outDir, k, candidates)
+      }
+      .start()
+
+  /** One micro-batch of the serving loop (exposed for direct batch use
+    * and the spec): filtered probe + exact rerank, written to the
+    * batch's own partition. Pure in its inputs — see the replay
+    * contract above.
+    */
+  def serveBatch(
+      batch: DataFrame, batchId: Long, indexDir: String,
+      corpus: DataFrame, predicate: Column, outDir: String,
+      k: Int, candidates: Int): Unit = {
+    if (batch.isEmpty) return
+    graft.similarity.BinaryAnn
+      .filteredHammingTopKFromIndex(indexDir, corpus, batch, predicate,
+        k, candidates)
+      .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+  }
+
+  /** The accumulated serving log (all batches), batch_id recovered
+    * from the partition path.
+    */
+  def servingLog(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.option("basePath", outDir).parquet(s"$outDir/batch_id=*")
+}
