@@ -471,6 +471,75 @@ object MultimodalQueries {
       |FROM range(0, 48) t(i)
       |ORDER BY media_id""".stripMargin
 
+  // ===== q226 — webm/Matroska (EBML) container metadata ===================
+
+  /** Deterministic webm corpus — the [[mp4Corpus]] discipline on the
+    * EBML layout: header fields are id formulas embedded at encode time
+    * ([[graft.multimodal.WebmEbml.encodeWebm]]), DocType alternates
+    * webm/matroska, every 9th payload is torn mid-Segment.
+    */
+  private[queries] def webmCorpus(
+      s: SparkSession, n: Int): org.apache.spark.sql.Dataset[graft.multimodal.MediaRecord] = {
+    import s.implicits._
+    s.range(n).map { i =>
+      val dt = if (i % 2 == 0) "webm" else "matroska"
+      val bytes =
+        if (i % 9 == 8) graft.multimodal.WebmEbml.corruptWebm(dt)
+        else graft.multimodal.WebmEbml.encodeWebm(
+          docType = dt,
+          timestampScaleNs = 1000000L * (1 + i % 3),
+          durationTicks = (i + 1) * 777L,
+          nTracks = 1 + (i % 4).toInt,
+          fillerLen = 24 + (i % 40).toInt,
+          seed = i)
+      graft.multimodal.MediaRecord(i, "video", s"video/$dt", 0, 0,
+        if (i % 9 == 8) 0L else (i + 1) * 777L * (1 + i % 3),
+        bytes)
+    }
+  }
+
+  /** webm/Matroska container metadata as typed columns — [[q222Mp4Metadata]]'s
+    * EBML twin ([[graft.multimodal.WebmEbml]]: RFC 8794 VINT walking,
+    * DocType / TimestampScale / float Duration / TrackEntry count),
+    * torn payloads as valid=false null rows. EXACT-oracled by the q222
+    * argument: DuckDB recomputes the embedded id-formula fields from
+    * `range()`; any VINT or ID-offset error in the parser breaks the
+    * hash. Same embarrassingly-parallel decode-seam shape as q222.
+    */
+  def q226WebmMetadata(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val n = 48
+    val parsed = Multimodal
+      .repartitionForDecode(webmCorpus(s, n), targetBytes = 256 * 1024)
+      .map { m =>
+        val p = graft.multimodal.WebmEbml.parse(m.content)
+        (m.media_id, p.isDefined,
+          p.map(_.docType), p.map(_.timestampScaleNs),
+          p.map(_.durationTicks),
+          p.map(x => x.durationTicks * (x.timestampScaleNs / 1000000L)),
+          p.map(_.nTracks.toLong))
+      }
+      .toDF("media_id", "valid", "doc_type", "timestamp_scale_ns",
+        "duration_ticks", "duration_ms", "n_tracks")
+    parsed.orderBy(col("media_id"))
+  }
+
+  val q226Sql: String =
+    """SELECT CAST(i AS BIGINT) AS media_id,
+      |  (i % 9 <> 8) AS valid,
+      |  CASE WHEN i % 9 = 8 THEN NULL
+      |       WHEN i % 2 = 0 THEN 'webm' ELSE 'matroska' END AS doc_type,
+      |  CASE WHEN i % 9 = 8 THEN NULL
+      |       ELSE CAST(1000000 * (1 + i % 3) AS BIGINT) END AS timestamp_scale_ns,
+      |  CASE WHEN i % 9 = 8 THEN NULL
+      |       ELSE CAST((i + 1) * 777 AS BIGINT) END AS duration_ticks,
+      |  CASE WHEN i % 9 = 8 THEN NULL
+      |       ELSE CAST((i + 1) * 777 * (1 + i % 3) AS BIGINT) END AS duration_ms,
+      |  CASE WHEN i % 9 = 8 THEN NULL
+      |       ELSE CAST(1 + i % 4 AS BIGINT) END AS n_tracks
+      |FROM range(0, 48) t(i)
+      |ORDER BY media_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q29_multimodal_features" -> (q29MultimodalFeatures _),
     "q35_image_neardup" -> (q35ImageNearDup _),
@@ -481,7 +550,8 @@ object MultimodalQueries {
     "q221_video_neardup" -> (q221VideoNearDup _),
     "q222_mp4_metadata" -> (q222Mp4Metadata _),
     "q223_audio_fp_incremental" -> (q223AudioFpIncremental _),
-    "q224_video_neardup_incremental" -> (q224VideoNearDupIncremental _))
+    "q224_video_neardup_incremental" -> (q224VideoNearDupIncremental _),
+    "q226_webm_metadata" -> (q226WebmMetadata _))
 
   /** def, not val: q219 re-renders with the pair lists captured by its
     * latest run (the q82 convention — Verify dumps oracle SQL after
@@ -489,5 +559,6 @@ object MultimodalQueries {
     */
   def oracleSql: Map[String, String] = Map(
     "q219_crossmodal_dup_report" -> q219Sql,
-    "q222_mp4_metadata" -> q222Sql)
+    "q222_mp4_metadata" -> q222Sql,
+    "q226_webm_metadata" -> q226Sql)
 }
