@@ -76,11 +76,16 @@ object Mp4Boxes {
     */
   private def mvhd(b: Array[Byte], from: Int, until: Int): Option[(Long, Long)] = {
     if (until - from < 4) return None
-    (b(from) & 0xff) match {
+    val td = (b(from) & 0xff) match {
       case 0 if until - from >= 20 => Some((u32(b, from + 12), u32(b, from + 16)))
       case 1 if until - from >= 32 => Some((u32(b, from + 20), u64(b, from + 24)))
       case _ => None
     }
+    // a zero timescale is a structural violation (the spec defines it
+    // as ticks-per-second; zero makes every duration arithmetic a
+    // division by zero downstream — "torn payloads are data, not
+    // exceptions" must hold here too)
+    td.filter(_._1 != 0L)
   }
 
   /** Parse one mp4 payload's header atoms. None = structurally invalid

@@ -24,11 +24,13 @@ object WebmEbml {
 
   /** Typed header metadata of one webm/mkv payload. `durationTicks` is
     * the Duration float truncated to ticks (exact when the float holds
-    * an integer, which muxers write); ms = ticks · timestampScaleNs /
-    * 1e6, the caller's arithmetic.
+    * an integer, which muxers write) — None when the element is absent,
+    * which is LEGAL Matroska (live/unfinalized recordings omit it), so
+    * a Duration-less file is metadata-valid, not corrupt; ms = ticks ·
+    * timestampScaleNs / 1e6, the caller's arithmetic.
     */
   final case class WebmMeta(
-      docType: String, timestampScaleNs: Long, durationTicks: Long,
+      docType: String, timestampScaleNs: Long, durationTicks: Option[Long],
       nTracks: Int)
 
   // ---- VINT machinery ----------------------------------------------------
@@ -139,11 +141,15 @@ object WebmEbml {
         case Some(e) => uintAt(bytes, e._2, e._3)
         case None => Some(1000000L)
       }
-      dur <- infoKids.find(_._1 == Duration)
-        .flatMap(e => floatAt(bytes, e._2, e._3))
+      // Duration is OPTIONAL (live recordings omit it — still valid);
+      // present-but-malformed is a structural violation like the scale
+      dur <- infoKids.find(_._1 == Duration) match {
+        case Some(e) => floatAt(bytes, e._2, e._3).map(d => Some(d.toLong))
+        case None => Some(None)
+      }
       tracks <- segKids.find(_._1 == Tracks)
       trackKids <- children(bytes, tracks._2, tracks._3)
-    } yield WebmMeta(docType, scale, dur.toLong,
+    } yield WebmMeta(docType, scale, dur,
       trackKids.count(_._1 == TrackEntry))
 
   // ===== deterministic encoder (test/demo corpus) ==========================
@@ -199,15 +205,17 @@ object WebmEbml {
   def encodeWebm(
       docType: String, timestampScaleNs: Long, durationTicks: Long,
       nTracks: Int, fillerLen: Int, seed: Long,
-      omitScale: Boolean = false): Array[Byte] = {
+      omitScale: Boolean = false, omitDuration: Boolean = false): Array[Byte] = {
     val b = new Buf
     b.element(EbmlHeader) { h => h.element(DocType)(_.ascii(docType)) }
     b.element(Segment) { s =>
       s.element(Info) { in =>
         // a muxer may omit TimestampScale entirely (spec default
-        // 1,000,000 ns) — `omitScale` exercises the fallback
+        // 1,000,000 ns) — `omitScale` exercises the fallback; a live/
+        // unfinalized muxer omits Duration — `omitDuration` exercises
+        // the valid-but-durationless path
         if (!omitScale) in.element(TimestampScale)(_.uint(timestampScaleNs))
-        in.element(Duration)(_.float8(durationTicks.toDouble))
+        if (!omitDuration) in.element(Duration)(_.float8(durationTicks.toDouble))
       }
       s.element(Tracks) { tr =>
         (1 to nTracks).foreach { t =>

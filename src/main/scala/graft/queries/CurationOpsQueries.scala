@@ -1056,7 +1056,16 @@ object CurationOpsQueries {
     * one prefix block and s²/2 pairs on one reducer; the star keeps the
     * block's cost O(s) while its members stay connected through the
     * representative, and a typo pair inside a hot-prefix block still
-    * surfaces DIRECTLY through its (narrow) suffix block.
+    * surfaces DIRECTLY through its suffix block WHEN that block is
+    * within the cap (the usual case: boilerplate openings rarely pair
+    * with boilerplate closings on the same docs). When BOTH of a
+    * pair's blocks are oversized — shared license header AND footer —
+    * only the two star edges remain and the direct pair is skipped,
+    * the same declared degrade as an oversized LSH bucket
+    * ([[graft.dedup.MinHashLSH.DefaultMaxBandBucket]]); this helper is
+    * LAZY like `MinHashLSH.candidatePairs` and therefore silent about
+    * it — raise the cap or pre-strip boilerplate if member↔member
+    * pairs inside doubly-hot blocks matter.
     *
     * Output: (a_id, b_id, a_nt, b_nt, a_len, b_len), a_id < b_id,
     * possibly with duplicates (a pair can collide on both keys) — the
@@ -1139,11 +1148,13 @@ object CurationOpsQueries {
     val all = norm.union(variants).withColumn("len", length(col("nt")))
     fuzzyCandidates(all, FuzzyMaxBlock)
       .filter(abs(col("a_len") - col("b_len")) <= 12)
+      // dedupe BEFORE the O(256²) DP: a pair colliding on both block
+      // keys would otherwise run levenshtein twice for one result row
+      .dropDuplicates("a_id", "b_id")
       .select(col("a_id"), col("b_id"),
         levenshtein(substring(col("a_nt"), 1, 256),
           substring(col("b_nt"), 1, 256)).as("edit_dist"))
       .filter(col("edit_dist") <= 12)
-      .distinct()
       .orderBy(col("a_id"), col("b_id"))
   }
 

@@ -515,8 +515,10 @@ object MultimodalQueries {
         val p = graft.multimodal.WebmEbml.parse(m.content)
         (m.media_id, p.isDefined,
           p.map(_.docType), p.map(_.timestampScaleNs),
-          p.map(_.durationTicks),
-          p.map(x => x.durationTicks * (x.timestampScaleNs / 1000000L)),
+          p.flatMap(_.durationTicks),
+          // multiply BEFORE dividing: a legal sub-ms scale (1000 ns)
+          // would otherwise truncate to 0 ms for every file
+          p.flatMap(x => x.durationTicks.map(_ * x.timestampScaleNs / 1000000L)),
           p.map(_.nTracks.toLong))
       }
       .toDF("media_id", "valid", "doc_type", "timestamp_scale_ns",

@@ -890,7 +890,8 @@ object RetrievalQueries {
     probes.filter(col("vec_id") >= 25).coalesce(1).write.parquet(s"$in/f2")
     val schema = s.read.parquet(s"$in/f1").schema
     graft.streaming.AnnServeStream.start(s, s"$in/*", schema, idxDir, vecs,
-      col("label") === 3, out, cp, k = 5, candidates = 32)
+      col("label") === 3, out, cp, k = 5, candidates = 32,
+      maxFilesPerTrigger = Some(1)) // genuinely two serving batches
       .awaitTermination()
     graft.streaming.AnnServeStream.servingLog(s, out)
       .withColumn("cosine_r6", round(col("cosine"), 6))

@@ -43,8 +43,14 @@ object AnnServeStream {
       indexDir: String, corpus: DataFrame, predicate: Column,
       outDir: String, checkpointDir: String,
       k: Int, candidates: Int,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    spark.readStream.schema(schema).parquet(inDir)
+      trigger: Trigger = Trigger.AvailableNow(),
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+    val reader = spark.readStream.schema(schema)
+    // without this, AvailableNow folds every pending file into ONE
+    // micro-batch — callers that want per-delivery serving batches
+    // (and the batch-partitioned log that goes with them) set it
+    maxFilesPerTrigger.foreach(m => reader.option("maxFilesPerTrigger", m))
+    reader.parquet(inDir)
       .writeStream
       .trigger(trigger)
       .option("checkpointLocation", checkpointDir)
@@ -53,6 +59,7 @@ object AnnServeStream {
           outDir, k, candidates)
       }
       .start()
+  }
 
   /** One micro-batch of the serving loop (exposed for direct batch use
     * and the spec): filtered probe + exact rerank, written to the

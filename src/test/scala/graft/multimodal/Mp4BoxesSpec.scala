@@ -41,6 +41,13 @@ class Mp4BoxesSpec extends AnyFunSuite {
     badSize(0) = 0; badSize(1) = 0; badSize(2) = 0; badSize(3) = 4
     assert(parse(badSize).isEmpty, "box size < header")
     assert(parse(Array.tabulate(64)(i => (i * 37).toByte)).isEmpty, "garbage")
+    // zero timescale: structurally addressable but semantically torn —
+    // downstream duration arithmetic would divide by zero, so parse
+    // must classify it as a violation (fixed offsets: ftyp is 20 bytes,
+    // moov header 8, mvhd header 8, v0 timescale at payload +12 → 48)
+    val zeroScale = ok.clone()
+    zeroScale(48) = 0; zeroScale(49) = 0; zeroScale(50) = 0; zeroScale(51) = 0
+    assert(parse(zeroScale).isEmpty, "mvhd timescale=0")
   }
 
   test("size==0 final box (extends to end of file) is accepted") {

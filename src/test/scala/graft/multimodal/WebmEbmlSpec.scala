@@ -14,7 +14,7 @@ class WebmEbmlSpec extends AnyFunSuite {
     Seq("webm", "matroska").foreach { dt =>
       val bytes = encodeWebm(dt, timestampScaleNs = 2000000L,
         durationTicks = 54321L, nTracks = 3, fillerLen = 32, seed = 5)
-      assert(parse(bytes).contains(WebmMeta(dt, 2000000L, 54321L, 3)), dt)
+      assert(parse(bytes).contains(WebmMeta(dt, 2000000L, Some(54321L), 3)), dt)
     }
   }
 
@@ -23,13 +23,13 @@ class WebmEbmlSpec extends AnyFunSuite {
     // 1-byte VINT ceiling (127), and a filler crossing it too
     val bytes = encodeWebm("webm", 1000000L, 99L, nTracks = 40,
       fillerLen = 200, seed = 2)
-    assert(parse(bytes).contains(WebmMeta("webm", 1000000L, 99L, 40)))
+    assert(parse(bytes).contains(WebmMeta("webm", 1000000L, Some(99L), 40)))
   }
 
   test("missing TimestampScale falls back to the spec default 1,000,000 ns") {
     val noScale = encodeWebm("webm", 555L /* ignored */, 77L, 1, 8, 1,
       omitScale = true)
-    assert(parse(noScale).contains(WebmMeta("webm", 1000000L, 77L, 1)))
+    assert(parse(noScale).contains(WebmMeta("webm", 1000000L, Some(77L), 1)))
   }
 
   test("unknown-size Segment (all-ones VINT) extends to end of payload") {
@@ -51,8 +51,14 @@ class WebmEbmlSpec extends AnyFunSuite {
     val segSizeLen = vintLen(ok(segSizeOff) & 0xff)
     val patched = ok.take(segSizeOff) ++ Array(0xff.toByte) ++
       ok.drop(segSizeOff + segSizeLen)
-    assert(parse(patched).contains(WebmMeta("webm", 1000000L, 500L, 2)),
+    assert(parse(patched).contains(WebmMeta("webm", 1000000L, Some(500L), 2)),
       "unknown-size Segment must parse to the same metadata")
+  }
+
+  test("missing Duration is valid (live recordings) — metadata parses with durationTicks None") {
+    val live = encodeWebm("webm", 2000000L, 0L /* ignored */, 2, 8, 4,
+      omitDuration = true)
+    assert(parse(live).contains(WebmMeta("webm", 2000000L, None, 2)))
   }
 
   test("structural violations parse to None, never throw") {
