@@ -344,6 +344,160 @@ object MultimodalQueries {
        |ORDER BY asset_id""".stripMargin
   }
 
+  // ===== q227 — incremental (day-2) cross-modal dup report ================
+
+  /** The four (probe, index) pair lists captured per corpus dir by
+    * [[q227IncrementalCrossmodal]] runs in this process — the q219
+    * convention.
+    */
+  private val q227CapturedPairs = new scala.collection.concurrent.TrieMap[
+    String, Seq[(String, Seq[(Long, Long)])]]()
+
+  /** DAY-2 face of the cross-modal report — what the q219 composition
+    * runs every morning at 100 TB: the corpus ORIGINALS are indexed
+    * ONCE per modality (simhash chunk table, pHash codes, audio
+    * fingerprints, video frame hashes — all Warehouse-keyed, the
+    * image/audio indexes SHARED with q210/q223), and the arriving
+    * variant batch decodes ONLY ITSELF, probing the four stored
+    * indexes. Modality verdicts then merge at (probe, index) grain and
+    * roll to one verdict per batch asset — same confidence semantics
+    * as q219, fixed (batch asset → corpus partner) orientation. The
+    * corpus is never re-decoded after day 1 in ANY modality.
+    *
+    * Oracled by q219's literal-injection pattern: the four captured
+    * probe-pair lists ride as VALUES and DuckDB recomputes the
+    * merge/rollup independently. Each relation is eagerly
+    * localCheckpointed (the q219 discipline): probes decode once, the
+    * report is a distributed union.
+    */
+  def q227IncrementalCrossmodal(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val groups = 8
+    graft.dedup.SimHashDedup.ensureRegistered(s)
+    val texts = crossmodalTexts(s, groups)
+    val textIdx = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "simhash_xmodal_index",
+        s"$dir/documents.parquet", params = "plant8.v1")) { d =>
+      graft.dedup.SimHashDedup.buildIndex(
+        texts.filter(col("doc_id") < 1000), "doc_id", "text", d)
+    }
+    val imgCorpus = Multimodal.phashDedupCorpus(s, groups)
+    val imgIdx = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "phash_index",
+        s"$dir/documents.parquet", params = "plant8.v1")) { d =>
+      graft.multimodal.ImagePhash.writeIndex(imgCorpus.filter(_.media_id < 1000), d)
+    }
+    val audCorpus = Multimodal.audioDedupCorpus(s, groups)
+    val audIdx = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "afp_index",
+        s"$dir/documents.parquet", params = "plant8.v1")) { d =>
+      graft.multimodal.AudioFingerprint.writeIndex(audCorpus.filter(_.media_id < 1000), d)
+    }
+    val vidCorpus = Multimodal.videoDedupCorpus(s, groups)
+    val vidIdx = graft.core.Warehouse.ensureBuilt(s,
+      graft.core.Warehouse.derivedDir(s, "video_frame_index",
+        s"$dir/documents.parquet", params = "plant8.e2.v1")) { d =>
+      graft.multimodal.VideoFrames.writeIndex(vidCorpus.filter(_.media_id < 1000), d)
+    }
+    def once(df: DataFrame): DataFrame =
+      df.select(col("probe_id").cast("long"), col("index_id").cast("long"))
+        .localCheckpoint(eager = true)
+    // simhash's incremental face also emits within-batch pairs (its
+    // CorpusStream contract); the day-2 report keys on batch→corpus
+    // edges, so keep cross pairs only (id_a < 1000 ≤ id_b: the stored
+    // side is always the smaller id by the planted convention)
+    val textPairs = graft.dedup.SimHashDedup
+      .nearDuplicatesAgainst(texts.filter(col("doc_id") >= 1000),
+        "doc_id", "text", textIdx)
+      .filter(col("id_a") < 1000 && col("id_b") >= 1000)
+      .select(col("id_b").as("probe_id"), col("id_a").as("index_id"))
+    val rel = Seq(
+      "text" -> once(textPairs),
+      "image" -> once(graft.multimodal.ImagePhash
+        .nearDuplicatesAgainst(imgCorpus.filter(_.media_id >= 1000), imgIdx)),
+      "audio" -> once(graft.multimodal.AudioFingerprint
+        .nearDuplicatesAgainst(audCorpus.filter(_.media_id >= 1000), audIdx)),
+      "video" -> once(graft.multimodal.VideoFrames
+        .nearDuplicatesAgainst(vidCorpus.filter(_.media_id >= 1000), vidIdx)))
+    q227CapturedPairs.put(dir, rel.map { case (m, df) =>
+      m -> df.as[(Long, Long)].collect().toSeq.sorted
+    })
+
+    val flagged = rel
+      .map { case (m, df) => df.withColumn("m", lit(m)) }
+      .reduce(_ unionByName _)
+    val pairs = flagged
+      .groupBy(col("probe_id"), col("index_id"))
+      .agg(concat_ws(",", sort_array(collect_set(col("m")))).as("modalities"),
+        size(collect_set(col("m"))).cast("long").as("n_modalities"))
+    val best = pairs.groupBy(col("probe_id").as("asset_id"))
+      .agg(min(col("index_id")).as("dup_of"),
+        min_by(col("modalities"), col("index_id")).as("modalities"),
+        min_by(col("n_modalities"), col("index_id")).as("n_modalities"))
+    val batchAssets = (0 until groups)
+      .flatMap(g => Seq(1000L + g, 2000L + g, 3000L + g))
+      .toDF("asset_id")
+    batchAssets
+      .join(best, Seq("asset_id"), "left")
+      .select(col("asset_id"),
+        when(col("asset_id") < 2000, "reencode")
+          .when(col("asset_id") < 3000, "crop_gain")
+          .otherwise("rot_noise").as("variant"),
+        when(col("dup_of").isNull, "unique").otherwise("duplicate").as("verdict"),
+        col("dup_of"),
+        coalesce(col("n_modalities"), lit(0L)).as("n_modalities"),
+        coalesce(col("modalities"), lit("")).as("modalities"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** q219-convention oracle for [[q227IncrementalCrossmodal]]. */
+  def q227Sql: String = {
+    val captured = q227CapturedPairs.readOnlySnapshot().values.toSeq match {
+      case Seq(single) => single
+      case _ => Seq("text", "image", "audio", "video")
+        .map(_ -> Seq.empty[(Long, Long)])
+    }
+    val assetRows = (0 until 8)
+      .flatMap(g => Seq(1000L + g, 2000L + g, 3000L + g))
+      .map(a => s"($a)").mkString(",")
+    val modalityCtes = captured
+      .map { case (m, ps) =>
+        val values =
+          if (ps.isEmpty)
+            "SELECT CAST(NULL AS BIGINT) AS probe_id, CAST(NULL AS BIGINT) AS index_id WHERE FALSE"
+          else "SELECT * FROM (VALUES " +
+            ps.map { case (a, b) => s"($a,$b)" }.mkString(",") + ") t(probe_id, index_id)"
+        s"${m}_p AS ($values)"
+      }.mkString(",\n")
+    val flaggedUnion = captured
+      .map { case (m, _) => s"SELECT probe_id, index_id, '$m' AS m FROM ${m}_p" }
+      .mkString("\n  UNION ALL ")
+    s"""WITH $modalityCtes,
+       |flagged AS (
+       |  $flaggedUnion),
+       |pairs AS (
+       |  SELECT probe_id, index_id,
+       |    array_to_string(list_sort(list(DISTINCT m)), ',') AS modalities,
+       |    CAST(count(DISTINCT m) AS BIGINT) AS n_modalities
+       |  FROM flagged GROUP BY 1, 2),
+       |best AS (
+       |  SELECT probe_id AS asset_id, min(index_id) AS dup_of,
+       |    min_by(modalities, index_id) AS modalities,
+       |    min_by(n_modalities, index_id) AS n_modalities
+       |  FROM pairs GROUP BY 1),
+       |assets AS (SELECT * FROM (VALUES $assetRows) t(asset_id))
+       |SELECT CAST(a.asset_id AS BIGINT) AS asset_id,
+       |  CASE WHEN a.asset_id < 2000 THEN 'reencode'
+       |       WHEN a.asset_id < 3000 THEN 'crop_gain'
+       |       ELSE 'rot_noise' END AS variant,
+       |  CASE WHEN b.dup_of IS NULL THEN 'unique' ELSE 'duplicate' END AS verdict,
+       |  b.dup_of,
+       |  COALESCE(b.n_modalities, 0) AS n_modalities,
+       |  COALESCE(b.modalities, '') AS modalities
+       |FROM assets a LEFT JOIN best b USING (asset_id)
+       |ORDER BY asset_id""".stripMargin
+  }
+
   // ===== q223/q224 — incremental audio/video near-dup =====================
 
   /** Incremental AUDIO near-dup — q210's day-2 discipline for the
@@ -553,7 +707,8 @@ object MultimodalQueries {
     "q222_mp4_metadata" -> (q222Mp4Metadata _),
     "q223_audio_fp_incremental" -> (q223AudioFpIncremental _),
     "q224_video_neardup_incremental" -> (q224VideoNearDupIncremental _),
-    "q226_webm_metadata" -> (q226WebmMetadata _))
+    "q226_webm_metadata" -> (q226WebmMetadata _),
+    "q227_incremental_crossmodal" -> (q227IncrementalCrossmodal _))
 
   /** def, not val: q219 re-renders with the pair lists captured by its
     * latest run (the q82 convention — Verify dumps oracle SQL after
@@ -562,5 +717,6 @@ object MultimodalQueries {
   def oracleSql: Map[String, String] = Map(
     "q219_crossmodal_dup_report" -> q219Sql,
     "q222_mp4_metadata" -> q222Sql,
-    "q226_webm_metadata" -> q226Sql)
+    "q226_webm_metadata" -> q226Sql,
+    "q227_incremental_crossmodal" -> q227Sql)
 }
