@@ -492,9 +492,11 @@ object Multimodal {
   }
 
   /** Deterministic synthetic media corpus for tests/demos: REAL PNGs
-    * (deterministic pixel pattern) and REAL 16-bit PCM WAVs
-    * (deterministic sine), plus opaque "video" blobs. Metadata matches
-    * the actual payload (PNG dims, WAV duration).
+    * (deterministic pixel pattern), REAL 16-bit PCM WAVs
+    * (deterministic sine), and REAL mp4 header atoms around
+    * deterministic filler ([[Mp4Boxes.encodeMp4]]). Metadata matches
+    * the actual payload in every kind (PNG dims, WAV duration, mvhd
+    * duration/track count — spec-pinned in MultimodalSpec).
     */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -516,10 +518,18 @@ object Multimodal {
           MediaRecord(id, "audio", "audio/wav", 0, 0,
             samples.length * 1000L / rate, encodeWavMono(rate, samples))
         case _ =>
-          val size = 64 + (id * 37 % 4096).toInt
+          // REAL mp4 header atoms around deterministic mdat filler —
+          // mvhd carries the duration at a 1000-tick/s scale, so the
+          // record's duration_ms is recoverable from the payload
+          // (Mp4Boxes.parse), same payload↔metadata honesty as the
+          // PNG dims and WAV durations above; frame decode stays the
+          // declared byte-window stub (no JDK codec)
+          val durMs = 1000 + id * 100
           MediaRecord(id, "video", "video/mp4",
-            16 + (id % 64).toInt, 16 + (id % 48).toInt, 1000 + id * 100,
-            Array.tabulate(size)(j => ((id * 31 + j * 7) % 251).toByte))
+            16 + (id % 64).toInt, 16 + (id % 48).toInt, durMs,
+            Mp4Boxes.encodeMp4("isom", timescale = 1000L, duration = durMs,
+              nTracks = 1 + (id % 2).toInt, mvhdVersion = (id % 2).toInt,
+              mdatLen = 64 + (id * 37 % 4096).toInt, seed = id))
       }
     }
   }

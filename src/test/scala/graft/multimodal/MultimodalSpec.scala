@@ -89,6 +89,17 @@ class MultimodalSpec extends SparkTestBase {
       .forall(_.length <= 32))
   }
 
+  test("video metadata matches the actual mp4 payload: mvhd duration and track count") {
+    val vids = media.filter(_.kind == "video").collect()
+    assert(vids.nonEmpty)
+    vids.foreach { m =>
+      val meta = Mp4Boxes.parse(m.content).get
+      assert(meta.duration * 1000L / meta.timescale == m.duration_ms,
+        s"media ${m.media_id}: payload duration disagrees with metadata")
+      assert(meta.majorBrand == "isom" && meta.nTracks == 1 + (m.media_id % 2).toInt)
+    }
+  }
+
   test("size-aware repartition handles an empty dataset") {
     val none = media.filter(_.kind == "no_such_kind")
     assert(Multimodal.repartitionForDecode(none, 1 << 20).count() == 0)
