@@ -29,11 +29,19 @@ class FuzzyCandidatesPropertySpec extends SparkTestBase {
   private def corpus(seed: Int): Seq[(Long, String)] = {
     val rnd = new Random(seed)
     (0 until 40).map { i =>
-      val mid = (1 to 4 + rnd.nextInt(12))
-        .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
-      val head = if (rnd.nextInt(3) > 0) openers(rnd.nextInt(3)) else mid.take(20)
-      val tail = if (rnd.nextInt(3) > 0) closers(rnd.nextInt(3)) else mid.takeRight(20)
-      (i.toLong, s"$head $mid $tail")
+      if (rnd.nextInt(5) == 0) {
+        // short doc (≤ 64 chars): prefix key == whole text == suffix
+        // key, so it lands the SAME block under both key kinds — the
+        // len<=64 branch the long-doc corpus never exercises
+        (i.toLong, (1 to 1 + rnd.nextInt(4))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      } else {
+        val mid = (1 to 4 + rnd.nextInt(12))
+          .map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" ")
+        val head = if (rnd.nextInt(3) > 0) openers(rnd.nextInt(3)) else mid.take(20)
+        val tail = if (rnd.nextInt(3) > 0) closers(rnd.nextInt(3)) else mid.takeRight(20)
+        (i.toLong, s"$head $mid $tail")
+      }
     }
   }
 

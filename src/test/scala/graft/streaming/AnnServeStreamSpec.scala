@@ -71,6 +71,17 @@ class AnnServeStreamSpec extends SparkTestBase {
       "replaying a batch must not change the serving log")
   }
 
+  test("a batch whose slice predicate matches nothing serves an empty partition, not a failure") {
+    val vecs = Tables.load(spark, sf, "embeddings")
+    val root = Files.createTempDirectory("ann-serve-empty").toString
+    val (idx, out) = (s"$root/idx", s"$root/out")
+    BinaryAnn.buildDecoratedIndex(vecs, idx, Seq("label"))
+    AnnServeStream.serveBatch(
+      vecs.filter($"vec_id" < 5).select($"vec_id", $"embedding"), 0L,
+      idx, vecs, col("label") === 9999, out, k, cands)
+    assert(AnnServeStream.servingLog(spark, out).count() == 0)
+  }
+
   test("the public start() entry point runs the loop end-to-end") {
     val vecs = Tables.load(spark, sf, "embeddings")
     val root = Files.createTempDirectory("ann-serve-start").toString
