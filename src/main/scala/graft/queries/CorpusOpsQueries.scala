@@ -179,18 +179,23 @@ object CorpusOpsQueries {
     * ln(N/df) over the corpus; ties break on the term string so the
     * top-3 is total-ordered.
     *
-    * Scale shape: two hash aggregates (doc-term tf, term df) + a join
-    * on term and a per-doc window. The df side is vocabulary-sized —
-    * joined (not broadcast) deliberately: at 100 TB the vocabulary
-    * does not fit an executor. N is a 1-row aggregate, broadcast.
+    * Scale shape: ONE tokenize pass — tf is checkpointed and df
+    * derives from it (tf has exactly one row per (doc, term), so
+    * rows-per-term IS the distinct doc count; the former second
+    * shingle pass and countDistinct's two-phase aggregate disappear) —
+    * then a join on term and a per-doc window (partition = one doc's
+    * vocabulary, bounded by doc length — scale-safe, unlike the
+    * per-lang q176 shape). The df side is vocabulary-sized — joined
+    * (not broadcast) deliberately: at 100 TB the vocabulary does not
+    * fit an executor. N is a 1-row aggregate, broadcast.
     */
   def q56TfIdfTopTerms(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val toks = tokenRows(docs)
-    val tf = toks.groupBy(col("sid").as("doc_id"), col("sh").as("term"))
+    val tf = tokenRows(docs)
+      .groupBy(col("sid").as("doc_id"), col("sh").as("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("sh").as("term"))
-      .agg(countDistinct(col("sid")).as("df"))
+      .localCheckpoint(true)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val byDoc = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
@@ -421,33 +426,48 @@ object CorpusOpsQueries {
     * pair scoring walks the two ≤5-entry profile arrays (interpreted
     * HOFs, but over candidate pairs only — never the corpus).
     *
-    * Scale shape: two hash aggregates + the term join from q56, one
-    * per-doc collect of a ≤5-entry array, a ×5 signature explode, and
-    * the signature equi-join. A signature bucket of width s costs
-    * s²/2 — same exposure family as the LSH bands, with the same
-    * star-degrade remedy available if a corpus concentrates profiles.
+    * Scale shape: ONE tokenize pass (df derives from the checkpointed
+    * tf — rows-per-term is the distinct doc count), the term join from
+    * q56, one per-doc bounded `topk_by_str` aggregate whose output
+    * array is the profile (no window, no second per-doc collect), a ×5
+    * signature explode, and the signature equi-join — all over the
+    * checkpointed profile relation, evaluated once. A signature bucket
+    * of width s costs s²/2 — same exposure family as the LSH bands,
+    * with the same star-degrade remedy available if a corpus
+    * concentrates profiles.
     */
   def q95SparseSimilarity(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKStrAgg.register(s)
     val docs = Tables.load(s, dir, "documents")
-    val toks = tokenRows(docs)
-    val tf = toks.groupBy(col("sid").as("doc_id"), col("sh").as("term"))
+    // one tokenize pass, checkpointed: df is derivable from tf (tf has
+    // exactly one row per (doc, term), so rows-per-term IS the distinct
+    // doc count) — the second shingle pass and the countDistinct's
+    // two-phase aggregate both disappear
+    val tf = tokenRows(docs)
+      .groupBy(col("sid").as("doc_id"), col("sh").as("term"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("sh").as("term"))
-      .agg(countDistinct(col("sid")).as("df"))
+      .localCheckpoint(true)
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val byDoc = Window.partitionBy(col("doc_id"))
-      .orderBy(col("score").desc, col("term"))
-    val top = tf.join(df, "term")
+    // ≤5-entry term-sorted profile per doc; <4 terms can never share ≥4.
+    // The per-doc top-5 rides the bounded topk_by_str aggregate (score
+    // desc, term tiebreak — window-identical by TopKStrAggSpec) and its
+    // output array IS the profile, so the former window + second
+    // per-doc aggregate collapse into one exchange. Checkpointed: the
+    // signature explode and both scoring joins read it, and Spark would
+    // otherwise re-evaluate the whole TF-IDF subtree once per consumer.
+    val vecs = tf.join(df, "term")
       .crossJoin(broadcast(nDocs))
       .withColumn("score", col("tf") * log(col("n_docs").cast("double") / col("df")))
-      .withColumn("rank", row_number().over(byDoc))
-      .filter(col("rank") <= 5)
-      .select(col("doc_id"), col("term"),
-        floor(col("score") * 1000 + lit(0.5)).cast("long").as("wm"))
-    // ≤5-entry term-sorted profile per doc; <4 terms can never share ≥4
-    val vecs = top.groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(struct(col("term"), col("wm")))).as("vec"))
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.TopKStrAgg
+        .topkByStr(col("score"), col("term"), 5, asc = false).as("tk"))
+      .select(col("doc_id"), array_sort(expr(
+        "transform(tk, e -> named_struct(" +
+          "'term', e.key, 'wm', cast(floor(e.score * 1000 + 0.5) as bigint)))"))
+        .as("vec"))
       .filter(size(col("vec")) >= 4)
+      .localCheckpoint(true)
     val combos = vecs
       .withColumn("drop_i",
         explode(when(size(col("vec")) === 5, sequence(lit(0), lit(4)))
@@ -1548,11 +1568,19 @@ object CorpusOpsQueries {
     *
     * Scale shape: one (source, w) hash aggregate; corpus term totals
     * join on the term (vocabulary-sized, q56's no-broadcast argument);
-    * source totals and N broadcast. The top-5 window runs per source
-    * over its vocabulary — the declared giant-vocab swap is the
-    * bounded `topk_by` aggregate (exercised by q189).
+    * source totals and N broadcast. The top-5 rides the bounded
+    * `topk_by_str` aggregate ([[graft.functions.TopKStrAgg]] —
+    * chi2-desc, term-ascending tiebreak, window-identical by
+    * TopKStrAggSpec), so a hot source ships ≤ 5 entries per split
+    * through the exchange instead of sorting its whole vocabulary on
+    * one reducer; the winners' (o, chi2) ride back in via one
+    * 5-rows-per-source equi-join against the checkpointed scored
+    * relation (evaluated once, not once per consumer). chi2_micro is
+    * exact in double below 2^53 — beyond that the statistic itself
+    * has already left the representable long range.
     */
   def q192DistinctiveTerms(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.TopKStrAgg.register(s)
     val sw = MinHashLSH.shingleRows(
         Tables.load(s, dir, "documents"), "source", "text", n = 1)
       .filter(col("sh") =!= "")
@@ -1569,11 +1597,15 @@ object CorpusOpsQueries {
         "cast(floor(((cast(o as double) * nd - cast(rt as double) * ct)" +
           " * (cast(o as double) * nd - cast(rt as double) * ct))" +
           " / (cast(nd as double) * rt * ct) * 1000000 + 0.5) as bigint)"))
+      .localCheckpoint(true)
     scored
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("source"))
-          .orderBy(col("chi2_micro").desc, col("w"))))
-      .filter(col("rk") <= 5)
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKStrAgg.topkByStr(
+        col("chi2_micro").cast("double"), col("w"), 5, asc = false).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "e")))
+      .select(col("source"), (col("pos") + 1).as("rk"), col("e.key").as("w"))
+      .join(scored.select(col("source"), col("w"), col("o"), col("chi2_micro")),
+        Seq("source", "w"))
       .select(col("source"), col("rk"), col("w").as("term"), col("o"),
         col("chi2_micro"))
       .orderBy(col("source"), col("rk"))

@@ -546,6 +546,34 @@ class PlanShapeSpec extends SparkTestBase {
     val p = plan(TextQueries.q176CharTrigramProfile(spark, sf))
     assert(countScans(p, "documents") == 1, "profile re-scanned the corpus")
     assert(p.contains("partial_"), "gram counts must combine map-side")
+    // r21: the per-lang top-5 is the bounded string-keyed aggregate —
+    // ≤5 entries per split per lang through the exchange, never a sort
+    // of a whole language's vocabulary on one reducer (the q189 lock)
+    assert(p.contains("partial_topk_by_str"),
+      "per-lang top-5 must pre-aggregate per split")
+    assert(!p.contains("Window"),
+      "a rank window crept back into the trigram profile")
+  }
+
+  test("q192 distinctive terms: bounded per-source top-5, no vocabulary window") {
+    val p = plan(CorpusOpsQueries.q192DistinctiveTerms(spark, sf))
+    assert(p.contains("partial_topk_by_str"),
+      "per-source top-5 must pre-aggregate per split")
+    assert(!p.contains("Window"),
+      "a rank window crept back into the distinctive-terms path")
+  }
+
+  test("q95 sparse similarity: no rank window anywhere in the pair path") {
+    // the bounded per-doc profile aggregate itself runs inside the
+    // eager vecs checkpoint (invisible to the final plan — TopKStrAgg's
+    // partial combine is locked by TopKStrAggSpec); what the final plan
+    // must prove is that nothing downstream re-introduced a window or
+    // re-derived the profile subtree (one LogicalRDD feeds all readers)
+    val p = plan(CorpusOpsQueries.q95SparseSimilarity(spark, sf))
+    assert(!p.contains("Window"),
+      "a rank window crept back into the pair path")
+    assert(countScans(p, "documents") == 0,
+      "pair path re-scanned the corpus instead of reading the checkpointed profiles")
   }
 
   test("q205 drift is ONE dim-keyed aggregate: map-side combine, no window, no join") {
