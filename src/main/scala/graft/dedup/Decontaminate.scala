@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * Scale shape: window generation is linear and shuffle-free; the flag
   * is ONE equi-join on the md5 window hash (held-out side aggregated
   * distinct first — no broadcast assumption, AQE broadcasts when it
-  * fits); the rebuild is a per-doc anti-join + one hash aggregate. At
-  * 100 TB, pre-prune the training window stream with the q65 bloom
-  * before the join — results identical, the join then touches only
-  * survivors.
+  * fits); the rebuild is DOC-GRAIN — cut positions aggregate to one
+  * set per contaminated doc and the kept text is a linear in-row pass
+  * over the word array (array_except + element_at), so the corpus's
+  * words never explode or shuffle. At 100 TB, pre-prune the training
+  * window stream with the q65 bloom before the join — results
+  * identical, the join then touches only survivors.
   */
 object Decontaminate {
 
@@ -54,29 +56,30 @@ object Decontaminate {
       train: DataFrame, idCol: String, textCol: String, grams: DataFrame,
       w: Int = DefaultWindow): DataFrame = {
     val words = train.select(col(idCol).as("dc_id"), split(col(textCol), " ").as("ws"))
-    val cutPos = windowHashes(train, idCol, textCol, w)
+    // per-doc cut-position SET (collect_set owns the dedup the old
+    // word-grain anti-join spelled as distinct): one hash aggregate
+    // over covered positions of matching windows only — eval-hit
+    // volume, not corpus volume
+    val cutArr = windowHashes(train, idCol, textCol, w)
       .join(grams, Seq("h"))
       .select(col("dc_id"), explode(sequence(col("i"), col("i") + lit(w - 1))).as("p"))
-      .distinct()
-    // explicit aliases: both sides descend from the same scan (see the
-    // q87/q89 note — the lineage-ambiguous spelling logs a spurious
-    // "trivially true equals predicate" warning)
-    val wordRows = words
-      .select(col("dc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
-      .alias("wr")
-    val rebuilt = wordRows
-      .join(cutPos.alias("ct"),
-        col("wr.dc_id") === col("ct.dc_id") && col("wr.pos") === col("ct.p"),
-        "left_anti")
-      .groupBy(col("dc_id"))
-      .agg(count(lit(1)).as("words_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("word")))),
-          _.getField("word")), " ").as("kept_text"))
-    words.select(col("dc_id"), size(col("ws")).cast("long").as("words_total"))
-      .join(rebuilt, Seq("dc_id"), "left")
+      .groupBy(col("dc_id")).agg(collect_set(col("p")).as("ps"))
+    // doc-grain rebuild (guide §8: decide on small rows, move big rows
+    // once): the former rebuild posexploded EVERY word, anti-joined on
+    // (doc, pos) — a corpus-wide shuffle — then re-collected and
+    // re-sorted each doc. Here the word arrays never leave their rows:
+    // kept positions = sequence(0, n-1) minus the cut set
+    // (array_except preserves left order and builds an O(|ps|) hash
+    // set per row), and element_at is O(1) per word — one linear pass
+    // per doc, one doc-keyed join (broadcast-size when contamination
+    // is sparse), no explode, no sort.
+    words.join(cutArr, Seq("dc_id"), "left")
+      .select(col("dc_id"), size(col("ws")).cast("long").as("words_total"),
+        expr("transform(array_except(sequence(0, size(ws) - 1)," +
+          " coalesce(ps, cast(array() as array<int>)))," +
+          " p -> element_at(ws, p + 1))").as("kw"))
       .select(col("dc_id").as(idCol), col("words_total"),
-        (col("words_total") - coalesce(col("words_kept"), lit(0L))).as("words_cut"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+        (col("words_total") - size(col("kw")).cast("long")).as("words_cut"),
+        array_join(col("kw"), " ").as("kept_text"))
   }
 }

@@ -1301,6 +1301,10 @@ object AnalyticsOpsQueries {
         .topkBy(col("cnt").cast("double"), col("item"), 32, asc = false).as("tk"))
       .select(col("user_id"), explode(col("tk")).as("e"))
       .select(col("user_id"), col("e.id").as("item"))
+      // eager checkpoint: q118 reads baskets three times (item counts +
+      // both self-join sides) and q131 twice — without it each consumer
+      // re-runs the events scan + per-event JSON parse + two aggregates
+      .localCheckpoint(true)
   }
 
   def q118ItemCooccurrence(s: SparkSession, dir: String): DataFrame = {
@@ -1439,6 +1443,10 @@ object AnalyticsOpsQueries {
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
       .agg(count(lit(1)).as("w"))
       .filter(col("w") >= 3)
+      // eager checkpoint: the symmetric edge union reads pairs twice and
+      // the out-weight join reads edges twice — without this the basket
+      // self-join would run 4× before withOut's own checkpoint
+      .localCheckpoint(true)
     val edges = pairs.select(col("item_a").as("src"), col("item_b").as("dst"), col("w"))
       .union(pairs.select(col("item_b").as("src"), col("item_a").as("dst"), col("w")))
     val withOut = edges

@@ -477,6 +477,11 @@ object CurationOpsQueries {
       .select(col("source"),
         md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " ")).as("h"))
       .distinct()
+      // eager checkpoint: the per-source sizes and BOTH sides of the
+      // h self-join consume this relation — without it the explode +
+      // md5 + distinct subtree runs three times (8 scans in the r21
+      // before-plan)
+      .localCheckpoint(true)
     val sizes = wins.groupBy(col("source")).agg(count(lit(1)).as("n_grams"))
     val shared = wins.as("a")
       .join(wins.as("b"),
@@ -546,9 +551,10 @@ object CurationOpsQueries {
     * (doc, pos) hash-agg for the cut set, one anti join + per-doc
     * rebuild agg. Shuffle keys are md5-uniform window hashes and
     * (doc_id, pos) — no skew pivot; nothing quadratic anywhere (the
-    * occurrence window counts, it never pairs). The canonical
-    * row_number window partitions by window hash — bounded by that
-    * hash's occurrence count, the same key q84 already shuffles on.
+    * occurrence aggregate counts, it never pairs). Canonical-copy
+    * detection is a map-side-combined aggregate per window hash
+    * (count + min (doc_id, i)) joined back onto the window stream
+    * after the c > 1 prefilter — never a sort of the window relation.
     */
   def q87DedupCut(s: SparkSession, dir: String): DataFrame =
     dedupCutOf(Tables.load(s, dir, "documents"))
@@ -563,45 +569,52 @@ object CurationOpsQueries {
     val w = 8
     val words = docsDf
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
+    // checkpointed: the occurrence aggregate and the flag join both
+    // consume the window relation — one md5 pass, not two
     val wins = words.filter(size(col("ws")) >= w)
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - w)).as("i"))
       .select(col("doc_id"), col("i"),
         md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " ")).as("h"))
-    val occ = Window.partitionBy(col("h"))
-    val flagged = wins
-      .withColumn("c", count(lit(1)).over(occ))
-      .withColumn("rn", row_number().over(occ.orderBy(col("doc_id"), col("i"))))
+      .localCheckpoint(true)
+    // duplicated-window inventory as an AGGREGATE, not a window: the
+    // former count + row_number pair shuffled and SORTED every window
+    // row by (h, doc_id, i); the aggregate partial-combines map-side,
+    // the c > 1 filter drops the unique-window long tail BEFORE the
+    // flag join (broadcast-size on ordinary corpora, md5-uniform
+    // equi-join otherwise), and the canonical occurrence is the min
+    // (doc_id, i) struct — exactly row_number() = 1 under that order,
+    // since each occurrence's (doc_id, i) is unique within its h
+    val dups = wins.groupBy(col("h"))
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("i"))).as("m"))
       .filter(col("c") > 1)
-    val cover = flagged
-      .select(col("doc_id"), (col("rn") === 1).as("canon"),
+      .select(col("h"), col("m"))
+    val cover = wins.join(dups, Seq("h"))
+      .select(col("doc_id"),
+        (struct(col("doc_id"), col("i")) === col("m")).as("canon"),
         explode(sequence(col("i"), col("i") + lit(w - 1))).as("p"))
-    val cut = cover.groupBy(col("doc_id"), col("p"))
+    // per-doc cut-position SET: covered positions where some
+    // non-canonical duplicate window lands and no canonical window
+    // protects — aggregated to one array per affected doc
+    val cutArr = cover.groupBy(col("doc_id"), col("p"))
       .agg(max(when(!col("canon"), 1).otherwise(0)).as("has_dup"),
         max(when(col("canon"), 1).otherwise(0)).as("has_canon"))
       .filter(col("has_dup") === 1 && col("has_canon") === 0)
-      .select(col("doc_id"), col("p"))
-    // explicit aliases: both sides descend from the same scan, and the
-    // lineage-ambiguous wordRows("doc_id") === cut("doc_id") spelling
-    // makes Spark log a spurious "trivially true equals predicate"
-    // warning on every run
-    val wordRows = words
-      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
-      .alias("wr")
-    val rebuilt = wordRows
-      .join(cut.alias("ct"),
-        col("wr.doc_id") === col("ct.doc_id") && col("wr.pos") === col("ct.p"),
-        "left_anti")
-      .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("words_kept"),
-        array_join(transform(
-          array_sort(collect_list(struct(col("pos"), col("word")))),
-          _.getField("word")), " ").as("kept_text"))
-    words.select(col("doc_id"), size(col("ws")).cast("long").as("words_total"))
-      .join(rebuilt, Seq("doc_id"), "left")
+      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("ps"))
+    // doc-grain rebuild (guide §8; the Decontaminate.cut twin): kept
+    // positions = sequence(0, n-1) minus the cut set — array_except
+    // preserves order and hashes ps per row, element_at is O(1) — so
+    // the corpus's words never posexplode, never anti-join shuffle on
+    // (doc, pos), and never re-sort per doc
+    words.join(cutArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), size(col("ws")).cast("long").as("words_total"),
+        expr("transform(array_except(sequence(0, size(ws) - 1)," +
+          " coalesce(ps, cast(array() as array<int>)))," +
+          " p -> element_at(ws, p + 1))").as("kw"))
       .select(col("doc_id"), col("words_total"),
-        (col("words_total") - coalesce(col("words_kept"), lit(0L))).as("words_cut"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+        (col("words_total") - size(col("kw")).cast("long")).as("words_cut"),
+        array_join(col("kw"), " ").as("kept_text"))
       .orderBy(col("doc_id"))
   }
 
@@ -881,20 +894,23 @@ object CurationOpsQueries {
     val words = train.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("n", size(col("ws")))
       .withColumn("nt", floor(col("n") / w).cast("int"))
-    val tiled = words.filter(col("nt") > 0)
-      .select(col("doc_id"), col("ws"), col("n"), col("nt"),
+    // two-level aggregate instead of a first-occurrence window (the
+    // q129 rewrite): level 1 collapses to one row per (doc, tile-hash)
+    // with map-side partial combine — the kept tile is min (i, tile)
+    // of its group, so tile text crosses the exchange once per
+    // DISTINCT tile, and nothing sorts; level 2 rolls up per doc
+    val agg0 = words.filter(col("nt") > 0)
+      .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), col("nt") - 1)).as("i"))
       .select(col("doc_id"), col("i"),
         array_join(slice(col("ws"), col("i") * w + 1, lit(w)), " ").as("tile"))
-      .withColumn("h", md5(col("tile")))
-      .withColumn("first_i",
-        min(col("i")).over(Window.partitionBy(col("doc_id"), col("h"))))
-      .withColumn("kept", col("i") === col("first_i"))
-    val agg0 = tiled.groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tiles"),
-        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_tiles"),
+      .groupBy(col("doc_id"), md5(col("tile")).as("h"))
+      .agg(count(lit(1)).as("c"), min(struct(col("i"), col("tile"))).as("m"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tiles"),
+        count(lit(1)).as("kept_tiles"),
         array_join(transform(
-          array_sort(collect_list(when(col("kept"), struct(col("i"), col("tile"))))),
+          array_sort(collect_list(col("m"))),
           x => x.getField("tile")), " ").as("ktext"))
     val tailCol = array_join(
       slice(col("ws"), col("nt") * w + 1, col("n") - col("nt") * w), " ")
@@ -1067,44 +1083,56 @@ object CurationOpsQueries {
     * it — raise the cap or pre-strip boilerplate if member↔member
     * pairs inside doubly-hot blocks matter.
     *
-    * Output: (a_id, b_id, a_nt, b_nt, a_len, b_len), a_id < b_id,
-    * possibly with duplicates (a pair can collide on both keys) — the
-    * caller's post-verify distinct owns dedup. One shuffle on the
-    * block key, which the width/min window and the self-join share.
+    * Output: (a_id, b_id, a_len, b_len), a_id < b_id, possibly with
+    * duplicates (a pair can collide on both keys) — the caller owns
+    * dedup and attaches text AFTER it (guide §8's move-big-rows-once
+    * rule: blocking, width caps and pair dedup all run on narrow
+    * (id, len, key) rows; the width/min block relation is a
+    * map-side-combined aggregate joined back, never a payload window).
     */
   private[queries] def fuzzyCandidates(all: DataFrame, maxBlock: Int): DataFrame = {
-    val keyed = all.select(col("doc_id"), col("nt"), col("len"),
+    // Narrow blocking (guide §8: decide with small rows, move big rows
+    // once): only (doc_id, len, bi, bk) flows through the block-width
+    // aggregate and the block self-join — the normalized TEXT attaches
+    // to the capped candidate pairs at the very end, via two id-keyed
+    // joins, instead of riding every exchange. Block widths come from a
+    // groupBy (map-side partial combine, no sort) joined back, not a
+    // window over payload rows; the checkpoint stops the explode from
+    // re-running per consumer (the r21 before-plan held 16 scans).
+    val keyed = all.select(col("doc_id"), col("len"),
       explode(array(
         struct(lit(0).as("bi"), substring(col("nt"), 1, 64).as("bk")),
         struct(lit(1).as("bi"),
           when(col("len") <= 64, col("nt"))
             .otherwise(expr("substring(nt, len - 63, 64)")).as("bk"))))
         .as("k"))
-      .select(col("doc_id"), col("nt"), col("len"),
+      .select(col("doc_id"), col("len"),
         col("k.bi").as("bi"), col("k.bk").as("bk"))
-    val w = Window.partitionBy(col("bi"), col("bk"))
-    val widthed = keyed
-      .withColumn("bsz", count(lit(1)).over(w))
-      .withColumn("bmin", min(col("doc_id")).over(w))
+    val blocks = keyed.groupBy(col("bi"), col("bk"))
+      .agg(count(lit(1)).as("bsz"), min(col("doc_id")).as("bmin"))
       .filter(col("bsz") >= 2)
-    val inCap = widthed.filter(col("bsz") <= maxBlock)
+    // one eager checkpoint covers the three consumers (both self-join
+    // sides + the star branch); keyed itself is a cheap map-side
+    // explode over the caller's checkpointed doc relation
+    val sized = keyed.join(blocks, Seq("bi", "bk"))
+      .localCheckpoint(true)
+    val inCap = sized.filter(col("bsz") <= maxBlock)
     val a = inCap.select(col("bi"), col("bk"), col("doc_id").as("a_id"),
-      col("nt").as("a_nt"), col("len").as("a_len"))
+      col("len").as("a_len"))
     val b = inCap.select(col("bi"), col("bk"), col("doc_id").as("b_id"),
-      col("nt").as("b_nt"), col("len").as("b_len"))
+      col("len").as("b_len"))
     val full = a.join(b, Seq("bi", "bk"))
       .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id", "a_nt", "b_nt", "a_len", "b_len")
+      .select("a_id", "b_id", "a_len", "b_len")
     // oversized block → (min-id rep, member) star, O(s) rows; the rep's
-    // text rides in via one narrow join against the doc relation
-    val reps = all.select(col("doc_id").as("a_id"),
-      col("nt").as("a_nt"), col("len").as("a_len"))
-    val star = widthed
+    // length rides in via one narrow join against the doc relation
+    val star = sized
       .filter(col("bsz") > maxBlock && col("doc_id") =!= col("bmin"))
       .select(col("bmin").as("a_id"), col("doc_id").as("b_id"),
-        col("nt").as("b_nt"), col("len").as("b_len"))
-      .join(reps, Seq("a_id"))
-      .select("a_id", "b_id", "a_nt", "b_nt", "a_len", "b_len")
+        col("len").as("b_len"))
+      .join(all.select(col("doc_id").as("a_id"), col("len").as("a_len")),
+        Seq("a_id"))
+      .select("a_id", "b_id", "a_len", "b_len")
     full.union(star)
   }
 
@@ -1145,16 +1173,30 @@ object CurationOpsQueries {
       .select((col("doc_id") + 3000000).as("doc_id"),
         concat(substring(col("nt"), 1, 64), lit(" zzyq"),
           expr("substring(nt, 65)")).as("nt"))
+    // eager checkpoint: both of fuzzyCandidates' key branches plus the
+    // star representatives re-read this relation; the whitespace
+    // normalize over the full text is the expensive part and must run
+    // once, not once per consumer
     val all = norm.union(variants).withColumn("len", length(col("nt")))
+      .localCheckpoint(true)
     fuzzyCandidates(all, FuzzyMaxBlock)
       .filter(abs(col("a_len") - col("b_len")) <= 12)
-      // dedupe BEFORE the O(256²) DP: a pair colliding on both block
-      // keys would otherwise run levenshtein twice for one result row
+      // dedupe BEFORE attaching text and running the DP: a pair
+      // colliding on both block keys would otherwise run levenshtein
+      // twice for one result row, and the dedup itself stays a narrow
+      // (id, id) aggregate instead of sorting text payloads
       .dropDuplicates("a_id", "b_id")
+      .select("a_id", "b_id")
+      .join(all.select(col("doc_id").as("a_id"), col("nt").as("a_nt")), Seq("a_id"))
+      .join(all.select(col("doc_id").as("b_id"), col("nt").as("b_nt")), Seq("b_id"))
+      // bounded-band DP: levenshtein's 3-arg form stops at the
+      // threshold (O(len·k) cells instead of O(len²)) and returns -1
+      // past it — identical distances for every surviving row, and the
+      // -1 rows are exactly the > 12 rows the filter dropped before
       .select(col("a_id"), col("b_id"),
         levenshtein(substring(col("a_nt"), 1, 256),
-          substring(col("b_nt"), 1, 256)).as("edit_dist"))
-      .filter(col("edit_dist") <= 12)
+          substring(col("b_nt"), 1, 256), 12).as("edit_dist"))
+      .filter(col("edit_dist") >= 0 && col("edit_dist") <= 12)
       .orderBy(col("a_id"), col("b_id"))
   }
 
@@ -1332,12 +1374,13 @@ object CurationOpsQueries {
     * certifies the surviving content and its order, not just counts.
     *
     * Scale shape: tiling is map-side (q78 pattern); first-occurrence
-    * detection is one window keyed (doc_id, tile-hash) — intra-doc
-    * state only, so the partition key is as fine as the corpus is wide
-    * and no global structure exists; the ordered fingerprint is the
-    * q113 collect_list + array_sort idiom with per-doc bounded state.
-    * One exchange on doc_id covers both the window and the final
-    * aggregate.
+    * detection is a two-level aggregate — (doc, tile-hash) grain first
+    * (map-side partial combine; one row per distinct tile survives the
+    * exchange, never every tile row, and nothing sorts), then the
+    * per-doc rollup; intra-doc state only, so keys are as fine as the
+    * corpus is wide and no global structure exists; the ordered
+    * fingerprint is the q113 collect_list + array_sort idiom with
+    * per-doc bounded state.
     */
   def q129IntraDocDedup(s: SparkSession, dir: String): DataFrame = {
     val w = 8
@@ -1353,18 +1396,23 @@ object CurationOpsQueries {
         explode(sequence(lit(0), col("nt") - 1)).as("i"))
       .select(col("doc_id"), col("i"),
         md5(array_join(slice(col("ws"), col("i") * w + 1, lit(w)), " ")).as("h"))
+    // two-level aggregate instead of a first-occurrence window: level 1
+    // collapses to one row per (doc, tile-hash) — count + first index —
+    // with map-side partial combine (the window form shuffled and
+    // sorted EVERY tile row); level 2 rolls those up per doc. A kept
+    // tile IS a (doc, h) group (at i = min i), so kept_tiles =
+    // group count and the ordered fingerprint sorts by first_i —
+    // identical to the window spelling's (i, h) sort over kept rows.
     tiles
-      .withColumn("first_i",
-        min(col("i")).over(Window.partitionBy(col("doc_id"), col("h"))))
-      .withColumn("kept", (col("i") === col("first_i")).cast("int"))
+      .groupBy(col("doc_id"), col("h"))
+      .agg(count(lit(1)).as("c"), min(col("i")).as("first_i"))
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tiles"),
-        sum(col("kept")).as("kept_tiles"),
-        (count(lit(1)) - sum(col("kept"))).as("cut_tiles"),
+      .agg(sum(col("c")).as("n_tiles"),
+        count(lit(1)).as("kept_tiles"),
+        (sum(col("c")) - count(lit(1))).as("cut_tiles"),
         md5(array_join(
           transform(
-            array_sort(collect_list(when(col("kept") === 1,
-              struct(col("i"), col("h"))))),
+            array_sort(collect_list(struct(col("first_i"), col("h")))),
             x => x.getField("h")), " ")).as("kept_fp"))
       .orderBy(col("doc_id"))
   }

@@ -793,9 +793,13 @@ object TextQueries {
     * responses — the second also poisons the q54 boilerplate list).
     *
     * Scale shape: eval grams ride a broadcast (benchmarks are tiny —
-    * the q39/q65 argument); training grams join it map-side-pruned;
-    * the two aggregates are gram-keyed then multiplicity-keyed, each
-    * with map-side partials. Nothing document-sized shuffles.
+    * the q39/q65 argument) that prunes the training gram stream
+    * MAP-SIDE, BEFORE the (sid, gram) distinct — the corpus-wide gram
+    * stream never shuffles (its former full-relation distinct was the
+    * query's one corpus-sized exchange); the surviving hit set is
+    * eval-sized. The two aggregates are gram-keyed then
+    * multiplicity-keyed, each with map-side partials. Nothing
+    * document-sized shuffles.
     */
   def q148ContaminationDepth(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.MinHashLSH.shingleRows
@@ -803,11 +807,17 @@ object TextQueries {
     val evalSet = docs.filter(col("doc_id") < 10)
     val train = docs.filter(col("doc_id") >= 10)
       .union(evalSet.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+    // checkpointed: consumed by the broadcast prune AND the final left
+    // join — one shingle pass over the eval side
     val evalGrams = shingleRows(evalSet, "doc_id", "text", n = 8)
       .select(col("sh")).distinct()
-    val trainGrams = shingleRows(train, "doc_id", "text", n = 8).distinct()
-    evalGrams.join(trainGrams, Seq("sh"), "left")
+      .localCheckpoint(true)
+    val hits = shingleRows(train, "doc_id", "text", n = 8)
+      .join(broadcast(evalGrams), Seq("sh"))
+      .distinct()
       .groupBy(col("sh")).agg(count(col("sid")).as("multiplicity"))
+    evalGrams.join(hits, Seq("sh"), "left")
+      .select(col("sh"), coalesce(col("multiplicity"), lit(0L)).as("multiplicity"))
       .groupBy(col("multiplicity")).agg(count(lit(1)).as("n_grams"))
       .orderBy(col("multiplicity"))
   }

@@ -45,10 +45,14 @@ class FuzzyDedupSpec extends SparkTestBase {
     assert((0 until 100).forall(i => i == 0 || cand.contains((0L, i.toLong))),
       "star must keep every hot-block member connected to the representative")
 
-    // end-to-end: the q111 verify (length prefilter + levenshtein ≤ 12
-    // on the leading 256 chars) confirms the typo pairs as duplicates
+    // end-to-end: the q111 verify (length prefilter, text attached to
+    // the narrow pair set, levenshtein ≤ 12 on the leading 256 chars)
+    // confirms the typo pairs as duplicates
     val verified = CurationOpsQueries.fuzzyCandidates(all, cap)
       .filter(abs(col("a_len") - col("b_len")) <= 12)
+      .select("a_id", "b_id").distinct()
+      .join(all.select(col("doc_id").as("a_id"), col("nt").as("a_nt")), Seq("a_id"))
+      .join(all.select(col("doc_id").as("b_id"), col("nt").as("b_nt")), Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         levenshtein(substring(col("a_nt"), 1, 256),
           substring(col("b_nt"), 1, 256)).as("d"))

@@ -285,16 +285,22 @@ class PlanShapeSpec extends SparkTestBase {
     assert(p66.contains("cms_estimate"), "q66 lost the CMS probe")
   }
 
-  test("q87 cut scan prunes to doc_id+text; occurrence counting joins nothing") {
+  test("q87 cut scan prunes to doc_id+text; no window, no sort of the word stream") {
     val p = plan(CurationOpsQueries.q87DedupCut(spark, sf))
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
       "documents scan must prune to doc_id+text: " +
         p.linesIterator.find(_.contains("ReadSchema")).getOrElse("?"))
-    // exactly one join is allowed: the cut-position anti join (plus the
-    // final left join back onto the doc spine); the flag/canonical
-    // counting must be windows over the md5 key, never a self-join
+    // r21 shape: canonical-copy detection is a map-side-combined
+    // aggregate per window hash joined back (never a window sorting the
+    // window stream), the flag join and the doc-grain rebuild join are
+    // equi-joins, and the rebuild explodes nothing (array_except +
+    // element_at in-row — no posexplode, no (doc, pos) anti join)
+    assert(!p.contains("Window"),
+      "a window crept back into the occurrence counting")
+    assert(p.contains("partial_min") || p.contains("partial_count"),
+      "occurrence aggregate must combine map-side")
     val joins = p.linesIterator.filter(_.contains("Join")).toSeq
-    assert(joins.forall(l => l.contains("LeftAnti") || l.contains("LeftOuter")),
+    assert(joins.forall(l => !l.contains("NestedLoop") && !l.contains("Cartesian")),
       "unexpected join kind:\n" + joins.mkString("\n"))
   }
 
@@ -326,11 +332,19 @@ class PlanShapeSpec extends SparkTestBase {
       "the 1-row token total must broadcast")
   }
 
-  test("q118 basket cap is a bounded partial aggregate — no per-user window") {
+  test("q118 basket cap is bounded and windows nothing; baskets build once") {
+    // r21: the capped basket relation is eagerly checkpointed (it feeds
+    // the item counts AND both self-join sides), so the topk_by cap
+    // itself runs inside the checkpoint — its bounded partial combine
+    // is locked by TopKAggSpec; what the final plan must prove is that
+    // no window ranks anything and no consumer re-derives the baskets
+    // from raw events
     val p = plan(AnalyticsOpsQueries.q118ItemCooccurrence(spark, sf))
-    assert(p.contains("partial_topk_by"),
-      "the 32-item cap must pre-aggregate per split:\n" + p.take(400))
     assert(!p.contains("Window"), "no window may rank per-user items")
+    assert(countScans(p, "events") == 0,
+      "a basket consumer re-scanned raw events instead of the checkpointed baskets")
+    assert(p.contains("partial_count"),
+      "pair support must combine map-side")
   }
 
   test("q126 RRF ranks ride bounded aggregates — no window ranks either score space") {
@@ -627,14 +641,22 @@ class PlanShapeSpec extends SparkTestBase {
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
-  test("q111 fuzzy dedup: block-keyed equi-joins under a width window — no nested loops, no cartesian") {
-    // the r19 finding: an uncapped prefix block is s²/2 on one key; the
-    // capped shape computes block width/min in a window and joins only
-    // in-cap blocks — the plan must show the window feeding equi-joins
+  test("q111 fuzzy dedup: block-keyed equi-joins under a width aggregate — no nested loops, no window") {
+    // the r19 finding: an uncapped prefix block is s²/2 on one key. The
+    // r21 shape computes block width/min as a map-side-combined
+    // AGGREGATE joined back onto narrow (id, len, key) rows (the former
+    // width window shuffled full document text), and text attaches only
+    // to the deduped pair set — the plan must stay equi-keyed with no
+    // window and no payload sort
     val p = plan(CurationOpsQueries.q111FuzzyDedup(spark, sf))
     assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
       "fuzzy blocking must stay equi-keyed:\n" +
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
-    assert(p.contains("Window"), "expected the block width/min window")
+    assert(!p.contains("Window"), "a width window crept back")
+    // the width/min block aggregate itself runs inside the eager
+    // candidate checkpoint (invisible here); the visible tail must be
+    // the narrow (id, id) dedup aggregate feeding the two text joins
+    assert(p.contains("HashAggregate"),
+      "pair dedup must be a hash aggregate over bare ids")
   }
 }
