@@ -53,10 +53,14 @@ object CorpusOpsQueries {
     */
   def q54BoilerplateNgrams(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+    // two-level aggregate instead of count + countDistinct in one agg
+    // (whose Expand doubles the exchanged rows): per-(ngram, doc)
+    // counts partial-combine map-side, then roll up per ngram
     MinHashLSH.shingleRows(docs, "doc_id", "text", n = 3)
-      .groupBy(col("sh").as("ngram"))
-      .agg(count(lit(1)).as("occurrences"),
-        countDistinct(col("sid")).as("doc_freq"))
+      .groupBy(col("sh").as("ngram"), col("sid"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("ngram"))
+      .agg(sum(col("c")).as("occurrences"), count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= 2)
       .orderBy(col("occurrences").desc, col("doc_freq").desc, col("ngram"))
       .limit(100)
@@ -586,9 +590,13 @@ object CorpusOpsQueries {
     */
   def q117PmiCollocations(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    val toks = tokenRows(docs)
-    val uni = toks.groupBy(col("sh").as("tok")).agg(count(lit(1)).as("c"))
-    val nTok = toks.agg(count(lit(1)).as("n_tokens"))
+    // checkpointed: both PMI margin joins (w1, w2) and the token total
+    // read the unigram counts — one tokenize pass; n_tokens is the sum
+    // of the counts, not a third pass over the corpus
+    val uni = tokenRows(docs)
+      .groupBy(col("sh").as("tok")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val nTok = uni.agg(sum(col("c")).as("n_tokens"))
     val bi = MinHashLSH.shingleRows(docs, "doc_id", "text", n = 2)
       .select(split(col("sh"), " ").as("parts"))
       .filter(size(col("parts")) === 2) // drops the <2-token whole-text fallback
@@ -646,10 +654,13 @@ object CorpusOpsQueries {
     */
   def q124KlDrift(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
+    // checkpointed: the source totals, token totals and the scoring
+    // join all read this relation — one tokenize pass, not three
     val sw = MinHashLSH.shingleRows(docs, "source", "text", n = 1)
       .filter(col("sh") =!= "")
       .groupBy(col("sid").as("source"), col("sh").as("w"))
       .agg(count(lit(1)).as("c_sw"))
+      .localCheckpoint(true)
     val srcTot = sw.groupBy(col("source")).agg(sum(col("c_sw")).as("n_s"))
     val wTot = sw.groupBy(col("w")).agg(sum(col("c_sw")).as("c_w"))
     val n = srcTot.agg(sum(col("n_s")).as("n_total"))
@@ -916,6 +927,10 @@ object CorpusOpsQueries {
       .select(col("c"), col("n_tokens"),
         (col("cum_occ") - col("c") * col("n_tokens")).as("occ_before"),
         (col("cum_tok") - col("n_tokens")).as("tok_before"), col("cum_occ"))
+      // eager checkpoint: the total, the candidate filter and the pick
+      // join all read the block relation — the tokenize + vocabulary
+      // aggregate behind it must run once, not three times
+      .localCheckpoint(true)
     val targets = s.range(0, 3).select(
       element_at(array(lit(5000), lit(9000), lit(9900)), col("id").cast("int") + 1)
         .as("p_bps"))
@@ -1581,11 +1596,15 @@ object CorpusOpsQueries {
     */
   def q192DistinctiveTerms(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TopKStrAgg.register(s)
+    // checkpointed: source totals, term totals and the scoring join
+    // all read this relation — one tokenize pass, not three (the q124
+    // pattern)
     val sw = MinHashLSH.shingleRows(
         Tables.load(s, dir, "documents"), "source", "text", n = 1)
       .filter(col("sh") =!= "")
       .groupBy(col("sid").as("source"), col("sh").as("w"))
       .agg(count(lit(1)).as("o"))
+      .localCheckpoint(true)
     val srcTot = sw.groupBy(col("source")).agg(sum(col("o")).as("rt"))
     val wTot = sw.groupBy(col("w")).agg(sum(col("o")).as("ct"))
     val n = srcTot.agg(sum(col("rt")).as("nd"))

@@ -1474,6 +1474,10 @@ object CurationOpsQueries {
       .select(col("doc_id"),
         md5(array_join(slice(col("ws"), col("i") * w + 1, lit(w)), " ")).as("h"))
       .distinct()
+      // eager checkpoint: the per-doc sizes and BOTH sides of the tile
+      // self-join consume this relation (the q86 pattern — without it
+      // the split + explode + md5 + distinct subtree runs three times)
+      .localCheckpoint(true)
     val na = tiles.groupBy(col("doc_id").as("id_a")).agg(count(lit(1)).as("n_a"))
     tiles.select(col("doc_id").as("id_a"), col("h"))
       .join(tiles.select(col("doc_id").as("id_b"), col("h")), "h")

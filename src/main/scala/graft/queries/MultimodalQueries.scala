@@ -17,6 +17,30 @@ import graft.multimodal.Multimodal
   */
 object MultimodalQueries {
 
+  /** Materialize independent modality relations CONCURRENTLY (guide
+    * §2.6: Spark happily runs several jobs at once inside one
+    * application — actions are sequential only because the driver
+    * calls them sequentially, and each eager checkpoint here is an
+    * action). Worker threads are created by the submitting thread at
+    * call time, so Spark's inheritable thread-locals (job group, job
+    * description — what Bench's watchdog cancels by) propagate into
+    * the pool. Result order matches input order; failures rethrow.
+    */
+  private def materializeConcurrently(
+      rel: Seq[(String, () => DataFrame)]): Seq[(String, DataFrame)] = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(rel.size)
+    try {
+      rel.map { case (m, thunk) =>
+        m -> pool.submit(new java.util.concurrent.Callable[DataFrame] {
+          override def call(): DataFrame = thunk()
+        })
+      }.map { case (m, fut) =>
+        m -> (try fut.get()
+        catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      }
+    } finally pool.shutdown()
+  }
+
   def q29MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
     val media = Multimodal.syntheticMedia(s, 1000)
     val features = Multimodal.extractFeatures(
@@ -238,15 +262,19 @@ object MultimodalQueries {
     def once(df: DataFrame): DataFrame =
       df.select(col("id_a").cast("long"), col("id_b").cast("long"))
         .localCheckpoint(eager = true)
-    val rel = Seq(
-      "text" -> once(graft.dedup.SimHashDedup
-        .nearDuplicates(crossmodalTexts(s, groups), "doc_id", "text")),
-      "image" -> once(graft.multimodal.ImagePhash
-        .nearDuplicates(Multimodal.phashDedupCorpus(s, groups))),
-      "audio" -> once(graft.multimodal.AudioFingerprint
-        .nearDuplicates(Multimodal.audioDedupCorpus(s, groups))),
-      "video" -> once(graft.multimodal.VideoFrames
-        .nearDuplicates(Multimodal.videoDedupCorpus(s, groups))))
+    // the four modality pipelines are independent — materialize them
+    // concurrently (guide §2.6: actions are only sequential because
+    // the driver calls them sequentially; each pipeline's tail would
+    // otherwise leave the other three waiting)
+    val rel = materializeConcurrently(Seq(
+      "text" -> (() => once(graft.dedup.SimHashDedup
+        .nearDuplicates(crossmodalTexts(s, groups), "doc_id", "text"))),
+      "image" -> (() => once(graft.multimodal.ImagePhash
+        .nearDuplicates(Multimodal.phashDedupCorpus(s, groups)))),
+      "audio" -> (() => once(graft.multimodal.AudioFingerprint
+        .nearDuplicates(Multimodal.audioDedupCorpus(s, groups)))),
+      "video" -> (() => once(graft.multimodal.VideoFrames
+        .nearDuplicates(Multimodal.videoDedupCorpus(s, groups))))))
     // oracle capture — the q82 literal-injection convention, bounded by
     // construction here (≤ 48 rows per modality over the 32-asset
     // planted corpus, margin-spec-pinned) and reading the already-
@@ -411,14 +439,16 @@ object MultimodalQueries {
         "doc_id", "text", textIdx)
       .filter(col("id_a") < 1000 && col("id_b") >= 1000)
       .select(col("id_b").as("probe_id"), col("id_a").as("index_id"))
-    val rel = Seq(
-      "text" -> once(textPairs),
-      "image" -> once(graft.multimodal.ImagePhash
-        .nearDuplicatesAgainst(imgCorpus.filter(_.media_id >= 1000), imgIdx)),
-      "audio" -> once(graft.multimodal.AudioFingerprint
-        .nearDuplicatesAgainst(audCorpus.filter(_.media_id >= 1000), audIdx)),
-      "video" -> once(graft.multimodal.VideoFrames
-        .nearDuplicatesAgainst(vidCorpus.filter(_.media_id >= 1000), vidIdx)))
+    // the four index probes are independent — materialize concurrently
+    // (guide §2.6; the q219 discipline)
+    val rel = materializeConcurrently(Seq(
+      "text" -> (() => once(textPairs)),
+      "image" -> (() => once(graft.multimodal.ImagePhash
+        .nearDuplicatesAgainst(imgCorpus.filter(_.media_id >= 1000), imgIdx))),
+      "audio" -> (() => once(graft.multimodal.AudioFingerprint
+        .nearDuplicatesAgainst(audCorpus.filter(_.media_id >= 1000), audIdx))),
+      "video" -> (() => once(graft.multimodal.VideoFrames
+        .nearDuplicatesAgainst(vidCorpus.filter(_.media_id >= 1000), vidIdx)))))
     q227CapturedPairs.put(dir, rel.map { case (m, df) =>
       m -> df.as[(Long, Long)].collect().toSeq.sorted
     })

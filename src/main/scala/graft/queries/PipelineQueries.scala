@@ -725,16 +725,21 @@ object PipelineQueries {
     val docs = Tables.load(s, dir, "documents")
     val pool = docs.filter(col("doc_id") >= 10)
 
+    // two-level aggregate (the bigrams shape): per-(doc, token) counts
+    // partial-combine map-side and roll up — no countDistinct Expand
     val toks = shingleRows(pool, "doc_id", "text", n = 1)
+      .groupBy(col("sid"), col("sh")).agg(count(lit(1)).as("c"))
       .groupBy(col("sid"))
-      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("sh")).as("n_distinct"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"))
     val bigrams = shingleRows(pool, "doc_id", "text", n = 2)
       .groupBy(col("sid"), col("sh")).agg(count(lit(1)).as("c"))
       .groupBy(col("sid"))
       .agg(sum(col("c")).as("n_bigrams"), max(col("c")).as("top_bigram"))
     val evalGrams = shingleRows(docs.filter(col("doc_id") < 10), "doc_id", "text", n = 8)
       .select(col("sh")).distinct()
-    val contaminated = shingleRows(pool, "doc_id", "text", n = 8).distinct()
+    // broadcast prune BEFORE any distinct (the q65 stage-2 rule): the
+    // gram stream's dedup shuffle only ever sees eval-hit grams
+    val contaminated = shingleRows(pool, "doc_id", "text", n = 8)
       .join(broadcast(evalGrams), Seq("sh"))
       .select(col("sid")).distinct()
       .withColumn("is_contaminated", lit(true))

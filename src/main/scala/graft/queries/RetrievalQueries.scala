@@ -61,7 +61,11 @@ object RetrievalQueries {
     q82CapturedCents.put(dir, cents) // feeds the literal-injected oracle
     val planted = vecs.select(col("vec_id"), col("embedding"))
       .union(vecs.select((col("vec_id") + 1000000).as("vec_id"), col("embedding")))
+    // eager checkpoint: both self-join sides and the final spine read
+    // the assignment — without it the per-vector nearest-centroid scan
+    // runs three times
     val assigned = IvfIndex(cents).assign(planted)  // (vec_id, cell_id, emb)
+      .localCheckpoint(true)
     val dups = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell_id") === col("b.cell_id") && col("a.vec_id") > col("b.vec_id"))
@@ -170,10 +174,16 @@ object RetrievalQueries {
     val docs = Tables.load(s, dir, "documents")
     val toks = MinHashLSH.shingleRows(docs, "doc_id", "text", n = 1)
       .filter(col("sh") =!= "")
+    // checkpoints: dl feeds the corpus stats AND the score join, tf
+    // feeds the df margin AND the score join — without them the
+    // tokenize pass re-runs once per consumer (4 scans in the r21
+    // before-plan of q126, which composes this query)
     val dl = toks.groupBy(col("sid")).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
     val tf = toks.filter(col("sh").isin(Bm25Terms: _*))
       .groupBy(col("sid"), col("sh")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val df = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
     val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))

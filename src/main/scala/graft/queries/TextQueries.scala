@@ -677,9 +677,13 @@ object TextQueries {
   def q38RepetitionFilter(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.MinHashLSH.shingleRows
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+    // two-level aggregate (the bigrams shape below): per-(doc, token)
+    // counts partial-combine map-side and roll up — no countDistinct
+    // Expand doubling the exchanged rows
     val toks = shingleRows(docs, "doc_id", "text", n = 1)
+      .groupBy(col("sid"), col("sh")).agg(count(lit(1)).as("c"))
       .groupBy(col("sid"))
-      .agg(count(lit(1)).as("n_tokens"), countDistinct(col("sh")).as("n_distinct"))
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_distinct"))
     val bigrams = shingleRows(docs, "doc_id", "text", n = 2)
       .groupBy(col("sid"), col("sh")).agg(count(lit(1)).as("c"))
       .groupBy(col("sid"))
@@ -744,8 +748,12 @@ object TextQueries {
       .union(evalSet.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
     val evalGrams = shingleRows(evalSet, "doc_id", "text", n = 8)
       .select(col("sh")).distinct()
-    val overlap = shingleRows(train, "doc_id", "text", n = 8).distinct()
+    // broadcast prune BEFORE the (doc, gram) distinct (the q65 stage-2
+    // rule): the dedup shuffle only ever sees eval-hit grams, never the
+    // full corpus gram stream
+    val overlap = shingleRows(train, "doc_id", "text", n = 8)
       .join(broadcast(evalGrams), Seq("sh"))
+      .distinct()
       .groupBy(col("sid").as("doc_id"))
       .agg(count(lit(1)).as("overlap_grams"))
     train.select(col("doc_id"))
@@ -1057,11 +1065,16 @@ object TextQueries {
     */
   def q147SourceAttrition(s: SparkSession, dir: String): DataFrame = {
     val langs = Seq("en", "de", "es", "fr", "pt")
+    // checkpointed: the survivor aggregate and the attrition join both
+    // consume this relation — the regex-heavy quality score and the
+    // md5 fingerprint must evaluate once per doc, not twice; the
+    // materialized rows are narrow (no text column survives)
     val docs = Tables.load(s, dir, "documents")
       .select(col("source"), col("doc_id"), col("lang"),
         qualityScore(col("text")).as("q"), fingerprint(col("text")).as("fp"))
       .withColumn("lang_ok", col("lang").isin(langs.map(x => x: Any): _*))
       .withColumn("quality_ok", col("lang_ok") && col("q") >= 0.5)
+      .localCheckpoint(true)
     val reps = docs.filter(col("quality_ok"))
       .groupBy(col("fp")).agg(min(col("doc_id")).as("rep_id"))
     docs.join(reps, Seq("fp"), "left")

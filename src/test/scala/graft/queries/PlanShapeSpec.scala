@@ -507,19 +507,21 @@ class PlanShapeSpec extends SparkTestBase {
     assert(!p.contains("Join"), "delivery dedup is window-only, no self-join")
   }
 
-  test("q142 coverage never sorts the vocabulary — window runs at frequency-block grain") {
+  test("q142 coverage never sorts the vocabulary — no corpus scan past the block checkpoint") {
+    // r21: the frequency-block relation (tokenize + vocabulary
+    // aggregate + the tiny block-grain cumulative window) is eagerly
+    // checkpointed — it feeds the total, the candidate filter and the
+    // pick join. The final plan must read ONLY the checkpointed blocks
+    // (zero document scans — re-deriving the vocabulary per consumer
+    // was the r21 finding) and may sort nothing bigger than the
+    // ≤|distinct-frequency| candidate relation.
     val df = CorpusOpsQueries.q142VocabCoverage(spark, sf)
     val p = plan(df)
-    // the only Sort feeding a Window must sit ABOVE the block aggregate
-    // (grouping by c), i.e. the vocab-sized (w, c) relation is never
-    // range-partitioned: no Exchange rangepartitioning below the first
-    // hash aggregate on w
-    val rangeIdx = p.indexOf("rangepartitioning")
-    val wAggIdx = p.indexOf("Exchange hashpartitioning(sh")
-    assert(wAggIdx >= 0, s"vocabulary aggregate missing:\n$p")
-    assert(rangeIdx < 0 || rangeIdx < wAggIdx,
-      "a range partitioning below the vocab aggregate means the vocabulary was sorted:\n" +
-        p.linesIterator.filter(l => l.contains("Exchange")).mkString("\n"))
+    assert(countScans(p, "documents") == 0,
+      "a coverage consumer re-derived the vocabulary from the corpus:\n" +
+        p.linesIterator.filter(_.contains("Scan")).mkString("\n"))
+    assert(!p.contains("Window"),
+      "no window may run in the post-checkpoint tail")
   }
 
   test("q164 grouping sets plan ONE Expand over one scan — the 2-set cut of cube's 8") {
