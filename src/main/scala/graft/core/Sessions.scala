@@ -40,6 +40,18 @@ object Sessions {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // Join strategy (guide §3.1): let the planner pick shuffled-hash
+      // over sort-merge when a side's per-partition build fits — the
+      // engine's equi-joins key on md5-uniform hashes/ids where SMJ's
+      // sort is pure overhead, and AQE additionally rewrites SMJ→SHJ at
+      // runtime below the local-map threshold. Both knobs are
+      // env-overridable for clusters where per-task execution memory is
+      // tighter than local[32]'s (the SHJ build side must fit a task).
+      .config("spark.sql.join.preferSortMergeJoin",
+        sys.env.getOrElse("SPARK_GRAFT_PREFER_SMJ", "false"))
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_SHJ_LOCAL_MAX",
+          (64L * 1024 * 1024).toString))
       // TypedImperativeAggregates (topk_by, freq_tokens) run in
       // ObjectHashAggregate, which falls back to sort-based aggregation
       // past this many distinct keys per task — the default 128 would
