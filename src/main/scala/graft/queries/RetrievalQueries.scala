@@ -174,24 +174,38 @@ object RetrievalQueries {
     val docs = Tables.load(s, dir, "documents")
     val toks = MinHashLSH.shingleRows(docs, "doc_id", "text", n = 1)
       .filter(col("sh") =!= "")
-    // checkpoints: dl feeds the corpus stats AND the score join, tf
-    // feeds the df margin AND the score join — without them the
-    // tokenize pass re-runs once per consumer (4 scans in the r21
-    // before-plan of q126, which composes this query)
-    val dl = toks.groupBy(col("sid")).agg(count(lit(1)).as("dl"))
+    // ONE tokenize pass (the r21 rewrite — the prior dl/tf/df/stats
+    // derivation re-ran the tokenizer once per consumer, 4 scans in
+    // q126's before-plan): the fixed 3-term query set pivots into
+    // per-doc tf columns in the same doc-grain aggregate as the doc
+    // length, the corpus stats AND the per-term dfs collapse to ONE
+    // 1-row broadcast over that (checkpointed, text-free) relation,
+    // and scoring is a map-side 3-struct explode — no term join at
+    // all. Identical tf/df/dl/N inputs ⇒ identical micro terms.
+    val perDoc = toks.groupBy(col("sid"))
+      .agg(count(lit(1)).as("dl"),
+        Bm25Terms.zipWithIndex.map { case (t, i) =>
+          count(when(col("sh") === t, 1)).as(s"tf_$i")
+        }: _*)
       .localCheckpoint(true)
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot_dl"))
-    val tf = toks.filter(col("sh").isin(Bm25Terms: _*))
-      .groupBy(col("sid"), col("sh")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
-    val df = tf.groupBy(col("sh")).agg(count(lit(1)).as("df"))
+    val stats = perDoc.agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("tot_dl") +:
+        Bm25Terms.zipWithIndex.map { case (_, i) =>
+          count(when(col(s"tf_$i") > 0, 1)).as(s"df_$i")
+        }: _*)
     val avgdl = col("tot_dl").cast("double") / col("n_docs").cast("double")
     val idf = log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
     val termScore = idf * (col("tf") * lit(K1 + 1.0)) /
       (col("tf") + lit(K1) * (lit(1.0 - B) + lit(B) * col("dl") / avgdl))
-    tf.join(dl, Seq("sid"))
-      .join(broadcast(df), Seq("sh"))
-      .crossJoin(broadcast(stats))
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("sid"), col("dl"), col("n_docs"), col("tot_dl"),
+        explode(array(Bm25Terms.zipWithIndex.map { case (_, i) =>
+          struct(col(s"tf_$i").as("tf"), col(s"df_$i").as("df"))
+        }: _*)).as("e"))
+      .filter(col("e.tf") > 0)
+      .select(col("sid"), col("dl"), col("n_docs"), col("tot_dl"),
+        col("e.tf").as("tf"), col("e.df").as("df"))
       .withColumn("micro", floor(termScore * lit(1e6) + lit(0.5)).cast("long"))
       .groupBy(col("sid"))
       .agg(count(lit(1)).as("n_terms"), sum(col("micro")).as("msum"))
