@@ -27,7 +27,11 @@ object Decontaminate {
   val DefaultWindow = 8
 
   /** (dc_id, i, h): md5 of every w-word window, i = 0-based start. Docs
-    * shorter than w yield no windows (nothing to match).
+    * shorter than w yield no windows (nothing to match). h is the RAW
+    * 16-byte digest (`unhex(md5(..))`), not the 32-char hex string —
+    * the hash is internal (grouping/join key only, never output), and
+    * the binary form shuffles and stores ~40% fewer bytes per window
+    * row (guide §2.3 narrower types).
     */
   private[graft] def windowHashes(
       docs: DataFrame, idCol: String, textCol: String, w: Int): DataFrame =
@@ -36,7 +40,7 @@ object Decontaminate {
       .select(col("dc_id"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - w)).as("i"))
       .select(col("dc_id"), col("i"),
-        md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " ")).as("h"))
+        unhex(md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " "))).as("h"))
 
   /** The held-out side's distinct window hashes — the (persistable)
     * eval-gram set every training batch is cut against.

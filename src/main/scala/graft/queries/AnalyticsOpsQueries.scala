@@ -1453,11 +1453,16 @@ object AnalyticsOpsQueries {
       .join(edges.groupBy(col("src")).agg(sum(col("w")).as("outw")), "src")
       .localCheckpoint(true)
     val nodes = withOut.select(col("src").as("item")).distinct()
+    // the rank relations are deliberately NOT checkpointed: each
+    // iteration's pr has exactly ONE consumer (the next iteration) and
+    // the loop is a fixed 3 rounds, so the whole chain evaluates once,
+    // lazily, as a single job over the checkpointed withOut — four
+    // eager materialization jobs (init + 3 rounds) were pure per-job
+    // scheduling floor
     var pr = nodes
       .crossJoin(broadcast(nodes.agg(count(lit(1)).as("n"))))
       .select(col("item"),
         floor(lit(1e9) / col("n") + lit(0.5)).cast("long").as("prn"), col("n"))
-      .localCheckpoint(true)
     for (_ <- 1 to 3) {
       pr = withOut
         .join(pr.select(col("item").as("src"), col("prn"), col("n")), "src")
@@ -1469,7 +1474,6 @@ object AnalyticsOpsQueries {
         .select(col("dst").as("item"),
           (floor(lit(1.5e8) / col("n") + lit(0.5)).cast("long") + col("sc")).as("prn"),
           col("n"))
-        .localCheckpoint(true)
     }
     pr.select(col("item"), col("prn").as("pr_nano"))
       .orderBy(col("pr_nano").desc, col("item"))

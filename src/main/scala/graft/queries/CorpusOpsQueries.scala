@@ -580,29 +580,42 @@ object CorpusOpsQueries {
     * a long (the q77 spelling) before the ordering cut, with the
     * bigram string as the total-order tiebreak.
     *
-    * Scale shape: two hash aggregates (bigram counts via the n=2
-    * shingler, unigram counts via the n=1 shingler — both map-side
-    * partial first); the support filter c_xy ≥ 5 drops the singleton
-    * tail BEFORE the two vocabulary joins (joined on the token, not
-    * broadcast — a 100 TB vocabulary doesn't fit an executor; the q56
-    * argument); N is a 1-row broadcast; top-100 is
-    * TakeOrderedAndProject, never a global sort.
+    * Scale shape: ONE tokenize pass and ONE hash aggregate — unigrams
+    * and bigrams are pulled from the same normalized text in a single
+    * projection (the two shingler regexes share the normalize) and
+    * counted together (a bigram contains a space, a unigram cannot, so
+    * the gram string itself carries the kind; map-side partial combine
+    * applies as before). Singleton bigrams — the mass of the key
+    * space — are dropped BEFORE the checkpoint, so the materialized
+    * relation is vocabulary + supported-bigram sized, not corpus
+    * sized. The margins are joined on the token, not broadcast — a
+    * 100 TB vocabulary doesn't fit an executor (the q56 argument); N
+    * is a 1-row broadcast; top-100 is TakeOrderedAndProject, never a
+    * global sort.
     */
   def q117PmiCollocations(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(s, dir, "documents")
-    // checkpointed: both PMI margin joins (w1, w2) and the token total
-    // read the unigram counts — one tokenize pass; n_tokens is the sum
-    // of the counts, not a third pass over the corpus
-    val uni = tokenRows(docs)
-      .groupBy(col("sh").as("tok")).agg(count(lit(1)).as("c"))
+    // one normalized-text projection; the nrm alias keeps projection
+    // collapse from re-evaluating the normalize per regex
+    val nrm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    // the shingler patterns at n=1 and n=2 (MinHashLSH.shingleRows),
+    // minus the whole-text fallback: blank docs match neither pattern
+    // (the former `sh =!= ""` filter), and a 1-token doc's fallback
+    // shingle was dropped by the size(parts)=2 filter anyway
+    val grams = docs
+      .select(nrm.as("nrm"))
+      .select(explode(concat(
+        regexp_extract_all(col("nrm"), lit("(?:^| )(?=([^ ]+))"), lit(1)),
+        regexp_extract_all(col("nrm"), lit("(?:^| )(?=([^ ]+ [^ ]+))"), lit(1)))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(!col("g").contains(" ") || col("c") >= 5)
       .localCheckpoint(true)
+    val uni = grams.filter(!col("g").contains(" ")).select(col("g").as("tok"), col("c"))
     val nTok = uni.agg(sum(col("c")).as("n_tokens"))
-    val bi = MinHashLSH.shingleRows(docs, "doc_id", "text", n = 2)
-      .select(split(col("sh"), " ").as("parts"))
-      .filter(size(col("parts")) === 2) // drops the <2-token whole-text fallback
-      .select(col("parts").getItem(0).as("w1"), col("parts").getItem(1).as("w2"))
-      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_xy"))
-      .filter(col("c_xy") >= 5)
+    val bi = grams.filter(col("g").contains(" "))
+      .select(split(col("g"), " ").as("parts"), col("c").as("c_xy"))
+      .select(col("parts").getItem(0).as("w1"), col("parts").getItem(1).as("w2"),
+        col("c_xy"))
     bi
       .join(uni.select(col("tok").as("w1"), col("c").as("c_x")), "w1")
       .join(uni.select(col("tok").as("w2"), col("c").as("c_y")), "w2")

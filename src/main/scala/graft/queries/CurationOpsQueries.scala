@@ -393,25 +393,32 @@ object CurationOpsQueries {
     * — a training-data cutter wants those spans too.
     *
     * Scale shape: window generation is `sequence`+`explode`+`slice`
-    * (zero shuffles); occurrence counts via a count window keyed by
-    * md5(window) — ONE data-sized shuffle, hash-uniform by
-    * construction, moving (doc_id, pos, hash) and never the window
-    * string; span merge is a per-doc lag/sum window over the flagged
-    * subset only. The q78 discipline at stride 1: rows shuffled ≈ total
-    * corpus words, each constant-width.
+    * (zero shuffles); the duplicated-hash inventory is an AGGREGATE
+    * with map-side partial combine joined back onto the window stream
+    * (the dedupCutOf/r21 discipline — the former count WINDOW keyed by
+    * the hash shuffled AND SORTED every window row), with the c > 1
+    * filter dropping the unique-window long tail before the join-back
+    * (broadcast-size on ordinary corpora); the hash is the raw 16-byte
+    * digest, never the hex string, and never the window text; span
+    * merge is a per-doc lag/sum window over the flagged subset only.
+    * The q78 discipline at stride 1: rows shuffled ≈ total corpus
+    * words, each constant-width.
     */
   def q84DuplicateSpans(s: SparkSession, dir: String): DataFrame = {
     val w = 8
+    // checkpointed: the duplicated-hash aggregate and the flag join
+    // both consume the window relation — one md5 pass, not two
     val wins = Tables.load(s, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .filter(size(col("ws")) >= w)
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - w)).as("i"))
       .select(col("doc_id"), col("i"),
-        md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " ")).as("h"))
-    val flagged = wins
-      .withColumn("c", count(lit(1)).over(Window.partitionBy(col("h"))))
-      .filter(col("c") > 1)
+        unhex(md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " "))).as("h"))
+      .localCheckpoint(true)
+    val dupH = wins.groupBy(col("h")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("h"))
+    val flagged = wins.join(dupH, Seq("h"))
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("i"))
     flagged
       .withColumn("prev", lag(col("i"), 1).over(byDoc))
@@ -474,8 +481,11 @@ object CurationOpsQueries {
       .filter(size(col("ws")) >= w)
       .select(col("source"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - w)).as("i"))
+      // raw 16-byte digest (internal key only): the distinct, the
+      // checkpoint and the self-join all carry ~40% fewer bytes than
+      // the 32-char hex string (guide §2.3 narrower types)
       .select(col("source"),
-        md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " ")).as("h"))
+        unhex(md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " "))).as("h"))
       .distinct()
       // eager checkpoint: the per-source sizes and BOTH sides of the
       // h self-join consume this relation — without it the explode +
@@ -574,8 +584,11 @@ object CurationOpsQueries {
     val wins = words.filter(size(col("ws")) >= w)
       .select(col("doc_id"), col("ws"),
         explode(sequence(lit(0), size(col("ws")) - w)).as("i"))
+      // raw 16-byte digest, not the hex string: h is internal (key
+      // only), and the binary form checkpoints and shuffles ~40% fewer
+      // bytes per window row (guide §2.3 narrower types)
       .select(col("doc_id"), col("i"),
-        md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " ")).as("h"))
+        unhex(md5(array_join(slice(col("ws"), col("i") + 1, lit(w)), " "))).as("h"))
       .localCheckpoint(true)
     // duplicated-window inventory as an AGGREGATE, not a window: the
     // former count + row_number pair shuffled and SORTED every window
@@ -894,33 +907,29 @@ object CurationOpsQueries {
     val words = train.select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("n", size(col("ws")))
       .withColumn("nt", floor(col("n") / w).cast("int"))
-    // two-level aggregate instead of a first-occurrence window (the
-    // q129 rewrite): level 1 collapses to one row per (doc, tile-hash)
-    // with map-side partial combine — the kept tile is min (i, tile)
-    // of its group, so tile text crosses the exchange once per
-    // DISTINCT tile, and nothing sorts; level 2 rolls up per doc
-    val agg0 = words.filter(col("nt") > 0)
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0), col("nt") - 1)).as("i"))
-      .select(col("doc_id"), col("i"),
-        array_join(slice(col("ws"), col("i") * w + 1, lit(w)), " ").as("tile"))
-      .groupBy(col("doc_id"), md5(col("tile")).as("h"))
-      .agg(count(lit(1)).as("c"), min(struct(col("i"), col("tile"))).as("m"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tiles"),
-        count(lit(1)).as("kept_tiles"),
-        array_join(transform(
-          array_sort(collect_list(col("m"))),
-          x => x.getField("tile")), " ").as("ktext"))
+    // stage 0 is IN-ROW (the q129 rewrite): a document's tiles, their
+    // first-occurrence dedup (`array_distinct` keeps exactly the first
+    // occurrence of each tile, in order — the former (doc, tile-hash)
+    // min-index aggregate) and the rebuilt text are per-doc functions
+    // of its own word array, so the whole stage is one map-side
+    // projection — no explode of tile rows, no exchanges, no
+    // tile-text shuffle. The explode(array(...)) barrier materializes
+    // the deduped tile array once per row (projection collapse would
+    // otherwise re-evaluate the per-tile transform per consumer).
     val tailCol = array_join(
       slice(col("ws"), col("nt") * w + 1, col("n") - col("nt") * w), " ")
-    val stage0 = words.join(agg0, Seq("doc_id"), "left")
+    val stage0 = words
+      .select(col("doc_id"), col("ws"), col("n"), col("nt"),
+        explode(array(when(col("nt") > 0, array_distinct(transform(
+          sequence(lit(0), col("nt") - 1),
+          i => array_join(slice(col("ws"), i * w + 1, lit(w)), " ")))))).as("kept"))
       .select(col("doc_id"), col("n").cast("long").as("words_total0"),
-        coalesce(lit(w.toLong) * (col("n_tiles") - col("kept_tiles")), lit(0L))
+        when(col("kept").isNull, lit(0L))
+          .otherwise(lit(w.toLong) * (col("nt").cast("long") - size(col("kept"))))
           .as("words_intra_cut"),
-        when(col("n_tiles").isNull, array_join(col("ws"), " "))
+        when(col("kept").isNull, array_join(col("ws"), " "))
           .otherwise(concat_ws(" ",
-            when(col("ktext") =!= "", col("ktext")),
+            when(array_join(col("kept"), " ") =!= "", array_join(col("kept"), " ")),
             when(tailCol =!= "", tailCol))).as("text0"))
       .localCheckpoint(true)
     val stage1 = dedupCutOf(stage0.select(col("doc_id"), col("text0").as("text")))
@@ -1373,47 +1382,46 @@ object CurationOpsQueries {
     * fingerprint of the kept tile sequence IN ORDER, so the oracle
     * certifies the surviving content and its order, not just counts.
     *
-    * Scale shape: tiling is map-side (q78 pattern); first-occurrence
-    * detection is a two-level aggregate — (doc, tile-hash) grain first
-    * (map-side partial combine; one row per distinct tile survives the
-    * exchange, never every tile row, and nothing sorts), then the
-    * per-doc rollup; intra-doc state only, so keys are as fine as the
-    * corpus is wide and no global structure exists; the ordered
-    * fingerprint is the q113 collect_list + array_sort idiom with
-    * per-doc bounded state.
+    * Scale shape: the whole cut is IN-ROW — tiles, first-occurrence
+    * dedup and the ordered fingerprint are per-document functions of
+    * that document's word array alone, so they compute inside one
+    * map-side projection (`array_distinct` keeps exactly the first
+    * occurrence of each tile, in first-occurrence order — identical to
+    * the former (doc, tile-hash) min-index aggregate, whose two
+    * exchanges shipped one row per distinct tile); nothing shuffles
+    * but the final presentation sort. Per-doc state is bounded by doc
+    * length, so the shape holds at any corpus width. The planted union
+    * rides the same scan via an in-row 2-struct explode instead of a
+    * second parquet pass over the text column.
     */
   def q129IntraDocDedup(s: SparkSession, dir: String): DataFrame = {
     val w = 8
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-    val planted = docs.union(
-      docs.select((col("doc_id") + 1000000).as("doc_id"),
-        concat(col("text"), lit(" "), col("text")).as("text")))
-    val tiles = planted
+    val planted = docs
+      .select(explode(array(
+        struct(col("doc_id"), col("text")),
+        struct((col("doc_id") + 1000000).as("doc_id"),
+          concat(col("text"), lit(" "), col("text")).as("text")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
+    // the explode(array(...)) barrier materializes the deduped tile
+    // array once per row — without it, projection collapse would
+    // re-evaluate the per-tile md5 transform for every consumer
+    planted
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("nt", floor(size(col("ws")) / w).cast("int"))
       .filter(col("nt") > 0)
-      .select(col("doc_id"), col("ws"),
-        explode(sequence(lit(0), col("nt") - 1)).as("i"))
-      .select(col("doc_id"), col("i"),
-        md5(array_join(slice(col("ws"), col("i") * w + 1, lit(w)), " ")).as("h"))
-    // two-level aggregate instead of a first-occurrence window: level 1
-    // collapses to one row per (doc, tile-hash) — count + first index —
-    // with map-side partial combine (the window form shuffled and
-    // sorted EVERY tile row); level 2 rolls those up per doc. A kept
-    // tile IS a (doc, h) group (at i = min i), so kept_tiles =
-    // group count and the ordered fingerprint sorts by first_i —
-    // identical to the window spelling's (i, h) sort over kept rows.
-    tiles
-      .groupBy(col("doc_id"), col("h"))
-      .agg(count(lit(1)).as("c"), min(col("i")).as("first_i"))
-      .groupBy(col("doc_id"))
-      .agg(sum(col("c")).as("n_tiles"),
-        count(lit(1)).as("kept_tiles"),
-        (sum(col("c")) - count(lit(1))).as("cut_tiles"),
-        md5(array_join(
-          transform(
-            array_sort(collect_list(struct(col("first_i"), col("h")))),
-            x => x.getField("h")), " ")).as("kept_fp"))
+      .select(col("doc_id"), col("nt").cast("long").as("n_tiles"),
+        // dedup on tile TEXT first, md5 only the kept tiles — identical
+        // key mapping (the oracle's h = md5(tile) grouping), one md5
+        // per KEPT tile instead of one per tile
+        explode(array(transform(array_distinct(transform(
+          sequence(lit(0), col("nt") - 1),
+          i => array_join(slice(col("ws"), i * w + 1, lit(w)), " "))),
+          t => md5(t)))).as("kept"))
+      .select(col("doc_id"), col("n_tiles"),
+        size(col("kept")).cast("long").as("kept_tiles"),
+        (col("n_tiles") - size(col("kept")).cast("long")).as("cut_tiles"),
+        md5(array_join(col("kept"), " ")).as("kept_fp"))
       .orderBy(col("doc_id"))
   }
 

@@ -421,8 +421,13 @@ object RelationalQueries {
     *
     * Scale shape: one lineitem→order hash aggregate (max shipdate per
     * order — map-side combining), an equi-join to orders on the key
-    * both sides already hash on, then the per-priority rank window
-    * (q30's honest exact-percentile cost; q31 is the approx swap).
+    * both sides already hash on, then the exact percentiles via a
+    * (priority, lead_days)-grain COUNT aggregate (map-side combining;
+    * lead-time days are a small integer domain, so the aggregate is
+    * tiny) with a running-sum window over that tiny relation — the
+    * value at rank k is min(lead_days | cumulative ≥ k), identical to
+    * the former per-priority rank window that shuffled and sorted
+    * EVERY order row into one reducer per priority class.
     */
   def q198FulfillmentSla(s: SparkSession, dir: String): DataFrame = {
     val lastShip = Tables.load(s, dir, "lineitem")
@@ -437,15 +442,21 @@ object RelationalQueries {
       .select(col("o_orderpriority"), col("o_orderkey"),
         (col("ship_day") - col("order_day")).as("lead_days"))
     val byPrio = Window.partitionBy(col("o_orderpriority"))
+    // (priority, lead_days) counts: the only corpus-sized exchange, with
+    // map-side partial combine; ranks become cumulative counts over the
+    // tiny aggregate — min(lead_days | cum ≥ k) IS the k-th smallest
+    // value (ties share a value, so the orderkey tiebreak is moot)
     lead
-      .withColumn("r", row_number()
-        .over(byPrio.orderBy(col("lead_days"), col("o_orderkey"))).cast("long"))
-      .withColumn("n", count(lit(1)).over(byPrio).cast("long"))
+      .groupBy(col("o_orderpriority"), col("lead_days"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum", sum(col("cnt"))
+        .over(byPrio.orderBy(col("lead_days"))).cast("long"))
+      .withColumn("n", sum(col("cnt")).over(byPrio).cast("long"))
       .groupBy(col("o_orderpriority"))
       .agg(max(col("n")).as("n_orders"),
-        min(when(col("r") >= expr("(n + 1) div 2"), col("lead_days")))
+        min(when(col("cum") >= expr("(n + 1) div 2"), col("lead_days")))
           .as("p50_days"),
-        min(when(col("r") >= expr("(9 * n + 9) div 10"), col("lead_days")))
+        min(when(col("cum") >= expr("(9 * n + 9) div 10"), col("lead_days")))
           .as("p90_days"))
       .orderBy(col("o_orderpriority"))
   }
@@ -998,7 +1009,14 @@ object RelationalQueries {
     * here; at 100 TB swap `approx_percentile` (the q30→q31 ladder).
     */
   def q156FunnelTiming(s: SparkSession, dir: String): DataFrame = {
+    // eagerly checkpointed, projected to the three stage timestamps:
+    // each leg consumes the funnel twice (histogram + total), so the
+    // lazy form re-ran the whole q102 session pipeline FOUR times
+    // (8 document scans / 40 Window nodes in the r22 before-plan); the
+    // materialized relation is one narrow row per session
     val f = q102SessionFunnel(s, dir)
+      .select(col("t_view"), col("t_click"), col("t_purchase"))
+      .localCheckpoint(true)
     // the q137 discrete-quantile convention: smallest delta whose
     // cumulative count reaches ⌈p·n⌉ — pure integer µs, no
     // interpolation to drift between engines (an interpolated

@@ -615,24 +615,31 @@ object TextQueries {
     * with novelty ≈ 0 is pure recombination). Integer micro ratio over
     * exact distinct-gram counts.
     *
-    * Scale shape: distinct (doc, gram) relation → one hash-aggregate
-    * per gram for the min-doc owner → equi-join back at gram grain →
-    * per-doc aggregate. Two shuffles on the uniform gram hash, one on
-    * doc_id; no arrays or windows, no quadratic anything.
+    * Scale shape: per-doc distinct-gram totals are IN-ROW
+    * (size(array_distinct) over the doc's own shingle array — the
+    * former corpus-wide (doc, gram) distinct + eager checkpoint
+    * existed only to serve this consumer a second time), and the
+    * min-doc owner aggregate reads the raw shingle stream directly
+    * (min() is duplicate-insensitive, so the distinct pass adds
+    * nothing) with map-side partial combine. One shuffle on the
+    * uniform gram hash, one on doc_id; no arrays or windows, no
+    * quadratic anything, no materialization.
     */
   def q167NgramNovelty(s: SparkSession, dir: String): DataFrame = {
     import graft.dedup.MinHashLSH.shingleRows
     val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
-    // computed twice below (per-doc totals, first-owner) — pin it so the
-    // regex explode runs once
-    val sh = shingleRows(docs, "doc_id", "text", n = 3).distinct()
-      .localCheckpoint(true)
-    val perDoc = sh.groupBy(col("sid").as("doc_id"))
-      .agg(count(lit(1)).as("n_grams"))
+    // the n=3 shingler expression, in-row (the shingleRows pattern,
+    // including its whole-text fallback for docs shorter than 3 tokens)
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val grams3 = regexp_extract_all(norm, lit("(?:^| )(?=([^ ]+ [^ ]+ [^ ]+))"), lit(1))
+    val perDoc = docs.select(col("doc_id"),
+      size(array_distinct(when(size(grams3) === 0, array(norm)).otherwise(grams3)))
+        .cast("long").as("n_grams"))
     // novel counts WITHOUT a gram-grain join back: a gram is novel for
     // exactly the doc that owns its min id, so the owner aggregate IS
     // the per-doc novel count
-    val novel = sh.groupBy(col("sh")).agg(min(col("sid")).as("first_id"))
+    val novel = shingleRows(docs, "doc_id", "text", n = 3)
+      .groupBy(col("sh")).agg(min(col("sid")).as("first_id"))
       .groupBy(col("first_id").as("doc_id"))
       .agg(count(lit(1)).as("n_novel"))
     perDoc.join(novel, Seq("doc_id"), "left")
