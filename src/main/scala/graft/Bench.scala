@@ -303,8 +303,18 @@ object Bench {
     // tail budget, drop trailing entries (full fidelity lives in the detail
     // file) and say how many were omitted. Never exceeds ~1900 bytes, so
     // the driver's 2 KB tail always parses it.
+    //
+    // Entries are ordered by DESCENDING time (round 22, VERDICT item 2):
+    // with ~60 entries fitting the tail budget, first-by-name emission
+    // blinded the round-over-round compare to every query outside
+    // q01–q148 — including the rounds' largest wins (q150, q95, q34...).
+    // Ordering by time makes the emitted window the most expensive (and
+    // thus most optimization-relevant) queries; what drops out is the
+    // sub-second floor-bound tail. The JSON object shape, key names,
+    // values and the detail file are unchanged — only the emission
+    // order (and hence which entries survive truncation) differs.
     def fmt3(v: Double): String = f"$v%.3f"
-    val compactEntries = ok.map { case (k, v, _, _, _) => s"${jstr(k)}:${fmt3(v)}" }
+    val compactEntries = ok.sortBy(-_._2).map { case (k, v, _, _, _) => s"${jstr(k)}:${fmt3(v)}" }
     val errCount = results.count(_._4.isDefined)
     def compactLine(entries: Seq[String], omitted: Int): String =
       s"""{"metric":"total","value":${fmt3(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"queries_omitted":$omitted,"queries_n":${results.size},"errors_n":$errCount,"detail":${jstr(detail)},"sf":${jstr(sfDir)}}"""
