@@ -21,9 +21,11 @@ import org.apache.spark.sql.functions._
   * clusters in practice (a handful of rounds); a pathological long
   * chain degrades to O(diameter) rounds, the standard trade against
   * the more complex large-star/small-star scheme, which this API could
-  * swap in without changing callers. Labels are localCheckpointed per
-  * round so lineage (and its recompute hazard) never grows with the
-  * iteration count.
+  * swap in without changing callers. Each round's labels are persisted
+  * and counted in ONE job (materialization and convergence test share
+  * it); lineage is truncated with a localCheckpoint every 8 rounds and
+  * once at the end, so neither the recompute hazard nor planning cost
+  * grows unbounded with the iteration count.
   *
   * No reference analogue (the reference has no dedup at all) — this is
   * north-star surface for the 100 TB training-data pipeline.
@@ -37,39 +39,74 @@ object DedupClusters {
     * [[deduplicate]] does exactly that).
     */
   def components(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    // symmetric edge list: propagation must flow both ways
-    val a = pairs.select(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst"))
-    val edges = a.union(a.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
-
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint(true)
-    var round = 0
-    var converged = false
-    while (!converged && round < maxRounds) {
-      // candidate label for each node: min over neighbors' labels. The
-      // previous label rides along, so the convergence test is a filter
-      // over the already-checkpointed round result — no extra join/job
-      // lineage per round
-      val viaNeighbors = edges
-        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-        .groupBy(col("src").as("id"))
-        .agg(min(col("component")).as("nbr_component"))
-      val stepped = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"), col("component").as("prev"),
-          least(col("component"), coalesce(col("nbr_component"), col("component")))
-            .as("component"))
-        .localCheckpoint(true)
-      converged = stepped.filter(col("component") =!= col("prev")).isEmpty
-      labels = stepped.select(col("id"), col("component"))
-      round += 1
+    // Symmetric edge list from ONE scan of the pair relation (explode,
+    // not a two-scan union), cached for the rounds. No distinct — min-
+    // label propagation is duplicate-insensitive, and the callers' pair
+    // relations are distinct by construction anyway, so the dedup
+    // exchange bought nothing.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").cast("long").as("src"), col("id_b").cast("long").as("dst")),
+        struct(col("id_b").cast("long").as("src"), col("id_a").cast("long").as("dst"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .persist()
+    var prevRound: DataFrame = null
+    try {
+      var labels: DataFrame = null
+      var round = 0
+      var converged = false
+      while (!converged && round < maxRounds) {
+        // candidate label for each node: min over neighbors' labels,
+        // with the previous label riding along. Both label joins are
+        // broadcast/tiny-side in practice, so the round's one real
+        // exchange is the groupBy — and ONE job per round: the round
+        // result is persisted and the changed-row count both fills the
+        // cache and decides convergence (the former localCheckpoint +
+        // isEmpty pair paid two jobs per round). Round 1 needs no label
+        // relation at all — every node's initial label IS its id, so
+        // the first hop is a single aggregate over the edge list.
+        val stepped =
+          if (round == 0)
+            edges.groupBy(col("dst").as("id"))
+              .agg(min(col("src")).as("nbr"))
+              .select(col("id"), col("id").as("prev"),
+                least(col("id"), col("nbr")).as("component"))
+          else {
+            val viaNeighbors = edges
+              .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+              .groupBy(col("src").as("id"))
+              .agg(min(col("component")).as("nbr_component"))
+            labels.join(viaNeighbors, Seq("id"), "left")
+              .select(col("id"), col("component").as("prev"),
+                least(col("component"), coalesce(col("nbr_component"), col("component")))
+                  .as("component"))
+          }
+        stepped.persist()
+        converged = stepped.filter(col("component") =!= col("prev")).count() == 0L
+        if (prevRound != null) prevRound.unpersist(false)
+        prevRound = stepped
+        labels = stepped.select(col("id"), col("component"))
+        // cached plans still carry full lineage; truncate it every few
+        // rounds so a deep-diameter graph can't grow planning cost
+        // quadratically (cached data makes the checkpoint scan cheap)
+        if (round % 8 == 7) {
+          labels = labels.localCheckpoint(true)
+          prevRound.unpersist(false)
+          prevRound = null
+        }
+        round += 1
+      }
+      require(converged, s"label propagation did not converge in $maxRounds rounds " +
+        "(component diameter exceeds the budget — raise maxRounds)")
+      // hand back an owned, lineage-free relation so every cached round
+      // (and the edge list) can be dropped here instead of leaking past
+      // the call
+      labels.localCheckpoint(true)
+    } finally {
+      edges.unpersist(false)
+      if (prevRound != null) prevRound.unpersist(false)
     }
-    require(converged, s"label propagation did not converge in $maxRounds rounds " +
-      "(component diameter exceeds the budget — raise maxRounds)")
-    labels
   }
 
   /** The dedup decision: drop every doc whose component has a
