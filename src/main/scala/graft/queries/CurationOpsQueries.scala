@@ -596,25 +596,33 @@ object CurationOpsQueries {
     // the c > 1 filter drops the unique-window long tail BEFORE the
     // flag join (broadcast-size on ordinary corpora, md5-uniform
     // equi-join otherwise), and the canonical occurrence is the min
-    // (doc_id, i) struct — exactly row_number() = 1 under that order,
-    // since each occurrence's (doc_id, i) is unique within its h
+    // (doc_id, i) — exactly row_number() = 1 under that order, since
+    // each occurrence's (doc_id, i) is unique within its h. The pair
+    // is PACKED into one long (doc_id << 24 | i): min(struct) is not a
+    // HashAggregate-mutable buffer type, so the struct form silently
+    // planned as SortAggregate — a full sort of the window relation,
+    // the exact cost this aggregate exists to avoid. Packed-long min
+    // is lexicographic-equivalent while doc_id < 2^39 and i < 2^24
+    // (16M words/doc) — far beyond any real corpus shard's bounds.
+    val packed = shiftleft(col("doc_id"), 24) + col("i")
     val dups = wins.groupBy(col("h"))
-      .agg(count(lit(1)).as("c"),
-        min(struct(col("doc_id"), col("i"))).as("m"))
+      .agg(count(lit(1)).as("c"), min(packed).as("m"))
       .filter(col("c") > 1)
       .select(col("h"), col("m"))
     val cover = wins.join(dups, Seq("h"))
-      .select(col("doc_id"),
-        (struct(col("doc_id"), col("i")) === col("m")).as("canon"),
+      .select(col("doc_id"), (packed === col("m")).as("canon"),
         explode(sequence(col("i"), col("i") + lit(w - 1))).as("p"))
     // per-doc cut-position SET: covered positions where some
     // non-canonical duplicate window lands and no canonical window
-    // protects — aggregated to one array per affected doc
-    val cutArr = cover.groupBy(col("doc_id"), col("p"))
-      .agg(max(when(!col("canon"), 1).otherwise(0)).as("has_dup"),
-        max(when(col("canon"), 1).otherwise(0)).as("has_canon"))
-      .filter(col("has_dup") === 1 && col("has_canon") === 0)
-      .groupBy(col("doc_id")).agg(collect_set(col("p")).as("ps"))
+    // protects — ONE doc-keyed aggregate (dup-covered minus
+    // canon-covered position sets, identical membership to the former
+    // (doc, p)-grain has_dup/has_canon filter) instead of two
+    // exchanges; cover is duplicate-window volume only, and a doc's
+    // position set is bounded by its own length
+    val cutArr = cover.groupBy(col("doc_id"))
+      .agg(array_except(
+        collect_set(when(!col("canon"), col("p"))),
+        collect_set(when(col("canon"), col("p")))).as("ps"))
     // doc-grain rebuild (guide §8; the Decontaminate.cut twin): kept
     // positions = sequence(0, n-1) minus the cut set — array_except
     // preserves order and hashes ps per row, element_at is O(1) — so
