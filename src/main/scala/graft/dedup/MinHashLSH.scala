@@ -76,17 +76,24 @@ object MinHashLSH {
     * (including the empty-string row for blank docs, matching
     * `concat_ws` over an empty token array).
     */
-  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("sid"), explode(shingleArray(col(textCol), n)).as("sh"))
+
+  /** The in-row (possibly duplicated) shingle array [[shingleRows]]
+    * explodes — exposed so per-doc-local consumers (q26's self-pair
+    * Jaccard) can stay entirely in-row instead of exploding to rows
+    * and shuffling the shingle strings back together.
+    */
+  def shingleArray(textCol: Column, n: Int): Column = {
     require(n >= 1, s"shingle size n=$n must be >= 1")
     // lower+collapse-whitespace BEFORE trim so non-space whitespace
     // (tabs/newlines) at the edges is also trimmed; tokens are then
     // exactly TextFunctions.tokens' split("\\s+") non-empty tokens,
     // single-space-joined.
-    val norm = trim(regexp_replace(lower(col(textCol)), "\\s+", " "))
+    val norm = trim(regexp_replace(lower(textCol), "\\s+", " "))
     val pat = "(?:^| )(?=(" + ("[^ ]+ " * (n - 1)) + "[^ ]+))"
     val grams = regexp_extract_all(norm, lit(pat), lit(1))
-    docs.select(col(idCol).as("sid"),
-      explode(when(size(grams) === 0, array(norm)).otherwise(grams)).as("sh"))
+    when(size(grams) === 0, array(norm)).otherwise(grams)
   }
 
   /** Deterministic multiply-shift coefficients for the k universal

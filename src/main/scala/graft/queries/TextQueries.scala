@@ -152,12 +152,21 @@ object TextQueries {
     * same shingle sets with list functions).
     */
   def q26NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    import graft.dedup.MinHashLSH.jaccardTexts
-    val withVariant = Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("text"),
-        concat(col("text"), lit(" planted near duplicate marker")).as("text_b"))
-    jaccardTexts(withVariant, "doc_id", "text", "text_b", n = 3)
-      .withColumnRenamed("js_id", "doc_id")
+    import graft.dedup.MinHashLSH.shingleArray
+    // both shingle sets are functions of the SAME row's text, so the
+    // whole Jaccard is one in-row projection (array_intersect over the
+    // distinct sets; |∪| = |sa|+|sb|−|∩|) — the former jaccardTexts
+    // call exploded both sides to (doc, shingle) rows and paid two
+    // corpus-sized string shuffles to regroup what never left the row
+    val sa = array_distinct(shingleArray(col("text"), 3))
+    val sb = array_distinct(shingleArray(
+      concat(col("text"), lit(" planted near duplicate marker")), 3))
+    Tables.load(s, dir, "documents")
+      .select(col("doc_id"), sa.as("sa"), sb.as("sb"))
+      .select(col("doc_id"), size(array_intersect(col("sa"), col("sb"))).as("ni"),
+        size(col("sa")).as("na"), size(col("sb")).as("nb"))
+      .select(col("doc_id"),
+        (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
       .orderBy(col("doc_id"))
   }
 
