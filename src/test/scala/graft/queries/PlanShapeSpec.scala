@@ -643,6 +643,38 @@ class PlanShapeSpec extends SparkTestBase {
         p.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("SHJ preference is stats-bounded: an over-bound build side still plans SortMergeJoin") {
+    // Sessions sets preferSortMergeJoin=false (guide §3.1): the planner
+    // may statically pick ShuffledHashJoin, whose build-side hash map
+    // does not spill — safe only because the pick is bounded by
+    // canBuildLocalHashMap (stats < autoBroadcastJoinThreshold ×
+    // shuffle.partitions = 64 MB × cores here). This locks the safety
+    // story the r21 ADVICE flagged: a join where BOTH sides' stats
+    // exceed the bound (and neither is 3× smaller) must fall back to
+    // sort-merge, which spills gracefully. spark.range carries exact
+    // size stats, so the bound is exercised deterministically with no
+    // data materialized.
+    import spark.implicits._
+    val bound = spark.conf.get("spark.sql.autoBroadcastJoinThreshold").toLong *
+      spark.conf.get("spark.sql.shuffle.partitions").toLong
+    val rows = bound / 8 * 2 // 2× over the local-map bound at 8 B/row
+    val big1 = spark.range(rows).toDF("id")
+    val big2 = spark.range(rows).withColumnRenamed("id", "id2")
+    val over = plan(big1.join(big2, $"id" === $"id2"))
+    assert(over.contains("SortMergeJoin"),
+      s"an over-bound build side must plan SMJ, got:\n" +
+        over.linesIterator.filter(_.contains("Join")).mkString("\n"))
+    // and the optimization itself stays on: an in-bound, non-broadcastable
+    // build side (> 64 MB broadcast threshold, < the local-map bound,
+    // 3× smaller than the probe side) plans ShuffledHashJoin
+    val build = spark.range(bound / 8 / 16).toDF("id") // bound/16: safely in-bound
+    val probe = spark.range(rows).withColumnRenamed("id", "id2")
+    val in = plan(build.join(probe, $"id" === $"id2"))
+    assert(in.contains("ShuffledHashJoin"),
+      s"an in-bound build side should plan SHJ, got:\n" +
+        in.linesIterator.filter(_.contains("Join")).mkString("\n"))
+  }
+
   test("q111 fuzzy dedup: block-keyed equi-joins under a width aggregate — no nested loops, no window") {
     // the r19 finding: an uncapped prefix block is s²/2 on one key. The
     // r21 shape computes block width/min as a map-side-combined
