@@ -567,7 +567,7 @@ object CurationOpsQueries {
     * after the c > 1 prefilter — never a sort of the window relation.
     */
   def q87DedupCut(s: SparkSession, dir: String): DataFrame =
-    dedupCutOf(Tables.load(s, dir, "documents"))
+    dedupCutOf(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))
 
   /** q87's cut over an arbitrary (doc_id, text) relation — the same
     * word-grain canonical-copy dedup applied to a corpus SLICE (q94
@@ -636,8 +636,11 @@ object CurationOpsQueries {
       .select(col("doc_id"), col("words_total"),
         (col("words_total") - size(col("kw")).cast("long")).as("words_cut"),
         array_join(col("kw"), " ").as("kept_text"))
-      .orderBy(col("doc_id"))
   }
+  // UNSORTED: q87 orders at its own tail; the pipeline callers
+  // (q94/q150) checkpoint this relation and re-order their final
+  // ledgers anyway — sorting here made the checkpoint pay a full
+  // range exchange + sort of the rebuilt text for nothing
 
   val q87Sql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
