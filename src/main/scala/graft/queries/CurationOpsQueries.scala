@@ -567,7 +567,7 @@ object CurationOpsQueries {
     * after the c > 1 prefilter — never a sort of the window relation.
     */
   def q87DedupCut(s: SparkSession, dir: String): DataFrame =
-    dedupCutOf(Tables.load(s, dir, "documents")).orderBy(col("doc_id"))
+    dedupCutOf(Tables.load(s, dir, "documents"), sortByDoc = true)
 
   /** q87's cut over an arbitrary (doc_id, text) relation — the same
     * word-grain canonical-copy dedup applied to a corpus SLICE (q94
@@ -575,7 +575,7 @@ object CurationOpsQueries {
     * choice, and eval text must not act as a canonical-copy donor for
     * training text).
     */
-  private def dedupCutOf(docsDf: DataFrame): DataFrame = {
+  private def dedupCutOf(docsDf: DataFrame, sortByDoc: Boolean = false): DataFrame = {
     val w = 8
     val words = docsDf
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
@@ -628,7 +628,22 @@ object CurationOpsQueries {
     // preserves order and hashes ps per row, element_at is O(1) — so
     // the corpus's words never posexplode, never anti-join shuffle on
     // (doc, pos), and never re-sort per doc
-    words.join(cutArr, Seq("doc_id"), "left")
+    val joined = words.join(cutArr, Seq("doc_id"), "left")
+    dedupRebuild(if (sortByDoc) joined.orderBy(col("doc_id")) else joined)
+  }
+  // sortByDoc=false for the pipeline callers (q94/q150): they
+  // checkpoint this relation and re-order their final ledgers anyway —
+  // sorting here made the checkpoint pay a full range exchange + sort
+  // of the rebuilt text for nothing. q87 (whose declared output is
+  // ordered) sorts BELOW the rebuild projection, see [[dedupRebuild]].
+
+  /** The doc-grain rebuild projection over a (doc_id, ws, ps) row —
+    * split out so q87 can sort BELOW it (a range exchange samples its
+    * whole child once before partitioning; sorting above this
+    * projection would evaluate the rebuild twice).
+    */
+  private def dedupRebuild(joined: DataFrame): DataFrame =
+    joined
       .select(col("doc_id"), size(col("ws")).cast("long").as("words_total"),
         expr("transform(array_except(sequence(0, size(ws) - 1)," +
           " coalesce(ps, cast(array() as array<int>)))," +
@@ -636,11 +651,6 @@ object CurationOpsQueries {
       .select(col("doc_id"), col("words_total"),
         (col("words_total") - size(col("kw")).cast("long")).as("words_cut"),
         array_join(col("kw"), " ").as("kept_text"))
-  }
-  // UNSORTED: q87 orders at its own tail; the pipeline callers
-  // (q94/q150) checkpoint this relation and re-order their final
-  // ledgers anyway — sorting here made the checkpoint pay a full
-  // range exchange + sort of the rebuilt text for nothing
 
   val q87Sql: String =
     """WITH d AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
@@ -1416,8 +1426,14 @@ object CurationOpsQueries {
       .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
     // the explode(array(...)) barrier materializes the deduped tile
     // array once per row — without it, projection collapse would
-    // re-evaluate the per-tile md5 transform for every consumer
+    // re-evaluate the per-tile md5 transform for every consumer.
+    // The presentation sort runs HERE, below the tile projections: a
+    // range exchange samples its whole child once before partitioning,
+    // so sorting after the tile pass would evaluate it twice; every
+    // operator above (projections, the 1-row explode barrier, the
+    // nt>0 filter) is order-preserving
     planted
+      .orderBy(col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("ws"))
       .withColumn("nt", floor(size(col("ws")) / w).cast("int"))
       .filter(col("nt") > 0)
@@ -1433,7 +1449,6 @@ object CurationOpsQueries {
         size(col("kept")).cast("long").as("kept_tiles"),
         (col("n_tiles") - size(col("kept")).cast("long")).as("cut_tiles"),
         md5(array_join(col("kept"), " ")).as("kept_fp"))
-      .orderBy(col("doc_id"))
   }
 
   val q129Sql: String =

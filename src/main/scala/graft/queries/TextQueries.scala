@@ -161,13 +161,20 @@ object TextQueries {
     val sa = array_distinct(shingleArray(col("text"), 3))
     val sb = array_distinct(shingleArray(
       concat(col("text"), lit(" planted near duplicate marker")), 3))
+    // the sort runs BELOW the shingling projection: a range exchange
+    // samples its whole child once before partitioning, so an orderBy
+    // placed after the projection evaluates the double regex pass twice
+    // (measured +0.7 s at sf0.1); sorting the bare (doc_id, text) rows
+    // first samples only the scan, and the projections above the Sort
+    // are order-preserving
     Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
       .select(col("doc_id"), sa.as("sa"), sb.as("sb"))
       .select(col("doc_id"), size(array_intersect(col("sa"), col("sb"))).as("ni"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
       .select(col("doc_id"),
         (col("ni").cast("double") / (col("na") + col("nb") - col("ni"))).as("jaccard"))
-      .orderBy(col("doc_id"))
   }
 
   val q26Sql: String =
