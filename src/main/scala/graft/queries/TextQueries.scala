@@ -28,8 +28,15 @@ object TextQueries {
 
   // ===== q16 — per-document token/punct/stopword stats + fingerprint ======
 
+  // q16/q17/q18/q43: the presentation sort runs BELOW the per-row text
+  // projection — a range exchange samples its whole child once to pick
+  // partition bounds, so an orderBy above the multi-regex pass would
+  // evaluate it twice (the q26 finding; projections are
+  // order-preserving, so output order is unchanged)
   def q16TextStats(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id"))
       .select(
         col("doc_id"),
         tokenCount(col("text")).as("token_count"),
@@ -38,7 +45,6 @@ object TextQueries {
         stopwordRatio(col("text")).as("stopword_ratio"),
         meanTokenLength(col("text")).as("mean_token_len"),
         fingerprint(col("text")).as("fingerprint"))
-      .orderBy(col("doc_id"))
 
   val q16Sql: String =
     s"""SELECT doc_id,
@@ -55,8 +61,9 @@ object TextQueries {
 
   def q17LangId(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
-      .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_guess"))
+      .select(col("doc_id"), col("lang"), col("text"))
       .orderBy(col("doc_id"))
+      .select(col("doc_id"), col("lang"), langId(col("text")).as("lang_guess"))
 
   val q17Sql: String = {
     val markers = graft.text.TextFunctions.LangMarkers
@@ -111,9 +118,10 @@ object TextQueries {
 
   def q18QualityScore(s: SparkSession, dir: String): DataFrame =
     Tables.load(s, dir, "documents")
+      .select(col("doc_id"), col("n_chars"), col("text"))
+      .orderBy(col("doc_id"))
       .select(col("doc_id"), col("n_chars"),
         qualityScore(col("text")).as("quality"))
-      .orderBy(col("doc_id"))
 
   val q18Sql: String =
     s"""SELECT doc_id, n_chars,
@@ -895,13 +903,14 @@ object TextQueries {
           concat(col("text"),
             lit(" contact someone@example.com via https://example.com/path?q=1 now")))
           .otherwise(col("text")).as("text"))
-    withPii.select(
+    withPii
+      .orderBy(col("doc_id"))
+      .select(
         col("doc_id"),
         size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
         size(regexp_extract_all(col("text"), lit(UrlRe), lit(0))).as("n_urls"),
         regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
           UrlRe, "<URL>").as("clean_text"))
-      .orderBy(col("doc_id"))
   }
 
   val q43Sql: String =
