@@ -13,7 +13,13 @@ import graft.core.Sessions
   *   sbt "runMain graft.PlanDump <outDir> all"
   *
   * Reads SPARK_GRAFT_SF_DIR like Bench. Writes <outDir>/<query>.txt.
-  * explain("formatted") plans only — nothing executes.
+  * explain("formatted") plans — note that CONSTRUCTING a query whose
+  * definition contains eager localCheckpoints runs those subtrees as
+  * real Spark jobs over SPARK_GRAFT_SF_DIR during the dump, and the
+  * checkpointed subtrees appear only as `Scan ExistingRDD` /
+  * LogicalRDD leaves in the emitted plan — an `_after.txt` therefore
+  * understates the total work of a checkpointing query; read it
+  * together with the code.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {

@@ -1604,8 +1604,12 @@ object CorpusOpsQueries {
     * one reducer; the winners' (o, chi2) ride back in via one
     * 5-rows-per-source equi-join against the checkpointed scored
     * relation (evaluated once, not once per consumer). chi2_micro is
-    * exact in double below 2^53 — beyond that the statistic itself
-    * has already left the representable long range.
+    * exact in double below 2^53; between 2^53 and Long.MaxValue
+    * (~9.2e18) the long is representable but the double ranking loses
+    * low bits, so ordering/ties there could diverge from an exact
+    * long comparison — that band needs a corpus whose chi2·1e6
+    * exceeds 9e15, far beyond this data, and the term-ascending
+    * tiebreak keeps the output deterministic either way.
     */
   def q192DistinctiveTerms(s: SparkSession, dir: String): DataFrame = {
     graft.functions.TopKStrAgg.register(s)

@@ -28,17 +28,33 @@ object MultimodalQueries {
     */
   private def materializeConcurrently(
       rel: Seq[(String, () => DataFrame)]): Seq[(String, DataFrame)] = {
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(rel.size)
+    // named daemon threads: identifiable in dumps, never block JVM exit
+    val tf = new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger()
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-modality-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(rel.size, tf)
     try {
-      rel.map { case (m, thunk) =>
+      val futs = rel.map { case (m, thunk) =>
         m -> pool.submit(new java.util.concurrent.Callable[DataFrame] {
           override def call(): DataFrame = thunk()
         })
-      }.map { case (m, fut) =>
+      }
+      try futs.map { case (m, fut) =>
         m -> (try fut.get()
         catch { case e: java.util.concurrent.ExecutionException => throw e.getCause })
+      } catch {
+        case e: Throwable =>
+          // one modality failed: cancel the others' in-flight Spark
+          // jobs instead of letting them hold executors past the query
+          futs.foreach(_._2.cancel(true))
+          throw e
       }
-    } finally pool.shutdown()
+    } finally pool.shutdownNow()
   }
 
   def q29MultimodalFeatures(s: SparkSession, dir: String): DataFrame = {
