@@ -675,6 +675,46 @@ class PlanShapeSpec extends SparkTestBase {
         in.linesIterator.filter(_.contains("Join")).mkString("\n"))
   }
 
+  test("q87 dedup-cut inventory is hash-aggregated — the min(struct) SortAggregate must not return") {
+    // the r22 finding: min(struct(doc_id, i)) is not a HashAggregate-
+    // mutable buffer type, so the whole window relation silently
+    // sorted on both sides of its exchange; the packed-long form must
+    // keep the aggregate hash-based with a map-side partial
+    val p = plan(CurationOpsQueries.q87DedupCut(spark, sf))
+    assert(!p.contains("SortAggregate"),
+      "dedup-cut inventory regressed to SortAggregate:\n" +
+        p.linesIterator.filter(_.contains("Aggregate")).mkString("\n"))
+  }
+
+  test("q26 self-pair jaccard stays in-row: one scan, no aggregate, sort below the shingling") {
+    // both shingle sets are functions of the same row's text — rows
+    // must never explode or regroup, and the presentation sort must
+    // sample the bare scan, not the double-regex projection (a Sort
+    // above the projection evaluates it twice via range sampling)
+    val p = plan(TextQueries.q26NgramJaccard(spark, sf))
+    assert(countScans(p, "documents") == 1, "q26 must scan documents once")
+    assert(!p.contains("HashAggregate") && !p.contains("ObjectHashAggregate"),
+      "q26 must not aggregate:\n" + p.take(300))
+    val sortLine = p.linesIterator.indexWhere(_.contains("Sort"))
+    val genLine = p.linesIterator.indexWhere(_.contains("array_intersect"))
+    assert(sortLine >= 0 && (genLine < 0 || genLine < sortLine),
+      "the jaccard projection must sit ABOVE the sort (tree prints top-down):\n" +
+        p.linesIterator.take(12).mkString("\n"))
+  }
+
+  test("q129 presentation sort sits below the tile projection") {
+    // same range-sampling rule: the Sort must consume bare
+    // (doc_id, text) rows, with the tile dedup pass above it
+    val p = plan(CurationOpsQueries.q129IntraDocDedup(spark, sf))
+    val lines = p.linesIterator.toSeq
+    val sortIdx = lines.indexWhere(l => l.contains("+- Sort") || l.contains(": Sort"))
+    val tileIdx = lines.indexWhere(_.contains("array_distinct"))
+    assert(sortIdx >= 0, "expected a Sort in q129's plan")
+    assert(tileIdx < sortIdx,
+      s"tile projection (line $tileIdx) must print above the Sort (line $sortIdx):\n" +
+        lines.take(14).mkString("\n"))
+  }
+
   test("q111 fuzzy dedup: block-keyed equi-joins under a width aggregate — no nested loops, no window") {
     // the r19 finding: an uncapped prefix block is s²/2 on one key. The
     // r21 shape computes block width/min as a map-side-combined
