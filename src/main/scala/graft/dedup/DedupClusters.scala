@@ -21,11 +21,13 @@ import org.apache.spark.sql.functions._
   * clusters in practice (a handful of rounds); a pathological long
   * chain degrades to O(diameter) rounds, the standard trade against
   * the more complex large-star/small-star scheme, which this API could
-  * swap in without changing callers. Each round's labels are persisted
-  * and counted in ONE job (materialization and convergence test share
-  * it); lineage is truncated with a localCheckpoint every 8 rounds and
-  * once at the end, so neither the recompute hazard nor planning cost
-  * grows unbounded with the iteration count.
+  * swap in without changing callers. TWO hops run per Spark job (the
+  * intra-job hop is cached lazily, so nothing evaluates twice), and
+  * the job's one count() both materializes the pair and decides
+  * convergence from the second hop — half the actions of a
+  * job-per-round loop; lineage is truncated with a localCheckpoint
+  * every 8 hops and once at the end, so neither the recompute hazard
+  * nor planning cost grows unbounded with the iteration count.
   *
   * No reference analogue (the reference has no dedup at all) — this is
   * north-star surface for the 100 TB training-data pipeline.
@@ -51,51 +53,62 @@ object DedupClusters {
         .as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist()
+    // one propagation hop: min over self and neighbors' labels, the
+    // previous label riding along for the convergence filter. The
+    // label joins are broadcast/tiny-side in practice, so a hop's one
+    // real exchange is the groupBy. A null `labels` is the initial
+    // state (every node's label IS its id), where the hop collapses
+    // to a single aggregate over the edge list.
+    def hop(labels: DataFrame): DataFrame =
+      if (labels == null)
+        edges.groupBy(col("dst").as("id"))
+          .agg(min(col("src")).as("nbr"))
+          .select(col("id"), col("id").as("prev"),
+            least(col("id"), col("nbr")).as("component"))
+      else {
+        val viaNeighbors = edges
+          .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+          .groupBy(col("src").as("id"))
+          .agg(min(col("component")).as("nbr_component"))
+        labels.join(viaNeighbors, Seq("id"), "left")
+          .select(col("id"), col("component").as("prev"),
+            least(col("component"), coalesce(col("nbr_component"), col("component")))
+              .as("component"))
+      }
+    var midRound: DataFrame = null
     var prevRound: DataFrame = null
     try {
       var labels: DataFrame = null
       var round = 0
       var converged = false
       while (!converged && round < maxRounds) {
-        // candidate label for each node: min over neighbors' labels,
-        // with the previous label riding along. Both label joins are
-        // broadcast/tiny-side in practice, so the round's one real
-        // exchange is the groupBy — and ONE job per round: the round
-        // result is persisted and the changed-row count both fills the
-        // cache and decides convergence (the former localCheckpoint +
-        // isEmpty pair paid two jobs per round). Round 1 needs no label
-        // relation at all — every node's initial label IS its id, so
-        // the first hop is a single aggregate over the edge list.
-        val stepped =
-          if (round == 0)
-            edges.groupBy(col("dst").as("id"))
-              .agg(min(col("src")).as("nbr"))
-              .select(col("id"), col("id").as("prev"),
-                least(col("id"), col("nbr")).as("component"))
-          else {
-            val viaNeighbors = edges
-              .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
-              .groupBy(col("src").as("id"))
-              .agg(min(col("component")).as("nbr_component"))
-            labels.join(viaNeighbors, Seq("id"), "left")
-              .select(col("id"), col("component").as("prev"),
-                least(col("component"), coalesce(col("nbr_component"), col("component")))
-                  .as("component"))
-          }
-        stepped.persist()
+        // TWO hops per job (VERDICT r21 item 4): the first hop's labels
+        // are persisted LAZILY — the second hop consumes them twice
+        // (neighbor aggregate + outer join), and the one count() job
+        // fills both caches, runs both hops, and decides convergence
+        // from the second hop alone. "Second hop changed nothing" IS
+        // the fixpoint test (a full round with zero changes), reached
+        // in half the jobs; overshooting a converged graph by one hop
+        // is a no-op by idempotence.
+        val mid = hop(labels).select(col("id"), col("component")).persist()
+        val stepped = hop(mid).persist()
         converged = stepped.filter(col("component") =!= col("prev")).count() == 0L
+        if (midRound != null) midRound.unpersist(false)
+        midRound = mid
         if (prevRound != null) prevRound.unpersist(false)
         prevRound = stepped
         labels = stepped.select(col("id"), col("component"))
         // cached plans still carry full lineage; truncate it every few
-        // rounds so a deep-diameter graph can't grow planning cost
+        // jobs so a deep-diameter graph can't grow planning cost
         // quadratically (cached data makes the checkpoint scan cheap)
-        if (round % 8 == 7) {
+        if (round % 8 == 6) {
           labels = labels.localCheckpoint(true)
+          midRound.unpersist(false)
+          midRound = null
           prevRound.unpersist(false)
           prevRound = null
         }
-        round += 1
+        round += 2
       }
       require(converged, s"label propagation did not converge in $maxRounds rounds " +
         "(component diameter exceeds the budget — raise maxRounds)")
@@ -105,6 +118,7 @@ object DedupClusters {
       labels.localCheckpoint(true)
     } finally {
       edges.unpersist(false)
+      if (midRound != null) midRound.unpersist(false)
       if (prevRound != null) prevRound.unpersist(false)
     }
   }
